@@ -1,0 +1,48 @@
+"""Text primitives shared by the dedup / text-analysis operators.
+
+All JVM-side (split / transform / element_at / md5 / conv) — no Python
+UDFs. Hashing is md5-based because md5 is bit-identical across Spark
+and DuckDB, which makes minhash/simhash signatures oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space split, matching DuckDB
+    string_split(text, ' '))."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def word_trigrams(words_col: Column) -> Column:
+    """1-based sliding word 3-grams: trigram i = words[i..i+2],
+    i in 1..max(len-2, 1). Mirrors the oracle's
+    ``w[i] || ' ' || w[i+1] || ' ' || w[i+2]``."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words_col) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words_col, i),
+            F.element_at(words_col, i + 1),
+            F.element_at(words_col, i + 2),
+        ),
+    )
+
+
+def hash60(s: Column) -> Column:
+    """First 15 hex chars of md5 -> unsigned 60-bit BIGINT.
+    Portable: DuckDB `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def hash32(s: Column) -> Column:
+    """First 8 hex chars of md5 -> 32-bit BIGINT (for simhash bits)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def salted_hash60(salt: Column, s: Column) -> Column:
+    """Minhash 'permutation' i: md5(i || ':' || s) -> 60-bit int."""
+    return hash60(F.concat(salt.cast("string"), F.lit(":"), s))

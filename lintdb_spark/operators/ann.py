@@ -1,0 +1,79 @@
+"""IVF-style candidate generation, Spark-first.
+
+Reference behavior being matched (SURVEY.md §2.C):
+- assignIVFCentroids: nearest centroid per token by inner product
+  (lintdb/schema/DocProcessor.cpp:183-198,
+  lintdb/quantizers/CoarseQuantizer.cpp:243-258).
+- KnnNearestCentroids::calculate + get_top_centroids: per-centroid max
+  query-token score -> top n_probe probe list
+  (lintdb/query/KnnNearestCentroids.cpp:6-110).
+- VectorQueryNode: OR over probed posting lists, dedup by doc_id
+  (lintdb/query/QueryNode.cpp:29-101).
+
+Scale notes: the centroid table is small by construction
+(num_centroids ~ sqrt(total tokens); 65536 x 128 floats = 32 MB at the
+reference's largest config) so every join against it is explicitly
+``broadcast()``. The tokens side streams — no shuffle is needed until
+the per-token argmax, which is a window over (doc_id, token_idx); at
+100 TB the same plan holds because the window key is the natural data
+key. Probe selection (a few-row aggregate) intentionally stays a tiny
+Spark job rather than driver-side numpy so the whole query remains one
+lazy plan; the candidate filter is ``centroid_id IN (probes)`` which a
+partitioned/bucketed postings layout turns into partition pruning —
+the Spark analogue of opening only n_probe posting lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lintdb_spark import params
+from lintdb_spark.functions.vector import dot_product
+
+
+def assign_tokens(doc_tokens: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per token by inner product.
+
+    Returns (doc_id, token_idx, label, centroid_id, ip). Ordering for
+    the argmax uses the score rounded to 6 decimals with centroid_id
+    tie-break, so Spark and the DuckDB oracle select identical winners.
+    """
+    scored = doc_tokens.join(F.broadcast(centroids)).withColumn(
+        "ip", dot_product("vec", "cvec")
+    )
+    w = Window.partitionBy("doc_id", "token_idx").orderBy(
+        F.round(F.col("ip"), 6).desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token_idx", "label", "centroid_id", "ip")
+    )
+
+
+def top_centroids(query_tokens: DataFrame, centroids: DataFrame, n_probe: int | None = None) -> DataFrame:
+    """Per-centroid max score over query tokens -> top n_probe probes
+    (KnnNearestCentroids.cpp:38-110)."""
+    n_probe = n_probe or params.N_PROBE
+    return (
+        query_tokens.join(F.broadcast(centroids))
+        .withColumn("score", dot_product("qvec", "cvec"))
+        .groupBy("centroid_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+    )
+
+
+def candidates(token_assign: DataFrame, probes: DataFrame) -> DataFrame:
+    """Distinct doc_ids with >=1 token in a probed list — the OR-
+    across-posting-lists semantics of VectorQueryNode
+    (lintdb/query/QueryNode.h:59-64). The probe side is tiny ->
+    broadcast join, no shuffle of the postings side beyond the
+    distinct."""
+    return (
+        token_assign.join(F.broadcast(probes.select("centroid_id")), "centroid_id")
+        .select("doc_id")
+        .distinct()
+    )

@@ -1,0 +1,189 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These go beyond the reference's operator set (LintDB has no dedup;
+SURVEY.md §2.I) — they are the data-pipeline extensions a 100 TB corpus
+engine needs. All are shuffle-conscious:
+
+- exact dedup: one hash-aggregate, the minimal possible plan.
+- minhash: shingle explode -> per-(doc, perm) min — map-side partial
+  aggregation keeps the shuffle at |docs| x |perms| rows regardless of
+  document length.
+- LSH banding: signatures -> band hash -> bucket join; candidate pairs
+  are generated per-bucket, never all-pairs.
+- jaccard: inverted-index self-join on shingle (each shingle's posting
+  list is bounded by its document frequency, so the join fans out as
+  sum(df^2), not |docs|^2).
+- simhash: 32-bit fingerprint via per-bit majority vote, all in one
+  explode + two aggregations.
+- embedding near-dup: all-pairs cosine at test scale; the scale path is
+  LSH-bucketed (lintdb_spark.operators.knn).
+
+Everything is JVM-expression-only and oracle-checkable (md5-based
+hashing matches DuckDB bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lintdb_spark import params
+from lintdb_spark.functions.text import salted_hash60, word_trigrams, words
+from lintdb_spark.functions.vector import dot_product, l2_norm
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Content-hash groups: (text_hash, n_docs, keep_doc_id). Exact
+    dedup keeps min(doc_id) per group — one hash aggregate."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def doc_shingles(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) where shingle = word trigram."""
+    return (
+        documents.select(
+            "doc_id", F.explode(word_trigrams(words("text"))).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
+    """(doc_id, perm, minhash) — num_perms md5-salted hash functions;
+    signature = min over the doc's shingles. The explode is perm-wise
+    but Spark's partial aggregation collapses to |docs| x |perms| rows
+    before the shuffle."""
+    num_perms = num_perms or params.MINHASH_PERMS
+    return (
+        shingles.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm"),
+            F.col("shingle"),
+        )
+        .select(
+            "doc_id",
+            "perm",
+            salted_hash60(F.col("perm"), F.col("shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_buckets(signatures: DataFrame, bands: int | None = None, num_perms: int | None = None) -> DataFrame:
+    """(doc_id, band, bucket) — band b covers perms [b*r, (b+1)*r),
+    bucket = md5 of the comma-joined signature slice in perm order."""
+    bands = bands or params.LSH_BANDS
+    num_perms = num_perms or params.MINHASH_PERMS
+    r = num_perms // bands
+    sig_str = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+            lambda s: s["minhash"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        signatures.withColumn("band", (F.col("perm") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(sig_str).alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing any band bucket, doc_a < doc_b.
+    The join key is (band, bucket) so fan-out is per-bucket — this is
+    the 100 TB-safe path (no all-pairs)."""
+    a = buckets.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"))
+    b = buckets.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, min_overlap: int = 2) -> DataFrame:
+    """n-gram Jaccard via inverted-index self-join on shingle.
+    Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
+    min_overlap shingles. Shingle df is naturally bounded for trigram
+    shingles; for heavy-tailed corpora add a df cap before the join."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                params.ROUND,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint per doc: per-bit majority vote over
+    md5-hashed tokens (with multiplicity). (doc_id, simhash)."""
+    toks = documents.select(
+        "doc_id", F.explode(words("text")).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
+    # per-bit test as (h div 2^b) % 2 — integer ops only, stays exact
+    bit = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "v",
+        F.when(F.expr("pmod(h div CAST(power(2, b) AS BIGINT), 2)") == 1, F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    return (
+        bit.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("bigint")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All-pairs cosine >= threshold (vec_a < vec_b). Quadratic — fine
+    for correctness tier; the scale path is knn.lsh_ann / LSH-bucketed
+    similarity join. Returns (vec_a, vec_b, cosine)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    cos = dot_product("va", "vb") / (l2_norm("va") * l2_norm("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, params.ROUND).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column.
+
+- brute_force_knn: exact top-k cosine for a (small) query set —
+  broadcast the queries, stream the corpus, TakeOrderedAndProject per
+  query. The baseline and the oracle.
+- ivf_knn: the scale path — restrict each query to its n_probe nearest
+  coarse-centroid buckets before scoring (same IVF idea as the
+  reference's VectorQueryNode, lintdb/query/QueryNode.cpp:29-101,
+  applied to single-vector similarity search). With a corpus
+  pre-partitioned by centroid_id this prunes (n_probe / n_centroids)
+  of the scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lintdb_spark import params
+from lintdb_spark.functions.vector import dot_product, l2_norm
+
+
+def _cosine(a: str, b: str):
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_knn(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """(q_id, neighbor_id, rank, cosine) — exact top-k per query,
+    self-match excluded. Ordering on round(cos, 6) with vec_id
+    tie-break for cross-engine determinism."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("cos"), params.ROUND).alias("cosine"),
+        )
+    )
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF-pruned ANN: corpus vectors are bucketed by nearest centroid;
+    each query scans only its n_probe best buckets. Recall < 1 by
+    design (approximate); at 100 TB the bucket assignment is a stored
+    partition column and this becomes partition pruning."""
+    n_probe = n_probe or params.N_PROBE
+    cvecs = centroids.select("centroid_id", F.col("cvec"))
+
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.round(F.col("ip"), 6).desc(), F.col("centroid_id").asc()
+    )
+    bucketed = (
+        corpus.join(F.broadcast(cvecs))
+        .withColumn("ip", dot_product("cv", "cvec"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("qip"), 6).desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cvecs))
+        .withColumn("qip", dot_product("qv", "cvec"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", "centroid_id")
+    )
+
+    scored = (
+        bucketed.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("cos"), params.ROUND).alias("cosine"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Relational / streaming-analytics operators over the TPC-H-ish tables.
+
+The reference has no relational layer at all (SURVEY.md §2.I) — in the
+Spark rebuild these come from Spark SQL; they're included as
+first-class queries because (a) they exercise the engine's scan /
+join / aggregate paths at bench scale and (b) a training-data pipeline
+needs them (cohorting, windowing, join-enrichment).
+
+Scale notes per query are in the docstrings; the common themes:
+dimension tables broadcast, facts shuffle once on the group key,
+aggregates are partial (map-side combine) by construction, and
+top-k is orderBy().limit() = TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lintdb_spark import params
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, 4 groups. One shuffle of
+    8 partial rows per task — pure map-side combine at any scale."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(cutoff)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), params.ROUND).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), params.ROUND).alias("avg_price"),
+            F.round(F.avg("l_discount"), params.ROUND).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def top_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1997-06-30",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: customer (dim, broadcast) |x| orders |x| lineitem,
+    revenue per order, top-k. lineitem-orders co-shuffle on orderkey;
+    at 100 TB bucket both on orderkey to kill the shuffle entirely."""
+    d = F.to_timestamp(F.lit(date))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(customer.filter(F.col("c_mktsegment") == segment))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < d)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > d)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def revenue_by_nation(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape (customer-nation variant): snowflake of broadcast
+    dims onto the lineitem fact; single shuffle on the 25-value group
+    key."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(
+            region.filter(F.col("r_name") == region_name)
+            .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        )
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit(date_from)))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit(date_to)))
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming windowed
+    count; the Structured Streaming twin lives in
+    lintdb_spark.streaming). Output key is epoch-seconds so hashes are
+    engine-independent."""
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization via lag window: a session break is a
+    > gap_minutes silence per user. (user_id, n_events, n_sessions).
+    Single shuffle on user_id; skew-safe under AQE."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    marked = (
+        events.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > gap_us), 1
+            ).otherwise(0),
+        )
+    )
+    return marked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("is_new").cast("bigint").alias("n_sessions"),
+    )

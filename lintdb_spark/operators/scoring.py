@@ -1,0 +1,113 @@
+"""Late-interaction scoring: PLAID stage-1 and exact MaxSim stage-2,
+plus the two-phase cascade.
+
+Reference math being matched (SURVEY.md §2.D):
+- colbert_centroid_score (lintdb/scoring/plaid.cpp:65-95): per query
+  token take the max centroid score over the doc's *distinct* codes,
+  sum over query tokens — a codes-only approximation of MaxSim.
+- score_document_by_residuals (plaid.cpp:119-185): exact MaxSim =
+  sum over query tokens of max over doc tokens of dot(q, d).
+- QueryExecutor two-phase cascade (lintdb/query/QueryExecutor.cpp:14-71):
+  stage-1 score all candidates, keep top num_second_pass, stage-2
+  exact-rerank, keep top k.
+
+Spark shape: both stages are groupBy max->sum aggregations; the
+reference's OMP-parallel scoring loop becomes shuffle-partitioned
+aggregation, and its std::sort + truncate becomes
+``orderBy().limit()`` which Spark executes as TakeOrderedAndProject
+(no full sort at scale). The q_tokens side is a handful of rows and is
+always broadcast — so the big side (candidate tokens/codes) shuffles
+exactly once per stage, on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lintdb_spark import params
+from lintdb_spark.functions.vector import dot_product
+
+
+def plaid_scores(token_assign: DataFrame, query_tokens: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Stage-1 codes-only score per doc (plaid.cpp:65-95).
+
+    score(doc) = sum_q max_{c in distinct codes(doc)} <q, centroid_c>
+    Returns (doc_id, score). Scores are NOT rounded here — callers
+    round at the output boundary.
+    """
+    doc_codes = token_assign.select("doc_id", "centroid_id").distinct()
+    qc = (
+        query_tokens.join(F.broadcast(centroids))
+        .select("q_id", "centroid_id", dot_product("qvec", "cvec").alias("qc_score"))
+    )
+    return (
+        doc_codes.join(F.broadcast(qc), "centroid_id")
+        .groupBy("doc_id", "q_id")
+        .agg(F.max("qc_score").alias("best"))
+        .groupBy("doc_id")
+        .agg(F.sum("best").alias("score"))
+    )
+
+
+def maxsim_scores(doc_tokens: DataFrame, query_tokens: DataFrame) -> DataFrame:
+    """Exact MaxSim per doc over raw token vectors (plaid.cpp:119-185,
+    minus the residual decompression — quantizer round-trips live in
+    lintdb_spark.index.quantizers). Returns (doc_id, score)."""
+    return (
+        doc_tokens.join(F.broadcast(query_tokens))
+        .select("doc_id", "q_id", dot_product("vec", "qvec").alias("ip"))
+        .groupBy("doc_id", "q_id")
+        .agg(F.max("ip").alias("best"))
+        .groupBy("doc_id")
+        .agg(F.sum("best").alias("score"))
+    )
+
+
+def two_phase_topk(
+    doc_tokens: DataFrame,
+    token_assign: DataFrame,
+    query_tokens: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int | None = None,
+    num_second_pass: int | None = None,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Full reference cascade (QueryExecutor.cpp:14-71): candidates from
+    probed posting lists -> stage-1 PLAID over the candidates' full
+    code sets -> top num_second_pass -> stage-2 exact MaxSim -> top k.
+
+    ``doc_filter`` (a doc_id DataFrame) reproduces the reference's
+    *approximate* AND-with-VECTOR semantics (tests/index_test.cpp:197-321;
+    SURVEY.md §2.C note 2): the term predicate restricts the candidate
+    set generated from probed lists — it does not re-run exact search
+    over the full filtered corpus.
+
+    Deterministic: ordering on rounded score with doc_id tie-break at
+    both cuts. Returns (doc_id, score) with score rounded for
+    cross-engine comparison.
+    """
+    k = k or params.K
+    num_second_pass = num_second_pass or params.NUM_SECOND_PASS
+
+    cand = (
+        token_assign.join(F.broadcast(probes.select("centroid_id")), "centroid_id")
+        .select("doc_id")
+        .distinct()
+    )
+    if doc_filter is not None:
+        cand = cand.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    cand_assign = token_assign.join(F.broadcast(cand), "doc_id", "left_semi")
+    stage1 = plaid_scores(cand_assign, query_tokens, centroids)
+    survivors = (
+        stage1.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(num_second_pass)
+        .select("doc_id")
+    )
+    stage2 = maxsim_scores(doc_tokens.join(F.broadcast(survivors), "doc_id"), query_tokens)
+    return (
+        stage2.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
+    )

@@ -1,0 +1,66 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID — the per-document featurization layer of a training-data
+pipeline. Pure column expressions (one narrow projection, no shuffle,
+no UDF): at 100 TB this runs at parquet-scan speed with full
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lintdb_spark import params
+from lintdb_spark.functions.text import words
+
+_PUNCT_RE = "[.,!?;:]"
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, punct_ratio, quality_score).
+
+    quality_score = min(1, n_tokens/100) * (1 - punct_ratio): longer
+    docs with little punctuation-noise score higher. Deterministic and
+    oracle-matched; a real pipeline would plug its own formula in here.
+    """
+    w = words("text")
+    n_tokens = F.size(w)
+    n_chars = F.length("text")
+    no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
+    punct_ratio = n_punct / n_chars
+    return documents.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(no_space / n_tokens, params.ROUND).alias("avg_token_len"),
+        F.round(punct_ratio, params.ROUND).alias("punct_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(1.0) - punct_ratio),
+            params.ROUND,
+        ).alias("quality_score"),
+    )
+
+
+def _stop_count(words_col, lang: str):
+    lst = ", ".join(f"'{s}'" for s in params.STOPWORDS[lang])
+    return F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({lst})))")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language ID over {en, de, fr, es} with fixed
+    tie-break order en > de > fr > es. (doc_id, pred_lang,
+    n_stopwords). A scale pipeline would swap in char-n-gram models;
+    the operator shape (narrow projection) is identical."""
+    w = words("text")
+    en, de, fr, es = (_stop_count(w, l) for l in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return documents.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.greatest(en, de, fr, es).cast("bigint").alias("n_stopwords"),
+    )

@@ -1,0 +1,58 @@
+"""Shared constants for the deterministic multi-vector model and search
+knobs. Single source of truth: the Spark operators AND the DuckDB
+oracle SQL are both generated from these values, so the two sides can
+never drift.
+
+Search knob defaults mirror the reference's SearchOptions
+(lintdb/SearchOptions.h:24-38): n_probe, k_top_centroids,
+num_second_pass, centroid_score_threshold — rescaled to the synthetic
+corpus size (500-2000 vectors vs the reference's LoTTE slices).
+"""
+
+from __future__ import annotations
+
+# Embedding model geometry (driver's embeddings.parquet: vec_id, embedding
+# float[64], label).
+DIM = 64
+
+# Multi-vector documents: doc_id = floor(vec_id / TOKENS_PER_DOC), i.e. a
+# "document" is TOKENS_PER_DOC consecutive vectors. This mirrors the
+# reference's Document{id, tensor field with num_tensors tokens}
+# (lintdb/schema/Document.h:12-18) while staying derivable in plain SQL
+# on both engines.
+TOKENS_PER_DOC = 4
+
+# Coarse "centroids" for the IVF layer of the oracle-checked queries:
+# every CENTROID_STRIDE-th vector is a centroid (deterministic, no
+# training run needed — real KMeans training lives in
+# lintdb_spark.index and is pytest-verified instead, since MLlib
+# cluster positions are not reproducible in DuckDB SQL).
+CENTROID_STRIDE = 25
+
+# Query = fixed set of token vectors (all < 500 so they exist at every
+# scale factor). Mirrors the reference's 32x128 padded ColBERT query
+# (tests/colbert_test.cpp:44) at synthetic scale.
+QUERY_VEC_IDS = [1, 3, 7, 13, 29, 51, 87, 93]
+
+# Search knobs (reference defaults at lintdb/SearchOptions.h:24-38,
+# rescaled).
+N_PROBE = 4  # reference: 32 of 65536 lists
+K = 10  # top-k returned (reference: 100)
+NUM_SECOND_PASS = 32  # reference: 1024
+CENTROID_SCORE_THRESHOLD = 0.0  # reference: 0.45 (tuned for unit-norm 128-d)
+
+# Text-pipeline knobs.
+SHINGLE_K = 5  # character-shingle width for minhash/jaccard
+MINHASH_PERMS = 16  # number of minhash "permutations" (md5-salted)
+LSH_BANDS = 4  # bands for LSH bucketing (rows per band = PERMS/BANDS)
+ROUND = 4  # decimals kept when hashing float scores across engines
+
+# English/German/French/Spanish stopword lists for the n-gram-free
+# language-ID heuristic (tiny, deterministic; good enough for synthetic
+# text). Kept lowercase.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "por"],
+}

@@ -1,0 +1,531 @@
+"""Query registry: every implemented operator exposed as a named query
+(spark, sf_dir) -> DataFrame, with a matching DuckDB oracle SQL string.
+
+This is the correctness contract consumed by __spark_entry__:
+``queries()``/``oracle_sql()`` there are thin wrappers over REGISTRY.
+Column names and types are aligned on both sides (ints -> BIGINT,
+floats rounded to params.ROUND and emitted as DOUBLE) because the
+driver hash-compares values after sorting columns by name.
+
+Sections:
+- Q-TERM / Q-AND / Q-OR         — boolean filter algebra (SURVEY §2.C C1/C3/C4)
+- Q-ASSIGN .. Q-TOPK/FILTERED   — IVF + PLAID/MaxSim cascade (§2.C/§2.D)
+- relational / events           — Spark-SQL-native layer (§2.I scope note)
+- dedup / text / knn            — training-data pipeline extensions
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lintdb_spark import model, params
+from lintdb_spark.operators import ann, dedup, knn, relational, scoring, textstats
+from lintdb_spark.oracle import prelude
+from lintdb_spark.tables import load_table
+
+KNN_QUERY_IDS = [5, 123, 250]
+NEARDUP_THRESHOLD = 0.4
+
+_QIDS = ", ".join(str(i) for i in params.QUERY_VEC_IDS)
+_KNN_IDS = ", ".join(str(i) for i in KNN_QUERY_IDS)
+
+
+# --------------------------------------------------------------------------
+# Spark implementations
+# --------------------------------------------------------------------------
+
+def q_term_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 TermQueryNode on a TEXT field (QueryNode.cpp:15-27)."""
+    return load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id")
+
+
+def q_term_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 TermQueryNode on an INTEGER field."""
+    return load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 42).select("o_orderkey")
+
+
+def q_term_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 TermQueryNode on a DATETIME field (ms-precision range)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-03-01")))
+    ).select("l_orderkey", "l_linenumber")
+
+
+def q_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 AndQueryNode = conjunction of two term filters."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter((F.col("lang") == "en") & (F.col("source") == "src3")).select("doc_id")
+
+
+def q_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 OrQueryNode = disjunction with doc_id dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .union(d.filter(F.col("source") == "src3").select("doc_id"))
+        .distinct()
+    )
+
+
+def q_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/E2 nearest-centroid assignment per token."""
+    ta = ann.assign_tokens(model.doc_tokens(spark, sf_dir), model.centroids(spark, sf_dir))
+    return ta.select(
+        "doc_id", "token_idx", "centroid_id", F.round(F.col("ip"), params.ROUND).alias("ip")
+    )
+
+
+def q_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 doc -> distinct centroid set (exploded rows for hash-stable
+    comparison)."""
+    ta = ann.assign_tokens(model.doc_tokens(spark, sf_dir), model.centroids(spark, sf_dir))
+    return ta.select("doc_id", "centroid_id").distinct()
+
+
+def q_topcentroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7 per-centroid max over query tokens -> top n_probe."""
+    p = ann.top_centroids(model.query_tokens(spark, sf_dir), model.centroids(spark, sf_dir))
+    return p.select("centroid_id", F.round(F.col("score"), params.ROUND).alias("score"))
+
+
+def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 distinct docs with a token in a probed posting list."""
+    cents = model.centroids(spark, sf_dir)
+    ta = ann.assign_tokens(model.doc_tokens(spark, sf_dir), cents)
+    probes = ann.top_centroids(model.query_tokens(spark, sf_dir), cents)
+    return ann.candidates(ta, probes)
+
+
+def q_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 codes-only approximate MaxSim for every doc."""
+    cents = model.centroids(spark, sf_dir)
+    ta = ann.assign_tokens(model.doc_tokens(spark, sf_dir), cents)
+    s = scoring.plaid_scores(ta, model.query_tokens(spark, sf_dir), cents)
+    return s.select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
+
+
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 exact MaxSim for every doc."""
+    s = scoring.maxsim_scores(model.doc_tokens(spark, sf_dir), model.query_tokens(spark, sf_dir))
+    return s.select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
+
+
+def _topk(spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None) -> DataFrame:
+    cents = model.centroids(spark, sf_dir)
+    dt = model.doc_tokens(spark, sf_dir)
+    qt = model.query_tokens(spark, sf_dir)
+    ta = ann.assign_tokens(dt, cents)
+    probes = ann.top_centroids(qt, cents)
+    return scoring.two_phase_topk(dt, ta, qt, cents, probes, doc_filter=doc_filter)
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D8 two-phase cascade: PLAID -> num_second_pass -> MaxSim -> k."""
+    return _topk(spark, sf_dir)
+
+
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+C3 approximate AND: term predicate restricts probed candidates
+    (index_test.cpp:197-321 semantics)."""
+    dt = model.doc_tokens(spark, sf_dir)
+    doc_filter = dt.filter((F.col("token_idx") == 0) & (F.col("label") % 2 == 0)).select("doc_id")
+    return _topk(spark, sf_dir, doc_filter=doc_filter)
+
+
+def q_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 result assembly: top-k joined back to stored metadata."""
+    topk = _topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return topk.join(docs, "doc_id").select("doc_id", "score", "lang", "source", "n_chars")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_by_nation(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_hourly(load_table(spark, sf_dir, "events"))
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_sessions(load_table(spark, sf_dir, "events"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(dedup.doc_shingles(load_table(spark, sf_dir, "documents")))
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(dedup.doc_shingles(load_table(spark, sf_dir, "documents")))
+    return dedup.lsh_buckets(sigs)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(dedup.doc_shingles(load_table(spark, sf_dir, "documents")))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn.brute_force_knn(load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — same constants, same rounding, same tie-breaks
+# --------------------------------------------------------------------------
+
+_SHINGLES = """
+shingles AS (
+    SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+    FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-2, 1)+1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+)
+"""
+
+_SIGS = f"""
+{_SHINGLES},
+sigs AS (
+    SELECT doc_id, perm,
+           min(CAST(concat('0x', substr(md5(concat(CAST(perm AS VARCHAR), ':', shingle)), 1, 15)) AS BIGINT)) AS minhash
+    FROM shingles CROSS JOIN (SELECT unnest(range(0, {params.MINHASH_PERMS})) AS perm) p
+    GROUP BY doc_id, perm
+)
+"""
+
+
+def _stopword_in(lang: str) -> str:
+    return ", ".join(f"'{s}'" for s in params.STOPWORDS[lang])
+
+
+ORACLE: dict[str, str] = {
+    "q_term_text": "SELECT doc_id FROM documents WHERE lang = 'en'",
+    "q_term_int": "SELECT o_orderkey FROM orders WHERE o_custkey = 42",
+    "q_term_date": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'"
+    ),
+    "q_and": "SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'src3'",
+    "q_or": "SELECT DISTINCT doc_id FROM documents WHERE lang = 'en' OR source = 'src3'",
+    "q_assign": prelude()
+    + f"SELECT doc_id, token_idx, centroid_id, round(ip, {params.ROUND}) AS ip FROM token_assign",
+    "q_mapping": prelude() + "SELECT DISTINCT doc_id, centroid_id FROM token_assign",
+    "q_topcentroids": prelude()
+    + f"SELECT centroid_id, round(score, {params.ROUND}) AS score FROM probes",
+    "q_candidates": prelude()
+    + (
+        "SELECT DISTINCT doc_id FROM token_assign "
+        "WHERE centroid_id IN (SELECT centroid_id FROM probes)"
+    ),
+    "q_plaid": prelude()
+    + f"""
+, doc_codes AS (SELECT DISTINCT doc_id, centroid_id FROM token_assign),
+qc AS (SELECT q.q_id, c.centroid_id, list_dot_product(q.qvec, c.cvec) AS qc_score
+       FROM q_tokens q CROSS JOIN centroids c),
+pl AS (SELECT d.doc_id, q.q_id, max(q.qc_score) AS best
+       FROM doc_codes d JOIN qc q USING (centroid_id) GROUP BY 1, 2)
+SELECT doc_id, round(sum(best), {params.ROUND}) AS score FROM pl GROUP BY doc_id
+""",
+    "q_maxsim": prelude()
+    + f"""
+, mm AS (SELECT t.doc_id, q.q_id, max(list_dot_product(t.vec, q.qvec)) AS best
+         FROM doc_tokens t CROSS JOIN q_tokens q GROUP BY 1, 2)
+SELECT doc_id, round(sum(best), {params.ROUND}) AS score FROM mm GROUP BY doc_id
+""",
+    "q_topk": prelude()
+    + f"""
+, cand AS (SELECT DISTINCT doc_id FROM token_assign
+           WHERE centroid_id IN (SELECT centroid_id FROM probes)),
+cand_codes AS (SELECT DISTINCT t.doc_id, t.centroid_id
+               FROM token_assign t JOIN cand USING (doc_id)),
+qc AS (SELECT q.q_id, c.centroid_id, list_dot_product(q.qvec, c.cvec) AS qc_score
+       FROM q_tokens q CROSS JOIN centroids c),
+stage1 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT d.doc_id, q.q_id, max(q.qc_score) AS best
+                 FROM cand_codes d JOIN qc q USING (centroid_id) GROUP BY 1, 2)
+           GROUP BY doc_id),
+surv AS (SELECT doc_id FROM stage1
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.NUM_SECOND_PASS}),
+stage2 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT t.doc_id, q.q_id, max(list_dot_product(t.vec, q.qvec)) AS best
+                 FROM doc_tokens t JOIN surv USING (doc_id) CROSS JOIN q_tokens q
+                 GROUP BY 1, 2)
+           GROUP BY doc_id)
+SELECT doc_id, round(score, {params.ROUND}) AS score FROM stage2
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.K}
+""",
+    "q_filtered_ann": prelude()
+    + f"""
+, doc_labels AS (SELECT doc_id, label FROM doc_tokens WHERE token_idx = 0),
+cand AS (SELECT DISTINCT t.doc_id FROM token_assign t
+         JOIN doc_labels dl ON dl.doc_id = t.doc_id AND dl.label % 2 = 0
+         WHERE t.centroid_id IN (SELECT centroid_id FROM probes)),
+cand_codes AS (SELECT DISTINCT t.doc_id, t.centroid_id
+               FROM token_assign t JOIN cand USING (doc_id)),
+qc AS (SELECT q.q_id, c.centroid_id, list_dot_product(q.qvec, c.cvec) AS qc_score
+       FROM q_tokens q CROSS JOIN centroids c),
+stage1 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT d.doc_id, q.q_id, max(q.qc_score) AS best
+                 FROM cand_codes d JOIN qc q USING (centroid_id) GROUP BY 1, 2)
+           GROUP BY doc_id),
+surv AS (SELECT doc_id FROM stage1
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.NUM_SECOND_PASS}),
+stage2 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT t.doc_id, q.q_id, max(list_dot_product(t.vec, q.qvec)) AS best
+                 FROM doc_tokens t JOIN surv USING (doc_id) CROSS JOIN q_tokens q
+                 GROUP BY 1, 2)
+           GROUP BY doc_id)
+SELECT doc_id, round(score, {params.ROUND}) AS score FROM stage2
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.K}
+""",
+    "q_metadata": prelude()
+    + f"""
+, cand AS (SELECT DISTINCT doc_id FROM token_assign
+           WHERE centroid_id IN (SELECT centroid_id FROM probes)),
+cand_codes AS (SELECT DISTINCT t.doc_id, t.centroid_id
+               FROM token_assign t JOIN cand USING (doc_id)),
+qc AS (SELECT q.q_id, c.centroid_id, list_dot_product(q.qvec, c.cvec) AS qc_score
+       FROM q_tokens q CROSS JOIN centroids c),
+stage1 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT d.doc_id, q.q_id, max(q.qc_score) AS best
+                 FROM cand_codes d JOIN qc q USING (centroid_id) GROUP BY 1, 2)
+           GROUP BY doc_id),
+surv AS (SELECT doc_id FROM stage1
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.NUM_SECOND_PASS}),
+stage2 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT t.doc_id, q.q_id, max(list_dot_product(t.vec, q.qvec)) AS best
+                 FROM doc_tokens t JOIN surv USING (doc_id) CROSS JOIN q_tokens q
+                 GROUP BY 1, 2)
+           GROUP BY doc_id),
+topk AS (SELECT doc_id, round(score, {params.ROUND}) AS score FROM stage2
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.K})
+SELECT r.doc_id, r.score, d.lang, d.source, d.n_chars
+FROM topk r JOIN documents d USING (doc_id)
+""",
+    "q_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q_top_orders": """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+    "q_revenue_by_nation": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    "q_events_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    "q_user_sessions": """
+WITH marked AS (
+    SELECT user_id,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+    FROM (SELECT user_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+          FROM events)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
+FROM marked GROUP BY user_id
+""",
+    "q_dedup_exact": """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+    "q_minhash_sig": f"WITH {_SIGS} SELECT doc_id, perm, minhash FROM sigs",
+    "q_lsh_buckets": f"""
+WITH {_SIGS}
+SELECT doc_id, CAST(floor(perm / {params.MINHASH_PERMS // params.LSH_BANDS}.0) AS INT) AS band,
+       md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS bucket
+FROM sigs
+GROUP BY 1, 2
+""",
+    "q_jaccard_pairs": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n + sb.n - n_common), {params.ROUND}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+""",
+    "q_simhash": """
+WITH th AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    "q_embedding_neardup": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             {params.ROUND}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            {params.ROUND}) >= {NEARDUP_THRESHOLD}
+""",
+    "q_text_stats": f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), {params.ROUND}) AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), {params.ROUND}) AS punct_ratio,
+       round(least(1.0, len(string_split(text, ' ')) / 100.0)
+             * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)),
+             {params.ROUND}) AS quality_score
+FROM documents
+""",
+    "q_lang_id": f"""
+WITH counts AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), t -> t IN ({_stopword_in('en')}))) AS en,
+           len(list_filter(string_split(lower(text), ' '), t -> t IN ({_stopword_in('de')}))) AS de,
+           len(list_filter(string_split(lower(text), ' '), t -> t IN ({_stopword_in('fr')}))) AS fr,
+           len(list_filter(string_split(lower(text), ' '), t -> t IN ({_stopword_in('es')}))) AS es
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       CAST(greatest(en, de, fr, es) AS BIGINT) AS n_stopwords
+FROM counts
+""",
+    "q_knn_cosine": f"""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN ({_KNN_IDS})),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT q_id, neighbor_id,
+             list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM q CROSS JOIN c WHERE neighbor_id != q_id),
+r AS (SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,
+             cos
+      FROM s)
+SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, {params.ROUND}) AS cosine
+FROM r WHERE rank <= 5
+""",
+}
+
+
+REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_term_text": q_term_text,
+    "q_term_int": q_term_int,
+    "q_term_date": q_term_date,
+    "q_and": q_and,
+    "q_or": q_or,
+    "q_assign": q_assign,
+    "q_mapping": q_mapping,
+    "q_topcentroids": q_topcentroids,
+    "q_candidates": q_candidates,
+    "q_plaid": q_plaid,
+    "q_maxsim": q_maxsim,
+    "q_topk": q_topk,
+    "q_filtered_ann": q_filtered_ann,
+    "q_metadata": q_metadata,
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_orders": q_top_orders,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_events_hourly": q_events_hourly,
+    "q_user_sessions": q_user_sessions,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_sig": q_minhash_sig,
+    "q_lsh_buckets": q_lsh_buckets,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_simhash": q_simhash,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_knn_cosine": q_knn_cosine,
+}

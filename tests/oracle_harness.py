@@ -1,0 +1,59 @@
+"""Local mirror of the driver's correctness gate: run a registry query
+on Spark and its oracle SQL on DuckDB over the same parquet tables,
+then compare row count, schema width, and order-insensitive values
+(floats rounded upstream by the queries themselves)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from lintdb_spark.tables import TABLES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    out = con.sql(sql)
+    cols = out.columns
+    rows = out.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and fix float repr noise
+        return round(v + 0.0, 9)
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def compare(spark_df, oracle_sql_text: str, sf_dir: str):
+    """Returns (ok, message)."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_cols, o_rows = run_oracle(oracle_sql_text, sf_dir)
+
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    if len(s_rows) != len(o_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    sn, _ = _normalize(s_cols, s_rows)
+    on, _ = _normalize(o_cols, o_rows)
+    if sn != on:
+        diff = [(a, b) for a, b in zip(sn, on) if a != b][:5]
+        return False, f"value mismatch, first diffs: {diff}"
+    return True, f"ok ({len(s_rows)} rows)"

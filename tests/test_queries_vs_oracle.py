@@ -1,0 +1,34 @@
+"""The main correctness gate, run locally: every registry query with an
+oracle must match DuckDB on the same parquet data (same comparison the
+driver performs at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lintdb_spark.queries import ORACLE, REGISTRY
+from tests.oracle_harness import compare
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE.keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    assert name in REGISTRY, f"oracle without spark impl: {name}"
+    df = REGISTRY[name](spark, sf_dir)
+    ok, msg = compare(df, ORACLE[name], sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = set(REGISTRY) - set(ORACLE)
+    # queries without oracle get the weaker rows-only driver check;
+    # keep this list explicit and small.
+    assert missing == set(), f"queries missing oracle entries: {missing}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "score"]
