@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], mirroring the
+BASELINE.md protocol:
+
+- index_build   (BENCH-1): token->centroid assignment + postings/
+                 mapping materialization to parquet — the write path
+                 of IndexIVF::add (lintdb/index.cpp:481-490).
+- batch_search  (BENCH-2): NQ queries through the shared two-phase
+                 cascade in one plan; throughput = queries/sec
+                 reported alongside wall sec.
+- filtered_search (BENCH-3): cascade + term predicate on candidates.
+- plus the data-pipeline + relational headliners (dedup, text, knn,
+  TPC-H-ish, event windows).
+
+Usage: python bench.py   [env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lintdb_spark import model  # noqa: E402
+from lintdb_spark.operators import ann, scoring  # noqa: E402
+from lintdb_spark.queries import REGISTRY  # noqa: E402
+from lintdb_spark.session import get_spark  # noqa: E402
+
+BENCH_NQ = 256  # batch-search query count (reference harness uses 1000 single searches)
+
+# registry queries included as-is (names -> themselves)
+HEADLINE = [
+    "q_topk",
+    "q_filtered_ann",
+    "q_maxsim",
+    "q_plaid",
+    "q_pricing_summary",
+    "q_top_orders",
+    "q_revenue_by_nation",
+    "q_events_hourly",
+    "q_user_sessions",
+    "q_dedup_exact",
+    "q_minhash_sig",
+    "q_lsh_buckets",
+    "q_jaccard_pairs",
+    "q_simhash",
+    "q_text_stats",
+    "q_lang_id",
+    "q_knn_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("lintdb_spark_bench", cpus=cpus, shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    timings: dict[str, float] = {}
+
+    # ---- BENCH-1: index build (assign + postings write) ----
+    out = tempfile.mkdtemp(prefix="lintdb_spark_bench_")
+    try:
+        t0 = time.time()
+        cents = model.centroids(spark, sf_dir)
+        dt = model.doc_tokens(spark, sf_dir)
+        ta = ann.assign_tokens(dt, cents)
+        postings = (
+            ta.groupBy("centroid_id", "doc_id")
+            .agg(F.sort_array(F.collect_list("token_idx")).alias("token_idxs"))
+        )
+        postings.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(out, "postings")
+        )
+        timings["index_build"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    # ---- BENCH-2: batch search throughput ----
+    t0 = time.time()
+    bq = model.batch_queries(spark, sf_dir, BENCH_NQ)
+    res = scoring.batch_two_phase_topk(dt, ta, bq, cents)
+    n_res = res.count()
+    dt_batch = time.time() - t0
+    timings["batch_search"] = round(dt_batch, 3)
+    qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
+
+    # ---- headline registry queries ----
+    for name in HEADLINE:
+        t0 = time.time()
+        REGISTRY[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "batch_search_qps": round(qps, 2),
+                "batch_search_nq": BENCH_NQ,
+                "batch_search_rows": n_res,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,26 @@ def query_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qvec"),
     )
+
+
+BATCH_TOKENS_PER_QUERY = 8
+
+
+def batch_queries(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
+    """(qid, q_id, qvec) — nq deterministic synthetic queries of
+    BATCH_TOKENS_PER_QUERY tokens each; token j of query q is corpus
+    vector (q*31 + j*7) mod n. q_id is the token POSITION (queries may
+    repeat a vector, like ColBERT's padded queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    t = BATCH_TOKENS_PER_QUERY
+    idx = spark.range(nq * t).select(
+        F.expr(f"id div {t}").cast("bigint").alias("qid"),
+        (F.col("id") % t).cast("bigint").alias("q_id"),
+        F.expr(f"(id div {t}) * 31 + (id % {t}) * 7").alias("_raw"),
+    )
+    return (
+        idx.withColumn("vec_id", F.col("_raw") % n)
+        .join(emb, "vec_id")
+        .select("qid", "q_id", F.col("embedding").cast("array<double>").alias("qvec"))
+    )

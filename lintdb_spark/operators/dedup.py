@@ -173,17 +173,23 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """All-pairs cosine >= threshold (vec_a < vec_b). Quadratic — fine
-    for correctness tier; the scale path is knn.lsh_ann / LSH-bucketed
-    similarity join. Returns (vec_a, vec_b, cosine)."""
+    for correctness tier; the scale path is LSH-bucketed (knn.ivf_knn
+    pattern). Returns (vec_a, vec_b, cosine).
+
+    Perf: vectors are L2-normalized once per ROW (projection before the
+    join), so each pair evaluates a single dot product — not dot plus
+    two norms. cosine(a,b) == dot(a/|a|, b/|b|) up to ~1e-15, absorbed
+    by params.ROUND before the threshold filter on both engines."""
+    from lintdb_spark.functions.vector import l2_normalize
+
     a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("va")
+        F.col("vec_id").alias("vec_a"), l2_normalize(F.col("embedding")).alias("va")
     )
     b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("vb")
+        F.col("vec_id").alias("vec_b"), l2_normalize(F.col("embedding")).alias("vb")
     )
-    cos = dot_product("va", "vb") / (l2_norm("va") * l2_norm("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, params.ROUND).alias("cosine"))
+        .select("vec_a", "vec_b", F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

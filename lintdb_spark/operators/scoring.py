@@ -111,3 +111,97 @@ def two_phase_topk(
         .limit(k)
         .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
     )
+
+
+def batch_two_phase_topk(
+    doc_tokens: DataFrame,
+    token_assign: DataFrame,
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    k: int | None = None,
+    num_second_pass: int | None = None,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Batch form of the cascade — N queries through ONE lazy plan.
+
+    ``queries_df``: (qid, q_id, qvec) — one row per query token.
+    Returns (qid, doc_id, rank, score).
+
+    This is where Spark beats the reference's one-query-at-a-time
+    embedded engine: probe selection, candidate generation, and both
+    scoring stages are shared joins/aggregations keyed by qid, so 1000
+    queries cost one pass over the postings instead of 1000 point
+    lookups. All per-query top-k cuts are windows over qid. The
+    centroid/query side stays broadcast; the postings side shuffles
+    once per stage on (qid, doc_id).
+    """
+    from pyspark.sql import Window
+
+    k = k or params.K
+    num_second_pass = num_second_pass or params.NUM_SECOND_PASS
+    n_probe = n_probe or params.N_PROBE
+
+    # per-(query, centroid) score matrix — small, broadcast everywhere
+    qc = (
+        queries_df.join(F.broadcast(centroids))
+        .select("qid", "q_id", "centroid_id", dot_product("qvec", "cvec").alias("qc_score"))
+    )
+
+    # probes: top n_probe centroids per query
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.groupBy("qid", "centroid_id")
+        .agg(F.max("qc_score").alias("score"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "centroid_id")
+    )
+
+    # candidates per query from probed lists
+    cand = (
+        token_assign.join(F.broadcast(probes), "centroid_id")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+
+    # stage-1 PLAID on candidates' full code sets
+    doc_codes = token_assign.select("doc_id", "centroid_id").distinct()
+    stage1 = (
+        cand.join(doc_codes, "doc_id")
+        .join(F.broadcast(qc), ["qid", "centroid_id"])
+        .groupBy("qid", "doc_id", "q_id")
+        .agg(F.max("qc_score").alias("best"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("best").alias("score"))
+    )
+    w_cut = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        stage1.withColumn("rn", F.row_number().over(w_cut))
+        .filter(F.col("rn") <= num_second_pass)
+        .select("qid", "doc_id")
+    )
+
+    # stage-2 exact MaxSim rerank
+    stage2 = (
+        survivors.join(doc_tokens, "doc_id")
+        .join(F.broadcast(queries_df), "qid")
+        .select("qid", "doc_id", "q_id", dot_product("vec", "qvec").alias("ip"))
+        .groupBy("qid", "doc_id", "q_id")
+        .agg(F.max("ip").alias("best"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("best").alias("score"))
+    )
+    return (
+        stage2.withColumn("rank", F.row_number().over(w_cut))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("score"), params.ROUND).alias("score"),
+        )
+    )

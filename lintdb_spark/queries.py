@@ -138,6 +138,19 @@ def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(spark, sf_dir, doc_filter=doc_filter)
 
 
+BATCH_NQ_ORACLE = 8
+
+
+def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch search: N queries through one shared cascade plan — the
+    Spark-native upgrade over the reference's per-query execution."""
+    cents = model.centroids(spark, sf_dir)
+    dt = model.doc_tokens(spark, sf_dir)
+    ta = ann.assign_tokens(dt, cents)
+    bq = model.batch_queries(spark, sf_dir, BATCH_NQ_ORACLE)
+    return scoring.batch_two_phase_topk(dt, ta, bq, cents)
+
+
 def q_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 result assembly: top-k joined back to stored metadata."""
     topk = _topk(spark, sf_dir)
@@ -345,6 +358,55 @@ topk AS (SELECT doc_id, round(score, {params.ROUND}) AS score FROM stage2
 SELECT r.doc_id, r.score, d.lang, d.source, d.n_chars
 FROM topk r JOIN documents d USING (doc_id)
 """,
+    "q_batch_topk": prelude()
+    + f"""
+, bq AS (
+    SELECT CAST(floor(s.i / {model.BATCH_TOKENS_PER_QUERY}.0) AS BIGINT) AS qid,
+           CAST(s.i % {model.BATCH_TOKENS_PER_QUERY} AS BIGINT) AS q_id,
+           CAST(e.embedding AS DOUBLE[]) AS qvec
+    FROM (SELECT unnest(range(0, {BATCH_NQ_ORACLE * model.BATCH_TOKENS_PER_QUERY})) AS i) s
+    JOIN embeddings e
+      ON e.vec_id = (CAST(floor(s.i / {model.BATCH_TOKENS_PER_QUERY}.0) AS BIGINT) * 31
+                     + (s.i % {model.BATCH_TOKENS_PER_QUERY}) * 7)
+                    % (SELECT count(*) FROM embeddings)
+),
+bqc AS (SELECT b.qid, b.q_id, c.centroid_id, list_dot_product(b.qvec, c.cvec) AS qc_score
+        FROM bq b CROSS JOIN centroids c),
+bprobes AS (
+    SELECT qid, centroid_id FROM (
+        SELECT qid, centroid_id,
+               row_number() OVER (PARTITION BY qid ORDER BY round(mx, 6) DESC, centroid_id ASC) AS rn
+        FROM (SELECT qid, centroid_id, max(qc_score) AS mx FROM bqc GROUP BY 1, 2))
+    WHERE rn <= {params.N_PROBE}
+),
+bcand AS (SELECT DISTINCT p.qid, t.doc_id
+          FROM token_assign t JOIN bprobes p USING (centroid_id)),
+doc_codes AS (SELECT DISTINCT doc_id, centroid_id FROM token_assign),
+bs1 AS (SELECT qid, doc_id, sum(best) AS score FROM (
+            SELECT c.qid, c.doc_id, q.q_id, max(q.qc_score) AS best
+            FROM bcand c
+            JOIN doc_codes d ON d.doc_id = c.doc_id
+            JOIN bqc q ON q.qid = c.qid AND q.centroid_id = d.centroid_id
+            GROUP BY 1, 2, 3)
+        GROUP BY 1, 2),
+bsurv AS (SELECT qid, doc_id FROM (
+              SELECT qid, doc_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+              FROM bs1)
+          WHERE rn <= {params.NUM_SECOND_PASS}),
+bs2 AS (SELECT qid, doc_id, sum(best) AS score FROM (
+            SELECT s.qid, s.doc_id, q.q_id, max(list_dot_product(t.vec, q.qvec)) AS best
+            FROM bsurv s
+            JOIN doc_tokens t ON t.doc_id = s.doc_id
+            JOIN bq q ON q.qid = s.qid
+            GROUP BY 1, 2, 3)
+        GROUP BY 1, 2)
+SELECT qid, doc_id, CAST(rn AS BIGINT) AS rank, round(score, {params.ROUND}) AS score
+FROM (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM bs2)
+WHERE rn <= {params.K}
+""",
     "q_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -512,6 +574,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_plaid": q_plaid,
     "q_maxsim": q_maxsim,
     "q_topk": q_topk,
+    "q_batch_topk": q_batch_topk,
     "q_filtered_ann": q_filtered_ann,
     "q_metadata": q_metadata,
     "q_pricing_summary": q_pricing_summary,
