@@ -1,0 +1,84 @@
+"""Coarse quantizer: IVF centroid training and token->centroid
+assignment.
+
+Reference behavior (SURVEY.md §2.E E2/E3/E7): Faiss k-means over all
+token embeddings (lintdb/quantizers/impl/kmeans.cpp:11-35), assignment
+by max inner product (CoarseQuantizer.cpp:243-258).
+
+Spark rebuild:
+- train: MLlib KMeans on the exploded token DataFrame. MLlib is
+  Euclidean; the reference clusters by inner product — for the
+  L2-normalized embeddings ColBERT produces, argmax-IP == argmin-L2,
+  so we (optionally) normalize before training and document the
+  difference (SURVEY.md §7 risk register).
+- assign: Arrow-batched pandas UDF computing argmax(tokens @ C.T)
+  against a BROADCAST centroid matrix — one numpy matmul per batch,
+  no shuffle, no per-row Python. This is the scale path: the centroid
+  matrix is ~MBs (num_centroids ~ sqrt(total tokens)) while tokens
+  stream through executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def train_centroids(
+    token_vecs: DataFrame,
+    num_centroids: int,
+    max_iter: int = 10,
+    seed: int = 42,
+    normalize: bool = True,
+) -> np.ndarray:
+    """token_vecs: DataFrame with a ``vec array<float>`` column.
+    Returns (num_centroids, dim) float32 centroid matrix."""
+    col = F.col("vec").cast("array<double>")
+    if normalize:
+        from lintdb_spark.functions.vector import l2_normalize
+
+        col = l2_normalize(col)
+    feats = token_vecs.select(array_to_vector(col).alias("features"))
+    model = KMeans(k=num_centroids, maxIter=max_iter, seed=seed).fit(feats)
+    return np.asarray(model.clusterCenters(), dtype=np.float32)
+
+
+def assign_udf(spark: SparkSession, centroids: np.ndarray):
+    """Returns a pandas UDF mapping array<array<float>> token matrices
+    to array<bigint> centroid codes (argmax inner product per token)."""
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids.T, dtype=np.float32))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def assign(tokens: pd.Series) -> pd.Series:
+        ct = bc.value
+        out = []
+        for tok in tokens:
+            m = np.asarray([np.asarray(t, dtype=np.float32) for t in tok])
+            out.append((m @ ct).argmax(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return assign
+
+
+def residual_encode_udf(spark: SparkSession, centroids: np.ndarray, quantizer):
+    """pandas UDF: (tokens array<array<float>>, codes array<bigint>) ->
+    packed residual codes (binary). residual = token - centroid[code]
+    (CoarseQuantizer.cpp:57-84), then quantizer.encode."""
+    bc_c = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float32))
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(tokens: pd.Series, codes: pd.Series) -> pd.Series:
+        C = bc_c.value
+        out = []
+        for tok, cds in zip(tokens, codes):
+            m = np.asarray([np.asarray(t, dtype=np.float32) for t in tok])
+            res = m - C[np.asarray(cds, dtype=np.int64)]
+            out.append(quantizer.encode(res))
+        return pd.Series(out)
+
+    return enc

@@ -1,0 +1,469 @@
+"""The Index: create / load / train / add / remove / update / merge /
+search over parquet-backed tables — the Spark rebuild of the
+reference's IndexIVF (lintdb/index.h:60-211).
+
+Physical layout (SURVEY.md §7 target architecture):
+
+    <path>/_schema.json                  — Schema (index.cpp:331-333)
+    <path>/_meta.json                    — table versions + trained flag
+    <path>/centroids/<field>.parquet     — IVF centroids (broadcastable)
+    <path>/quantizers/<field>.json       — residual quantizer params
+    <path>/docs/v<N>/                    — forward store, partitioned by
+                                           tenant: scalars + per-colbert
+                                           codes/residuals/num_tokens
+                                           (roles Stored+Context, B7/B8)
+    <path>/postings/<field>/v<N>/        — inverted store, partitioned by
+                                           (tenant, centroid_id): key-only
+                                           posting rows (B5; ColBERT
+                                           postings carry no values,
+                                           DocEncoder.cpp:107-130)
+
+Design-for-scale notes:
+- tenant is a partition column on every table -> structural tenant
+  isolation AND pruning, the analogue of the reference's key-prefix
+  layout (KeyBuilder.h:13-14).
+- postings partitioned by centroid_id -> the IVF probe (`centroid_id
+  IN probes`) is partition pruning, i.e. only n_probe/num_centroids of
+  the inverted data is ever read — same asymptotics as opening n_probe
+  RocksDB posting lists.
+- mutations (remove/update) write a new table VERSION directory and
+  flip _meta.json — a poor-man's Delta commit: readers of the old
+  version are unaffected, and interrupted writes never corrupt the
+  live table. add/merge are plain appends into the current version.
+- centroid matrices live in driver memory / broadcasts (num_centroids
+  ~ sqrt(total tokens): 65536 x 128 fp32 = 32 MB at the reference's
+  largest published config — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lintdb_spark.index import coarse
+from lintdb_spark.index.query import AndQuery, OrQuery, SearchOptions, TermQuery, VectorQuery
+from lintdb_spark.index.quantizers import (
+    Binarizer,
+    IdentityQuantizer,
+    ProductQuantizer,
+    quantizer_from_json,
+    quantizer_to_json,
+)
+from lintdb_spark.index.schema import FieldType, QuantizerType, Schema
+
+
+class Index:
+    def __init__(self, spark: SparkSession, path: str, schema: Schema):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.centroids: dict[str, np.ndarray] = {}
+        self.quantizers: dict[str, object] = {}
+        self._meta = {"versions": {}, "trained": False}
+
+    # ---------------- lifecycle (A1-A3, A9) ----------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema: Schema) -> "Index":
+        """A1: fresh index — directory + schema sidecar, untrained
+        quantizers (lintdb/index.cpp:60-74)."""
+        os.makedirs(path, exist_ok=False)
+        idx = cls(spark, path, schema)
+        idx._save_sidecars()
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Index":
+        """A2: open existing index from sidecars (index.cpp:40-58)."""
+        with open(os.path.join(path, "_schema.json")) as f:
+            schema = Schema.from_json(f.read())
+        idx = cls(spark, path, schema)
+        with open(os.path.join(path, "_meta.json")) as f:
+            idx._meta = json.load(f)
+        for fld in schema.colbert_fields():
+            cpath = os.path.join(path, "centroids", f"{fld.name}.parquet")
+            if os.path.exists(cpath):
+                pdf = pd.read_parquet(cpath).sort_values("centroid_id")
+                idx.centroids[fld.name] = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+            qpath = os.path.join(path, "quantizers", f"{fld.name}.json")
+            if os.path.exists(qpath):
+                with open(qpath) as f:
+                    idx.quantizers[fld.name] = quantizer_from_json(f.read())
+        return idx
+
+    def copy_trained(self, path: str) -> "Index":
+        """A3: clone trained state (centroids/quantizers) into a fresh
+        writable index (index.cpp:76-90)."""
+        idx = Index.create(self.spark, path, self.schema)
+        idx.centroids = dict(self.centroids)
+        idx.quantizers = dict(self.quantizers)
+        idx._meta["trained"] = self._meta["trained"]
+        idx._save_sidecars()
+        return idx
+
+    def _save_sidecars(self) -> None:
+        """A9 save(): schema + meta + centroids + quantizer params
+        (index.cpp:317-357)."""
+        with open(os.path.join(self.path, "_schema.json"), "w") as f:
+            f.write(self.schema.to_json())
+        with open(os.path.join(self.path, "_meta.json"), "w") as f:
+            json.dump(self._meta, f)
+        os.makedirs(os.path.join(self.path, "centroids"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "quantizers"), exist_ok=True)
+        for name, C in self.centroids.items():
+            pd.DataFrame(
+                {"centroid_id": np.arange(len(C)), "vec": list(C)}
+            ).to_parquet(os.path.join(self.path, "centroids", f"{name}.parquet"))
+        for name, q in self.quantizers.items():
+            with open(os.path.join(self.path, "quantizers", f"{name}.json"), "w") as f:
+                f.write(quantizer_to_json(q))
+
+    # ---------------- table paths / versions ----------------
+
+    def _version(self, table: str) -> int:
+        return self._meta["versions"].get(table, 0)
+
+    def _table_path(self, table: str, version: int | None = None) -> str:
+        v = self._version(table) if version is None else version
+        return os.path.join(self.path, table, f"v{v}")
+
+    def _read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        p = self._table_path(table)
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(p)
+
+    def _docs(self) -> DataFrame:
+        return self._read("docs", self.schema.doc_spark_schema())
+
+    def _postings(self, field: str) -> DataFrame:
+        return self._read(
+            f"postings/{field}",
+            T.StructType(
+                [
+                    T.StructField("tenant", T.LongType()),
+                    T.StructField("centroid_id", T.LongType()),
+                    T.StructField("doc_id", T.LongType()),
+                ]
+            ),
+        )
+
+    # ---------------- train (A4) ----------------
+
+    def train(self, docs_df: DataFrame, normalize: bool = True) -> None:
+        """Per colbert field: k-means centroids over all token
+        embeddings, then residual-quantizer training on a sqrt(n)-style
+        driver sample (index.cpp:198-315)."""
+        for fld in self.schema.colbert_fields():
+            k = fld.parameters.num_centroids
+            if k <= 0:
+                raise ValueError(f"field {fld.name}: num_centroids required to train")
+            toks = docs_df.select(F.explode(F.col(fld.name)).alias("vec"))
+            C = coarse.train_centroids(
+                toks, k, max_iter=fld.parameters.num_iterations, normalize=normalize
+            )
+            self.centroids[fld.name] = C
+
+            qkind = fld.parameters.quantization
+            n_tokens = toks.count()
+            sample_n = min(n_tokens, max(10_000, int(n_tokens**0.5)))
+            frac = min(1.0, sample_n / max(n_tokens, 1))
+            sample = np.asarray(
+                toks.sample(fraction=frac, seed=42).limit(100_000).toPandas()["vec"].tolist(),
+                dtype=np.float32,
+            )
+            codes = (sample @ C.T).argmax(axis=1)
+            residuals = sample - C[codes]
+            if qkind == QuantizerType.BINARIZER.value:
+                self.quantizers[fld.name] = Binarizer.train(residuals, fld.parameters.nbits)
+            elif qkind == QuantizerType.PRODUCT.value:
+                self.quantizers[fld.name] = ProductQuantizer.train(
+                    residuals, fld.parameters.num_subquantizers
+                )
+            else:
+                self.quantizers[fld.name] = IdentityQuantizer(fld.parameters.dimensions)
+        self._meta["trained"] = True
+        self._save_sidecars()
+
+    def set_coarse_quantizer(self, field: str, centroids: np.ndarray) -> None:
+        """A10: inject externally trained centroids (index.cpp:454-479)."""
+        self.centroids[field] = np.asarray(centroids, dtype=np.float32)
+        self._meta["trained"] = True
+        self._save_sidecars()
+
+    # ---------------- add / remove / update / merge (A5-A8) ----------------
+
+    def _validate_ingest(self, docs_df: DataFrame) -> None:
+        """B2 validateField: unknown/missing columns raise
+        (DocProcessor.cpp:47-50, 200-207)."""
+        expected = {f.name for f in self.schema.ingest_spark_schema().fields}
+        got = set(docs_df.columns)
+        if got != expected:
+            raise ValueError(
+                f"ingest schema mismatch: missing={sorted(expected - got)} unknown={sorted(got - expected)}"
+            )
+
+    def add(self, docs_df: DataFrame) -> None:
+        """A5/B1: validate -> assign centroids -> encode residuals ->
+        role fan-out -> append docs + postings."""
+        if not self._meta["trained"]:
+            raise RuntimeError("index must be trained before add()")
+        self._validate_ingest(docs_df)
+
+        out = docs_df
+        for fld in self.schema.colbert_fields():
+            C = self.centroids[fld.name]
+            q = self.quantizers[fld.name]
+            assign = coarse.assign_udf(self.spark, C)
+            enc = coarse.residual_encode_udf(self.spark, C, q)
+            out = (
+                out.withColumn(f"{fld.name}__codes", assign(F.col(fld.name)))
+                .withColumn(f"{fld.name}__residuals", enc(F.col(fld.name), F.col(f"{fld.name}__codes")))
+                .withColumn(f"{fld.name}__num_tokens", F.size(F.col(fld.name)).cast("int"))
+                .drop(fld.name)
+            )
+
+        doc_cols = [f.name for f in self.schema.doc_spark_schema().fields]
+        out.select(*doc_cols).write.mode("append").partitionBy("tenant").parquet(
+            self._table_path("docs")
+        )
+
+        for fld in self.schema.colbert_fields():
+            table = f"postings/{fld.name}"
+            postings = (
+                out.select(
+                    "tenant",
+                    F.explode(F.col(f"{fld.name}__codes")).alias("centroid_id"),
+                    "doc_id",
+                )
+                .distinct()
+            )
+            postings.write.mode("append").partitionBy("tenant", "centroid_id").parquet(
+                self._table_path(table)
+            )
+
+    def remove(self, tenant: int, doc_ids: list[int]) -> None:
+        """A6: delete postings + forward rows for ids — implemented as a
+        version-bumped rewrite (Delta-DELETE analogue). The doc->centroid
+        mapping (B6) is implicit in the codes column; posting deletion
+        filters by doc_id within the tenant partition."""
+        ids = set(int(i) for i in doc_ids)
+        cond = (F.col("tenant") == tenant) & F.col("doc_id").isin(list(ids))
+
+        docs = self._docs().filter(~cond)
+        new_v = self._version("docs") + 1
+        docs.write.mode("overwrite").partitionBy("tenant").parquet(
+            self._table_path("docs", new_v)
+        )
+        self._meta["versions"]["docs"] = new_v
+
+        for fld in self.schema.colbert_fields():
+            table = f"postings/{fld.name}"
+            p = self._postings(fld.name).filter(~cond)
+            new_v = self._version(table) + 1
+            p.write.mode("overwrite").partitionBy("tenant", "centroid_id").parquet(
+                self._table_path(table, new_v)
+            )
+            self._meta["versions"][table] = new_v
+        self._save_sidecars()
+
+    def update(self, docs_df: DataFrame) -> None:
+        """A7: remove + add (index.cpp:501-510)."""
+        pairs = docs_df.select("tenant", "doc_id").distinct().collect()
+        by_tenant: dict[int, list[int]] = {}
+        for r in pairs:
+            by_tenant.setdefault(r["tenant"], []).append(r["doc_id"])
+        for tenant, ids in by_tenant.items():
+            self.remove(tenant, ids)
+        self.add(docs_df)
+
+    def merge(self, other: "Index") -> None:
+        """A8: bulk-append another index's tables. Requires identical
+        trained state (the reference documents the same constraint —
+        merging across different centroids is unsafe, index.cpp:512-535)."""
+        for name, C in self.centroids.items():
+            if name not in other.centroids or not np.allclose(C, other.centroids[name]):
+                raise ValueError("merge requires identical centroids")
+        other._docs().write.mode("append").partitionBy("tenant").parquet(
+            self._table_path("docs")
+        )
+        for fld in self.schema.colbert_fields():
+            other._postings(fld.name).write.mode("append").partitionBy(
+                "tenant", "centroid_id"
+            ).parquet(self._table_path(f"postings/{fld.name}"))
+
+    # ---------------- search (C1-C9, D1-D8) ----------------
+
+    def _top_centroids(self, field: str, qtok: np.ndarray, opts: SearchOptions) -> list[int]:
+        """C6/C7 KnnNearestCentroids: per-token top k_top_centroids, then
+        overall top n_probe by per-centroid max score."""
+        C = self.centroids[field]
+        scores = qtok.astype(np.float32) @ C.T  # (n_tok, k)
+        k_top = min(max(opts.k_top_centroids, 1), C.shape[0])
+        cand: set[int] = set()
+        for row in scores:
+            cand.update(np.argpartition(-row, k_top - 1)[:k_top].tolist())
+        per_max = scores.max(axis=0)
+        ranked = sorted(cand, key=lambda c: (-per_max[c], c))
+        return [int(c) for c in ranked[: opts.n_probe]]
+
+    def _plaid_udf(self, field: str, qtok: np.ndarray, threshold: float):
+        """D3/D4 codes-only stage-1 scorer (plaid.cpp:38-95): per query
+        token max centroid score over the doc's unique codes, sum over
+        query tokens; centroids scoring below threshold (for all query
+        tokens) are skipped."""
+        C = self.centroids[field]
+        qc = qtok.astype(np.float32) @ C.T  # (n_tok, k)
+        bc = self.spark.sparkContext.broadcast(qc)
+        thr = float(threshold)
+
+        @F.pandas_udf(T.DoubleType())
+        def plaid(codes: pd.Series) -> pd.Series:
+            m = bc.value
+            out = np.empty(len(codes))
+            for i, cds in enumerate(codes):
+                u = np.unique(np.asarray(cds, dtype=np.int64))
+                sub = m[:, u]  # (n_tok, n_unique)
+                if thr > 0.0:
+                    keep = sub.max(axis=0) >= thr
+                    if keep.any():
+                        sub = sub[:, keep]
+                out[i] = sub.max(axis=1).sum()
+            return pd.Series(out)
+
+        return plaid
+
+    def _maxsim_udf(self, field: str, qtok: np.ndarray):
+        """D6 stage-2 exact MaxSim (plaid.cpp:119-185 +
+        Scorer.cpp:11-63): decode residuals -> reconstruct tokens
+        (centroid + residual) -> L2-normalize -> sum_q max_d <q, d>."""
+        C = self.centroids[field]
+        q = self.quantizers[field]
+        bc_q = self.spark.sparkContext.broadcast(qtok.astype(np.float32))
+        bc_c = self.spark.sparkContext.broadcast(C)
+
+        @F.pandas_udf(T.DoubleType())
+        def maxsim(codes: pd.Series, residuals: pd.Series, num_tokens: pd.Series) -> pd.Series:
+            Q = bc_q.value
+            CC = bc_c.value
+            out = np.empty(len(codes))
+            for i, (cds, blob, nt) in enumerate(zip(codes, residuals, num_tokens)):
+                res = q.decode(blob, int(nt))
+                toks = CC[np.asarray(cds, dtype=np.int64)] + res
+                norms = np.linalg.norm(toks, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                toks = toks / norms
+                out[i] = (Q @ toks.T).max(axis=1).sum()
+            return pd.Series(out)
+
+        return maxsim
+
+    def _scalar_predicate(self, node) -> F.Column:
+        if isinstance(node, TermQuery):
+            return F.col(node.field) == F.lit(node.value)
+        if isinstance(node, AndQuery):
+            preds = [self._scalar_predicate(c) for c in node.children]
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
+        if isinstance(node, OrQuery):
+            preds = [self._scalar_predicate(c) for c in node.children]
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
+        raise TypeError(f"not a scalar node: {node}")
+
+    @staticmethod
+    def _split(node):
+        """Split a query tree into (vector_node | None, scalar_nodes).
+        Supported shapes (covering the reference's tests): bare scalar
+        trees, bare VectorQuery, And(scalars..., VectorQuery)."""
+        if isinstance(node, VectorQuery):
+            return node, []
+        if isinstance(node, (TermQuery, OrQuery)):
+            return None, [node]
+        if isinstance(node, AndQuery):
+            vecs = [c for c in node.children if isinstance(c, VectorQuery)]
+            scalars = [c for c in node.children if not isinstance(c, VectorQuery)]
+            if len(vecs) > 1:
+                raise NotImplementedError("multiple vector nodes in one AND")
+            return (vecs[0] if vecs else None), scalars
+        raise TypeError(f"unsupported query node {node}")
+
+    def search(
+        self,
+        tenant: int,
+        query,
+        k: int = 10,
+        opts: SearchOptions | None = None,
+    ) -> DataFrame:
+        """C1-C9/D1-D8: full query lifecycle (QueryExecutor.cpp:14-71).
+        Returns (doc_id, score, <stored fields>) ordered by score desc,
+        doc_id asc."""
+        opts = opts or SearchOptions()
+        vec, scalars = self._split(query)
+        docs = self._docs().filter(F.col("tenant") == tenant)
+
+        if vec is None:
+            # pure boolean query: presence scoring (D1: score 1.0/match)
+            pred = self._scalar_predicate(
+                scalars[0] if len(scalars) == 1 else AndQuery(scalars)
+            )
+            out = docs.filter(pred).withColumn("score", F.lit(1.0))
+            return self._with_metadata(out, k)
+
+        qtok = np.asarray(vec.query_tokens, dtype=np.float32)
+        field = vec.field
+
+        # C2: probes -> candidates via postings partition pruning
+        probes = self._top_centroids(field, qtok, opts)
+        cand_ids = (
+            self._postings(field)
+            .filter((F.col("tenant") == tenant) & F.col("centroid_id").isin(probes))
+            .select("doc_id")
+            .distinct()
+        )
+        cand = docs.join(cand_ids, "doc_id")
+        # approximate AND: scalar predicates restrict candidates only
+        # (index_test.cpp:197-321 semantics)
+        for s in scalars:
+            cand = cand.filter(self._scalar_predicate(s))
+
+        # D3/D7 stage-1 PLAID + cut
+        plaid = self._plaid_udf(field, qtok, opts.centroid_score_threshold)
+        stage1 = cand.withColumn("s1", plaid(F.col(f"{field}__codes")))
+        survivors = stage1.orderBy(F.col("s1").desc(), F.col("doc_id").asc()).limit(
+            opts.num_second_pass
+        )
+
+        # D6/D8 stage-2 exact MaxSim + top-k
+        maxsim = self._maxsim_udf(field, qtok)
+        out = survivors.withColumn(
+            "score",
+            maxsim(
+                F.col(f"{field}__codes"),
+                F.col(f"{field}__residuals"),
+                F.col(f"{field}__num_tokens"),
+            ),
+        )
+        return self._with_metadata(out, k)
+
+    def _with_metadata(self, scored: DataFrame, k: int) -> DataFrame:
+        """C9: order, truncate, project stored fields (index.cpp:407-449)."""
+        stored = [
+            f.name for f in self.schema.scalar_fields() if f.has_role(FieldType.STORED)
+        ]
+        return (
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score", *stored)
+        )

@@ -1,0 +1,52 @@
+"""Query tree + search options, mirroring the reference's boolean
+algebra (lintdb/query/QueryNode.h:20-25: TERM / VECTOR / AND / OR
+under a single root) and SearchOptions (lintdb/SearchOptions.h:24-38).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+
+@dataclass
+class SearchOptions:
+    # reference defaults, SearchOptions.h:24-38
+    n_probe: int = 32
+    k_top_centroids: int = 2
+    num_second_pass: int = 1024
+    centroid_score_threshold: float = 0.45
+
+
+@dataclass
+class TermQuery:
+    """Equality filter on an Indexed scalar field (QueryNode.cpp:15-27)."""
+
+    field: str
+    value: object
+
+
+@dataclass
+class VectorQuery:
+    """ANN candidate generation + late-interaction scoring over a
+    Colbert field (QueryNode.cpp:29-101)."""
+
+    field: str
+    query_tokens: np.ndarray  # (n_query_tokens, dim)
+
+
+@dataclass
+class AndQuery:
+    """Conjunction. With a VectorQuery child this is the reference's
+    *approximate* AND: scalar predicates restrict the candidates found
+    in probed posting lists (tests/index_test.cpp:197-321)."""
+
+    children: list = dc_field(default_factory=list)
+
+
+@dataclass
+class OrQuery:
+    """Disjunction with doc dedup (QueryNode.cpp:113-121)."""
+
+    children: list = dc_field(default_factory=list)

@@ -1,0 +1,184 @@
+"""E2E index lifecycle, mirroring tests/index_test.cpp: train / add /
+search / filtered search / tenant isolation / remove / update / merge /
+save+load — parameterized over quantizer {NONE, BINARIZER, PRODUCT}
+like INSTANTIATE_TEST_SUITE_P (index_test.cpp:400-409)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import types as T
+
+from lintdb_spark.index import (
+    AndQuery,
+    Index,
+    OrQuery,
+    SearchOptions,
+    TermQuery,
+    VectorQuery,
+)
+from lintdb_spark.index.schema import (
+    DataType,
+    FieldType,
+    IndexedField,
+    Schema,
+    StoredField,
+    TensorField,
+)
+
+DIM = 16
+NUM_TOKENS = 4
+NUM_DOCS = 20
+OPTS = SearchOptions(n_probe=8, k_top_centroids=2, num_second_pass=50,
+                     centroid_score_threshold=0.0)
+
+
+def make_schema(quantization: str) -> Schema:
+    return Schema(
+        [
+            TensorField(
+                "colbert",
+                dimensions=DIM,
+                roles=[FieldType.COLBERT],
+                quantization=quantization,
+                num_centroids=8,
+                num_subquantizers=4,
+                nbits=1,
+            ),
+            IndexedField("category", DataType.TEXT),
+            IndexedField("rank_i", DataType.INTEGER),
+            StoredField("title", DataType.TEXT),
+        ]
+    )
+
+
+def doc_tokens(doc_id: int) -> np.ndarray:
+    rng = np.random.RandomState(1000 + doc_id)
+    t = rng.randn(NUM_TOKENS, DIM).astype(np.float32)
+    return t / np.linalg.norm(t, axis=1, keepdims=True)
+
+
+def make_docs(spark, doc_ids, tenant=0):
+    rows = [
+        (
+            tenant,
+            d,
+            [[float(x) for x in tok] for tok in doc_tokens(d)],
+            "even" if d % 2 == 0 else "odd",
+            d % 3,
+            f"doc-{d}",
+        )
+        for d in doc_ids
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("tenant", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("colbert", T.ArrayType(T.ArrayType(T.FloatType()))),
+            T.StructField("category", T.StringType()),
+            T.StructField("rank_i", T.LongType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module", params=["none", "binarizer", "product"])
+def built_index(request, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp(f"idx_{request.param}") / "index")
+    idx = Index.create(spark, path, make_schema(request.param))
+    docs = make_docs(spark, range(NUM_DOCS), tenant=0)
+    idx.train(docs)
+    idx.add(docs)
+    idx.add(make_docs(spark, range(100, 105), tenant=1))
+    return idx
+
+
+def search_ids(idx, query, k=5, tenant=0):
+    return [r["doc_id"] for r in idx.search(tenant, query, k=k, opts=OPTS).collect()]
+
+
+def test_self_search_top1(built_index):
+    """Querying with doc 7's own tokens must return doc 7 first
+    (index_test.cpp SearchCorrectly semantics)."""
+    res = built_index.search(0, VectorQuery("colbert", doc_tokens(7)), k=5, opts=OPTS)
+    rows = res.collect()
+    assert rows[0]["doc_id"] == 7
+    if built_index.schema.field("colbert").parameters.quantization == "none":
+        # exact reconstruction: MaxSim of self-query = num query tokens
+        assert abs(rows[0]["score"] - NUM_TOKENS) < 1e-3
+    assert rows[0]["title"] == "doc-7"
+
+
+def test_term_query(built_index):
+    ids = search_ids(built_index, TermQuery("category", "even"), k=50)
+    assert sorted(ids) == [d for d in range(NUM_DOCS) if d % 2 == 0]
+
+
+def test_and_or_scalars(built_index):
+    ids = search_ids(
+        built_index, AndQuery([TermQuery("category", "even"), TermQuery("rank_i", 0)]), k=50
+    )
+    assert sorted(ids) == [d for d in range(NUM_DOCS) if d % 2 == 0 and d % 3 == 0]
+    ids = search_ids(
+        built_index, OrQuery([TermQuery("rank_i", 0), TermQuery("rank_i", 1)]), k=50
+    )
+    assert sorted(ids) == [d for d in range(NUM_DOCS) if d % 3 in (0, 1)]
+
+
+def test_filtered_ann(built_index):
+    """And(term, vector): approximate AND — results all satisfy the
+    predicate (index_test.cpp:197-321)."""
+    q = AndQuery([TermQuery("category", "odd"), VectorQuery("colbert", doc_tokens(7))])
+    res = built_index.search(0, q, k=5, opts=OPTS).collect()
+    assert res[0]["doc_id"] == 7  # doc 7 is odd
+    assert all(r["doc_id"] % 2 == 1 for r in res)
+
+
+def test_tenant_isolation(built_index):
+    ids = search_ids(built_index, VectorQuery("colbert", doc_tokens(101)), tenant=1)
+    assert ids[0] == 101
+    assert all(i >= 100 for i in ids)
+    ids0 = search_ids(built_index, VectorQuery("colbert", doc_tokens(101)), tenant=0)
+    assert all(i < 100 for i in ids0)
+
+
+def test_save_load_same_results(built_index, spark):
+    idx2 = Index.load(spark, built_index.path)
+    a = search_ids(built_index, VectorQuery("colbert", doc_tokens(3)))
+    b = search_ids(idx2, VectorQuery("colbert", doc_tokens(3)))
+    assert a == b
+
+
+@pytest.mark.parametrize("quant", ["none"])
+def test_remove_update_merge(quant, spark, tmp_path):
+    path = str(tmp_path / "idx")
+    idx = Index.create(spark, path, make_schema(quant))
+    docs = make_docs(spark, range(10))
+    idx.train(docs)
+    idx.add(docs)
+
+    # remove: doc 3 disappears from term + vector results (A6)
+    idx.remove(0, [3])
+    assert 3 not in search_ids(idx, TermQuery("category", "odd"), k=50)
+    assert 3 not in search_ids(idx, VectorQuery("colbert", doc_tokens(3)), k=10)
+
+    # update: re-add doc 3 with new title (A7)
+    upd = make_docs(spark, [3]).withColumn("title", __import__("pyspark").sql.functions.lit("updated"))
+    idx.update(upd)
+    res = idx.search(0, VectorQuery("colbert", doc_tokens(3)), k=1, opts=OPTS).collect()
+    assert res[0]["doc_id"] == 3 and res[0]["title"] == "updated"
+
+    # merge: second index with same trained state, disjoint docs (A8)
+    idx2 = idx.copy_trained(str(tmp_path / "idx2"))
+    idx2.add(make_docs(spark, range(50, 55)))
+    idx.merge(idx2)
+    assert search_ids(idx, VectorQuery("colbert", doc_tokens(52)), k=3)[0] == 52
+
+
+def test_unknown_field_raises(spark, tmp_path):
+    idx = Index.create(spark, str(tmp_path / "v"), make_schema("none"))
+    docs = make_docs(spark, range(3)).withColumnRenamed("category", "wrong_name")
+    with pytest.raises(ValueError, match="ingest schema mismatch"):
+        idx._validate_ingest(docs)

@@ -1,0 +1,70 @@
+"""Quantizer unit tests — numpy-only (no Spark), mirroring the
+reference's binarizer_test.cpp / product_quantizer_test.cpp and the
+round-trip property in FIXTURES.md §5."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lintdb_spark.index.quantizers import (
+    Binarizer,
+    IdentityQuantizer,
+    ProductQuantizer,
+    quantizer_from_json,
+    quantizer_to_json,
+)
+
+RNG = np.random.RandomState(42)
+
+
+@pytest.mark.parametrize("nbits", [1, 2])
+def test_binarizer_roundtrip_property(nbits):
+    dim = 16
+    res = RNG.randn(500, dim).astype(np.float32) * 0.1
+    b = Binarizer.train(res, nbits)
+    assert b.code_size == dim * nbits // 8
+
+    x = RNG.randn(7, dim).astype(np.float32) * 0.1
+    blob = b.encode(x)
+    assert len(blob) == 7 * b.code_size
+    dec = b.decode(blob, 7)
+    # property: decode(encode(x))[i] == bucket_weights[bucket(x[i])]
+    buckets = b.bucketize(x)
+    expected = np.asarray(b.p.bucket_weights, dtype=np.float32)[buckets]
+    np.testing.assert_array_equal(dec, expected)
+
+
+def test_binarizer_cutoffs_monotone():
+    res = RNG.randn(1000, 8).astype(np.float32)
+    b = Binarizer.train(res, 2)
+    cuts = b.p.bucket_cutoffs
+    assert all(cuts[i] <= cuts[i + 1] for i in range(len(cuts) - 1))
+    assert len(cuts) == 3 and len(b.p.bucket_weights) == 4
+
+
+def test_pq_roundtrip_better_than_zero():
+    dim, m = 16, 4
+    res = RNG.randn(800, dim).astype(np.float32) * 0.2
+    pq = ProductQuantizer.train(res, m)
+    assert pq.code_size == m
+    x = res[:50]
+    dec = pq.decode(pq.encode(x), 50)
+    err = np.linalg.norm(dec - x) / np.linalg.norm(x)
+    assert err < 0.9  # reconstruction strictly better than zero-vector
+    # codes are deterministic
+    assert pq.encode(x) == pq.encode(x)
+
+
+def test_identity_exact():
+    q = IdentityQuantizer(8)
+    x = RNG.randn(5, 8).astype(np.float32)
+    np.testing.assert_array_equal(q.decode(q.encode(x), 5), x)
+
+
+def test_quantizer_json_roundtrip():
+    res = RNG.randn(300, 8).astype(np.float32)
+    for q in [Binarizer.train(res, 1), ProductQuantizer.train(res, 2), IdentityQuantizer(8)]:
+        q2 = quantizer_from_json(quantizer_to_json(q))
+        x = RNG.randn(3, 8).astype(np.float32)
+        np.testing.assert_array_equal(q.decode(q.encode(x), 3), q2.decode(q2.encode(x), 3))
