@@ -1,0 +1,124 @@
+"""Streaming ingest + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lintdb_spark.index import Index, SearchOptions, VectorQuery
+from lintdb_spark.operators import multimodal
+from lintdb_spark.streaming.ingest import stream_ingest, windowed_event_counts
+from tests.test_index_lifecycle import OPTS, doc_tokens, make_docs, make_schema
+
+
+def test_stream_ingest_into_index(spark, tmp_path):
+    """File-source stream -> foreachBatch -> Index.add -> searchable."""
+    idx = Index.create(spark, str(tmp_path / "idx"), make_schema("none"))
+    batch = make_docs(spark, range(10))
+    idx.train(batch)
+
+    src = str(tmp_path / "incoming")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = stream_ingest(idx, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    res = idx.search(0, VectorQuery("colbert", doc_tokens(4)), k=3, opts=OPTS).collect()
+    assert res[0]["doc_id"] == 4
+
+    # second micro-batch: new files picked up, no reprocessing of old ones
+    make_docs(spark, range(200, 205)).write.mode("append").parquet(src)
+    q2 = stream_ingest(idx, spark.readStream.schema(batch.schema).parquet(src), str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    res = idx.search(0, VectorQuery("colbert", doc_tokens(202)), k=3, opts=OPTS).collect()
+    assert res[0]["doc_id"] == 202
+    # doc 4 indexed exactly once (checkpoint prevented reprocessing)
+    docs = idx._docs()
+    assert docs.filter("doc_id = 4").count() == 1
+
+
+def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming windowed agg over the events table == batch groupBy."""
+    from lintdb_spark.operators.relational import events_hourly
+    from lintdb_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; compare those against batch
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expect = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_hourly(events).collect()
+    }
+    assert len(got) > 0
+    for (ws, et), (n, tv) in got.items():
+        key = (int(ws.timestamp()), et)
+        assert key in expect
+        assert expect[key] == (n, tv)
+
+
+def _media_df(spark, n=20):
+    rows = [
+        (
+            i,
+            ["image", "audio", "video"][i % 3],
+            bytes([i % 256]) * (100 + i),
+            64,
+            64,
+            3000 + 1000 * (i % 3),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_features_deterministic(spark):
+    media = _media_df(spark)
+    f1 = multimodal.extract_features(media).collect()
+    f2 = multimodal.extract_features(media).collect()
+    assert len(f1) == 20
+    by_id1 = {r["media_id"]: r["feature"] for r in f1}
+    by_id2 = {r["media_id"]: r["feature"] for r in f2}
+    for k in by_id1:
+        np.testing.assert_array_equal(by_id1[k], by_id2[k])
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in f1)
+    assert all(r["n_bytes"] == 100 + r["media_id"] for r in f1)
+
+
+def test_multimodal_frame_sampling(spark):
+    media = _media_df(spark)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {i for i in range(20) if i % 3 == 2}  # only videos
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_id.items():
+        dur = 3000 + 1000 * (mid % 3)
+        assert len(rs) == dur // 1000
+        assert sorted(x["frame_ts_ms"] for x in rs) == [i * 1000 for i in range(len(rs))]
+
+
+def test_multimodal_real_decoder_stub(spark):
+    with pytest.raises(Exception, match="NotImplementedError|real codecs"):
+        multimodal.extract_features(_media_df(spark, 3), decoder="real").collect()
