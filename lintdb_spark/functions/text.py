@@ -46,3 +46,27 @@ def hash32(s: Column) -> Column:
 def salted_hash60(salt: Column, s: Column) -> Column:
     """Minhash 'permutation' i: md5(i || ':' || s) -> 60-bit int."""
     return hash60(F.concat(salt.cast("string"), F.lit(":"), s))
+
+
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per
+# value, then perm_i(h) = (a_i*h + b_i) mod p with a_i, b_i derived
+# from the perm index. a < p and h < p keep a*h < 2^62 (no bigint
+# overflow). Same formula is emitted into the DuckDB oracle SQL.
+MINHASH_PRIME = 2_147_483_647
+MINHASH_A_MULT = 1_103_515_245
+MINHASH_B_MULT = 12_345
+
+
+def base_hash31(s: Column) -> Column:
+    """md5-derived 31-bit base hash: hash60(s) mod p."""
+    return hash60(s) % MINHASH_PRIME
+
+
+def perm_hash(perm: Column, h31: Column) -> Column:
+    """(a_perm * h + b_perm) mod p — the cheap per-permutation hash.
+    All operands widened to BIGINT up front: a < p and h < p keep the
+    product under 2^62 (no overflow under ANSI mode)."""
+    p1 = perm.cast("bigint") + 1
+    a = (F.lit(MINHASH_A_MULT).cast("bigint") * p1) % MINHASH_PRIME
+    b = (F.lit(MINHASH_B_MULT).cast("bigint") * p1) % MINHASH_PRIME
+    return (a * h31.cast("bigint") + b) % MINHASH_PRIME

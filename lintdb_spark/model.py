@@ -26,8 +26,16 @@ from lintdb_spark.tables import load_table
 
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, token_idx, vec double[], label) — one row per token."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(doc_id, token_idx, vec double[], label) — one row per token.
+
+    Repartitioned on read: the source is single-file parquet (one
+    input split), and every scoring operator downstream does dense
+    per-row vector math — without the spread it all lands in one task."""
+    # column-only repartition: AQE right-sizes the partition count (the
+    # downstream cascade is many small aggregation stages — forcing a
+    # fixed count here costs more in task scheduling than it buys;
+    # measured 2.5x slower with an explicit 32 at sf0.1)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(F.col("vec_id"))
     return emb.select(
         F.floor(F.col("vec_id") / params.TOKENS_PER_DOC).cast("bigint").alias("doc_id"),
         (F.col("vec_id") % params.TOKENS_PER_DOC).cast("bigint").alias("token_idx"),

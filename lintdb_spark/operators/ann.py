@@ -35,20 +35,33 @@ from lintdb_spark.functions.vector import dot_product
 def assign_tokens(doc_tokens: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest centroid per token by inner product.
 
-    Returns (doc_id, token_idx, label, centroid_id, ip). Ordering for
-    the argmax uses the score rounded to 6 decimals with centroid_id
-    tie-break, so Spark and the DuckDB oracle select identical winners.
+    Returns (doc_id, token_idx, label, centroid_id, ip). The argmax is
+    a struct-max AGGREGATE, not a window: max of (rounded score,
+    -centroid_id, ...) is lexicographic, so ties on the 6-decimal
+    score break toward the smallest centroid_id — identical semantics
+    to the oracle's row_number ordering, but with map-side partial
+    aggregation and no per-partition sort. At 100 TB this is the
+    difference between one combine-enabled shuffle of |tokens| rows
+    and sorting |tokens| x |centroids| rows.
     """
     scored = doc_tokens.join(F.broadcast(centroids)).withColumn(
         "ip", dot_product("vec", "cvec")
     )
-    w = Window.partitionBy("doc_id", "token_idx").orderBy(
-        F.round(F.col("ip"), 6).desc(), F.col("centroid_id").asc()
+    best = scored.groupBy("doc_id", "token_idx", "label").agg(
+        F.max(
+            F.struct(
+                F.round(F.col("ip"), 6).alias("r"),
+                (-F.col("centroid_id")).alias("nc"),
+                F.col("ip").alias("ip"),
+            )
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "token_idx", "label", "centroid_id", "ip")
+    return best.select(
+        "doc_id",
+        "token_idx",
+        "label",
+        (-F.col("b.nc")).alias("centroid_id"),
+        F.col("b.ip").alias("ip"),
     )
 
 

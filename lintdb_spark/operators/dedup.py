@@ -45,32 +45,43 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame) -> DataFrame:
-    """Distinct (doc_id, shingle) where shingle = word trigram."""
-    return (
-        documents.select(
-            "doc_id", F.explode(word_trigrams(words("text"))).alias("shingle")
-        )
-        .distinct()
-    )
+    """Distinct (doc_id, shingle) where shingle = word trigram.
+
+    Perf: tokenize ONCE into a materialized array column before the
+    trigram transform — referencing `split(text)` inside the lambda
+    would re-split the full text per element (O(len^2)). The
+    repartition spreads the explode across cores: the source tables
+    are single-file parquet (one input split), and without it every
+    downstream text operator runs in one task."""
+    w = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", words("text").alias("w"))
+    return w.select(
+        "doc_id", F.explode(word_trigrams(F.col("w"))).alias("shingle")
+    ).distinct()
 
 
 def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
-    """(doc_id, perm, minhash) — num_perms md5-salted hash functions;
-    signature = min over the doc's shingles. The explode is perm-wise
-    but Spark's partial aggregation collapses to |docs| x |perms| rows
-    before the shuffle."""
+    """(doc_id, perm, minhash) — signature = min over the doc's
+    shingles under num_perms hash 'permutations'.
+
+    Perf: each shingle is md5-hashed ONCE to a 31-bit base value; the
+    permutations are universal hashes (a_i*h+b_i mod p) — pure integer
+    arithmetic, so the cost is |shingles| md5s + |shingles|*|perms|
+    multiplies instead of |shingles|*|perms| md5s (16x fewer digest
+    computations at the default 16 perms). Map-side partial min keeps
+    the shuffle at |docs| x |perms| rows regardless of doc length."""
     num_perms = num_perms or params.MINHASH_PERMS
+    from lintdb_spark.functions.text import base_hash31, perm_hash
+
+    based = shingles.select("doc_id", base_hash31(F.col("shingle")).alias("h31"))
     return (
-        shingles.select(
+        based.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm"),
-            F.col("shingle"),
+            F.col("h31"),
         )
-        .select(
-            "doc_id",
-            "perm",
-            salted_hash60(F.col("perm"), F.col("shingle")).alias("h"),
-        )
+        .select("doc_id", "perm", perm_hash(F.col("perm"), F.col("h31")).alias("h"))
         .groupBy("doc_id", "perm")
         .agg(F.min("h").alias("minhash"))
     )
@@ -143,9 +154,13 @@ def jaccard_pairs(shingles: DataFrame, min_overlap: int = 2) -> DataFrame:
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per doc: per-bit majority vote over
     md5-hashed tokens (with multiplicity). (doc_id, simhash)."""
-    toks = documents.select(
-        "doc_id", F.explode(words("text")).alias("tok")
-    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
+    toks = (
+        documents.repartition(
+            documents.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", F.explode(words("text")).alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
+    )
     # per-bit test as (h div 2^b) % 2 — integer ops only, stays exact
     bit = toks.select(
         "doc_id",
@@ -182,14 +197,23 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> Da
     by params.ROUND before the threshold filter on both engines."""
     from lintdb_spark.functions.vector import l2_normalize
 
-    a = embeddings.select(
+    # explicit partition COUNT on the streaming side: the source is
+    # single-file parquet, and AQE would coalesce a column-only
+    # repartition of 2k tiny rows back to one partition — it can't see
+    # that the nested-loop join multiplies the work by |b|. A
+    # user-specified count is exempt from AQE coalescing.
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = embeddings.repartition(n_parts, F.col("vec_id")).select(
         F.col("vec_id").alias("vec_a"), l2_normalize(F.col("embedding")).alias("va")
     )
     b = embeddings.select(
         F.col("vec_id").alias("vec_b"), l2_normalize(F.col("embedding")).alias("vb")
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        # broadcast the RIGHT side explicitly: otherwise Spark may pick
+        # the repartitioned side for broadcast and stream the single-
+        # partition one -> the whole quadratic loop in one task
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -33,7 +33,9 @@ def brute_force_knn(
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
     )
-    c = embeddings.select(
+    c = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, F.col("vec_id")
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )

@@ -239,12 +239,20 @@ shingles AS (
 )
 """
 
+_P = 2_147_483_647  # functions/text.py MINHASH_PRIME
+_AM, _BM = 1_103_515_245, 12_345
+
 _SIGS = f"""
 {_SHINGLES},
+based AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {_P} AS h31
+    FROM shingles
+),
 sigs AS (
     SELECT doc_id, perm,
-           min(CAST(concat('0x', substr(md5(concat(CAST(perm AS VARCHAR), ':', shingle)), 1, 15)) AS BIGINT)) AS minhash
-    FROM shingles CROSS JOIN (SELECT unnest(range(0, {params.MINHASH_PERMS})) AS perm) p
+           min((({_AM} * (perm + 1)) % {_P} * h31 + ({_BM} * (perm + 1)) % {_P}) % {_P}) AS minhash
+    FROM based CROSS JOIN (SELECT unnest(range(0, {params.MINHASH_PERMS})) AS perm) p
     GROUP BY doc_id, perm
 )
 """
