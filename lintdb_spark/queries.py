@@ -227,6 +227,57 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.brute_force_knn(load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: IVF-bucketed corpus, n_probe pruning per query
+    (approximate by design; this is the 100 TB plan where bucket =
+    partition)."""
+    return knn.ivf_knn(
+        load_table(spark, sf_dir, "embeddings"),
+        model.centroids(spark, sf_dir),
+        KNN_QUERY_IDS,
+    )
+
+
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join over supplier + nation (tables otherwise
+    untouched by the suite)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").cast("bigint").alias("n_suppliers"),
+        )
+    )
+
+
+def q_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), params.ROUND).alias("avg_price"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+    )
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function ranking: top-5 users by event count per type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "user_id", "n")
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — same constants, same rounding, same tie-breaks
 # --------------------------------------------------------------------------
@@ -551,6 +602,55 @@ SELECT doc_id,
        CAST(greatest(en, de, fr, es) AS BIGINT) AS n_stopwords
 FROM counts
 """,
+    "q_ivf_knn": prelude()
+    + f"""
+, va AS (SELECT doc_id * {params.TOKENS_PER_DOC} + token_idx AS neighbor_id, centroid_id
+         FROM token_assign),
+kq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id IN ({_KNN_IDS})),
+kqp AS (SELECT q_id, centroid_id FROM (
+            SELECT q.q_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY round(list_dot_product(q.qv, c.cvec), 6) DESC,
+                                               c.centroid_id ASC) AS rn
+            FROM kq q CROSS JOIN centroids c)
+        WHERE rn <= {params.N_PROBE}),
+kcand AS (SELECT p.q_id, v.neighbor_id FROM va v JOIN kqp p USING (centroid_id)),
+ks AS (SELECT c.q_id, c.neighbor_id,
+              list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(q.qv, q.qv))
+                 * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+       FROM kcand c
+       JOIN kq q ON q.q_id = c.q_id
+       JOIN embeddings e ON e.vec_id = c.neighbor_id
+       WHERE c.neighbor_id != c.q_id),
+kr AS (SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,
+              cos
+       FROM ks)
+SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, {params.ROUND}) AS cosine
+FROM kr WHERE rank <= 5
+""",
+    "q_supplier_balance": """
+SELECT n_name, round(sum(s_acctbal), 2) AS total_acctbal,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "q_brand_stats": f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round(avg(p_retailprice), {params.ROUND}) AS avg_price,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand
+""",
+    "q_events_top_users": """
+SELECT event_type, user_id, n FROM (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY count(*) DESC, user_id ASC) AS rn
+    FROM events GROUP BY event_type, user_id)
+WHERE rn <= 5
+""",
     "q_knn_cosine": f"""
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN ({_KNN_IDS})),
@@ -599,4 +699,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_knn_cosine": q_knn_cosine,
+    "q_ivf_knn": q_ivf_knn,
+    "q_supplier_balance": q_supplier_balance,
+    "q_brand_stats": q_brand_stats,
+    "q_events_top_users": q_events_top_users,
 }
