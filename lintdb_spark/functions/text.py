@@ -11,6 +11,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def analyze_standard(text: Column | str) -> Column:
+    """'standard' analyzer: lowercase, strip punctuation, whitespace
+    split, drop empties. The reference declares an analyzer parameter
+    on text fields but never implements one (lintdb/schema/Schema.h:17)
+    — this is the Spark build's working version, used for token-level
+    text postings (MatchQuery)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " ")
+    return F.filter(F.split(cleaned, " +"), lambda t: t != "")
+
+
 def words(text: Column | str) -> Column:
     """Whitespace tokenization (single-space split, matching DuckDB
     string_split(text, ' '))."""

@@ -7,6 +7,7 @@ from lintdb_spark.index.schema import (
 )
 from lintdb_spark.index.query import (
     AndQuery,
+    MatchQuery,
     OrQuery,
     SearchOptions,
     TermQuery,
@@ -22,6 +23,7 @@ __all__ = [
     "Schema",
     "TermQuery",
     "VectorQuery",
+    "MatchQuery",
     "AndQuery",
     "OrQuery",
     "SearchOptions",

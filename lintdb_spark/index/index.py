@@ -48,7 +48,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lintdb_spark.index import coarse
-from lintdb_spark.index.query import AndQuery, OrQuery, SearchOptions, TermQuery, VectorQuery
+from lintdb_spark.index.query import (
+    AndQuery,
+    MatchQuery,
+    OrQuery,
+    SearchOptions,
+    TermQuery,
+    VectorQuery,
+)
 from lintdb_spark.index.quantizers import (
     Binarizer,
     IdentityQuantizer,
@@ -155,6 +162,18 @@ class Index:
             ),
         )
 
+    def _text_postings(self, field: str) -> DataFrame:
+        return self._read(
+            f"postings_text/{field}",
+            T.StructType(
+                [
+                    T.StructField("tenant", T.LongType()),
+                    T.StructField("token", T.StringType()),
+                    T.StructField("doc_id", T.LongType()),
+                ]
+            ),
+        )
+
     # ---------------- train (A4) ----------------
 
     def train(self, docs_df: DataFrame, normalize: bool = True) -> None:
@@ -249,6 +268,23 @@ class Index:
                 self._table_path(table)
             )
 
+        # analyzed TEXT fields -> token postings (inverted text index,
+        # the KeyBuilder.h:264-267 text-posting analogue at token level)
+        from lintdb_spark.functions.text import analyze_standard
+
+        for fld in self.schema.analyzed_text_fields():
+            tp = (
+                out.select(
+                    "tenant",
+                    F.explode(analyze_standard(F.col(fld.name))).alias("token"),
+                    "doc_id",
+                )
+                .distinct()
+            )
+            tp.write.mode("append").partitionBy("tenant").parquet(
+                self._table_path(f"postings_text/{fld.name}")
+            )
+
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
         """A6: delete postings + forward rows for ids — implemented as a
         version-bumped rewrite (Delta-DELETE analogue). The doc->centroid
@@ -272,6 +308,15 @@ class Index:
                 self._table_path(table, new_v)
             )
             self._meta["versions"][table] = new_v
+        for fld in self.schema.analyzed_text_fields():
+            table = f"postings_text/{fld.name}"
+            if os.path.exists(self._table_path(table)):
+                p = self._text_postings(fld.name).filter(~cond)
+                new_v = self._version(table) + 1
+                p.write.mode("overwrite").partitionBy("tenant").parquet(
+                    self._table_path(table, new_v)
+                )
+                self._meta["versions"][table] = new_v
         self._save_sidecars()
 
     def update(self, docs_df: DataFrame) -> None:
@@ -365,6 +410,30 @@ class Index:
 
         return maxsim
 
+    @staticmethod
+    def _analyze_text(text: str) -> list[str]:
+        """Driver-side twin of functions.text.analyze_standard."""
+        import re
+
+        return [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]
+
+    def _match_scores(self, tenant: int, mq: MatchQuery) -> DataFrame:
+        """(doc_id, mscore): distinct query tokens matched per doc.
+        'all' mode keeps only docs matching every token. The postings
+        join is an inverted-index lookup: filter by tenant partition +
+        token IN (...) predicate, then a count-distinct per doc."""
+        toks = sorted(set(self._analyze_text(mq.text)))
+        p = (
+            self._text_postings(mq.field)
+            .filter((F.col("tenant") == tenant) & F.col("token").isin(toks))
+            .select("doc_id", "token")
+            .distinct()
+        )
+        agg = p.groupBy("doc_id").agg(F.count_distinct("token").alias("mscore"))
+        if mq.mode == "all":
+            agg = agg.filter(F.col("mscore") == len(toks))
+        return agg
+
     def _scalar_predicate(self, node) -> F.Column:
         if isinstance(node, TermQuery):
             return F.col(node.field) == F.lit(node.value)
@@ -389,7 +458,7 @@ class Index:
         trees, bare VectorQuery, And(scalars..., VectorQuery)."""
         if isinstance(node, VectorQuery):
             return node, []
-        if isinstance(node, (TermQuery, OrQuery)):
+        if isinstance(node, (TermQuery, OrQuery, MatchQuery)):
             return None, [node]
         if isinstance(node, AndQuery):
             vecs = [c for c in node.children if isinstance(c, VectorQuery)]
@@ -413,12 +482,23 @@ class Index:
         vec, scalars = self._split(query)
         docs = self._docs().filter(F.col("tenant") == tenant)
 
+        matches = [s for s in scalars if isinstance(s, MatchQuery)]
+        preds = [s for s in scalars if not isinstance(s, MatchQuery)]
+
         if vec is None:
-            # pure boolean query: presence scoring (D1: score 1.0/match)
-            pred = self._scalar_predicate(
-                scalars[0] if len(scalars) == 1 else AndQuery(scalars)
-            )
-            out = docs.filter(pred).withColumn("score", F.lit(1.0))
+            # pure boolean/match query: presence scoring (D1) — a single
+            # MatchQuery scores by matched-token count, else 1.0
+            out = docs
+            for p in preds:
+                out = out.filter(self._scalar_predicate(p))
+            if matches:
+                for mq in matches:
+                    ms = self._match_scores(tenant, mq)
+                    out = out.join(ms, "doc_id")
+                score = F.col("mscore").cast("double") if len(matches) == 1 else F.lit(1.0)
+                out = out.withColumn("score", score)
+            else:
+                out = out.withColumn("score", F.lit(1.0))
             return self._with_metadata(out, k)
 
         qtok = np.asarray(vec.query_tokens, dtype=np.float32)
@@ -434,9 +514,12 @@ class Index:
         )
         cand = docs.join(cand_ids, "doc_id")
         # approximate AND: scalar predicates restrict candidates only
-        # (index_test.cpp:197-321 semantics)
-        for s in scalars:
+        # (index_test.cpp:197-321 semantics); match nodes semi-join on
+        # the text postings
+        for s in preds:
             cand = cand.filter(self._scalar_predicate(s))
+        for mq in matches:
+            cand = cand.join(self._match_scores(tenant, mq).select("doc_id"), "doc_id", "left_semi")
 
         # D3/D7 stage-1 PLAID + cut
         plaid = self._plaid_udf(field, qtok, opts.centroid_score_threshold)

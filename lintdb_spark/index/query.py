@@ -28,6 +28,19 @@ class TermQuery:
 
 
 @dataclass
+class MatchQuery:
+    """Token-level full-text match on an analyzed TEXT field (the
+    working version of the reference's declared-but-unused analyzer,
+    Schema.h:17). ``mode``: 'any' = OR over query tokens (score =
+    number of distinct matched tokens), 'all' = docs containing every
+    query token."""
+
+    field: str
+    text: str
+    mode: str = "any"  # any | all
+
+
+@dataclass
 class VectorQuery:
     """ANN candidate generation + late-interaction scoring over a
     Colbert field (QueryNode.cpp:29-101)."""

@@ -56,6 +56,10 @@ class FieldParameters:
     num_iterations: int = 10
     num_subquantizers: int = 0
     nbits: int = 1
+    # 'none' | 'standard' — the reference declares this knob but never
+    # implements it (Schema.h:17); 'standard' enables token postings +
+    # MatchQuery on TEXT indexed fields.
+    analyzer: str = "none"
 
 
 @dataclass
@@ -79,8 +83,13 @@ def TensorField(name: str, dimensions: int, roles: list[FieldType] | None = None
     )
 
 
-def IndexedField(name: str, data_type: DataType) -> Field:
-    return Field(name, data_type.value, [FieldType.INDEXED.value])
+def IndexedField(name: str, data_type: DataType, analyzer: str = "none") -> Field:
+    return Field(
+        name,
+        data_type.value,
+        [FieldType.INDEXED.value],
+        FieldParameters(analyzer=analyzer),
+    )
 
 
 def StoredField(name: str, data_type: DataType) -> Field:
@@ -110,6 +119,15 @@ class Schema:
 
     def scalar_fields(self) -> list[Field]:
         return [f for f in self.fields if f.data_type != DataType.TENSOR.value]
+
+    def analyzed_text_fields(self) -> list[Field]:
+        return [
+            f
+            for f in self.fields
+            if f.data_type == DataType.TEXT.value
+            and f.has_role(FieldType.INDEXED)
+            and f.parameters.analyzer == "standard"
+        ]
 
     def doc_spark_schema(self) -> T.StructType:
         """Schema of the docs (forward) table: tenant, doc_id, scalar

@@ -223,6 +223,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
 
+MATCH_TOKENS = ["data", "query", "stream"]
+
+
+def q_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text token match with the 'standard' analyzer: docs
+    containing any query token, scored by distinct matched tokens."""
+    from lintdb_spark.functions.text import analyze_standard
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(analyze_standard(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(MATCH_TOKENS))
+        .distinct()
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count_distinct("tok").cast("bigint").alias("n_matched")
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.brute_force_knn(load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
 
@@ -631,6 +650,14 @@ kr AS (SELECT q_id, neighbor_id,
 SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, {params.ROUND}) AS cosine
 FROM kr WHERE rank <= 5
 """,
+    "q_text_match": f"""
+SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_matched
+FROM (SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS tok
+      FROM documents)
+WHERE tok IN ({", ".join(f"'{t}'" for t in MATCH_TOKENS)})
+GROUP BY doc_id
+""",
     "q_supplier_balance": """
 SELECT n_name, round(sum(s_acctbal), 2) AS total_acctbal,
        CAST(count(*) AS BIGINT) AS n_suppliers
@@ -703,4 +730,5 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_supplier_balance": q_supplier_balance,
     "q_brand_stats": q_brand_stats,
     "q_events_top_users": q_events_top_users,
+    "q_text_match": q_text_match,
 }
