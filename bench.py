@@ -69,32 +69,80 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
 
-    # ---- BENCH-1: index build (assign + postings write) ----
+    # ---- BENCH-1: real Index build (train state + add -> parquet tables) ----
+    import numpy as np
+
+    from lintdb_spark.index import Index, SearchOptions
+    from lintdb_spark.index.schema import (
+        DataType,
+        FieldType,
+        Schema,
+        StoredField,
+        TensorField,
+    )
+
     out = tempfile.mkdtemp(prefix="lintdb_spark_bench_")
+    cents = model.centroids(spark, sf_dir)
+    dt = model.doc_tokens(spark, sf_dir)
+    ta = ann.assign_tokens(dt, cents)
     try:
         t0 = time.time()
-        cents = model.centroids(spark, sf_dir)
-        dt = model.doc_tokens(spark, sf_dir)
-        ta = ann.assign_tokens(dt, cents)
-        postings = (
-            ta.groupBy("centroid_id", "doc_id")
-            .agg(F.sort_array(F.collect_list("token_idx")).alias("token_idxs"))
+        schema = Schema(
+            [
+                TensorField(
+                    "emb", dimensions=64, roles=[FieldType.COLBERT],
+                    quantization="binarizer", num_centroids=0, nbits=2,
+                ),
+                StoredField("title", DataType.TEXT),
+            ]
         )
-        postings.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            os.path.join(out, "postings")
+        idx = Index.create(spark, os.path.join(out, "idx"), schema)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ingest = (
+            emb.groupBy(F.expr("vec_id div 4").alias("doc_id"))
+            .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("s"))
+            .select(
+                F.lit(0).cast("long").alias("tenant"),
+                "doc_id",
+                F.expr("transform(s, x -> x.embedding)").alias("emb"),
+                F.concat(F.lit("doc-"), F.col("doc_id")).alias("title"),
+            )
         )
+        # centroids: same deterministic model the oracle uses; quantizer
+        # trained on the real residuals
+        idx.set_coarse_quantizer("emb", np.asarray(
+            [r["cvec"] for r in cents.orderBy("centroid_id").collect()], dtype=np.float32
+        ))
+        sample = np.asarray(
+            [r["vec"] for r in dt.limit(4000).collect()], dtype=np.float32
+        )
+        codes = (sample @ idx.centroids["emb"].T).argmax(axis=1)
+        from lintdb_spark.index.quantizers import Binarizer
+
+        idx.quantizers["emb"] = Binarizer.train(sample - idx.centroids["emb"][codes], 2)
+        idx._save_sidecars()
+        idx.add(ingest)
+        n_docs = idx._docs().count()
         timings["index_build"] = round(time.time() - t0, 3)
+
+        # ---- BENCH-2: batch search through the real index ----
+        t0 = time.time()
+        qrows = model.batch_queries(spark, sf_dir, BENCH_NQ).collect()
+        queries: dict[int, list] = {}
+        for r in qrows:
+            queries.setdefault(r["qid"], []).append((r["q_id"], r["qvec"]))
+        qmats = {
+            qid: np.asarray([v for _, v in sorted(toks)], dtype=np.float32)
+            for qid, toks in queries.items()
+        }
+        opts = SearchOptions(n_probe=8, num_second_pass=64, centroid_score_threshold=0.0)
+        res = idx.search_batch(0, "emb", qmats, k=10, opts=opts)
+        n_res = res.count()
+        dt_batch = time.time() - t0
+        timings["batch_search"] = round(dt_batch, 3)
+        qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
     finally:
         shutil.rmtree(out, ignore_errors=True)
-
-    # ---- BENCH-2: batch search throughput ----
-    t0 = time.time()
-    bq = model.batch_queries(spark, sf_dir, BENCH_NQ)
-    res = scoring.batch_two_phase_topk(dt, ta, bq, cents)
-    n_res = res.count()
-    dt_batch = time.time() - t0
-    timings["batch_search"] = round(dt_batch, 3)
-    qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
 
     # ---- BENCH-4: quality — Success@K of the cascade vs exact MaxSim ----
     # (BASELINE.md: proxy for LoTTE Success@5; gate >= 0.95)
@@ -161,6 +209,7 @@ def main() -> None:
                 "batch_search_qps": round(qps, 2),
                 "batch_search_nq": BENCH_NQ,
                 "batch_search_rows": n_res,
+                "index_docs": n_docs,
                 "success_at_10_default_knobs": round(success_at_k, 4),
                 "success_at_10_high_recall": round(success_at_k_hr, 4),
                 "cpus": cpus,
