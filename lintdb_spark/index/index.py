@@ -452,20 +452,68 @@ class Index:
         raise TypeError(f"not a scalar node: {node}")
 
     @staticmethod
-    def _split(node):
-        """Split a query tree into (vector_node | None, scalar_nodes).
-        Supported shapes (covering the reference's tests): bare scalar
-        trees, bare VectorQuery, And(scalars..., VectorQuery)."""
+    def _vector_nodes(node) -> list:
         if isinstance(node, VectorQuery):
-            return node, []
-        if isinstance(node, (TermQuery, OrQuery, MatchQuery)):
-            return None, [node]
+            return [node]
+        if isinstance(node, (AndQuery, OrQuery)):
+            out = []
+            for c in node.children:
+                out.extend(Index._vector_nodes(c))
+            return out
+        return []
+
+    def _stage1(self, node, tenant: int, docs: DataFrame, opts: SearchOptions) -> DataFrame:
+        """Compile a query-tree node into a stage-1 (doc_id, s1) frame —
+        the DataFrame analogue of the reference's DocIterator tree
+        (QueryNode.cpp:15-121) with SUM score combination
+        (NaryScoringMethod default, scoring_methods.cpp:60-97):
+
+        - Term/Match: presence scores (D1: 1.0 per matched term; match
+          scores by distinct matched tokens).
+        - Vector: candidates from probed posting lists with codes-only
+          PLAID score (C2 + D3) — the OR-across-probed-lists semantics.
+        - And: INNER join of children on doc_id, scores summed. A vector
+          child therefore restricts to probed candidates — the
+          reference's *approximate* AND (index_test.cpp:197-321).
+        - Or: union of children, dedup by doc_id, scores summed
+          (OrIterator heap-merge analogue, DocIterator.cpp:237-322).
+        """
+        if isinstance(node, TermQuery):
+            return docs.filter(self._scalar_predicate(node)).select(
+                "doc_id", F.lit(1.0).alias("s1")
+            )
+        if isinstance(node, MatchQuery):
+            return self._match_scores(tenant, node).select(
+                "doc_id", F.col("mscore").cast("double").alias("s1")
+            )
+        if isinstance(node, VectorQuery):
+            qtok = np.asarray(node.query_tokens, dtype=np.float32)
+            probes = self._top_centroids(node.field, qtok, opts)
+            cand_ids = (
+                self._postings(node.field)
+                .filter((F.col("tenant") == tenant) & F.col("centroid_id").isin(probes))
+                .select("doc_id")
+                .distinct()
+            )
+            plaid = self._plaid_udf(node.field, qtok, opts.centroid_score_threshold)
+            return (
+                docs.join(cand_ids, "doc_id")
+                .select("doc_id", plaid(F.col(f"{node.field}__codes")).alias("s1"))
+            )
         if isinstance(node, AndQuery):
-            vecs = [c for c in node.children if isinstance(c, VectorQuery)]
-            scalars = [c for c in node.children if not isinstance(c, VectorQuery)]
-            if len(vecs) > 1:
-                raise NotImplementedError("multiple vector nodes in one AND")
-            return (vecs[0] if vecs else None), scalars
+            frames = [self._stage1(c, tenant, docs, opts) for c in node.children]
+            out = frames[0]
+            for i, f2 in enumerate(frames[1:], 1):
+                out = out.join(
+                    f2.withColumnRenamed("s1", f"_s{i}"), "doc_id"
+                ).withColumn("s1", F.col("s1") + F.col(f"_s{i}")).drop(f"_s{i}")
+            return out
+        if isinstance(node, OrQuery):
+            frames = [self._stage1(c, tenant, docs, opts) for c in node.children]
+            out = frames[0]
+            for f2 in frames[1:]:
+                out = out.unionByName(f2)
+            return out.groupBy("doc_id").agg(F.sum("s1").alias("s1"))
         raise TypeError(f"unsupported query node {node}")
 
     def search(
@@ -475,67 +523,37 @@ class Index:
         k: int = 10,
         opts: SearchOptions | None = None,
     ) -> DataFrame:
-        """C1-C9/D1-D8: full query lifecycle (QueryExecutor.cpp:14-71).
-        Returns (doc_id, score, <stored fields>) ordered by score desc,
-        doc_id asc."""
+        """C1-C9/D1-D8: full query lifecycle (QueryExecutor.cpp:14-71)
+        for ARBITRARY Term/Match/Vector/And/Or trees. Returns (doc_id,
+        score, <stored fields>) ordered by score desc, doc_id asc.
+
+        If the tree contains vector nodes, stage-1 scores feed the
+        num_second_pass cut and stage-2 reranks by exact MaxSim of the
+        first vector node (the reference wires a single ColBERTScorer
+        per query — index.cpp:390); otherwise the stage-1 boolean score
+        is final."""
         opts = opts or SearchOptions()
-        vec, scalars = self._split(query)
         docs = self._docs().filter(F.col("tenant") == tenant)
+        vecs = self._vector_nodes(query)
+        stage1 = self._stage1(query, tenant, docs, opts)
 
-        matches = [s for s in scalars if isinstance(s, MatchQuery)]
-        preds = [s for s in scalars if not isinstance(s, MatchQuery)]
-
-        if vec is None:
-            # pure boolean/match query: presence scoring (D1) — a single
-            # MatchQuery scores by matched-token count, else 1.0
-            out = docs
-            for p in preds:
-                out = out.filter(self._scalar_predicate(p))
-            if matches:
-                for mq in matches:
-                    ms = self._match_scores(tenant, mq)
-                    out = out.join(ms, "doc_id")
-                score = F.col("mscore").cast("double") if len(matches) == 1 else F.lit(1.0)
-                out = out.withColumn("score", score)
-            else:
-                out = out.withColumn("score", F.lit(1.0))
+        if not vecs:
+            out = stage1.join(docs, "doc_id").withColumn("score", F.col("s1"))
             return self._with_metadata(out, k)
 
-        qtok = np.asarray(vec.query_tokens, dtype=np.float32)
-        field = vec.field
-
-        # C2: probes -> candidates via postings partition pruning
-        probes = self._top_centroids(field, qtok, opts)
-        cand_ids = (
-            self._postings(field)
-            .filter((F.col("tenant") == tenant) & F.col("centroid_id").isin(probes))
-            .select("doc_id")
-            .distinct()
+        survivors = (
+            stage1.orderBy(F.col("s1").desc(), F.col("doc_id").asc())
+            .limit(opts.num_second_pass)
+            .join(docs, "doc_id")
         )
-        cand = docs.join(cand_ids, "doc_id")
-        # approximate AND: scalar predicates restrict candidates only
-        # (index_test.cpp:197-321 semantics); match nodes semi-join on
-        # the text postings
-        for s in preds:
-            cand = cand.filter(self._scalar_predicate(s))
-        for mq in matches:
-            cand = cand.join(self._match_scores(tenant, mq).select("doc_id"), "doc_id", "left_semi")
-
-        # D3/D7 stage-1 PLAID + cut
-        plaid = self._plaid_udf(field, qtok, opts.centroid_score_threshold)
-        stage1 = cand.withColumn("s1", plaid(F.col(f"{field}__codes")))
-        survivors = stage1.orderBy(F.col("s1").desc(), F.col("doc_id").asc()).limit(
-            opts.num_second_pass
-        )
-
-        # D6/D8 stage-2 exact MaxSim + top-k
-        maxsim = self._maxsim_udf(field, qtok)
+        vec = vecs[0]
+        maxsim = self._maxsim_udf(vec.field, np.asarray(vec.query_tokens, dtype=np.float32))
         out = survivors.withColumn(
             "score",
             maxsim(
-                F.col(f"{field}__codes"),
-                F.col(f"{field}__residuals"),
-                F.col(f"{field}__num_tokens"),
+                F.col(f"{vec.field}__codes"),
+                F.col(f"{vec.field}__residuals"),
+                F.col(f"{vec.field}__num_tokens"),
             ),
         )
         return self._with_metadata(out, k)
