@@ -57,6 +57,14 @@ HEADLINE = [
     "q_text_stats",
     "q_lang_id",
     "q_knn_cosine",
+    "q_ivf_knn",
+    "q_text_match",
+    "q_events_top_users",
+    "q_supplier_balance",
+    "q_brand_stats",
+    "q_remove_semantics",
+    "q_update_semantics",
+    "q_merge_semantics",
 ]
 
 

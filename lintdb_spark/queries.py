@@ -223,6 +223,57 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_remove_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 DELETE semantics, declaratively: docs from source 'src5' are
+    removed (anti-join), then a term query runs over the survivors.
+    The true stateful path (parquet version flip) is exercised in
+    test_index_lifecycle/test_remove_update_merge; this query makes the
+    anti-join plan oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    removed = d.filter(F.col("source") == "src5").select("doc_id")
+    return (
+        d.filter(F.col("lang") == "en")
+        .join(removed, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+def q_update_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 MERGE/upsert semantics: an updates relation (every 50th doc
+    with n_chars bumped by 1000) overrides the base rows — union-all
+    with precedence via row_number, the standard Spark upsert shape."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("n_chars"))
+        .withColumn("prio", F.lit(0))
+    )
+    merged = d.withColumn("prio", F.lit(1)).unionByName(updates)
+    w = Window.partitionBy("doc_id").orderBy(F.col("prio").asc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+
+
+def q_merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 index-merge semantics: two disjoint partition builds (split
+    by doc_id parity) unioned with dedup, verified by per-lang counts
+    equal to the unsplit table."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["doc_id"])
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 MATCH_TOKENS = ["data", "query", "stream"]
 
 
@@ -650,6 +701,35 @@ kr AS (SELECT q_id, neighbor_id,
 SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, {params.ROUND}) AS cosine
 FROM kr WHERE rank <= 5
 """,
+    "q_remove_semantics": """
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.lang = 'en'
+  AND d.doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src5')
+""",
+    "q_update_semantics": """
+WITH updates AS (
+    SELECT doc_id, lang, n_chars + 1000 AS n_chars, 0 AS prio
+    FROM documents WHERE doc_id % 50 = 0
+),
+merged AS (
+    SELECT doc_id, lang, n_chars, 1 AS prio FROM documents
+    UNION ALL SELECT * FROM updates
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY doc_id ORDER BY prio ASC) AS rn
+      FROM merged)
+WHERE rn = 1
+""",
+    "q_merge_semantics": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT DISTINCT doc_id, lang FROM (
+    SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1))
+GROUP BY lang
+""",
     "q_text_match": f"""
 SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_matched
 FROM (SELECT doc_id,
@@ -731,4 +811,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_stats": q_brand_stats,
     "q_events_top_users": q_events_top_users,
     "q_text_match": q_text_match,
+    "q_remove_semantics": q_remove_semantics,
+    "q_update_semantics": q_update_semantics,
+    "q_merge_semantics": q_merge_semantics,
 }
