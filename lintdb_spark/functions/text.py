@@ -54,11 +54,6 @@ def hash32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
 
-def salted_hash60(salt: Column, s: Column) -> Column:
-    """Minhash 'permutation' i: md5(i || ':' || s) -> 60-bit int."""
-    return hash60(F.concat(salt.cast("string"), F.lit(":"), s))
-
-
 # Universal-hash family over the Mersenne prime 2^31-1: one md5 per
 # value, then perm_i(h) = (a_i*h + b_i) mod p with a_i, b_i derived
 # from the perm index. a < p and h < p keep a*h < 2^62 (no bigint

@@ -206,6 +206,10 @@ class Index:
                 self.quantizers[fld.name] = ProductQuantizer.train(
                     residuals, fld.parameters.num_subquantizers
                 )
+            elif qkind == QuantizerType.FLOAT16.value:
+                from lintdb_spark.index.quantizers import HalfQuantizer
+
+                self.quantizers[fld.name] = HalfQuantizer(fld.parameters.dimensions)
             else:
                 self.quantizers[fld.name] = IdentityQuantizer(fld.parameters.dimensions)
         self._meta["trained"] = True
@@ -249,6 +253,10 @@ class Index:
                 .drop(fld.name)
             )
 
+        # cache: the assign/encode UDF lineage feeds one docs write plus
+        # one postings write per colbert/text field — without this every
+        # action re-runs the broadcast matmuls over the full batch
+        out = out.persist()
         doc_cols = [f.name for f in self.schema.doc_spark_schema().fields]
         out.select(*doc_cols).write.mode("append").partitionBy("tenant").parquet(
             self._table_path("docs")
@@ -284,6 +292,7 @@ class Index:
             tp.write.mode("append").partitionBy("tenant").parquet(
                 self._table_path(f"postings_text/{fld.name}")
             )
+        out.unpersist()
 
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
         """A6: delete postings + forward rows for ids — implemented as a
@@ -292,7 +301,13 @@ class Index:
         filters by doc_id within the tenant partition."""
         ids = set(int(i) for i in doc_ids)
         cond = (F.col("tenant") == tenant) & F.col("doc_id").isin(list(ids))
+        self._remove_where(cond)
 
+    def _remove_where(self, cond) -> None:
+        """One version-bumped rewrite of every table excluding rows
+        matching ``cond`` — shared by remove() and update() so a
+        multi-tenant update is ONE pass over each table, not one
+        rewrite per tenant."""
         docs = self._docs().filter(~cond)
         new_v = self._version("docs") + 1
         docs.write.mode("overwrite").partitionBy("tenant").parquet(
@@ -320,22 +335,39 @@ class Index:
         self._save_sidecars()
 
     def update(self, docs_df: DataFrame) -> None:
-        """A7: remove + add (index.cpp:501-510)."""
-        pairs = docs_df.select("tenant", "doc_id").distinct().collect()
+        """A7: remove + add (index.cpp:501-510). The removal condition
+        covers ALL (tenant, doc_id) pairs at once, so each table is
+        rewritten exactly once regardless of how many tenants the
+        update touches. Point updates collect the (small) key set to
+        build an IN predicate; a truly bulk path would swap this for a
+        Delta MERGE."""
         by_tenant: dict[int, list[int]] = {}
-        for r in pairs:
+        for r in docs_df.select("tenant", "doc_id").distinct().collect():
             by_tenant.setdefault(r["tenant"], []).append(r["doc_id"])
-        for tenant, ids in by_tenant.items():
-            self.remove(tenant, ids)
+        if by_tenant:
+            cond = None
+            for t, ids in by_tenant.items():
+                c = (F.col("tenant") == t) & F.col("doc_id").isin(ids)
+                cond = c if cond is None else (cond | c)
+            self._remove_where(cond)
         self.add(docs_df)
 
     def merge(self, other: "Index") -> None:
         """A8: bulk-append another index's tables. Requires identical
-        trained state (the reference documents the same constraint —
-        merging across different centroids is unsafe, index.cpp:512-535)."""
+        trained state — centroids AND residual quantizers (the
+        reference documents the same constraint: merging across
+        different trained state is unsafe, index.cpp:512-535; a
+        different quantizer here would silently mis-decode the other
+        index's residual blobs)."""
+        from lintdb_spark.index.quantizers import quantizer_to_json
+
         for name, C in self.centroids.items():
             if name not in other.centroids or not np.allclose(C, other.centroids[name]):
                 raise ValueError("merge requires identical centroids")
+        for name, q in self.quantizers.items():
+            oq = other.quantizers.get(name)
+            if oq is None or quantizer_to_json(q) != quantizer_to_json(oq):
+                raise ValueError(f"merge requires identical quantizers (field {name})")
         other._docs().write.mode("append").partitionBy("tenant").parquet(
             self._table_path("docs")
         )
@@ -343,6 +375,12 @@ class Index:
             other._postings(fld.name).write.mode("append").partitionBy(
                 "tenant", "centroid_id"
             ).parquet(self._table_path(f"postings/{fld.name}"))
+        for fld in self.schema.analyzed_text_fields():
+            src = other._table_path(f"postings_text/{fld.name}")
+            if os.path.exists(src):
+                other._text_postings(fld.name).write.mode("append").partitionBy(
+                    "tenant"
+                ).parquet(self._table_path(f"postings_text/{fld.name}"))
 
     # ---------------- search (C1-C9, D1-D8) ----------------
 

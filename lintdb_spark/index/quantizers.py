@@ -186,6 +186,31 @@ class ProductQuantizer:
         return out
 
 
+class HalfQuantizer:
+    """float16 storage (reference: TENSOR_FLOAT16 / half.h vendored
+    half implementation, DataTypes.h:29-40 + api.h:14). Spark has no
+    fp16 column type, so halves live as packed bytes: 2 bytes/dim,
+    decode upcasts to float32. Lossy by ~1e-3 relative — the standard
+    fp16 storage trade."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+
+    @property
+    def code_size(self) -> int:
+        return self.dim * 2
+
+    def encode(self, tokens: np.ndarray) -> bytes:
+        return np.ascontiguousarray(tokens, dtype=np.float16).tobytes()
+
+    def decode(self, blob: bytes, num_tokens: int) -> np.ndarray:
+        return (
+            np.frombuffer(blob, dtype=np.float16)
+            .reshape(num_tokens, self.dim)
+            .astype(np.float32)
+        )
+
+
 class IdentityQuantizer:
     """QuantizerType.NONE passthrough (lintdb/quantizers/io.cpp:9-12):
     residual float32 bytes stored raw."""
@@ -218,10 +243,14 @@ def quantizer_from_json(s: str):
         )
     if raw["kind"] == "identity":
         return IdentityQuantizer(raw["dim"])
+    if raw["kind"] == "half":
+        return HalfQuantizer(raw["dim"])
     raise ValueError(f"unknown quantizer kind {raw['kind']}")
 
 
 def quantizer_to_json(q) -> str:
     if isinstance(q, IdentityQuantizer):
         return json.dumps({"kind": "identity", "dim": q.dim})
+    if isinstance(q, HalfQuantizer):
+        return json.dumps({"kind": "half", "dim": q.dim})
     return q.p.to_json()

@@ -46,6 +46,7 @@ class QuantizerType(str, Enum):
     NONE = "none"
     BINARIZER = "binarizer"
     PRODUCT = "product"
+    FLOAT16 = "float16"  # TENSOR_FLOAT16 storage (DataTypes.h:29-40)
 
 
 @dataclass
@@ -107,6 +108,17 @@ _SCALAR_SPARK = {
 @dataclass
 class Schema:
     fields: list[Field]
+
+    def __post_init__(self) -> None:
+        # a TENSOR field participates in tables only through the
+        # COLBERT role; accepting other role combinations would
+        # silently drop the field from both doc and ingest schemas
+        for f in self.fields:
+            if f.data_type == DataType.TENSOR.value and not f.has_role(FieldType.COLBERT):
+                raise ValueError(
+                    f"tensor field '{f.name}' must carry the colbert role "
+                    "(other tensor roles are not supported)"
+                )
 
     def field(self, name: str) -> Field:
         for f in self.fields:

@@ -28,8 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lintdb_spark import params
-from lintdb_spark.functions.text import salted_hash60, word_trigrams, words
-from lintdb_spark.functions.vector import dot_product, l2_norm
+from lintdb_spark.functions.text import hash32, word_trigrams, words
+from lintdb_spark.functions.vector import dot_product
 
 
 def exact_dup_groups(documents: DataFrame) -> DataFrame:
@@ -78,7 +78,12 @@ def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> Dat
     return (
         based.select(
             "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm"),
+            # bigint sequence so perm matches the oracle's
+            # unnest(range(...)) BIGINT (a generator can't be nested
+            # inside a cast)
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.lit(num_perms - 1).cast("bigint"))
+            ).alias("perm"),
             F.col("h31"),
         )
         .select("doc_id", "perm", perm_hash(F.col("perm"), F.col("h31")).alias("h"))
@@ -159,7 +164,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
             documents.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
         )
         .select("doc_id", F.explode(words("text")).alias("tok"))
-        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"))
+        .withColumn("h", hash32(F.col("tok")))
     )
     # per-bit test as (h div 2^b) % 2 — integer ops only, stays exact
     bit = toks.select(

@@ -41,18 +41,19 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def _stop_count(words_col, lang: str):
-    lst = ", ".join(f"'{s}'" for s in params.STOPWORDS[lang])
-    return F.expr(f"size(filter(split(lower(text), ' '), t -> t IN ({lst})))")
+def _stop_count(text_col, lang: str):
+    stop = params.STOPWORDS[lang]
+    lowered = F.split(F.lower(text_col), " ")
+    return F.size(F.filter(lowered, lambda t: t.isin(*stop)))
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID over {en, de, fr, es} with fixed
     tie-break order en > de > fr > es. (doc_id, pred_lang,
     n_stopwords). A scale pipeline would swap in char-n-gram models;
     the operator shape (narrow projection) is identical."""
-    w = words("text")
-    en, de, fr, es = (_stop_count(w, l) for l in ("en", "de", "fr", "es"))
+    c = F.col(text_col)
+    en, de, fr, es = (_stop_count(c, l) for l in ("en", "de", "fr", "es"))
     pred = (
         F.when((en >= de) & (en >= fr) & (en >= es), "en")
         .when((de >= fr) & (de >= es), "de")

@@ -354,7 +354,7 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLES = """
 shingles AS (
-    SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+    SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
     FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-2, 1)+1)) AS i
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
 )

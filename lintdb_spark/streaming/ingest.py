@@ -36,8 +36,16 @@ def stream_ingest(
 
     foreachBatch reuses Index.add verbatim — the reference's
     OMP-parallel per-doc add pipeline (lintdb/index.cpp:481-490)
-    becomes per-micro-batch distributed ingestion with exactly-once
-    bookkeeping from the checkpoint."""
+    becomes per-micro-batch distributed ingestion.
+
+    Delivery semantics: the checkpoint prevents re-processing of
+    COMPLETED batches (verified: restart re-ingests nothing), but
+    Index.add is several parquet appends, not one transaction — a
+    crash BETWEEN the docs write and a postings write, followed by a
+    retry, would duplicate that batch's docs rows. So: exactly-once on
+    clean runs and restarts, at-least-once across mid-batch failures.
+    A Delta-backed Index (SCALE.md §2.1) upgrades this to true
+    exactly-once via multi-table transactional commit."""
     def _add(batch_df: DataFrame, _id: int) -> None:
         # Index.add runs two actions (docs write + postings write);
         # cache the micro-batch so the source is scanned once, not twice.

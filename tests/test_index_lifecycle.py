@@ -84,7 +84,7 @@ def make_docs(spark, doc_ids, tenant=0):
     return spark.createDataFrame(rows, schema)
 
 
-@pytest.fixture(scope="module", params=["none", "binarizer", "product"])
+@pytest.fixture(scope="module", params=["none", "binarizer", "product", "float16"])
 def built_index(request, spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp(f"idx_{request.param}") / "index")
     idx = Index.create(spark, path, make_schema(request.param))

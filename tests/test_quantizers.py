@@ -9,6 +9,7 @@ import pytest
 
 from lintdb_spark.index.quantizers import (
     Binarizer,
+    HalfQuantizer,
     IdentityQuantizer,
     ProductQuantizer,
     quantizer_from_json,
@@ -62,9 +63,20 @@ def test_identity_exact():
     np.testing.assert_array_equal(q.decode(q.encode(x), 5), x)
 
 
+def test_half_roundtrip_within_fp16_eps():
+    q = HalfQuantizer(8)
+    x = RNG.randn(5, 8).astype(np.float32)
+    dec = q.decode(q.encode(x), 5)
+    assert q.code_size == 16  # 2 bytes/dim
+    np.testing.assert_allclose(dec, x, rtol=1e-3, atol=1e-4)
+    # exact for values representable in fp16
+    y = np.asarray([[0.5, -2.0, 1.25, 0.0, 3.0, -0.75, 8.0, 0.125]], dtype=np.float32)
+    np.testing.assert_array_equal(q.decode(q.encode(y), 1), y)
+
+
 def test_quantizer_json_roundtrip():
     res = RNG.randn(300, 8).astype(np.float32)
-    for q in [Binarizer.train(res, 1), ProductQuantizer.train(res, 2), IdentityQuantizer(8)]:
+    for q in [Binarizer.train(res, 1), ProductQuantizer.train(res, 2), IdentityQuantizer(8), HalfQuantizer(8)]:
         q2 = quantizer_from_json(quantizer_to_json(q))
         x = RNG.randn(3, 8).astype(np.float32)
         np.testing.assert_array_equal(q.decode(q.encode(x), 3), q2.decode(q2.encode(x), 3))
