@@ -352,6 +352,20 @@ class Index:
             self._remove_where(cond)
         self.add(docs_df)
 
+    def get_mapping(self, tenant: int, doc_id: int, field: str | None = None) -> list[int]:
+        """C10 doc->centroid mapping lookup (RocksdbInvertedList.cpp:
+        98-118): sorted distinct centroid ids of the doc's tokens,
+        read from the codes column (B6's mapping is implicit here)."""
+        field = field or self.schema.colbert_fields()[0].name
+        rows = (
+            self._docs()
+            .filter((F.col("tenant") == tenant) & (F.col("doc_id") == doc_id))
+            .select(F.explode(F.col(f"{field}__codes")).alias("c"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["c"] for r in rows)
+
     def merge(self, other: "Index") -> None:
         """A8: bulk-append another index's tables. Requires identical
         trained state — centroids AND residual quantizers (the

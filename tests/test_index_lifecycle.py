@@ -177,6 +177,15 @@ def test_remove_update_merge(quant, spark, tmp_path):
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(52)), k=3)[0] == 52
 
 
+def test_get_mapping(built_index):
+    """C10: mapping equals distinct sorted codes of the doc."""
+    m = built_index.get_mapping(0, 3)
+    assert len(m) >= 1
+    assert m == sorted(set(m))
+    row = built_index._docs().filter("tenant = 0 AND doc_id = 3").collect()[0]
+    assert m == sorted(set(row["colbert__codes"]))
+
+
 def test_unknown_field_raises(spark, tmp_path):
     idx = Index.create(spark, str(tmp_path / "v"), make_schema("none"))
     docs = make_docs(spark, range(3)).withColumnRenamed("category", "wrong_name")
