@@ -65,6 +65,94 @@ def stream_ingest(
     return writer.start()
 
 
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the Structured Streaming twin of
+    operators.relational.user_sessions and the pattern for any
+    reference-style incremental operator Spark lacks natively.
+
+    Per user_id, state = (session_start_us, last_seen_us, n_events).
+    An event later than gap_minutes after last_seen closes the current
+    session and emits it; state for users idle past the watermark is
+    timed out and their open session flushed. Output:
+    (user_id, session_start_us, session_end_us, n_events).
+
+    Scale: state is O(active users), bounded by the event-time
+    watermark; each micro-batch shuffles once on user_id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, l, n = state.get
+                closed.append((user_id, s, l, n))
+                state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                ts_list.extend(int(v) for v in pdf["us"])
+            ts_list.sort()
+            if state.exists:
+                s, l, n = state.get
+            else:
+                s = l = None
+                n = 0
+            for us in ts_list:
+                if l is not None and us - l > gap_us:
+                    closed.append((user_id, s, l, n))
+                    s, n = us, 0
+                if s is None:
+                    s = us
+                l = us
+                n += 1
+            state.update((s, l, n))
+            state.setTimeoutTimestamp(l // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+
+    from pyspark.sql import functions as FF
+
+    prepared = (
+        events_stream.withWatermark("ts", watermark)
+        .select("user_id", FF.unix_micros(FF.col("ts")).alias("us"), FF.col("ts"))
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

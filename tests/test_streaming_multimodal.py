@@ -77,6 +77,42 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
         assert expect[key] == (n, tv)
 
 
+def test_stateful_sessionization(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: closed-session counts are
+    consistent with the batch sessionizer (stream closes every session
+    except each user's final open one, which stays in state)."""
+    from lintdb_spark.operators.relational import user_sessions
+    from lintdb_spark.streaming.ingest import sessionize_stream
+    from lintdb_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_t")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM sess_t GROUP BY 1"
+        ).collect()
+    }
+    batch = {r["user_id"]: r["n_sessions"] for r in user_sessions(events).collect()}
+    assert len(closed) > 0
+    for u, c in closed.items():
+        assert c <= batch[u]
+    # stream emits every session except at most one open session/user
+    assert sum(closed.values()) >= sum(batch.values()) - len(batch)
+
+
 def _media_df(spark, n=20):
     rows = [
         (
