@@ -617,6 +617,7 @@ class Index:
         queries: dict[int, np.ndarray],
         k: int = 10,
         opts: SearchOptions | None = None,
+        doc_filter=None,
     ) -> DataFrame:
         """Batch VECTOR search: N queries through ONE plan against the
         index tables — the Spark-native upgrade over the reference's
@@ -624,8 +625,11 @@ class Index:
         here the postings scan is shared and every per-query step is
         keyed by qid).
 
-        queries: {qid: (n_tokens, dim) float32}. Returns
-        (qid, doc_id, rank, score, <stored fields>).
+        queries: {qid: (n_tokens, dim) float32}. ``doc_filter`` is an
+        optional scalar query node (Term/Match/And/Or) applied to the
+        candidates of EVERY query in the batch — BENCH-3 filtered
+        search in batch form, with the reference's approximate-AND
+        semantics. Returns (qid, doc_id, rank, score, <stored fields>).
 
         Scale: probes are computed driver-side on the in-memory
         centroid matrix (cheap: |queries| x num_centroids matmul), the
@@ -656,6 +660,16 @@ class Index:
             .distinct()
         )
         docs = self._docs().filter(F.col("tenant") == tenant)
+        if doc_filter is not None:
+            matches = [doc_filter] if isinstance(doc_filter, MatchQuery) else []
+            if matches:
+                docs = docs.join(
+                    self._match_scores(tenant, doc_filter).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+            else:
+                docs = docs.filter(self._scalar_predicate(doc_filter))
         cand = cand_ids.join(docs, "doc_id")
 
         bc_qc = self.spark.sparkContext.broadcast({qid: q @ C.T for qid, q in qmats.items()})

@@ -32,3 +32,30 @@ def test_batch_matches_single(quant, spark, tmp_path):
     # self-queries rank their own doc first
     assert sorted(by_qid[100], key=lambda r: r["rank"])[0]["doc_id"] == 2
     assert sorted(by_qid[200], key=lambda r: r["rank"])[0]["doc_id"] == 9
+
+
+def test_batch_filtered(spark, tmp_path):
+    """Batch filtered search: shared term predicate restricts every
+    query's candidates (BENCH-3 in batch form)."""
+    from lintdb_spark.index import TermQuery
+
+    idx = Index.create(spark, str(tmp_path / "bf"), make_schema("none"))
+    docs = make_docs(spark, range(15))
+    idx.train(docs)
+    idx.add(docs)
+    res = idx.search_batch(
+        0,
+        "colbert",
+        {1: doc_tokens(4), 2: doc_tokens(7)},
+        k=5,
+        opts=OPTS,
+        doc_filter=TermQuery("category", "odd"),
+    ).collect()
+    assert len(res) > 0
+    assert all(r["doc_id"] % 2 == 1 for r in res)  # predicate holds everywhere
+    by_qid = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append(r)
+    # query 2's target (doc 7) is odd -> still top; query 1's target (4) is even -> excluded
+    assert sorted(by_qid[2], key=lambda r: r["rank"])[0]["doc_id"] == 7
+    assert all(r["doc_id"] != 4 for r in by_qid[1])
