@@ -91,6 +91,12 @@ def two_phase_topk(
     k = k or params.K
     num_second_pass = num_second_pass or params.NUM_SECOND_PASS
 
+    # the assignment subtree feeds candidate generation AND stage-1
+    # codes; without persisting, Catalyst plans it twice (no
+    # ReusedExchange across the broadcast boundary) — measured 20
+    # parquet scans for one cascade at sf0.1
+    token_assign = token_assign.persist()
+
     cand = (
         token_assign.join(F.broadcast(probes.select("centroid_id")), "centroid_id")
         .select("doc_id")
@@ -140,6 +146,10 @@ def batch_two_phase_topk(
     k = k or params.K
     num_second_pass = num_second_pass or params.NUM_SECOND_PASS
     n_probe = n_probe or params.N_PROBE
+
+    # shared by candidates and stage-1 codes — persist (see
+    # two_phase_topk)
+    token_assign = token_assign.persist()
 
     # per-(query, centroid) score matrix — small, broadcast everywhere
     qc = (
