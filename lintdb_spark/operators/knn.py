@@ -77,15 +77,22 @@ def ivf_knn(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.round(F.col("ip"), 6).desc(), F.col("centroid_id").asc()
-    )
+    # struct-max argmax (same pattern as ann.assign_tokens): map-side
+    # partial aggregation instead of a per-partition window sort over
+    # |corpus| x |centroids| rows
     bucketed = (
         corpus.join(F.broadcast(cvecs))
         .withColumn("ip", dot_product("cv", "cvec"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
+        .groupBy("neighbor_id", "cv")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("ip"), 6).alias("r"),
+                    (-F.col("centroid_id")).alias("nc"),
+                )
+            ).alias("b")
+        )
+        .select("neighbor_id", "cv", (-F.col("b.nc")).alias("centroid_id"))
     )
 
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
