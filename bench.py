@@ -77,6 +77,10 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
 
+    # JVM/codegen warmup so the first timed op doesn't absorb session
+    # startup (~2-4s otherwise folded into index_build)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     # ---- BENCH-1: real Index build (train state + add -> parquet tables) ----
     import numpy as np
 

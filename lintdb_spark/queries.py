@@ -274,6 +274,29 @@ def q_merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates per source (Spark `percentile` ==
+    DuckDB `quantile_cont`, both exact linear interpolation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), params.ROUND).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), params.ROUND).alias("p90_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type moments: mean / sample stddev / extrema."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), params.ROUND).alias("avg_value"),
+        F.round(F.stddev_samp("value"), params.ROUND).alias("std_value"),
+        F.round(F.min("value"), params.ROUND).alias("min_value"),
+        F.round(F.max("value"), params.ROUND).alias("max_value"),
+    )
+
+
 MATCH_TOKENS = ["data", "query", "stream"]
 
 
@@ -701,6 +724,22 @@ kr AS (SELECT q_id, neighbor_id,
 SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, {params.ROUND}) AS cosine
 FROM kr WHERE rank <= 5
 """,
+    "q_doc_length_stats": f"""
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), {params.ROUND}) AS median_chars,
+       round(quantile_cont(n_chars, 0.9), {params.ROUND}) AS p90_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source
+""",
+    "q_events_value_stats": f"""
+SELECT event_type,
+       round(avg(value), {params.ROUND}) AS avg_value,
+       round(stddev_samp(value), {params.ROUND}) AS std_value,
+       round(min(value), {params.ROUND}) AS min_value,
+       round(max(value), {params.ROUND}) AS max_value
+FROM events GROUP BY event_type
+""",
     "q_remove_semantics": """
 SELECT d.doc_id, d.source
 FROM documents d
@@ -811,6 +850,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_stats": q_brand_stats,
     "q_events_top_users": q_events_top_users,
     "q_text_match": q_text_match,
+    "q_doc_length_stats": q_doc_length_stats,
+    "q_events_value_stats": q_events_value_stats,
     "q_remove_semantics": q_remove_semantics,
     "q_update_semantics": q_update_semantics,
     "q_merge_semantics": q_merge_semantics,
