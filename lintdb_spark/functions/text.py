@@ -31,14 +31,19 @@ def words(text: Column | str) -> Column:
 def word_trigrams(words_col: Column) -> Column:
     """1-based sliding word 3-grams: trigram i = words[i..i+2],
     i in 1..max(len-2, 1). Mirrors the oracle's
-    ``w[i] || ' ' || w[i+1] || ' ' || w[i+2]``."""
+    ``concat_ws(' ', w[i], w[i+1], w[i+2])``.
+
+    try_element_at (not element_at) so documents with <3 words yield a
+    short-gram instead of ARRAY_INDEX_OUT_OF_BOUNDS under Spark 4 ANSI
+    mode — NULLs are skipped by concat_ws, matching the DuckDB oracle's
+    NULL-skipping concat_ws exactly."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words_col) - 2, F.lit(1))),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(words_col, i),
-            F.element_at(words_col, i + 1),
-            F.element_at(words_col, i + 2),
+            F.try_element_at(words_col, i),
+            F.try_element_at(words_col, i + 1),
+            F.try_element_at(words_col, i + 2),
         ),
     )
 

