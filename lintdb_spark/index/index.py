@@ -305,10 +305,26 @@ class Index:
 
     def _remove_where(self, cond) -> None:
         """One version-bumped rewrite of every table excluding rows
-        matching ``cond`` — shared by remove() and update() so a
-        multi-tenant update is ONE pass over each table, not one
-        rewrite per tenant."""
-        docs = self._docs().filter(~cond)
+        matching ``cond`` (an IN/equality predicate — pushes down to
+        the parquet scan for point removals)."""
+        self._rewrite_tables(lambda df: df.filter(~cond))
+
+    def _remove_keys(self, keys_df: DataFrame) -> None:
+        """Version-bumped rewrite of every table dropping rows whose
+        (tenant, doc_id) appears in ``keys_df`` — the Delta
+        MERGE-delete analogue, fully distributed: nothing is collected
+        to the driver, so a bulk update with millions of keys is just a
+        join. AQE picks broadcast-hash for small key sets (the common
+        point-update case) and a shuffle join for genuinely bulk ones."""
+        keys = keys_df.select("tenant", "doc_id").distinct()
+        self._rewrite_tables(lambda df: df.join(keys, ["tenant", "doc_id"], "left_anti"))
+
+    def _rewrite_tables(self, drop_rows) -> None:
+        """Shared remove/update rewrite: apply ``drop_rows`` (DataFrame
+        -> DataFrame) to every table, write the survivors to a new
+        version directory, flip _meta.json. Each table is rewritten
+        exactly ONCE regardless of how many tenants are touched."""
+        docs = drop_rows(self._docs())
         new_v = self._version("docs") + 1
         docs.write.mode("overwrite").partitionBy("tenant").parquet(
             self._table_path("docs", new_v)
@@ -317,7 +333,7 @@ class Index:
 
         for fld in self.schema.colbert_fields():
             table = f"postings/{fld.name}"
-            p = self._postings(fld.name).filter(~cond)
+            p = drop_rows(self._postings(fld.name))
             new_v = self._version(table) + 1
             p.write.mode("overwrite").partitionBy("tenant", "centroid_id").parquet(
                 self._table_path(table, new_v)
@@ -326,7 +342,7 @@ class Index:
         for fld in self.schema.analyzed_text_fields():
             table = f"postings_text/{fld.name}"
             if os.path.exists(self._table_path(table)):
-                p = self._text_postings(fld.name).filter(~cond)
+                p = drop_rows(self._text_postings(fld.name))
                 new_v = self._version(table) + 1
                 p.write.mode("overwrite").partitionBy("tenant").parquet(
                     self._table_path(table, new_v)
@@ -335,21 +351,11 @@ class Index:
         self._save_sidecars()
 
     def update(self, docs_df: DataFrame) -> None:
-        """A7: remove + add (index.cpp:501-510). The removal condition
-        covers ALL (tenant, doc_id) pairs at once, so each table is
-        rewritten exactly once regardless of how many tenants the
-        update touches. Point updates collect the (small) key set to
-        build an IN predicate; a truly bulk path would swap this for a
-        Delta MERGE."""
-        by_tenant: dict[int, list[int]] = {}
-        for r in docs_df.select("tenant", "doc_id").distinct().collect():
-            by_tenant.setdefault(r["tenant"], []).append(r["doc_id"])
-        if by_tenant:
-            cond = None
-            for t, ids in by_tenant.items():
-                c = (F.col("tenant") == t) & F.col("doc_id").isin(ids)
-                cond = c if cond is None else (cond | c)
-            self._remove_where(cond)
+        """A7: remove + add (index.cpp:501-510), with the removal done
+        as a distributed anti-join on (tenant, doc_id) — no driver-side
+        collect anywhere in the path, so bulk updates scale to key sets
+        that would OOM an IN-list."""
+        self._remove_keys(docs_df)
         self.add(docs_df)
 
     def get_mapping(self, tenant: int, doc_id: int, field: str | None = None) -> list[int]:

@@ -177,6 +177,27 @@ def test_remove_update_merge(quant, spark, tmp_path):
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(52)), k=3)[0] == 52
 
 
+def test_update_has_no_driver_collect(spark, tmp_path, monkeypatch):
+    """A7 at scale: update's remove side is a distributed anti-join —
+    a bulk update must never materialize the key set on the driver."""
+    idx = Index.create(spark, str(tmp_path / "idx_nc"), make_schema("none"))
+    docs = make_docs(spark, range(6))
+    idx.train(docs)
+    idx.add(docs)
+
+    from pyspark.sql import DataFrame as SparkDF
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect/toPandas in update path")
+
+    upd = make_docs(spark, [2])
+    monkeypatch.setattr(SparkDF, "collect", boom)
+    monkeypatch.setattr(SparkDF, "toPandas", boom)
+    idx.update(upd)
+    monkeypatch.undo()
+    assert search_ids(idx, VectorQuery("colbert", doc_tokens(2)), k=1)[0] == 2
+
+
 def test_get_mapping(built_index):
     """C10: mapping equals distinct sorted codes of the doc."""
     m = built_index.get_mapping(0, 3)
