@@ -405,16 +405,22 @@ class Index:
     # ---------------- search (C1-C9, D1-D8) ----------------
 
     def _top_centroids(self, field: str, qtok: np.ndarray, opts: SearchOptions) -> list[int]:
-        """C6/C7 KnnNearestCentroids: per-token top k_top_centroids, then
-        overall top n_probe by per-centroid max score."""
+        """C6/C7 KnnNearestCentroids (KnnNearestCentroids.cpp:38-110):
+        each token nominates its top k_top_centroids; a centroid's score
+        is the max over ONLY those nominations (a score outside a
+        token's top-k never contributes); non-positive scores dropped;
+        top n_probe survive."""
         C = self.centroids[field]
         scores = qtok.astype(np.float32) @ C.T  # (n_tok, k)
         k_top = min(max(opts.k_top_centroids, 1), C.shape[0])
-        cand: set[int] = set()
-        for row in scores:
-            cand.update(np.argpartition(-row, k_top - 1)[:k_top].tolist())
-        per_max = scores.max(axis=0)
-        ranked = sorted(cand, key=lambda c: (-per_max[c], c))
+        # stable argsort on -score: ties keep ascending centroid_id
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k_top]
+        high = np.full(C.shape[0], -np.inf, dtype=np.float32)
+        rows = np.repeat(np.arange(scores.shape[0]), k_top)
+        cols = order.ravel()
+        np.maximum.at(high, cols, scores[rows, cols])
+        cand = np.nonzero(high > 0)[0]
+        ranked = sorted(cand.tolist(), key=lambda c: (-high[c], c))
         return [int(c) for c in ranked[: opts.n_probe]]
 
     def _plaid_udf(self, field: str, qtok: np.ndarray, threshold: float):
@@ -435,10 +441,12 @@ class Index:
                 u = np.unique(np.asarray(cds, dtype=np.int64))
                 sub = m[:, u]  # (n_tok, n_unique)
                 if thr > 0.0:
-                    keep = sub.max(axis=0) >= thr
-                    if keep.any():
-                        sub = sub[:, keep]
-                out[i] = sub.max(axis=1).sum()
+                    # the threshold prunes, never disables: a doc whose
+                    # centroids ALL fall below it scores 0 (reference
+                    # score_documents_by_codes skips such codes,
+                    # plaid.cpp:39-63)
+                    sub = sub[:, sub.max(axis=0) >= thr]
+                out[i] = sub.max(axis=1).sum() if sub.shape[1] else 0.0
             return pd.Series(out)
 
         return plaid
@@ -689,10 +697,8 @@ class Index:
                 m = qcs[int(qi)]
                 sub = m[:, np.unique(np.asarray(cds, dtype=np.int64))]
                 if thr > 0.0:
-                    keep = sub.max(axis=0) >= thr
-                    if keep.any():
-                        sub = sub[:, keep]
-                out[i] = sub.max(axis=1).sum()
+                    sub = sub[:, sub.max(axis=0) >= thr]
+                out[i] = sub.max(axis=1).sum() if sub.shape[1] else 0.0
             return pd.Series(out)
 
         w = Window.partitionBy("qid").orderBy(F.col("s1").desc(), F.col("doc_id").asc())

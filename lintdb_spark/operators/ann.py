@@ -65,15 +65,37 @@ def assign_tokens(doc_tokens: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def top_centroids(query_tokens: DataFrame, centroids: DataFrame, n_probe: int | None = None) -> DataFrame:
-    """Per-centroid max score over query tokens -> top n_probe probes
-    (KnnNearestCentroids.cpp:38-110)."""
+def top_centroids(
+    query_tokens: DataFrame,
+    centroids: DataFrame,
+    n_probe: int | None = None,
+    k_top: int | None = None,
+) -> DataFrame:
+    """Probe selection (KnnNearestCentroids.cpp:38-110): each query
+    token nominates its top ``k_top_centroids`` centroids; a centroid's
+    score is the max over ONLY those per-token nominations (scores
+    outside a token's top-k never contribute); non-positive scores are
+    dropped; the top ``n_probe`` by score survive.
+
+    Scale: the window sort is over |q_tokens| x |centroids| rows — a
+    few MB even at the reference's largest config (32 tokens x 65536
+    centroids), nowhere near the doc-token path."""
     n_probe = n_probe or params.N_PROBE
+    k_top = k_top or params.K_TOP_CENTROIDS
+    scored = query_tokens.join(F.broadcast(centroids)).withColumn(
+        "score", dot_product("qvec", "cvec")
+    )
+    w_tok = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("centroid_id").asc()
+    )
+    nominated = (
+        scored.withColumn("kt", F.row_number().over(w_tok))
+        .filter(F.col("kt") <= k_top)
+    )
     return (
-        query_tokens.join(F.broadcast(centroids))
-        .withColumn("score", dot_product("qvec", "cvec"))
-        .groupBy("centroid_id")
+        nominated.groupBy("centroid_id")
         .agg(F.max("score").alias("score"))
+        .filter(F.col("score") > 0)
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("centroid_id").asc())
         .limit(n_probe)
     )

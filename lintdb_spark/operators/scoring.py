@@ -127,6 +127,7 @@ def batch_two_phase_topk(
     k: int | None = None,
     num_second_pass: int | None = None,
     n_probe: int | None = None,
+    k_top: int | None = None,
 ) -> DataFrame:
     """Batch form of the cascade — N queries through ONE lazy plan.
 
@@ -146,6 +147,7 @@ def batch_two_phase_topk(
     k = k or params.K
     num_second_pass = num_second_pass or params.NUM_SECOND_PASS
     n_probe = n_probe or params.N_PROBE
+    k_top = k_top or params.K_TOP_CENTROIDS
 
     # shared by candidates and stage-1 codes — persist (see
     # two_phase_topk)
@@ -157,13 +159,24 @@ def batch_two_phase_topk(
         .select("qid", "q_id", "centroid_id", dot_product("qvec", "cvec").alias("qc_score"))
     )
 
-    # probes: top n_probe centroids per query
+    # probes (KnnNearestCentroids.cpp:38-110): each token nominates its
+    # top k_top centroids; only nominated scores rank; <=0 dropped; top
+    # n_probe per query survive. Stage-1 scoring below still uses the
+    # FULL qc matrix — the k_top mask governs probe selection only.
+    w_tok = Window.partitionBy("qid", "q_id").orderBy(
+        F.round(F.col("qc_score"), 6).desc(), F.col("centroid_id").asc()
+    )
+    nominated = (
+        qc.withColumn("kt", F.row_number().over(w_tok))
+        .filter(F.col("kt") <= k_top)
+    )
     w_probe = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), 6).desc(), F.col("centroid_id").asc()
     )
     probes = (
-        qc.groupBy("qid", "centroid_id")
+        nominated.groupBy("qid", "centroid_id")
         .agg(F.max("qc_score").alias("score"))
+        .filter(F.col("score") > 0)
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
         .select("qid", "centroid_id")

@@ -59,10 +59,20 @@ token_assign AS (
 probes AS (
     SELECT centroid_id, score
     FROM (
-        SELECT c.centroid_id,
-               max(list_dot_product(q.qvec, c.cvec)) AS score
-        FROM q_tokens q CROSS JOIN centroids c
-        GROUP BY c.centroid_id
+        SELECT centroid_id, max(score) AS score
+        FROM (
+            SELECT q.q_id, c.centroid_id,
+                   list_dot_product(q.qvec, c.cvec) AS score,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round(list_dot_product(q.qvec, c.cvec), 6) DESC,
+                                c.centroid_id ASC
+                   ) AS kt
+            FROM q_tokens q CROSS JOIN centroids c
+        )
+        WHERE kt <= {params.K_TOP_CENTROIDS}
+        GROUP BY centroid_id
+        HAVING max(score) > 0
     )
     ORDER BY round(score, 6) DESC, centroid_id ASC
     LIMIT {params.N_PROBE}

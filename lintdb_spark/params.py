@@ -37,6 +37,7 @@ QUERY_VEC_IDS = [1, 3, 7, 13, 29, 51, 87, 93]
 # Search knobs (reference defaults at lintdb/SearchOptions.h:24-38,
 # rescaled).
 N_PROBE = 4  # reference: 32 of 65536 lists
+K_TOP_CENTROIDS = 2  # per-token prefilter before the n_probe cut (SearchOptions.h:29)
 K = 10  # top-k returned (reference: 100)
 NUM_SECOND_PASS = 32  # reference: 1024
 CENTROID_SCORE_THRESHOLD = 0.0  # reference: 0.45 (tuned for unit-norm 128-d)

@@ -524,11 +524,20 @@ FROM topk r JOIN documents d USING (doc_id)
 ),
 bqc AS (SELECT b.qid, b.q_id, c.centroid_id, list_dot_product(b.qvec, c.cvec) AS qc_score
         FROM bq b CROSS JOIN centroids c),
+bkept AS (
+    SELECT qid, centroid_id, qc_score FROM (
+        SELECT qid, q_id, centroid_id, qc_score,
+               row_number() OVER (PARTITION BY qid, q_id
+                                  ORDER BY round(qc_score, 6) DESC, centroid_id ASC) AS kt
+        FROM bqc)
+    WHERE kt <= {params.K_TOP_CENTROIDS}
+),
 bprobes AS (
     SELECT qid, centroid_id FROM (
         SELECT qid, centroid_id,
                row_number() OVER (PARTITION BY qid ORDER BY round(mx, 6) DESC, centroid_id ASC) AS rn
-        FROM (SELECT qid, centroid_id, max(qc_score) AS mx FROM bqc GROUP BY 1, 2))
+        FROM (SELECT qid, centroid_id, max(qc_score) AS mx FROM bkept
+              GROUP BY 1, 2 HAVING max(qc_score) > 0))
     WHERE rn <= {params.N_PROBE}
 ),
 bcand AS (SELECT DISTINCT p.qid, t.doc_id

@@ -177,6 +177,26 @@ def test_remove_update_merge(quant, spark, tmp_path):
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(52)), k=3)[0] == 52
 
 
+def test_top_centroids_nomination_semantics(spark, tmp_path):
+    """KnnNearestCentroids.cpp:38-110: a centroid's probe score comes
+    ONLY from tokens that nominated it into their top-k. c1 scores 0.9
+    on token 1 but token 1's top-1 is c2, so c1 ranks by its token-0
+    nomination (0.6) and loses the n_probe=2 cut to c3 (0.7) — the old
+    max-over-all-tokens ranking would have kept c1."""
+    idx = Index.create(spark, str(tmp_path / "tc"), make_schema("none"))
+    C = np.zeros((4, DIM), dtype=np.float32)
+    C[:4, :4] = np.eye(4)
+    idx.centroids["colbert"] = C
+    qtok = np.zeros((3, DIM), dtype=np.float32)
+    qtok[0, :4] = [0.5, 0.6, 0.1, 0.0]   # top-1: c1 @ 0.6
+    qtok[1, :4] = [0.1, 0.9, 0.95, 0.0]  # top-1: c2 @ 0.95 (c1's 0.9 not nominated)
+    qtok[2, :4] = [0.0, 0.0, 0.0, 0.7]   # top-1: c3 @ 0.7
+    probes = idx._top_centroids(
+        "colbert", qtok, SearchOptions(n_probe=2, k_top_centroids=1)
+    )
+    assert probes == [2, 3]
+
+
 def test_update_has_no_driver_collect(spark, tmp_path, monkeypatch):
     """A7 at scale: update's remove side is a distributed anti-join —
     a bulk update must never materialize the key set on the driver."""
