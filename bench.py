@@ -206,6 +206,14 @@ def main() -> None:
     success_at_k_hr = hits_hr / (n_quality * 10)
     timings["quality_check"] = round(time.time() - t0, 3)
 
+    # ---- IVF bucket build (the index half of q_ivf_knn, timed
+    # separately: build once, serve probe-bounded queries) ----
+    from lintdb_spark.queries import ivf_bucketed
+
+    t0 = time.time()
+    ivf_bucketed(spark, sf_dir).count()
+    timings["ivf_build"] = round(time.time() - t0, 3)
+
     # ---- headline registry queries ----
     for name in HEADLINE:
         t0 = time.time()

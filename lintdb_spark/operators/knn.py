@@ -59,41 +59,61 @@ def brute_force_knn(
     )
 
 
+def ivf_bucket(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Bucket assignment (neighbor_id, cv, centroid_id): nearest
+    centroid per corpus vector. This is the INDEX-BUILD half of IVF —
+    materialize it once (persist, or at scale write parquet partitioned
+    by centroid_id so probe filters become partition pruning) and serve
+    every query from it; recomputing per query re-scans the corpus.
+
+    Plan: struct-max argmax (same pattern as ann.assign_tokens) with
+    map-side partial aggregation; the grouping key is neighbor_id alone
+    — cv rides inside the max struct (never compared: centroid_id
+    breaks ties first), not in the hash key. Explicit repartition
+    spreads the single-file corpus across cores before the
+    |corpus| x |centroids| scoring join."""
+    cvecs = centroids.select("centroid_id", F.col("cvec"))
+    corpus = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, F.col("vec_id")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    return (
+        corpus.join(F.broadcast(cvecs))
+        .withColumn("ip", dot_product("cv", "cvec"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("ip"), 6).alias("r"),
+                    (-F.col("centroid_id")).alias("nc"),
+                    F.col("cv").alias("cv"),
+                )
+            ).alias("b")
+        )
+        .select("neighbor_id", F.col("b.cv").alias("cv"), (-F.col("b.nc")).alias("centroid_id"))
+    )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     centroids: DataFrame,
     query_ids: list[int],
     k: int = 5,
     n_probe: int | None = None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned ANN: corpus vectors are bucketed by nearest centroid;
     each query scans only its n_probe best buckets. Recall < 1 by
-    design (approximate); at 100 TB the bucket assignment is a stored
-    partition column and this becomes partition pruning."""
+    design (approximate). Pass ``bucketed`` (a materialized
+    ivf_bucket() result) to make query cost probe-bounded — at 100 TB
+    the bucket assignment is a stored partition column and the probe
+    join below becomes partition pruning."""
     n_probe = n_probe or params.N_PROBE
     cvecs = centroids.select("centroid_id", F.col("cvec"))
-
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
-    # struct-max argmax (same pattern as ann.assign_tokens): map-side
-    # partial aggregation instead of a per-partition window sort over
-    # |corpus| x |centroids| rows
-    bucketed = (
-        corpus.join(F.broadcast(cvecs))
-        .withColumn("ip", dot_product("cv", "cvec"))
-        .groupBy("neighbor_id", "cv")
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(F.col("ip"), 6).alias("r"),
-                    (-F.col("centroid_id")).alias("nc"),
-                )
-            ).alias("b")
-        )
-        .select("neighbor_id", "cv", (-F.col("b.nc")).alias("centroid_id"))
-    )
+    if bucketed is None:
+        bucketed = ivf_bucket(embeddings, centroids)
 
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
