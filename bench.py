@@ -33,10 +33,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from lintdb_spark import model  # noqa: E402
 from lintdb_spark.operators import ann, scoring  # noqa: E402
-from lintdb_spark.queries import REGISTRY  # noqa: E402
+from lintdb_spark.queries import ORACLE, REGISTRY, batch_topk_oracle_sql  # noqa: E402
 from lintdb_spark.session import get_spark  # noqa: E402
 
-BENCH_NQ = 256  # batch-search query count (reference harness uses 1000 single searches)
+BENCH_NQ = 1000  # batch-search query count, matching the reference harness's 1000 searches
 
 # registry queries included as-is (names -> themselves)
 HEADLINE = [
@@ -220,6 +220,36 @@ def main() -> None:
         REGISTRY[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # ---- DuckDB oracle BASELINE on the same protocol (BASELINE.md
+    # requires recorded values next to the Spark numbers). DuckDB runs
+    # multi-threaded on the same cores over the same parquet files. ----
+    import duckdb
+
+    from lintdb_spark.tables import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    baseline: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = ORACLE.get(name)
+        if sql is None:
+            continue
+        t0 = time.time()
+        con.sql(sql).fetchall()
+        baseline[name] = round(time.time() - t0, 3)
+    t0 = time.time()
+    con.sql(batch_topk_oracle_sql(BENCH_NQ)).fetchall()
+    baseline_batch = time.time() - t0
+    baseline["batch_search"] = round(baseline_batch, 3)
+    con.close()
+    baseline_qps = BENCH_NQ / baseline_batch if baseline_batch > 0 else 0.0
+    shared = [n for n in HEADLINE if n in baseline]
+    spark_headline_sum = round(sum(timings[n] for n in shared), 3)
+    baseline_headline_sum = round(sum(baseline[n] for n in shared), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -235,6 +265,18 @@ def main() -> None:
                 "index_docs": n_docs,
                 "success_at_10_default_knobs": round(success_at_k, 4),
                 "success_at_10_high_recall": round(success_at_k_hr, 4),
+                "baseline": baseline,
+                "baseline_batch_qps": round(baseline_qps, 2),
+                "spark_headline_sum": spark_headline_sum,
+                "baseline_headline_sum": baseline_headline_sum,
+                "headline_ratio_spark_over_baseline": round(
+                    spark_headline_sum / baseline_headline_sum, 3
+                )
+                if baseline_headline_sum > 0
+                else None,
+                "batch_qps_ratio_spark_over_baseline": round(qps / baseline_qps, 3)
+                if baseline_qps > 0
+                else None,
                 "cpus": cpus,
             }
         )

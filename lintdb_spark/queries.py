@@ -530,13 +530,19 @@ topk AS (SELECT doc_id, round(score, {params.ROUND}) AS score FROM stage2
 SELECT r.doc_id, r.score, d.lang, d.source, d.n_chars
 FROM topk r JOIN documents d USING (doc_id)
 """,
-    "q_batch_topk": prelude()
-    + f"""
+    "q_batch_topk": None,  # assigned below via batch_topk_oracle_sql
+}
+
+
+def batch_topk_oracle_sql(nq: int) -> str:
+    """Batch-cascade oracle SQL for ``nq`` synthetic queries — also the
+    DuckDB BASELINE protocol bench.py times at BENCH_NQ."""
+    return prelude() + f"""
 , bq AS (
     SELECT CAST(floor(s.i / {model.BATCH_TOKENS_PER_QUERY}.0) AS BIGINT) AS qid,
            CAST(s.i % {model.BATCH_TOKENS_PER_QUERY} AS BIGINT) AS q_id,
            CAST(e.embedding AS DOUBLE[]) AS qvec
-    FROM (SELECT unnest(range(0, {BATCH_NQ_ORACLE * model.BATCH_TOKENS_PER_QUERY})) AS i) s
+    FROM (SELECT unnest(range(0, {nq * model.BATCH_TOKENS_PER_QUERY})) AS i) s
     JOIN embeddings e
       ON e.vec_id = (CAST(floor(s.i / {model.BATCH_TOKENS_PER_QUERY}.0) AS BIGINT) * 31
                      + (s.i % {model.BATCH_TOKENS_PER_QUERY}) * 7)
@@ -587,7 +593,12 @@ FROM (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
       FROM bs2)
 WHERE rn <= {params.K}
-""",
+"""
+
+
+ORACLE["q_batch_topk"] = batch_topk_oracle_sql(BATCH_NQ_ORACLE)
+
+ORACLE.update({
     "q_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -844,7 +855,7 @@ r AS (SELECT q_id, neighbor_id,
 SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, {params.ROUND}) AS cosine
 FROM r WHERE rank <= 5
 """,
-}
+})
 
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
