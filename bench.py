@@ -206,6 +206,41 @@ def main() -> None:
     success_at_k_hr = hits_hr / (n_quality * 10)
     timings["quality_check"] = round(time.time() - t0, 3)
 
+    # ---- BENCH-4b: golden clustered fixture at DEFAULT knobs ----
+    # (mirrors tests/colbert_test.cpp: a fixed corpus where the
+    # reference's shallow defaults must rank correctly; gate >= 0.9)
+    from lintdb_spark.golden import golden_fixture
+
+    t0 = time.time()
+    g_dt, g_cents, g_queries = golden_fixture(spark)
+    g_ta = ann.assign_tokens(g_dt.repartition(cpus, "doc_id"), g_cents)
+    g_approx = scoring.batch_two_phase_topk(g_dt, g_ta, g_queries, g_cents)
+    g_exact = (
+        g_queries.join(g_dt)
+        .select(
+            "qid",
+            "doc_id",
+            "q_id",
+            F.aggregate(
+                F.zip_with("vec", "qvec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("ip"),
+        )
+        .groupBy("qid", "doc_id", "q_id")
+        .agg(F.max("ip").alias("best"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("best").alias("score"))
+    )
+    g_exact_topk = (
+        g_exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "doc_id")
+    )
+    g_hits = g_approx.join(g_exact_topk, ["qid", "doc_id"]).count()
+    success_golden = g_hits / (32 * 10)
+    timings["golden_quality"] = round(time.time() - t0, 3)
+
     # ---- IVF bucket build (the index half of q_ivf_knn, timed
     # separately: build once, serve probe-bounded queries) ----
     from lintdb_spark.queries import ivf_bucketed
@@ -265,6 +300,7 @@ def main() -> None:
                 "index_docs": n_docs,
                 "success_at_10_default_knobs": round(success_at_k, 4),
                 "success_at_10_high_recall": round(success_at_k_hr, 4),
+                "success_at_10_golden_default_knobs": round(success_golden, 4),
                 "baseline": baseline,
                 "baseline_batch_qps": round(baseline_qps, 2),
                 "spark_headline_sum": spark_headline_sum,
