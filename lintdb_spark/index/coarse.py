@@ -50,17 +50,23 @@ def train_centroids(
 
 def assign_udf(spark: SparkSession, centroids: np.ndarray):
     """Returns a pandas UDF mapping array<array<float>> token matrices
-    to array<bigint> centroid codes (argmax inner product per token)."""
+    to array<bigint> centroid codes (argmax inner product per token).
+
+    Vectorized across the whole Arrow batch: every document's tokens
+    are stacked into ONE (sum_tokens x dim) matrix for a single matmul
+    instead of one tiny matmul per document — cuts the Python-loop
+    overhead on the ingest hot path several-fold."""
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids.T, dtype=np.float32))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def assign(tokens: pd.Series) -> pd.Series:
+        if not len(tokens):
+            return pd.Series([], dtype=object)
         ct = bc.value
-        out = []
-        for tok in tokens:
-            m = np.asarray([np.asarray(t, dtype=np.float32) for t in tok])
-            out.append((m @ ct).argmax(axis=1).astype(np.int64))
-        return pd.Series(out)
+        mats = [np.vstack(tok).astype(np.float32, copy=False) for tok in tokens]
+        counts = np.fromiter((m.shape[0] for m in mats), dtype=np.int64, count=len(mats))
+        codes = (np.vstack(mats) @ ct).argmax(axis=1).astype(np.int64)
+        return pd.Series(np.split(codes, np.cumsum(counts)[:-1]))
 
     return assign
 
@@ -68,17 +74,28 @@ def assign_udf(spark: SparkSession, centroids: np.ndarray):
 def residual_encode_udf(spark: SparkSession, centroids: np.ndarray, quantizer):
     """pandas UDF: (tokens array<array<float>>, codes array<bigint>) ->
     packed residual codes (binary). residual = token - centroid[code]
-    (CoarseQuantizer.cpp:57-84), then quantizer.encode."""
+    (CoarseQuantizer.cpp:57-84), then quantizer.encode.
+
+    Batch-vectorized like assign_udf: one stacked residual subtraction
+    and ONE quantizer.encode over all the batch's tokens; per-document
+    blobs are byte-slices of the result (valid because every quantizer
+    encodes tokens independently at fixed code_size bytes/token)."""
     bc_c = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float32))
 
     @F.pandas_udf(T.BinaryType())
     def enc(tokens: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(tokens):
+            return pd.Series([], dtype=object)
         C = bc_c.value
-        out = []
-        for tok, cds in zip(tokens, codes):
-            m = np.asarray([np.asarray(t, dtype=np.float32) for t in tok])
-            res = m - C[np.asarray(cds, dtype=np.int64)]
-            out.append(quantizer.encode(res))
-        return pd.Series(out)
+        mats = [np.vstack(tok).astype(np.float32, copy=False) for tok in tokens]
+        counts = np.fromiter((m.shape[0] for m in mats), dtype=np.int64, count=len(mats))
+        all_codes = np.concatenate([np.asarray(c, dtype=np.int64) for c in codes])
+        res = np.vstack(mats) - C[all_codes]
+        blob = quantizer.encode(res)
+        cs = quantizer.code_size
+        bounds = np.concatenate(([0], np.cumsum(counts))) * cs
+        return pd.Series(
+            [blob[bounds[i] : bounds[i + 1]] for i in range(len(mats))]
+        )
 
     return enc
