@@ -204,7 +204,9 @@ class Index:
                 self.quantizers[fld.name] = Binarizer.train(residuals, fld.parameters.nbits)
             elif qkind == QuantizerType.PRODUCT.value:
                 self.quantizers[fld.name] = ProductQuantizer.train(
-                    residuals, fld.parameters.num_subquantizers
+                    residuals,
+                    fld.parameters.num_subquantizers,
+                    nbits=fld.parameters.nbits or 8,
                 )
             elif qkind == QuantizerType.FLOAT16.value:
                 from lintdb_spark.index.quantizers import HalfQuantizer

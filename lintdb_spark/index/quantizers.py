@@ -9,9 +9,12 @@ Reference behavior being matched (SURVEY.md §2.E):
   dim*nbits/8 bytes; decode = unpack + weight LUT. Round-trip
   property: decode(encode(x))[i] == bucket_weights[bucket(x[i])].
 - ProductEncoder (lintdb/quantizers/ProductEncoder.cpp): m
-  subquantizers x 2^nbits codebooks, nearest-codebook per subspace
-  (inner-product metric on our unit-ish residual space -> we use L2,
-  the standard PQ formulation; difference documented).
+  subquantizers x 2^nbits codebooks, nearest-codebook per subspace,
+  packed codes of ceil(m*nbits/8) bytes (faiss sa_code_size). faiss
+  IndexPQ assigns codes by L2 even under METRIC_INNER_PRODUCT (the
+  metric only affects its search-time distance tables, vestigial in
+  the reference), so L2 assignment IS the parity behavior; an "ip"
+  assignment option exists besides it.
 - Training subsampling (lintdb/index.cpp:256-280): sqrt(n) sample of
   residuals is collected to the driver — same strategy the reference
   uses; encode/decode stay fully distributed.
@@ -119,6 +122,7 @@ class PQParams:
     num_subquantizers: int
     nbits: int
     codebooks: list  # (m, 2^nbits, dim/m) nested lists
+    metric: str = "l2"  # codebook-assignment metric: "l2" | "ip"
 
     def to_json(self) -> str:
         return json.dumps(
@@ -128,6 +132,7 @@ class PQParams:
                 "num_subquantizers": self.num_subquantizers,
                 "nbits": self.nbits,
                 "codebooks": self.codebooks,
+                "metric": self.metric,
             }
         )
 
@@ -152,19 +157,38 @@ def _lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
 
 
 class ProductQuantizer:
+    """PQ with faiss-IndexPQ parity (ProductEncoder.cpp:13-91):
+    variable nbits with packed codes (code_size = ceil(m*nbits/8)
+    bytes/token, the faiss sa_code_size), per-subspace codebooks.
+
+    Assignment metric: faiss IndexPQ encodes by L2 nearest codebook
+    entry EVEN under METRIC_INNER_PRODUCT (the metric only shapes the
+    search-time distance tables, which are vestigial in the reference —
+    SURVEY §2.D D11) — so metric="l2" is the parity default; "ip"
+    (argmax dot) is available for experimentation."""
+
     def __init__(self, params: PQParams):
         self.p = params
         self._books = np.asarray(params.codebooks, dtype=np.float32)  # (m, k, ds)
 
     @property
     def code_size(self) -> int:
-        # nbits=8 path: one byte per subquantizer (ProductEncoder.cpp:13-38)
-        return self.p.num_subquantizers
+        # ceil(m * nbits / 8) bytes per token (faiss sa_code_size)
+        return (self.p.num_subquantizers * self.p.nbits + 7) // 8
 
     @classmethod
-    def train(cls, residuals: np.ndarray, m: int, nbits: int = 8, iters: int = 10, seed: int = 42) -> "ProductQuantizer":
+    def train(
+        cls,
+        residuals: np.ndarray,
+        m: int,
+        nbits: int = 8,
+        iters: int = 10,
+        seed: int = 42,
+        metric: str = "l2",
+    ) -> "ProductQuantizer":
         dim = residuals.shape[1]
         assert dim % m == 0, "dim must divide num_subquantizers"
+        assert 1 <= nbits <= 8, "nbits in [1, 8]"
         ds = dim // m
         k = 1 << nbits
         books = np.stack(
@@ -173,21 +197,42 @@ class ProductQuantizer:
                 for i in range(m)
             ]
         )
-        return cls(PQParams(dim, m, nbits, books.tolist()))
+        return cls(PQParams(dim, m, nbits, books.tolist(), metric))
 
-    def encode(self, tokens: np.ndarray) -> bytes:
-        """(n, dim) -> n * m uint8 codes (nbits=8 path)."""
+    def _assign(self, tokens: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, m) codebook indices."""
         m, ds = self.p.num_subquantizers, self.p.dim // self.p.num_subquantizers
-        out = np.empty((tokens.shape[0], m), dtype=np.uint8)
+        out = np.empty((tokens.shape[0], m), dtype=np.int64)
         for i in range(m):
             sub = tokens[:, i * ds : (i + 1) * ds].astype(np.float32)
-            d = ((sub[:, None, :] - self._books[i][None, :, :]) ** 2).sum(-1)
-            out[:, i] = d.argmin(1).astype(np.uint8)
-        return out.tobytes()
+            if self.p.metric == "ip":
+                out[:, i] = (sub @ self._books[i].T).argmax(1)
+            else:
+                d = ((sub[:, None, :] - self._books[i][None, :, :]) ** 2).sum(-1)
+                out[:, i] = d.argmin(1)
+        return out
+
+    def encode(self, tokens: np.ndarray) -> bytes:
+        """(n, dim) -> packed codes, nbits per subquantizer index,
+        MSB-first within each index, byte-aligned per TOKEN (so blobs
+        slice cleanly at code_size boundaries)."""
+        codes = self._assign(tokens)
+        nb = self.p.nbits
+        bits = ((codes[..., None] >> np.arange(nb - 1, -1, -1)) & 1).astype(np.uint8)
+        return np.packbits(
+            bits.reshape(codes.shape[0], -1), axis=1, bitorder="big"
+        ).tobytes()
 
     def decode(self, blob: bytes, num_tokens: int) -> np.ndarray:
         m, ds = self.p.num_subquantizers, self.p.dim // self.p.num_subquantizers
-        codes = np.frombuffer(blob, dtype=np.uint8).reshape(num_tokens, m)
+        nb = self.p.nbits
+        raw = np.frombuffer(blob, dtype=np.uint8).reshape(num_tokens, self.code_size)
+        bits = np.unpackbits(raw, axis=1, bitorder="big")[:, : m * nb].reshape(
+            num_tokens, m, nb
+        )
+        codes = np.zeros((num_tokens, m), dtype=np.int64)
+        for b in range(nb):
+            codes = (codes << 1) | bits[:, :, b]
         out = np.empty((num_tokens, self.p.dim), dtype=np.float32)
         for i in range(m):
             out[:, i * ds : (i + 1) * ds] = self._books[i][codes[:, i]]
@@ -247,7 +292,13 @@ def quantizer_from_json(s: str):
         )
     if raw["kind"] == "product":
         return ProductQuantizer(
-            PQParams(raw["dim"], raw["num_subquantizers"], raw["nbits"], raw["codebooks"])
+            PQParams(
+                raw["dim"],
+                raw["num_subquantizers"],
+                raw["nbits"],
+                raw["codebooks"],
+                raw.get("metric", "l2"),
+            )
         )
     if raw["kind"] == "identity":
         return IdentityQuantizer(raw["dim"])

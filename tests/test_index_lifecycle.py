@@ -35,16 +35,18 @@ OPTS = SearchOptions(n_probe=8, k_top_centroids=2, num_second_pass=50,
 
 
 def make_schema(quantization: str) -> Schema:
+    # "product4" = PQ with 4-bit packed codes (nbits parity path)
+    nbits = {"product": 8, "product4": 4}.get(quantization, 1)
     return Schema(
         [
             TensorField(
                 "colbert",
                 dimensions=DIM,
                 roles=[FieldType.COLBERT],
-                quantization=quantization,
+                quantization=quantization.rstrip("4"),
                 num_centroids=8,
                 num_subquantizers=4,
-                nbits=1,
+                nbits=nbits,
             ),
             IndexedField("category", DataType.TEXT),
             IndexedField("rank_i", DataType.INTEGER),
@@ -84,7 +86,7 @@ def make_docs(spark, doc_ids, tenant=0):
     return spark.createDataFrame(rows, schema)
 
 
-@pytest.fixture(scope="module", params=["none", "binarizer", "product", "float16"])
+@pytest.fixture(scope="module", params=["none", "binarizer", "product", "product4", "float16"])
 def built_index(request, spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp(f"idx_{request.param}") / "index")
     idx = Index.create(spark, path, make_schema(request.param))
