@@ -26,10 +26,16 @@ Design-for-scale notes:
   IN probes`) is partition pruning, i.e. only n_probe/num_centroids of
   the inverted data is ever read — same asymptotics as opening n_probe
   RocksDB posting lists.
-- mutations (remove/update) write a new table VERSION directory and
-  flip _meta.json — a poor-man's Delta commit: readers of the old
-  version are unaffected, and interrupted writes never corrupt the
-  live table. add/merge are plain appends into the current version.
+- EVERY mutation commits through _meta.json — a poor-man's Delta log.
+  A table's live state is the list of SEGMENT directories recorded in
+  meta["segments"][table]. add/merge stage each table's new rows into
+  a fresh seg-<uuid> directory and only then flip the meta (one
+  rename-atomic JSON write covering all tables at once); remove/update
+  write one consolidated v<N> segment and point the list at it. A
+  crash anywhere before the flip leaves orphan directories that no
+  reader ever sees — a retry cannot duplicate rows (the crash-injection
+  test asserts this). The reference gets the same guarantee from a
+  single RocksDB WriteBatch (lintdb/invlists/IndexWriter.cpp:22-58).
 - centroid matrices live in driver memory / broadcasts (num_centroids
   ~ sqrt(total tokens): 65536 x 128 fp32 = 32 MB at the reference's
   largest published config — BASELINE.md).
@@ -132,7 +138,7 @@ class Index:
             with open(os.path.join(self.path, "quantizers", f"{name}.json"), "w") as f:
                 f.write(quantizer_to_json(q))
 
-    # ---------------- table paths / versions ----------------
+    # ---------------- table paths / segments ----------------
 
     def _version(self, table: str) -> int:
         return self._meta["versions"].get(table, 0)
@@ -141,11 +147,42 @@ class Index:
         v = self._version(table) if version is None else version
         return os.path.join(self.path, table, f"v{v}")
 
+    def _segments(self, table: str) -> list[str]:
+        return self._meta.setdefault("segments", {}).get(table, [])
+
+    def _commit_segments(self, staged: list[tuple[str, str]]) -> None:
+        """THE commit point for multi-table appends: extend every
+        table's segment list and flip _meta.json once. Everything
+        before this call is invisible staging."""
+        segs = self._meta.setdefault("segments", {})
+        for table, seg in staged:
+            segs.setdefault(table, []).append(seg)
+        self._save_sidecars()
+
+    def _stage_path(self, table: str) -> tuple[str, str]:
+        import uuid
+
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        return seg, os.path.join(self.path, table, seg)
+
     def _read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        p = self._table_path(table)
-        if not os.path.exists(p):
+        paths = [
+            os.path.join(self.path, table, s)
+            for s in self._segments(table)
+            if os.path.exists(os.path.join(self.path, table, s))
+        ]
+        if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(p)
+        # one scan per segment, unioned: segment roots each carry their
+        # own hive-partition layout, so they can't share a single
+        # read.parquet(*paths) base. Partition pruning still applies
+        # per branch; remove/update compact back to one segment.
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            (self.spark.read.parquet(p) for p in paths),
+        )
 
     def _docs(self) -> DataFrame:
         return self._read("docs", self.schema.doc_spark_schema())
@@ -237,7 +274,11 @@ class Index:
 
     def add(self, docs_df: DataFrame) -> None:
         """A5/B1: validate -> assign centroids -> encode residuals ->
-        role fan-out -> append docs + postings."""
+        role fan-out -> STAGED multi-table append: every table's rows
+        land in a fresh segment directory first, then one _meta.json
+        flip publishes them all (the WriteBatch-atomicity analogue,
+        IndexWriter.cpp:22-58). A crash mid-add leaves only invisible
+        orphan segments — retrying cannot duplicate the batch."""
         if not self._meta["trained"]:
             raise RuntimeError("index must be trained before add()")
         self._validate_ingest(docs_df)
@@ -259,42 +300,48 @@ class Index:
         # one postings write per colbert/text field — without this every
         # action re-runs the broadcast matmuls over the full batch
         out = out.persist()
-        doc_cols = [f.name for f in self.schema.doc_spark_schema().fields]
-        out.select(*doc_cols).write.mode("append").partitionBy("tenant").parquet(
-            self._table_path("docs")
-        )
+        staged: list[tuple[str, str]] = []
+        try:
+            doc_cols = [f.name for f in self.schema.doc_spark_schema().fields]
+            seg, p = self._stage_path("docs")
+            out.select(*doc_cols).write.mode("overwrite").partitionBy("tenant").parquet(p)
+            staged.append(("docs", seg))
 
-        for fld in self.schema.colbert_fields():
-            table = f"postings/{fld.name}"
-            postings = (
-                out.select(
-                    "tenant",
-                    F.explode(F.col(f"{fld.name}__codes")).alias("centroid_id"),
-                    "doc_id",
+            for fld in self.schema.colbert_fields():
+                table = f"postings/{fld.name}"
+                postings = (
+                    out.select(
+                        "tenant",
+                        F.explode(F.col(f"{fld.name}__codes")).alias("centroid_id"),
+                        "doc_id",
+                    )
+                    .distinct()
                 )
-                .distinct()
-            )
-            postings.write.mode("append").partitionBy("tenant", "centroid_id").parquet(
-                self._table_path(table)
-            )
+                seg, p = self._stage_path(table)
+                postings.write.mode("overwrite").partitionBy("tenant", "centroid_id").parquet(p)
+                staged.append((table, seg))
 
-        # analyzed TEXT fields -> token postings (inverted text index,
-        # the KeyBuilder.h:264-267 text-posting analogue at token level)
-        from lintdb_spark.functions.text import analyze_standard
+            # analyzed TEXT fields -> token postings (inverted text
+            # index, the KeyBuilder.h:264-267 text-posting analogue at
+            # token level)
+            from lintdb_spark.functions.text import analyze_standard
 
-        for fld in self.schema.analyzed_text_fields():
-            tp = (
-                out.select(
-                    "tenant",
-                    F.explode(analyze_standard(F.col(fld.name))).alias("token"),
-                    "doc_id",
+            for fld in self.schema.analyzed_text_fields():
+                table = f"postings_text/{fld.name}"
+                tp = (
+                    out.select(
+                        "tenant",
+                        F.explode(analyze_standard(F.col(fld.name))).alias("token"),
+                        "doc_id",
+                    )
+                    .distinct()
                 )
-                .distinct()
-            )
-            tp.write.mode("append").partitionBy("tenant").parquet(
-                self._table_path(f"postings_text/{fld.name}")
-            )
-        out.unpersist()
+                seg, p = self._stage_path(table)
+                tp.write.mode("overwrite").partitionBy("tenant").parquet(p)
+                staged.append((table, seg))
+        finally:
+            out.unpersist()
+        self._commit_segments(staged)
 
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
         """A6: delete postings + forward rows for ids — implemented as a
@@ -323,15 +370,17 @@ class Index:
 
     def _rewrite_tables(self, drop_rows) -> None:
         """Shared remove/update rewrite: apply ``drop_rows`` (DataFrame
-        -> DataFrame) to every table, write the survivors to a new
-        version directory, flip _meta.json. Each table is rewritten
-        exactly ONCE regardless of how many tenants are touched."""
+        -> DataFrame) to every table, write the survivors to ONE new
+        consolidated v<N> segment per table, then flip _meta.json once
+        for all tables (readers of the old segment lists are
+        unaffected; a crash before the flip changes nothing)."""
+        new_segs: dict[str, str] = {}
         docs = drop_rows(self._docs())
         new_v = self._version("docs") + 1
         docs.write.mode("overwrite").partitionBy("tenant").parquet(
             self._table_path("docs", new_v)
         )
-        self._meta["versions"]["docs"] = new_v
+        new_segs["docs"] = f"v{new_v}"
 
         for fld in self.schema.colbert_fields():
             table = f"postings/{fld.name}"
@@ -340,16 +389,21 @@ class Index:
             p.write.mode("overwrite").partitionBy("tenant", "centroid_id").parquet(
                 self._table_path(table, new_v)
             )
-            self._meta["versions"][table] = new_v
+            new_segs[table] = f"v{new_v}"
         for fld in self.schema.analyzed_text_fields():
             table = f"postings_text/{fld.name}"
-            if os.path.exists(self._table_path(table)):
+            if self._segments(table):
                 p = drop_rows(self._text_postings(fld.name))
                 new_v = self._version(table) + 1
                 p.write.mode("overwrite").partitionBy("tenant").parquet(
                     self._table_path(table, new_v)
                 )
-                self._meta["versions"][table] = new_v
+                new_segs[table] = f"v{new_v}"
+        # single commit point for every table
+        segs = self._meta.setdefault("segments", {})
+        for table, seg in new_segs.items():
+            self._meta["versions"][table] = int(seg[1:])
+            segs[table] = [seg]
         self._save_sidecars()
 
     def update(self, docs_df: DataFrame) -> None:
@@ -359,6 +413,31 @@ class Index:
         that would OOM an IN-list."""
         self._remove_keys(docs_df)
         self.add(docs_df)
+
+    def vacuum(self) -> list[str]:
+        """Delete segment directories not referenced by _meta.json —
+        the leftovers of crashed (uncommitted) adds. Safe to run at any
+        time: orphans are invisible to every reader. Returns the
+        removed relative paths."""
+        import shutil
+
+        removed: list[str] = []
+        tables = (
+            ["docs"]
+            + [f"postings/{f.name}" for f in self.schema.colbert_fields()]
+            + [f"postings_text/{f.name}" for f in self.schema.analyzed_text_fields()]
+        )
+        for table in tables:
+            root = os.path.join(self.path, table)
+            if not os.path.isdir(root):
+                continue
+            live = set(self._segments(table))
+            for child in os.listdir(root):
+                full = os.path.join(root, child)
+                if child not in live and os.path.isdir(full):
+                    shutil.rmtree(full)
+                    removed.append(f"{table}/{child}")
+        return removed
 
     def get_mapping(self, tenant: int, doc_id: int, field: str | None = None) -> list[int]:
         """C10 doc->centroid mapping lookup (RocksdbInvertedList.cpp:
@@ -390,19 +469,26 @@ class Index:
             oq = other.quantizers.get(name)
             if oq is None or quantizer_to_json(q) != quantizer_to_json(oq):
                 raise ValueError(f"merge requires identical quantizers (field {name})")
-        other._docs().write.mode("append").partitionBy("tenant").parquet(
-            self._table_path("docs")
-        )
+        staged: list[tuple[str, str]] = []
+        seg, p = self._stage_path("docs")
+        other._docs().write.mode("overwrite").partitionBy("tenant").parquet(p)
+        staged.append(("docs", seg))
         for fld in self.schema.colbert_fields():
-            other._postings(fld.name).write.mode("append").partitionBy(
+            table = f"postings/{fld.name}"
+            seg, p = self._stage_path(table)
+            other._postings(fld.name).write.mode("overwrite").partitionBy(
                 "tenant", "centroid_id"
-            ).parquet(self._table_path(f"postings/{fld.name}"))
+            ).parquet(p)
+            staged.append((table, seg))
         for fld in self.schema.analyzed_text_fields():
-            src = other._table_path(f"postings_text/{fld.name}")
-            if os.path.exists(src):
-                other._text_postings(fld.name).write.mode("append").partitionBy(
+            table = f"postings_text/{fld.name}"
+            if other._segments(table):
+                seg, p = self._stage_path(table)
+                other._text_postings(fld.name).write.mode("overwrite").partitionBy(
                     "tenant"
-                ).parquet(self._table_path(f"postings_text/{fld.name}"))
+                ).parquet(p)
+                staged.append((table, seg))
+        self._commit_segments(staged)
 
     # ---------------- search (C1-C9, D1-D8) ----------------
 

@@ -38,14 +38,14 @@ def stream_ingest(
     OMP-parallel per-doc add pipeline (lintdb/index.cpp:481-490)
     becomes per-micro-batch distributed ingestion.
 
-    Delivery semantics: the checkpoint prevents re-processing of
-    COMPLETED batches (verified: restart re-ingests nothing), but
-    Index.add is several parquet appends, not one transaction — a
-    crash BETWEEN the docs write and a postings write, followed by a
-    retry, would duplicate that batch's docs rows. So: exactly-once on
-    clean runs and restarts, at-least-once across mid-batch failures.
-    A Delta-backed Index (SCALE.md §2.1) upgrades this to true
-    exactly-once via multi-table transactional commit."""
+    Delivery semantics: exactly-once. The checkpoint prevents
+    re-processing of COMPLETED batches (verified: restart re-ingests
+    nothing), and Index.add commits atomically across its tables —
+    every table's rows are staged into invisible segment directories
+    and published by one _meta.json flip, so a crash BETWEEN table
+    writes followed by a retry leaves only orphan (unreferenced)
+    directories, never duplicate rows (crash-injection tested in
+    test_index_lifecycle.py)."""
     def _add(batch_df: DataFrame, _id: int) -> None:
         # Index.add runs two actions (docs write + postings write);
         # cache the micro-batch so the source is scanned once, not twice.
