@@ -173,7 +173,7 @@ def main() -> None:
     bq_small = model.batch_queries(spark, sf_dir, n_quality)
     approx = scoring.batch_two_phase_topk(dt, ta, bq_small, cents)
     approx_hr = scoring.batch_two_phase_topk(
-        dt, ta, bq_small, cents, n_probe=32, num_second_pass=400
+        dt, ta, bq_small, cents, n_probe=32, num_second_pass=400, k_top=32
     )
     exact = (
         bq_small.join(dt)
