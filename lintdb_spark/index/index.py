@@ -864,25 +864,48 @@ class Index:
             CC = bc_c.value
             qc = Q @ CC.T  # (n_tok, num_centroids)
 
+            # stage 1, vectorized: one gather + segment-max
+            # (np.maximum.reduceat) over every candidate's tokens at
+            # once — no per-doc Python loop. Duplicate centroid ids
+            # within a doc don't change the per-token max, so the
+            # reference's unique() is unnecessary here. Docs always
+            # have >=1 token (validateField rejects empty tensors), so
+            # every reduceat segment is non-empty.
             code_arrs = [np.asarray(c, dtype=np.int64) for c in left[codes_c]]
-            s1 = np.empty(len(left))
-            for i, cds in enumerate(code_arrs):
-                sub = qc[:, np.unique(cds)]
-                if thr > 0.0:
-                    sub = sub[:, sub.max(axis=0) >= thr]
-                s1[i] = sub.max(axis=1).sum() if sub.shape[1] else 0.0
+            lens = np.fromiter(
+                (len(c) for c in code_arrs), dtype=np.int64, count=len(code_arrs)
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            M = qc[:, np.concatenate(code_arrs)]
+            if thr > 0.0:
+                # a centroid column contributes only if its best query-
+                # token score clears the threshold (plaid.cpp:78-84); a
+                # doc with no surviving column scores 0
+                M = np.where(M.max(axis=0, keepdims=True) >= thr, M, -np.inf)
+            s1 = np.maximum.reduceat(M, starts, axis=1).sum(axis=0)
+            s1 = np.where(np.isfinite(s1), s1, 0.0)
             doc_ids = left["doc_id"].to_numpy()
             surv = np.lexsort((doc_ids, -s1))[:nsp]
 
+            # stage 2, vectorized: all survivors' packed residuals are
+            # token-major fixed-size rows, so one concatenated decode +
+            # one (n_q_tok x total_tokens) matmul + segment-max scores
+            # the whole second pass
             blobs = left[res_c].to_numpy()
-            nts = left[nt_c].to_numpy()
-            s2 = np.empty(len(surv))
-            for j, i in enumerate(surv):
-                res = quant.decode(blobs[i], int(nts[i]))
-                toks = CC[code_arrs[i]] + res
-                norms = np.linalg.norm(toks, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                s2[j] = (Q @ (toks / norms).T).max(axis=1).sum()
+            nts = left[nt_c].to_numpy().astype(np.int64)
+            nts_s = nts[surv]
+            toks = quant.decode(
+                b"".join(blobs[i] for i in surv), int(nts_s.sum())
+            ) + CC[np.concatenate([code_arrs[i] for i in surv])]
+            norms = np.linalg.norm(toks, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            starts2 = np.zeros(len(surv), dtype=np.int64)
+            np.cumsum(nts_s[:-1], out=starts2[1:])
+            s2 = (
+                np.maximum.reduceat(Q @ (toks / norms).T, starts2, axis=1)
+                .sum(axis=0)
+            )
             keep = np.lexsort((doc_ids[surv], -s2))[:kk]
             return pd.DataFrame(
                 {
