@@ -222,3 +222,126 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> Da
         .select("vec_a", "vec_b", F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane family for sign-LSH: component
+    (p, d) is an LCG hash of the flat index mapped to an integer in
+    [-1000, 1000]. Integer components are exactly representable as
+    doubles, so Spark and any SQL oracle computing the same dot product
+    agree bit-for-bit on the sign (float32 value x 10-bit integer is
+    exact in double; the 64-term sum differs across engines only in the
+    last ulp, never enough to flip a sign in practice)."""
+    return [
+        [
+            float((1103515245 * (p * dim + d) + 12345) % 2147483647 % 2001 - 1000)
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 18,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucketing for embeddings (Charikar 2002): each vector
+    gets one bucket key per band, where a band's key packs
+    ``num_planes // bands`` hyperplane sign bits. Returns
+    (vec_id, band, key).
+
+    Scale shape: |vectors| x num_planes intermediate rows, one
+    hash-aggregate to |vectors| x bands — linear in the corpus, the
+    same banding structure as minhash-LSH so recall tunes with
+    (bands, rows-per-band) while candidate fan-out stays
+    bucket-bounded."""
+    r = num_planes // bands
+    spark = embeddings.sparkSession
+    planes_df = spark.createDataFrame(
+        [(p, row) for p, row in enumerate(hyperplanes(num_planes, dim))],
+        "p int, plane array<double>",
+    )
+    signs = embeddings.crossJoin(F.broadcast(planes_df)).select(
+        "vec_id",
+        "p",
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("plane"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    return signs.groupBy(
+        "vec_id", F.floor(F.col("p") / r).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2.0), (F.col("p") % r).cast("double")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("key")
+    )
+
+
+def embedding_lsh_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int = 18,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """The scale path for embedding near-dup: sign-LSH candidate
+    generation + exact cosine verification on candidates only. Returns
+    (vec_a, vec_b, cosine) for pairs colliding in >=1 band with
+    cosine >= threshold — a recall-tunable subset of
+    ``embedding_neardup_pairs`` whose cost is bucket-bounded
+    (sum over buckets of |bucket|^2) instead of |corpus|^2.
+
+    At 18 planes / 3 bands of 6 bits, a cos=0.95 pair collides with
+    p ~= 0.90 and a cos=0.4 pair with p ~= 0.49 — the knob trades
+    recall at the threshold boundary for candidate volume, exactly
+    like minhash-LSH's (bands, rows) knob."""
+    from lintdb_spark.functions.vector import l2_normalize
+
+    buckets = hyperplane_lsh_buckets(embeddings, num_planes, bands, dim)
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    norm = embeddings.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("nv")
+    )
+    return (
+        cand.join(
+            norm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("va")),
+            "vec_a",
+        )
+        .join(
+            norm.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("vb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

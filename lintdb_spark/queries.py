@@ -215,6 +215,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_lsh_neardup(
+        load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -598,7 +604,57 @@ WHERE rn <= {params.K}
 
 ORACLE["q_batch_topk"] = batch_topk_oracle_sql(BATCH_NQ_ORACLE)
 
+
+def _lsh_neardup_sql(
+    threshold: float, num_planes: int = 18, bands: int = 3, dim: int = 64
+) -> str:
+    """Oracle twin of dedup.embedding_lsh_neardup: the hyperplane
+    family is the same deterministic LCG (integer components, exact in
+    double), inlined as list literals so DuckDB computes the identical
+    sign bits."""
+    planes = dedup.hyperplanes(num_planes, dim)
+    r = num_planes // bands
+    sign_cols = ",\n           ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(f"{v:.1f}" for v in row)
+        + f"]) >= 0 THEN 1 ELSE 0 END AS s{p}"
+        for p, row in enumerate(planes)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(f"{1 << i} * s{b * r + i}" for i in range(r))
+        + " AS key FROM signs"
+        for b in range(bands)
+    )
+    cos = (
+        "list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+WITH signs AS (
+    SELECT vec_id,
+           {sign_cols}
+    FROM embeddings
+),
+buckets AS (
+    {band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round({cos}, {params.ROUND}) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE round({cos}, {params.ROUND}) >= {threshold}
+"""
+
+
 ORACLE.update({
+    "q_embedding_neardup_lsh": _lsh_neardup_sql(NEARDUP_THRESHOLD),
     "q_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -885,6 +941,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_simhash": q_simhash,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_knn_cosine": q_knn_cosine,
