@@ -1,12 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary payloads with
 typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed:
-``decoder="fake"`` produces a deterministic pseudo-decode (seeded from
-the payload bytes) so the Spark-side plumbing — schema, partitioning,
-UDF signatures, batch shapes, feature extraction — is real and
-testable; ``decoder="real"`` raises NotImplementedError where a PIL /
-torchaudio / ffmpeg call would go.
+The decode step is pluggable. ``decoder="fake"`` produces a
+deterministic pseudo-decode (seeded from the payload bytes) so the
+Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes, feature extraction — is real and testable without codecs.
+``decoder="real"`` decodes images through Pillow when it is installed
+(optional import, executor-side) and raises an honest
+NotImplementedError otherwise — this container ships no PIL/ffmpeg, so
+tests cover the fake path, the error path, and the callable path.
+Any callable ``(payload, media_type, out_len, frame_idx) ->
+np.ndarray`` plugs in a custom codec (torchaudio, ffmpeg, ...) without
+touching the Spark plumbing.
 
 Scale design: payloads stay BinaryType end to end (no base64 blowup),
 mapInPandas streams Arrow batches so executor memory is bounded by
@@ -61,22 +66,59 @@ def _fake_decode(payload: bytes, out_len: int) -> np.ndarray:
     return buf.astype(np.float32) / 255.0
 
 
-def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def _real_decode(
+    payload: bytes, media_type: str, out_len: int, frame_idx: int | None = None
+) -> np.ndarray:
+    """The real-codec seam. Images decode via Pillow when installed
+    (optional executor-side import — the driver never needs it); other
+    media types need a user-supplied callable codec. Raises
+    NotImplementedError with the remedy when the codec is missing."""
+    if media_type == "image" and frame_idx is None:
+        try:
+            from PIL import Image  # optional dep, absent in this container
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode needs Pillow (pip install pillow) — or use "
+                "decoder='fake' / a callable decoder"
+            ) from exc
+        import io
+
+        side = max(int(out_len**0.5), 1)
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        arr = np.asarray(img, dtype=np.float32).ravel() / 255.0
+        if arr.size < out_len:
+            arr = np.pad(arr, (0, out_len - arr.size))
+        return arr[:out_len]
+    raise NotImplementedError(
+        f"no built-in codec for media_type={media_type!r}"
+        + (" frames" if frame_idx is not None else "")
+        + " — pass a callable decoder (payload, media_type, out_len, frame_idx)"
+    )
+
+
+def _decoder_fn(decoder):
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return lambda p, mt, n, fi=None: _fake_decode(
+            p if fi is None else p + int(fi).to_bytes(4, "big"), n
+        )
+    if decoder == "real":
+        return _real_decode
+    raise ValueError("decoder must be 'fake', 'real', or a callable")
+
+
+def extract_features(media: DataFrame, decoder="fake") -> DataFrame:
     """Decode + fixed-width feature extraction (mean/std pooling over
     FEATURE_DIM/2 chunks) via mapInPandas. Returns
     (media_id, media_type, n_bytes, feature float[FEATURE_DIM])."""
-    if decoder not in ("fake", "real"):
-        raise ValueError("decoder must be 'fake' or 'real'")
+    decode = _decoder_fn(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes = [], []
-            for payload in pdf["payload"]:
-                if decoder == "real":
-                    raise NotImplementedError(
-                        "real codecs unavailable in this container; plug PIL/ffmpeg here"
-                    )
-                samples = _fake_decode(bytes(payload), 1024)
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                samples = decode(bytes(payload), mt, 1024)
                 chunks = samples.reshape(FEATURE_DIM // 2, -1)
                 feats.append(
                     np.concatenate([chunks.mean(axis=1), chunks.std(axis=1)]).astype(np.float32)
@@ -94,7 +136,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake") -> DataFrame:
+def sample_frames(media: DataFrame, every_ms: int = 1000, decoder="fake") -> DataFrame:
     """Video frame sampling: one row per sampled frame with a per-frame
     feature (decode stubbed like extract_features). Frame count =
     duration_ms // every_ms, the real batch-shape contract a video
@@ -108,15 +150,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake")
         ]
     )
 
+    decode = _decoder_fn(decoder)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "feature": []}
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
-                if decoder == "real":
-                    raise NotImplementedError("real codecs unavailable; plug ffmpeg here")
                 n_frames = max(int(dur or 0) // every_ms, 1)
                 for i in range(n_frames):
-                    samples = _fake_decode(bytes(payload) + i.to_bytes(4, "big"), 256)
+                    samples = decode(bytes(payload), "video", 256, i)
                     chunks = samples.reshape(FEATURE_DIM // 2, -1)
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)

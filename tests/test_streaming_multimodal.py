@@ -158,3 +158,32 @@ def test_multimodal_frame_sampling(spark):
 def test_multimodal_real_decoder_stub(spark):
     with pytest.raises(Exception, match="NotImplementedError|real codecs"):
         multimodal.extract_features(_media_df(spark, 3), decoder="real").collect()
+
+
+def test_multimodal_callable_decoder(spark):
+    """A user-supplied codec flows through the same mapInPandas
+    plumbing: the callable sees (payload, media_type, out_len,
+    frame_idx) and its output feeds the pooling unchanged."""
+
+    def byte_codec(payload, media_type, out_len, frame_idx=None):
+        base = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        reps = -(-out_len // base.size)
+        return np.tile(base, reps)[:out_len] / 255.0
+
+    feats = multimodal.extract_features(
+        _media_df(spark, 4), decoder=byte_codec
+    ).collect()
+    assert len(feats) == 4
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    frames = multimodal.sample_frames(
+        _media_df(spark, 6), every_ms=1000, decoder=byte_codec
+    ).collect()
+    assert {r["media_id"] for r in frames} == {2, 5}
+
+
+def test_multimodal_real_decoder_image_message(spark):
+    """decoder='real' on images names the missing optional dep (Pillow)
+    rather than a generic failure — the seam is pluggable, not dead."""
+    img_only = _media_df(spark, 6).filter(F.col("media_type") == "image")
+    with pytest.raises(Exception, match="Pillow|PIL"):
+        multimodal.extract_features(img_only, decoder="real").collect()
