@@ -67,3 +67,75 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
         pred.alias("pred_lang"),
         F.greatest(en, de, fr, es).cast("bigint").alias("n_stopwords"),
     )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways (the whitespace + BPE-ish-regex pair a
+    training pipeline budgets with): ``n_ws_tokens`` = single-space
+    split; ``n_regex_tokens`` = matches of letter-runs / digit-runs /
+    single punctuation (the pre-tokenization split every BPE vocab
+    starts from); ``n_subword_est`` = sum of ceil(len/4) over regex
+    tokens (the chars-per-token ~4 rule of thumb for BPE vocab sizes).
+    Exact integer math, pure column expressions, scan-speed."""
+    from lintdb_spark.functions.text import words
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+    return documents.select(
+        "doc_id",
+        F.size(words("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(toks).cast("bigint").alias("n_regex_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.floor((F.length(t) + 3) / 4).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("n_subword_est"),
+    )
+
+
+FP_K = 4  # tokens per fingerprint window
+FP_BASE = 256
+FP_MOD = 2147483647
+FP_SAMPLE = 8  # keep windows whose hash % FP_SAMPLE == 0 (mod sampling)
+
+
+def rolling_fingerprints(
+    documents: DataFrame,
+    k: int = FP_K,
+    sample_mod: int = FP_SAMPLE,
+) -> DataFrame:
+    """Document fingerprinting via Rabin-Karp polynomial hashes over
+    k-token sliding windows, thinned by mod sampling (Manber 1994's
+    "finding similar files" scheme; winnowing's simpler cousin).
+    Returns (doc_id, pos, fp) for sampled windows — two docs sharing
+    fingerprints share k-token passages, so a groupBy(fp) finds copied
+    spans corpus-wide at shuffle cost |sampled windows|, not |docs|².
+
+    The window hash is the polynomial sum(h32(w[pos+j]) * B^(k-1-j))
+    mod M — positionally computed here (declarative, oracle-checkable);
+    a char-stream pipeline would use the O(1)-per-step rolling
+    recurrence inside a pandas UDF, producing identical values. All
+    integer math: terms peak at 2^32 * 256^3 = 2^56 < 2^63, so Spark
+    and DuckDB agree exactly."""
+    from lintdb_spark.functions.text import hash32, words
+
+    w = words("text")
+    n = F.size(w)
+    pos_seq = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = documents.select(
+        "doc_id", w.alias("w"), F.explode(pos_seq).alias("pos")
+    )
+    fp = None
+    for j in range(k):
+        term = hash32(F.element_at(F.col("w"), F.col("pos") + j + 1)) * F.lit(
+            FP_BASE ** (k - 1 - j)
+        )
+        fp = term if fp is None else fp + term
+    fp = fp % F.lit(FP_MOD)
+    return (
+        exploded.select(
+            "doc_id", F.col("pos").cast("bigint").alias("pos"), fp.alias("fp")
+        )
+        .filter(F.col("fp") % sample_mod == 0)
+    )

@@ -229,6 +229,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.rolling_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_remove_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 DELETE semantics, declaratively: docs from source 'src5' are
     removed (anti-join), then a term query runs over the survivors.
@@ -653,8 +661,32 @@ WHERE round({cos}, {params.ROUND}) >= {threshold}
 """
 
 
+def _fingerprint_sql(k: int = 4, base: int = 256, mod: int = 2147483647, sample: int = 8) -> str:
+    """Oracle twin of textstats.rolling_fingerprints: same md5-derived
+    32-bit token hash, same polynomial weights, exact integer math."""
+    h = "CAST(concat('0x', substr(md5(w[pos + {j}]), 1, 8)) AS BIGINT)"
+    poly = " + ".join(
+        f"{h.format(j=j + 1)} * {base ** (k - 1 - j)}" for j in range(k)
+    )
+    return f"""
+WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(0, len(w) - {k} + 1)) AS pos FROM tw),
+fps AS (SELECT doc_id, pos, ({poly}) % {mod} AS fp FROM pos)
+SELECT doc_id, pos, fp FROM fps WHERE fp % {sample} = 0
+"""
+
+
 ORACLE.update({
     "q_embedding_neardup_lsh": _lsh_neardup_sql(NEARDUP_THRESHOLD),
+    "q_token_counts": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+       CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                                             t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS n_subword_est
+FROM documents
+""",
+    "q_fingerprints": _fingerprint_sql(),
     "q_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -942,6 +974,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "q_token_counts": q_token_counts,
+    "q_fingerprints": q_fingerprints,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_knn_cosine": q_knn_cosine,
