@@ -65,6 +65,9 @@ HEADLINE = [
     "q_remove_semantics",
     "q_update_semantics",
     "q_merge_semantics",
+    "q_embedding_neardup_lsh",
+    "q_token_counts",
+    "q_fingerprints",
 ]
 
 

@@ -170,3 +170,27 @@ def windowed_event_counts(
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    event_time: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key ingest dedup: Structured Streaming's
+    `dropDuplicates` keyed by ``key_cols``, with a watermark so the
+    dedup state is bounded (keys older than the watermark are evicted
+    — a late duplicate beyond it would pass, the standard
+    bounded-state trade). The batch twin of this is
+    `operators/dedup.exact_dup_groups`; this is the form a 100 TB
+    pipeline runs at the door: content hashes dedup'd as data lands,
+    not in a nightly all-corpus pass.
+
+    ``key_cols`` defaults to a content hash of a ``text`` column
+    (md5), i.e. exact-duplicate suppression."""
+    out = stream
+    if key_cols is None:
+        out = out.withColumn("content_hash", F.md5(F.col("text")))
+        key_cols = ["content_hash"]
+    return out.withWatermark(event_time, watermark).dropDuplicates(key_cols)

@@ -76,3 +76,76 @@ def test_pq_reconstruction_not_worse_than_farthest_codebook(train, x):
 def test_identity_roundtrip_exact(x):
     q = IdentityQuantizer(DIM)
     np.testing.assert_array_equal(q.decode(q.encode(x), 3), x)
+
+
+# ---- data-pipeline operator properties (non-oracle invariants) ----
+
+
+def test_fingerprints_detect_shared_passage(spark):
+    """Two docs sharing a k-token passage share the passage's sampled
+    fingerprints (same fp value, different pos) — the property that
+    makes groupBy(fp) find copied spans."""
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.operators.textstats import rolling_fingerprints
+
+    passage = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + passage),
+            (2, passage + " zz"),
+            (3, "unrelated words only here none shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = rolling_fingerprints(docs)
+    shared = (
+        fps.filter(F.col("doc_id") == 1)
+        .select("fp")
+        .join(fps.filter(F.col("doc_id") == 2).select("fp"), "fp")
+        .count()
+    )
+    assert shared > 0  # 40-token passage yields ~37/8 sampled windows
+    cross = (
+        fps.filter(F.col("doc_id") == 3)
+        .select("fp")
+        .join(fps.filter(F.col("doc_id") != 3).select("fp"), "fp")
+        .count()
+    )
+    assert cross == 0
+
+
+def test_lsh_neardup_exact_duplicates_always_collide(spark):
+    """cos=1 vectors get identical sign bits in every band, so exact
+    duplicates are guaranteed candidates — LSH recall loss only affects
+    boundary pairs, never true copies."""
+    import numpy as np
+
+    from lintdb_spark.operators.dedup import embedding_lsh_neardup
+
+    rng = np.random.RandomState(7)
+    base = [[float(x) for x in rng.randn(64)] for _ in range(20)]
+    rows = [(i, base[i]) for i in range(20)]
+    rows += [(100 + i, base[i]) for i in range(5)]  # exact dups of 0..4
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_lsh_neardup(emb, threshold=0.99).collect()
+    }
+    assert all((i, 100 + i) in pairs for i in range(5))
+
+
+def test_token_counts_hand_checked(spark):
+    from lintdb_spark.operators.textstats import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world, 42 times!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    # regex tokens: Hello | world | , | 42 | times | !  -> 6
+    assert got[1]["n_ws_tokens"] == 4
+    assert got[1]["n_regex_tokens"] == 6
+    # ceil(len/4): 2 + 2 + 1 + 1 + 2 + 1 = 9
+    assert got[1]["n_subword_est"] == 9
+    assert got[2]["n_regex_tokens"] == 0 and got[2]["n_subword_est"] == 0

@@ -187,3 +187,38 @@ def test_multimodal_real_decoder_image_message(spark):
     img_only = _media_df(spark, 6).filter(F.col("media_type") == "image")
     with pytest.raises(Exception, match="Pillow|PIL"):
         multimodal.extract_features(img_only, decoder="real").collect()
+
+
+def test_dedup_stream_suppresses_exact_dups(spark, tmp_path):
+    """dedup_stream keeps one row per content hash across micro-batches
+    within the watermark horizon."""
+    import datetime
+
+    from lintdb_spark.streaming.ingest import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (i, f"text-{i % 4}", t0 + datetime.timedelta(minutes=i)) for i in range(12)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    out = dedup_stream(spark.readStream.schema(schema).parquet(src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_out").collect()
+    assert sorted(r["text"] for r in got) == [f"text-{i}" for i in range(4)]
