@@ -118,24 +118,34 @@ def rolling_fingerprints(
     and DuckDB agree exactly."""
     from lintdb_spark.functions.text import hash32, words
 
-    w = words("text")
-    n = F.size(w)
+    # Shape matters here: hash each token ONCE (not once per window),
+    # and do the window hashing + mod-filter INSIDE the row with array
+    # expressions — exploding (pos, hashed-array) first would copy the
+    # whole token-hash array into every window row (|tokens| x |windows|
+    # bytes per doc). Only the ~1/sample_mod surviving (pos, fp) structs
+    # are exploded.
+    hashed = documents.select(
+        "doc_id", F.transform(words("text"), lambda t: hash32(t)).alias("h")
+    )
+    h, n = F.col("h"), F.size("h")
     pos_seq = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
     )
-    exploded = documents.select(
-        "doc_id", w.alias("w"), F.explode(pos_seq).alias("pos")
+
+    def fp_at(p):
+        fp = None
+        for j in range(k):
+            term = F.element_at(h, p + j + 1) * F.lit(FP_BASE ** (k - 1 - j))
+            fp = term if fp is None else fp + term
+        return fp % F.lit(FP_MOD)
+
+    wins = F.filter(
+        F.transform(
+            pos_seq,
+            lambda p: F.struct(p.cast("bigint").alias("pos"), fp_at(p).alias("fp")),
+        ),
+        lambda s: s["fp"] % sample_mod == 0,
     )
-    fp = None
-    for j in range(k):
-        term = hash32(F.element_at(F.col("w"), F.col("pos") + j + 1)) * F.lit(
-            FP_BASE ** (k - 1 - j)
-        )
-        fp = term if fp is None else fp + term
-    fp = fp % F.lit(FP_MOD)
-    return (
-        exploded.select(
-            "doc_id", F.col("pos").cast("bigint").alias("pos"), fp.alias("fp")
-        )
-        .filter(F.col("fp") % sample_mod == 0)
+    return hashed.select("doc_id", F.explode(wins).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
     )
