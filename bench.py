@@ -68,6 +68,7 @@ HEADLINE = [
     "q_embedding_neardup_lsh",
     "q_token_counts",
     "q_fingerprints",
+    "q_xtr",
 ]
 
 

@@ -228,3 +228,62 @@ def batch_two_phase_topk(
             F.round(F.col("score"), params.ROUND).alias("score"),
         )
     )
+
+
+def xtr_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int | None = None,
+    nearest_tokens_to_fetch: int | None = None,
+) -> DataFrame:
+    """XTR scoring (Lee et al. 2023, "Rethinking the Role of Token
+    Retrieval in Multi-Vector Retrieval"). The reference DECLARES this
+    path but never implements it — `SearchOptions.h:34-35` ships the
+    `nearest_tokens_to_fetch` knob and `scoring/Scorer.h:59` a
+    commented-out XTRScorer — so this is the working version of its
+    dead enum, beyond-parity.
+
+    Semantics: per query token, retrieve the global top
+    ``nearest_tokens_to_fetch`` doc tokens by similarity; a candidate
+    doc's per-query-token score is the max sim among ITS retrieved
+    tokens, and query tokens with no retrieved token from that doc are
+    imputed with that token's lowest retrieved similarity (the paper's
+    missing-similarity bound); doc score = sum over query tokens.
+    Unlike MaxSim, scoring touches only retrieved tokens — no forward
+    lookup of full documents.
+
+    Scale shape: the per-q-token global top-k' is a
+    TakeOrderedAndProject per query token (the corpus side never
+    sorts globally); candidates are bounded by k' x |q_tokens| docs
+    regardless of corpus size, and at 100 TB the exact top-k' retrieval
+    is served by the IVF probe path (`Index._top_centroids` ->
+    postings) instead of the dense cross join used in this
+    oracle-checkable twin.
+    """
+    from pyspark.sql import Window
+
+    k = k or params.K
+    kp = nearest_tokens_to_fetch or params.XTR_NEAREST_TOKENS
+    sims = doc_tokens.join(F.broadcast(query_tokens)).select(
+        "doc_id", "token_idx", "q_id", dot_product("vec", "qvec").alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("doc_id").asc(), F.col("token_idx").asc()
+    )
+    retr = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kp)
+        .persist()  # feeds bounds, per-doc max, and the candidate set
+    )
+    bounds = retr.groupBy("q_id").agg(F.min("sim").alias("m"))
+    per_doc_q = retr.groupBy("doc_id", "q_id").agg(F.max("sim").alias("best"))
+    cand = retr.select("doc_id").distinct()
+    return (
+        cand.crossJoin(F.broadcast(bounds))
+        .join(per_doc_q, ["doc_id", "q_id"], "left")
+        .select("doc_id", F.coalesce("best", "m").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), params.ROUND).alias("score"))
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

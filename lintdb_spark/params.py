@@ -40,6 +40,7 @@ N_PROBE = 4  # reference: 32 of 65536 lists
 K_TOP_CENTROIDS = 2  # per-token prefilter before the n_probe cut (SearchOptions.h:29)
 K = 10  # top-k returned (reference: 100)
 NUM_SECOND_PASS = 32  # reference: 1024
+XTR_NEAREST_TOKENS = 64  # per-q-token retrieved tokens (SearchOptions.h:34 default 100)
 CENTROID_SCORE_THRESHOLD = 0.0  # reference: 0.45 (tuned for unit-norm 128-d)
 
 # Text-pipeline knobs.

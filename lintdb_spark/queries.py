@@ -116,6 +116,13 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
 
 
+def q_xtr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 XTR — the reference's declared-but-dead scoring enum, working."""
+    return scoring.xtr_topk(
+        model.doc_tokens(spark, sf_dir), model.query_tokens(spark, sf_dir)
+    )
+
+
 def _topk(spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None) -> DataFrame:
     cents = model.centroids(spark, sf_dir)
     dt = model.doc_tokens(spark, sf_dir)
@@ -677,6 +684,34 @@ SELECT doc_id, pos, fp FROM fps WHERE fp % {sample} = 0
 
 
 ORACLE.update({
+    "q_xtr": prelude()
+    + f"""
+, sims AS (
+    SELECT t.doc_id, t.token_idx, q.q_id, list_dot_product(t.vec, q.qvec) AS sim
+    FROM doc_tokens t CROSS JOIN q_tokens q
+),
+retr AS (
+    SELECT doc_id, token_idx, q_id, sim FROM (
+        SELECT doc_id, token_idx, q_id, sim,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY round(sim, 6) DESC, doc_id ASC, token_idx ASC
+               ) AS rn
+        FROM sims
+    ) WHERE rn <= {params.XTR_NEAREST_TOKENS}
+),
+bounds AS (SELECT q_id, min(sim) AS m FROM retr GROUP BY q_id),
+pdq AS (SELECT doc_id, q_id, max(sim) AS best FROM retr GROUP BY doc_id, q_id),
+cand AS (SELECT DISTINCT doc_id FROM retr)
+SELECT doc_id, score FROM (
+    SELECT c.doc_id, round(sum(coalesce(p.best, b.m)), {params.ROUND}) AS score
+    FROM cand c CROSS JOIN bounds b
+    LEFT JOIN pdq p ON p.doc_id = c.doc_id AND p.q_id = b.q_id
+    GROUP BY c.doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT {params.K}
+""",
     "q_embedding_neardup_lsh": _lsh_neardup_sql(NEARDUP_THRESHOLD),
     "q_token_counts": """
 SELECT doc_id,
@@ -976,6 +1011,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_token_counts": q_token_counts,
     "q_fingerprints": q_fingerprints,
+    "q_xtr": q_xtr,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_knn_cosine": q_knn_cosine,
