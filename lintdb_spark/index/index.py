@@ -712,6 +712,86 @@ class Index:
         )
         return self._with_metadata(out, k)
 
+    def search_xtr(
+        self,
+        tenant: int,
+        field: str,
+        query_tokens: np.ndarray,
+        k: int = 10,
+        opts: SearchOptions | None = None,
+    ) -> DataFrame:
+        """D9/D10 XTR scoring over the real index — the working
+        version of the reference's dead `ScoringMethod` seam
+        (`SearchOptions.h:34-35` ships the `nearest_tokens_to_fetch`
+        knob; `scoring/Scorer.h:59` is the commented-out XTRScorer).
+
+        Retrieval pool = IVF candidates (probed posting lists), which
+        is the scale approximation of the paper's global token
+        retrieval; candidates' tokens are decoded ONCE into rows by an
+        Arrow-batched mapInPandas, and everything after — per-q-token
+        top-k' cut, missing-similarity imputation, sum, top-k — is the
+        declarative `operators.scoring.xtr_topk` plan (JVM-side
+        windows/aggregations). Exact-twin property: with n_probe
+        covering all centroids and a lossless quantizer this equals
+        xtr_topk on the raw corpus (tested)."""
+        from lintdb_spark.operators import scoring as _scoring
+
+        opts = opts or SearchOptions()
+        Q = np.asarray(query_tokens, dtype=np.float32)
+        codes_c, res_c, nt_c = (
+            f"{field}__codes",
+            f"{field}__residuals",
+            f"{field}__num_tokens",
+        )
+        probes_df = self.spark.createDataFrame(
+            [(int(c),) for c in self._top_centroids(field, Q, opts)],
+            "centroid_id long",
+        )
+        cand_ids = (
+            self._postings(field)
+            .filter(F.col("tenant") == tenant)
+            .join(F.broadcast(probes_df), "centroid_id")
+            .select("doc_id")
+            .distinct()
+        )
+        cand = cand_ids.join(
+            self._docs().filter(F.col("tenant") == tenant), "doc_id"
+        ).select("doc_id", codes_c, res_c, nt_c)
+
+        quant = self.quantizers[field]
+        bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
+
+        def decode_tokens(batches):
+            for pdf in batches:
+                CC = bc_c.value
+                ids, idxs, vecs = [], [], []
+                for doc_id, cds, blob, nt in zip(
+                    pdf["doc_id"], pdf[codes_c], pdf[res_c], pdf[nt_c]
+                ):
+                    toks = CC[np.asarray(cds, dtype=np.int64)] + quant.decode(
+                        blob, int(nt)
+                    )
+                    norms = np.linalg.norm(toks, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    toks = toks / norms
+                    ids.extend([doc_id] * int(nt))
+                    idxs.extend(range(int(nt)))
+                    vecs.extend(toks.astype(np.float64))
+                yield pd.DataFrame(
+                    {"doc_id": ids, "token_idx": idxs, "vec": vecs}
+                )
+
+        decoded = cand.mapInPandas(
+            decode_tokens, "doc_id long, token_idx long, vec array<double>"
+        )
+        q_df = self.spark.createDataFrame(
+            [(j, [float(x) for x in Q[j]]) for j in range(len(Q))],
+            "q_id long, qvec array<double>",
+        )
+        return _scoring.xtr_topk(
+            decoded, q_df, k=k, nearest_tokens_to_fetch=opts.nearest_tokens_to_fetch
+        )
+
     def _filter_doc_ids(self, tenant: int, node) -> DataFrame:
         """Compile an arbitrary scalar/Match boolean tree into a doc_id
         DataFrame (Term -> filtered scan, Match -> inverted-index

@@ -17,6 +17,7 @@ class SearchOptions:
     k_top_centroids: int = 2
     num_second_pass: int = 1024
     centroid_score_threshold: float = 0.45
+    nearest_tokens_to_fetch: int = 100  # XTR k' (SearchOptions.h:34-35)
 
 
 @dataclass

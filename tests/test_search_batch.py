@@ -127,3 +127,76 @@ def test_batch_filtered(spark, tmp_path):
     # query 2's target (doc 7) is odd -> still top; query 1's target (4) is even -> excluded
     assert sorted(by_qid[2], key=lambda r: r["rank"])[0]["doc_id"] == 7
     assert all(r["doc_id"] != 4 for r in by_qid[1])
+
+
+def test_search_xtr_matches_declarative_twin(spark, tmp_path):
+    """With n_probe covering all centroids and the lossless identity
+    quantizer, Index.search_xtr over the real tables equals
+    scoring.xtr_topk on the raw (normalized) corpus exactly."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.index import Index, SearchOptions
+    from lintdb_spark.operators import scoring
+    from tests.test_index_lifecycle import (
+        NUM_TOKENS,
+        doc_tokens,
+        make_docs,
+        make_schema,
+    )
+
+    idx = Index.create(spark, str(tmp_path / "idx"), make_schema("none"))
+    docs = make_docs(spark, range(16))
+    # normalize ingest tokens so decode's L2 normalization is identity
+    docs = docs.withColumn(
+        "colbert",
+        F.transform(
+            "colbert",
+            lambda t: F.transform(
+                t,
+                lambda x: (
+                    x
+                    / F.sqrt(
+                        F.aggregate(t, F.lit(0.0), lambda a, v: a + v * v)
+                    )
+                ).cast("float"),
+            ),
+        ),
+    )
+    idx.train(docs)
+    idx.add(docs)
+
+    Q = doc_tokens(3)
+    opts = SearchOptions(
+        n_probe=1000, k_top_centroids=1000, nearest_tokens_to_fetch=20,
+        centroid_score_threshold=0.0,
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in idx.search_xtr(0, "colbert", Q, k=5, opts=opts).collect()
+    }
+
+    # declarative twin over the same normalized corpus
+    dt = (
+        idx._docs()
+        .select("doc_id")
+        .join(docs.select("doc_id", "colbert"), "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.col("colbert").cast("array<array<double>>")).alias(
+                "token_idx", "vec"
+            ),
+        )
+    )
+    q_df = spark.createDataFrame(
+        [(j, [float(x) for x in Q[j]]) for j in range(NUM_TOKENS)],
+        "q_id long, qvec array<double>",
+    )
+    want = {
+        r["doc_id"]: r["score"]
+        for r in scoring.xtr_topk(dt, q_df, k=5, nearest_tokens_to_fetch=20).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-6
