@@ -334,7 +334,11 @@ class Index:
                         F.explode(analyze_standard(F.col(fld.name))).alias("token"),
                         "doc_id",
                     )
-                    .distinct()
+                    # one row per (token, doc) with its term frequency —
+                    # same distinct keys as before, plus tf for the
+                    # MatchQuery 'tf' scoring mode
+                    .groupBy("tenant", "token", "doc_id")
+                    .agg(F.count("*").cast("bigint").alias("tf"))
                 )
                 seg, p = self._stage_path(table)
                 tp.write.mode("overwrite").partitionBy("tenant").parquet(p)
@@ -572,17 +576,25 @@ class Index:
         return [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]
 
     def _match_scores(self, tenant: int, mq: MatchQuery) -> DataFrame:
-        """(doc_id, mscore): distinct query tokens matched per doc.
-        'all' mode keeps only docs matching every token. The postings
-        join is an inverted-index lookup: filter by tenant partition +
-        token IN (...) predicate, then a count-distinct per doc."""
+        """(doc_id, mscore). 'any' scores distinct query tokens matched
+        per doc; 'all' additionally keeps only docs matching every
+        token; 'tf' scores the summed term frequency of matched tokens
+        (postings built since the tf column carry it; older segments
+        degrade to tf=1, i.e. 'any' semantics). The postings join is an
+        inverted-index lookup: filter by tenant partition + token IN
+        (...) predicate, then one aggregate per doc."""
         toks = sorted(set(self._analyze_text(mq.text)))
-        p = (
-            self._text_postings(mq.field)
-            .filter((F.col("tenant") == tenant) & F.col("token").isin(toks))
-            .select("doc_id", "token")
-            .distinct()
+        p = self._text_postings(mq.field).filter(
+            (F.col("tenant") == tenant) & F.col("token").isin(toks)
         )
+        if mq.mode == "tf":
+            tf = F.col("tf") if "tf" in p.columns else F.lit(1)
+            return (
+                p.select("doc_id", "token", tf.alias("tf"))
+                .groupBy("doc_id")
+                .agg(F.sum("tf").cast("bigint").alias("mscore"))
+            )
+        p = p.select("doc_id", "token").distinct()
         agg = p.groupBy("doc_id").agg(F.count_distinct("token").alias("mscore"))
         if mq.mode == "all":
             agg = agg.filter(F.col("mscore") == len(toks))

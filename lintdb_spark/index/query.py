@@ -34,11 +34,12 @@ class MatchQuery:
     working version of the reference's declared-but-unused analyzer,
     Schema.h:17). ``mode``: 'any' = OR over query tokens (score =
     number of distinct matched tokens), 'all' = docs containing every
-    query token."""
+    query token, 'tf' = score by summed term frequency of matched
+    tokens."""
 
     field: str
     text: str
-    mode: str = "any"  # any | all
+    mode: str = "any"  # any | all | tf
 
 
 @dataclass

@@ -84,6 +84,15 @@ def test_match_with_vector_restricts_candidates(text_index):
     assert len(ids) > 0
 
 
+def test_match_tf_mode_scores_term_frequency(text_index):
+    # doc 2 contains 'data' twice (case-insensitive), doc 0 once —
+    # tf mode ranks 2 above 0; any mode ties them at 1
+    res = text_index.search(0, MatchQuery("body", "data", mode="tf"), k=10, opts=OPTS).collect()
+    scores = {r["doc_id"]: r["score"] for r in res}
+    assert scores[2] == 2.0 and scores[0] == 1.0
+    assert res[0]["doc_id"] == 2
+
+
 def test_match_survives_remove(text_index):
     text_index.remove(0, [2])
     res = text_index.search(0, MatchQuery("body", "data"), k=10, opts=OPTS).collect()
