@@ -69,6 +69,7 @@ HEADLINE = [
     "q_token_counts",
     "q_fingerprints",
     "q_xtr",
+    "q_bm25",
 ]
 
 

@@ -236,6 +236,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
 
 
+BM25_QUERY = "spark vector merge"
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bm25_rank(load_table(spark, sf_dir, "documents"), BM25_QUERY, k=20)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -713,6 +720,35 @@ ORDER BY round(score, 6) DESC, doc_id ASC
 LIMIT {params.K}
 """,
     "q_embedding_neardup_lsh": _lsh_neardup_sql(NEARDUP_THRESHOLD),
+    "q_bm25": f"""
+WITH toks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       WHERE tok IN ({", ".join(f"'{t}'" for t in sorted(BM25_QUERY.split()))})
+       GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+SELECT doc_id, score FROM (
+    SELECT t.doc_id,
+           round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                     * (t.tf * {textstats.BM25_K1 + 1.0})
+                     / (t.tf + {textstats.BM25_K1} * (1.0 - {textstats.BM25_B} + {textstats.BM25_B} * l.dl / s.avgdl))),
+                 {params.ROUND}) AS score
+    FROM tf t
+    JOIN df d ON t.tok = d.tok
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 20
+""",
     "q_token_counts": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -1012,6 +1048,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_counts": q_token_counts,
     "q_fingerprints": q_fingerprints,
     "q_xtr": q_xtr,
+    "q_bm25": q_bm25,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
     "q_knn_cosine": q_knn_cosine,
