@@ -100,6 +100,15 @@ class Index:
         idx = cls(spark, path, schema)
         with open(os.path.join(path, "_meta.json")) as f:
             idx._meta = json.load(f)
+        if "segments" not in idx._meta and idx._meta.get("versions"):
+            # pre-segment layout: each table's live data is its v<N>
+            # dir. Register those as segments so reads see the data and
+            # vacuum() never treats live v-dirs as orphans.
+            idx._meta["segments"] = {
+                t: [f"v{v}"]
+                for t, v in idx._meta["versions"].items()
+                if os.path.isdir(os.path.join(path, t, f"v{v}"))
+            }
         for fld in schema.colbert_fields():
             cpath = os.path.join(path, "centroids", f"{fld.name}.parquet")
             if os.path.exists(cpath):
@@ -121,13 +130,29 @@ class Index:
         idx._save_sidecars()
         return idx
 
+    def _save_meta(self) -> None:
+        """Atomic _meta.json flip: write a temp file, fsync, then
+        os.replace — rename is atomic on POSIX, so a crash at ANY
+        point leaves either the old or the new meta, never a torn
+        write. This is the only file the commit protocol's atomicity
+        rests on, so it is the one write that must not be in-place."""
+        import uuid
+
+        tmp = os.path.join(self.path, f"_meta.json.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(self._meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, "_meta.json"))
+
     def _save_sidecars(self) -> None:
         """A9 save(): schema + meta + centroids + quantizer params
-        (index.cpp:317-357)."""
+        (index.cpp:317-357). Heavy (rewrites centroid matrices) — used
+        at create/train/set-quantizer time; the segment-commit hot path
+        uses the meta-only _save_meta."""
         with open(os.path.join(self.path, "_schema.json"), "w") as f:
             f.write(self.schema.to_json())
-        with open(os.path.join(self.path, "_meta.json"), "w") as f:
-            json.dump(self._meta, f)
+        self._save_meta()
         os.makedirs(os.path.join(self.path, "centroids"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "quantizers"), exist_ok=True)
         for name, C in self.centroids.items():
@@ -157,7 +182,7 @@ class Index:
         segs = self._meta.setdefault("segments", {})
         for table, seg in staged:
             segs.setdefault(table, []).append(seg)
-        self._save_sidecars()
+        self._save_meta()
 
     def _stage_path(self, table: str) -> tuple[str, str]:
         import uuid
@@ -179,8 +204,11 @@ class Index:
         # per branch; remove/update compact back to one segment.
         from functools import reduce
 
+        # allowMissingColumns: segments written before a column was
+        # added (e.g. text-posting `tf`) read as NULL for it instead of
+        # failing the union — the documented degrade-gracefully contract
         return reduce(
-            lambda a, b: a.unionByName(b),
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
             (self.spark.read.parquet(p) for p in paths),
         )
 
@@ -408,7 +436,7 @@ class Index:
         for table, seg in new_segs.items():
             self._meta["versions"][table] = int(seg[1:])
             segs[table] = [seg]
-        self._save_sidecars()
+        self._save_meta()
 
     def update(self, docs_df: DataFrame) -> None:
         """A7: remove + add (index.cpp:501-510), with the removal done
@@ -588,7 +616,9 @@ class Index:
             (F.col("tenant") == tenant) & F.col("token").isin(toks)
         )
         if mq.mode == "tf":
-            tf = F.col("tf") if "tf" in p.columns else F.lit(1)
+            # legacy segments (or whole tables) without the tf column
+            # read as NULL -> degrade to tf=1 ('any' semantics) per row
+            tf = F.coalesce(F.col("tf"), F.lit(1)) if "tf" in p.columns else F.lit(1)
             return (
                 p.select("doc_id", "token", tf.alias("tf"))
                 .groupBy("doc_id")

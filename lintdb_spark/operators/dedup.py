@@ -257,6 +257,11 @@ def hyperplane_lsh_buckets(
     same banding structure as minhash-LSH so recall tunes with
     (bands, rows-per-band) while candidate fan-out stays
     bucket-bounded."""
+    if num_planes % bands != 0:
+        raise ValueError(
+            f"num_planes ({num_planes}) must be divisible by bands ({bands}) — "
+            "a remainder would create an undersized extra band"
+        )
     r = num_planes // bands
     spark = embeddings.sparkSession
     planes_df = spark.createDataFrame(

@@ -174,10 +174,15 @@ def bm25_rank(
     df for the (few) query tokens is a broadcast-size aggregate; at
     index scale the same plan runs off the stored `tf` postings
     (MatchQuery 'tf' mode) instead of re-analyzing text."""
+    import re
+
     from lintdb_spark.functions.text import analyze_standard
 
+    # analyze the QUERY with the same standard analyzer as the
+    # documents (punctuation -> space, lowercase) — a mismatch would
+    # make punctuated query terms silently unmatched
     q_toks = sorted(
-        {t for t in query.lower().replace(",", " ").split() if t}
+        {t for t in re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t}
     )
     toks = documents.select(
         "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
@@ -195,7 +200,10 @@ def bm25_rank(
     df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "token")
-        .join(F.broadcast(dl), "doc_id")
+        # dl is corpus-sized (one row per doc) — NOT broadcast; the
+        # doc_id equi-join shuffles tf against it, which is right at
+        # any scale. Only the few-row df/stats sides are broadcast.
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

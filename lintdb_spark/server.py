@@ -8,7 +8,10 @@ Endpoints (parity with `lintdb/server/openapi.yaml` and
 `server/api_tests.py:1-90`):
 
 - ``POST /v1/Index/search/{tenant}`` — body
-  ``{"query": <node>, "options": {"colbert_field": ...}, "k": N}`` ->
+  ``{"query": <node>, "options": {<SearchOptions knobs, e.g. n_probe,
+  num_second_pass>}, "k": N}`` ("search_options" is an accepted alias;
+  unknown keys like the reference's colbert_field — here carried by
+  the query node's name — are ignored) ->
   ``{"results": [{"id", "score", "metadata": {...}}]}``
 - ``POST /v1/Index/add/{tenant}`` / ``update/{tenant}`` — body
   ``{"documents": [{"id", "fields": [{"name", "data_type", "value"}]}]}``
@@ -30,6 +33,7 @@ boundary.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -68,6 +72,11 @@ class IndexServer:
 
     def __init__(self, index, host: str = "127.0.0.1", port: int = 0):
         self.index = index
+        # Mutations (add/update/remove) are read-modify-write of the
+        # index meta + a meta-file flip; serialize them. Searches stay
+        # lock-free (Spark job submission is thread-safe and readers
+        # see either the pre- or post-flip meta).
+        self._write_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -104,17 +113,25 @@ class IndexServer:
             return self._search(tenant, payload), 200
         if op in ("add", "update"):
             docs_df = self._documents_df(tenant, payload.get("documents", []))
-            getattr(self.index, op)(docs_df)
+            with self._write_lock:
+                getattr(self.index, op)(docs_df)
             return {"ok": True}, 200
         if op == "remove":
-            self.index.remove(tenant, [int(i) for i in payload.get("ids", [])])
+            with self._write_lock:
+                self.index.remove(tenant, [int(i) for i in payload.get("ids", [])])
             return {"ok": True}, 200
         return {"ok": False}, 404
 
     def _search(self, tenant: int, payload: dict) -> dict:
         query = query_node_from_json(payload["query"])
         k = int(payload.get("k", 10))
-        opts = SearchOptions(**payload.get("search_options", {}))
+        # the reference's body key is "options" (openapi.yaml); accept
+        # "search_options" as an alias. Unknown keys (e.g. the
+        # reference's colbert_field, which here lives on the query
+        # node's name) are ignored rather than 500ing.
+        raw = {**payload.get("options", {}), **payload.get("search_options", {})}
+        known = {f.name for f in dataclasses.fields(SearchOptions)}
+        opts = SearchOptions(**{k_: v for k_, v in raw.items() if k_ in known})
         rows = self.index.search(tenant, query, k=k, opts=opts).collect()
         stored = {"doc_id", "score"}
         return {

@@ -188,9 +188,18 @@ def dedup_stream(
     not in a nightly all-corpus pass.
 
     ``key_cols`` defaults to a content hash of a ``text`` column
-    (md5), i.e. exact-duplicate suppression."""
+    (md5), i.e. exact-duplicate suppression.
+
+    State boundedness: plain ``dropDuplicates(keys)`` only evicts
+    state when the event-time column is IN the keys — with content
+    keys alone, state would grow forever. We use
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which evicts each
+    key once it ages past the watermark while deduping on the content
+    keys only."""
     out = stream
     if key_cols is None:
         out = out.withColumn("content_hash", F.md5(F.col("text")))
         key_cols = ["content_hash"]
-    return out.withWatermark(event_time, watermark).dropDuplicates(key_cols)
+    return out.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -266,6 +266,65 @@ def test_add_atomic_across_tables(spark, tmp_path, monkeypatch):
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(101)), k=1)[0] == 101
 
 
+def test_meta_write_is_crash_atomic(spark, tmp_path, monkeypatch):
+    """A crash INSIDE the _meta.json write (not just between table
+    writes) must leave the old meta intact — the flip is tmp-file +
+    os.replace, so a torn in-place write is impossible."""
+    import json as _json
+
+    idx = Index.create(spark, str(tmp_path / "metaatomic"), make_schema("none"))
+    docs = make_docs(spark, range(6))
+    idx.train(docs)
+    idx.add(docs)
+    n_docs = idx._docs().count()
+
+    real_dump = _json.dump
+
+    def crash_mid_dump(obj, f, **kw):
+        f.write('{"torn":')  # partial bytes land in the TEMP file only
+        raise RuntimeError("injected crash inside meta write")
+
+    monkeypatch.setattr(_json, "dump", crash_mid_dump)
+    with pytest.raises(RuntimeError, match="inside meta write"):
+        idx.add(make_docs(spark, range(50, 53)))
+    monkeypatch.setattr(_json, "dump", real_dump)
+
+    # reload from disk: old meta intact, index fully readable
+    idx2 = Index.load(spark, idx.path)
+    assert idx2._docs().count() == n_docs
+    idx2.vacuum()
+    assert idx2._docs().count() == n_docs
+
+
+def test_load_migrates_pre_segment_meta(spark, tmp_path):
+    """An index whose _meta.json predates the segment protocol
+    (versions-only) loads with its v<N> dirs registered as segments —
+    readable, and safe against vacuum()."""
+    import json as _json
+    import os
+
+    idx = Index.create(spark, str(tmp_path / "legacy"), make_schema("none"))
+    docs = make_docs(spark, range(5))
+    idx.train(docs)
+    idx.add(docs)
+    # rewrite tables into v-dir layout (remove() compacts to v<N>)
+    idx.remove(0, [0])
+    n_docs = idx._docs().count()
+
+    meta_path = os.path.join(idx.path, "_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    del meta["segments"]  # simulate the legacy format
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+
+    idx2 = Index.load(spark, idx.path)
+    assert idx2._docs().count() == n_docs
+    removed = idx2.vacuum()
+    assert idx2._docs().count() == n_docs  # live v-dirs never vacuumed
+    assert not any("/v" in r for r in removed)
+
+
 def test_get_mapping(built_index):
     """C10: mapping equals distinct sorted codes of the doc."""
     m = built_index.get_mapping(0, 3)
