@@ -200,15 +200,20 @@ def main() -> None:
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+    # persist: the exact oracle top-k feeds BOTH the default-knob and
+    # high-recall joins — without it the full exact-MaxSim aggregation
+    # runs twice
     exact_topk = (
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("qid", "doc_id")
+        .persist()
     )
     hits = approx.join(exact_topk, ["qid", "doc_id"]).count()
     success_at_k = hits / (n_quality * 10)
     hits_hr = approx_hr.join(exact_topk, ["qid", "doc_id"]).count()
     success_at_k_hr = hits_hr / (n_quality * 10)
+    exact_topk.unpersist()
     timings["quality_check"] = round(time.time() - t0, 3)
 
     # ---- BENCH-4b: golden clustered fixture at DEFAULT knobs ----
