@@ -729,6 +729,16 @@ class Index:
         per query — index.cpp:390); otherwise the stage-1 boolean score
         is final."""
         opts = opts or SearchOptions()
+        if opts.scoring_method == "xtr":
+            if not isinstance(query, VectorQuery):
+                raise NotImplementedError(
+                    "scoring_method='xtr' supports bare VectorQuery trees"
+                )
+            return self.search_xtr(
+                tenant, query.field, np.asarray(query.query_tokens), k=k, opts=opts
+            )
+        if opts.scoring_method != "plaid":
+            raise ValueError(f"unknown scoring_method: {opts.scoring_method!r}")
         docs = self._docs().filter(F.col("tenant") == tenant)
         vecs = self._vector_nodes(query)
         stage1 = self._stage1(query, tenant, docs, opts)

@@ -18,6 +18,10 @@ class SearchOptions:
     num_second_pass: int = 1024
     centroid_score_threshold: float = 0.45
     nearest_tokens_to_fetch: int = 100  # XTR k' (SearchOptions.h:34-35)
+    # the reference's ScoringMethod enum, actually wired here:
+    # 'plaid' = two-phase PLAID -> exact MaxSim; 'xtr' = token
+    # retrieval + imputation (bare VectorQuery only)
+    scoring_method: str = "plaid"
 
 
 @dataclass

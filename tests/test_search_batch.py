@@ -200,3 +200,30 @@ def test_search_xtr_matches_declarative_twin(spark, tmp_path):
     assert set(got) == set(want)
     for d in want:
         assert abs(got[d] - want[d]) < 1e-6
+
+
+def test_search_routes_xtr_scoring_method(spark, tmp_path):
+    """SearchOptions.scoring_method='xtr' routes Index.search to the
+    XTR path (same results as search_xtr); non-vector trees refuse."""
+    import numpy as np
+    import pytest
+
+    from lintdb_spark.index import Index, SearchOptions, TermQuery, VectorQuery
+    from tests.test_index_lifecycle import doc_tokens, make_docs, make_schema
+
+    idx = Index.create(spark, str(tmp_path / "sm"), make_schema("none"))
+    docs = make_docs(spark, range(12))
+    idx.train(docs)
+    idx.add(docs)
+    Q = doc_tokens(5)
+    opts = SearchOptions(
+        n_probe=100, k_top_centroids=100, nearest_tokens_to_fetch=16,
+        centroid_score_threshold=0.0, scoring_method="xtr",
+    )
+    via_search = idx.search(0, VectorQuery("colbert", Q), k=5, opts=opts).collect()
+    direct = idx.search_xtr(0, "colbert", Q, k=5, opts=opts).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_search] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ]
+    with pytest.raises(NotImplementedError, match="bare VectorQuery"):
+        idx.search(0, TermQuery("category", "even"), k=5, opts=opts)
