@@ -62,3 +62,49 @@ def test_vector_ops_no_python_udf(spark, sf_dir, name):
     BatchEvalPython / ArrowEvalPython nodes = no Python in the plan)."""
     p = plan_of(spark, sf_dir, name)
     assert "EvalPython" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_bm25", "q_fingerprints", "q_token_counts", "q_xtr", "q_embedding_neardup_lsh"],
+)
+def test_round2_ops_no_python_udf(spark, sf_dir, name):
+    """Every round-2 operator is declarative: no Python in the plan."""
+    p = plan_of(spark, sf_dir, name)
+    assert "EvalPython" not in p
+
+
+def test_token_counts_is_narrow_projection(spark, sf_dir):
+    """token_counts must run at scan speed — no shuffle (Exchange) at
+    all, a single projection over the parquet scan."""
+    p = plan_of(spark, sf_dir, "q_token_counts")
+    assert "Exchange" not in p
+
+
+def _nodes(plan: str, kind: str) -> int:
+    """Count physical nodes of a kind in explain('formatted') output
+    (each node appears once in the tree and once in the detail list —
+    count the numbered detail lines only)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {kind}", plan, flags=re.M))
+
+
+def test_fingerprints_no_pre_filter_explode_of_arrays(spark, sf_dir):
+    """The fingerprint explode happens AFTER the in-row window+sample
+    filter — exactly one Generate node, fed by the projected struct
+    array, never the raw token-hash array per window (the 16x
+    regression shape)."""
+    p = plan_of(spark, sf_dir, "q_fingerprints")
+    assert _nodes(p, "Generate") == 1
+    assert "Exchange" not in p  # scan -> project -> explode, no shuffle
+
+
+def test_bm25_joins_stay_sane(spark, sf_dir):
+    """Exactly one cross join (the 1-row stats frame); dl is joined by
+    key with no broadcast HINT, so Catalyst/AQE stays free to shuffle
+    it at scale (forcing broadcast of the corpus-sized dl was the
+    reviewed bug). No Python anywhere."""
+    p = plan_of(spark, sf_dir, "q_bm25")
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 1
+    assert "EvalPython" not in p
