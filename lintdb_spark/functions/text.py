@@ -81,3 +81,13 @@ def perm_hash(perm: Column, h31: Column) -> Column:
     a = (F.lit(MINHASH_A_MULT).cast("bigint") * p1) % MINHASH_PRIME
     b = (F.lit(MINHASH_B_MULT).cast("bigint") * p1) % MINHASH_PRIME
     return (a * h31.cast("bigint") + b) % MINHASH_PRIME
+
+
+def analyze_standard_py(text: str) -> list[str]:
+    """Driver/python-side twin of ``analyze_standard`` — THE single
+    place the standard analyzer's tokenization lives outside the JVM
+    expression (Index query analysis and bm25 query analysis both call
+    this; keep the regex in lockstep with analyze_standard above)."""
+    import re
+
+    return [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]

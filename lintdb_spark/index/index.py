@@ -130,20 +130,28 @@ class Index:
         idx._save_sidecars()
         return idx
 
-    def _save_meta(self) -> None:
+    def _save_meta(self, meta: dict | None = None) -> None:
         """Atomic _meta.json flip: write a temp file, fsync, then
         os.replace — rename is atomic on POSIX, so a crash at ANY
         point leaves either the old or the new meta, never a torn
         write. This is the only file the commit protocol's atomicity
-        rests on, so it is the one write that must not be in-place."""
+        rests on, so it is the one write that must not be in-place.
+        Pass ``meta`` to durably write a CANDIDATE dict before
+        adopting it in memory (commit paths do this so a failed flip
+        leaves self._meta consistent with disk). The temp file is
+        unlinked on failure — no orphan accumulation."""
         import uuid
 
         tmp = os.path.join(self.path, f"_meta.json.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(self._meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.path, "_meta.json"))
+        try:
+            with open(tmp, "w") as f:
+                json.dump(self._meta if meta is None else meta, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.path, "_meta.json"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _save_sidecars(self) -> None:
         """A9 save(): schema + meta + centroids + quantizer params
@@ -178,11 +186,22 @@ class Index:
     def _commit_segments(self, staged: list[tuple[str, str]]) -> None:
         """THE commit point for multi-table appends: extend every
         table's segment list and flip _meta.json once. Everything
-        before this call is invisible staging."""
-        segs = self._meta.setdefault("segments", {})
+        before this call is invisible staging.
+
+        The new meta is built on a COPY and adopted only after the
+        durable flip succeeds: a failed flip (ENOSPC, fsync error)
+        leaves self._meta equal to disk, so a retry cannot double-
+        commit the failed batch's segments; and in-process readers see
+        the old or the new dict via one atomic assignment, never a
+        per-table partial view."""
+        import copy
+
+        new_meta = copy.deepcopy(self._meta)
+        segs = new_meta.setdefault("segments", {})
         for table, seg in staged:
             segs.setdefault(table, []).append(seg)
-        self._save_meta()
+        self._save_meta(new_meta)
+        self._meta = new_meta
 
     def _stage_path(self, table: str) -> tuple[str, str]:
         import uuid
@@ -431,12 +450,18 @@ class Index:
                     self._table_path(table, new_v)
                 )
                 new_segs[table] = f"v{new_v}"
-        # single commit point for every table
-        segs = self._meta.setdefault("segments", {})
+        # single commit point for every table — candidate meta built on
+        # a copy, adopted only after the durable flip (see
+        # _commit_segments)
+        import copy
+
+        new_meta = copy.deepcopy(self._meta)
+        segs = new_meta.setdefault("segments", {})
         for table, seg in new_segs.items():
-            self._meta["versions"][table] = int(seg[1:])
+            new_meta["versions"][table] = int(seg[1:])
             segs[table] = [seg]
-        self._save_meta()
+        self._save_meta(new_meta)
+        self._meta = new_meta
 
     def update(self, docs_df: DataFrame) -> None:
         """A7: remove + add (index.cpp:501-510), with the removal done
@@ -446,14 +471,28 @@ class Index:
         self._remove_keys(docs_df)
         self.add(docs_df)
 
-    def vacuum(self) -> list[str]:
-        """Delete segment directories not referenced by _meta.json —
-        the leftovers of crashed (uncommitted) adds. Safe to run at any
-        time: orphans are invisible to every reader. Returns the
-        removed relative paths."""
-        import shutil
+    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
+        """Delete unreferenced segment directories (the leftovers of
+        crashed, uncommitted adds) plus orphaned _meta temp files.
+        Returns the removed relative paths.
 
+        ``min_age_s`` guards the one race vacuum has: a CONCURRENT
+        add() that has staged segments but not yet flipped the meta
+        would look like an orphan — so only dirs untouched for
+        min_age_s are collected (an in-flight add touches its staging
+        dirs within seconds). Pass 0 only when no writer can be
+        active."""
+        import shutil
+        import time as _time
+
+        now = _time.time()
         removed: list[str] = []
+        for child in os.listdir(self.path):
+            if child.startswith("_meta.json.tmp-"):
+                full = os.path.join(self.path, child)
+                if now - os.path.getmtime(full) >= min_age_s:
+                    os.unlink(full)
+                    removed.append(child)
         tables = (
             ["docs"]
             + [f"postings/{f.name}" for f in self.schema.colbert_fields()]
@@ -466,7 +505,11 @@ class Index:
             live = set(self._segments(table))
             for child in os.listdir(root):
                 full = os.path.join(root, child)
-                if child not in live and os.path.isdir(full):
+                if (
+                    child not in live
+                    and os.path.isdir(full)
+                    and now - os.path.getmtime(full) >= min_age_s
+                ):
                     shutil.rmtree(full)
                     removed.append(f"{table}/{child}")
         return removed
@@ -599,9 +642,9 @@ class Index:
     @staticmethod
     def _analyze_text(text: str) -> list[str]:
         """Driver-side twin of functions.text.analyze_standard."""
-        import re
+        from lintdb_spark.functions.text import analyze_standard_py
 
-        return [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]
+        return analyze_standard_py(text)
 
     def _match_scores(self, tenant: int, mq: MatchQuery) -> DataFrame:
         """(doc_id, mscore). 'any' scores distinct query tokens matched
@@ -840,8 +883,24 @@ class Index:
             [(j, [float(x) for x in Q[j]]) for j in range(len(Q))],
             "q_id long, qvec array<double>",
         )
-        return _scoring.xtr_topk(
+        topk = _scoring.xtr_topk(
             decoded, q_df, k=k, nearest_tokens_to_fetch=opts.nearest_tokens_to_fetch
+        )
+        # same return contract as search(): (doc_id, score, <stored>)
+        stored = [
+            f.name for f in self.schema.scalar_fields() if f.has_role(FieldType.STORED)
+        ]
+        if not stored:
+            return topk
+        return (
+            topk.join(
+                self._docs()
+                .filter(F.col("tenant") == tenant)
+                .select("doc_id", *stored),
+                "doc_id",
+            )
+            .select("doc_id", "score", *stored)
+            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         )
 
     def _filter_doc_ids(self, tenant: int, node) -> DataFrame:
@@ -917,6 +976,13 @@ class Index:
         joins residual-bearing rows for survivors alone — same
         semantics, shuffle-lean."""
         opts = opts or SearchOptions()
+        if opts.scoring_method != "plaid":
+            # don't silently fall back: a caller who got XTR from
+            # search() must not get plaid here without noticing
+            raise NotImplementedError(
+                f"search_batch supports scoring_method='plaid' only "
+                f"(got {opts.scoring_method!r}); loop search_xtr for batch XTR"
+            )
         qmats = {int(qid): np.asarray(q, dtype=np.float32) for qid, q in queries.items()}
         quant = self.quantizers[field]
         codes_c, res_c, nt_c = (

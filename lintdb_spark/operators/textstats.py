@@ -174,16 +174,12 @@ def bm25_rank(
     df for the (few) query tokens is a broadcast-size aggregate; at
     index scale the same plan runs off the stored `tf` postings
     (MatchQuery 'tf' mode) instead of re-analyzing text."""
-    import re
-
-    from lintdb_spark.functions.text import analyze_standard
+    from lintdb_spark.functions.text import analyze_standard, analyze_standard_py
 
     # analyze the QUERY with the same standard analyzer as the
     # documents (punctuation -> space, lowercase) — a mismatch would
     # make punctuated query terms silently unmatched
-    q_toks = sorted(
-        {t for t in re.sub(r"[^a-z0-9 ]", " ", query.lower()).split() if t}
-    )
+    q_toks = sorted(set(analyze_standard_py(query)))
     toks = documents.select(
         "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
     )

@@ -74,8 +74,12 @@ class IndexServer:
         self.index = index
         # Mutations (add/update/remove) are read-modify-write of the
         # index meta + a meta-file flip; serialize them. Searches stay
-        # lock-free (Spark job submission is thread-safe and readers
-        # see either the pre- or post-flip meta).
+        # lock-free: Spark job submission is thread-safe, and commits
+        # adopt their meta via ONE dict assignment (built on a copy),
+        # so an in-process reader sees the whole pre- or post-commit
+        # segment map, never a per-table partial. A search spanning
+        # multiple _read calls can still straddle one commit — the
+        # usual read-committed (not snapshot) isolation.
         self._write_lock = threading.Lock()
         outer = self
 
@@ -129,7 +133,7 @@ class IndexServer:
         # "search_options" as an alias. Unknown keys (e.g. the
         # reference's colbert_field, which here lives on the query
         # node's name) are ignored rather than 500ing.
-        raw = {**payload.get("options", {}), **payload.get("search_options", {})}
+        raw = {**(payload.get("options") or {}), **(payload.get("search_options") or {})}
         known = {f.name for f in dataclasses.fields(SearchOptions)}
         opts = SearchOptions(**{k_: v for k_, v in raw.items() if k_ in known})
         rows = self.index.search(tenant, query, k=k, opts=opts).collect()

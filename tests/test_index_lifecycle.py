@@ -260,7 +260,7 @@ def test_add_atomic_across_tables(spark, tmp_path, monkeypatch):
     # reload sees the committed state; vacuum clears the orphan only
     idx2 = Index.load(spark, idx.path)
     assert idx2._docs().count() == n_docs + 4
-    removed = idx.vacuum()
+    removed = idx.vacuum(min_age_s=0)
     assert any("docs/seg-" in r for r in removed)  # the crashed stage
     assert idx._docs().count() == n_docs + 4  # live data untouched
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(101)), k=1)[0] == 101
@@ -292,7 +292,7 @@ def test_meta_write_is_crash_atomic(spark, tmp_path, monkeypatch):
     # reload from disk: old meta intact, index fully readable
     idx2 = Index.load(spark, idx.path)
     assert idx2._docs().count() == n_docs
-    idx2.vacuum()
+    idx2.vacuum(min_age_s=0)
     assert idx2._docs().count() == n_docs
 
 
@@ -320,7 +320,7 @@ def test_load_migrates_pre_segment_meta(spark, tmp_path):
 
     idx2 = Index.load(spark, idx.path)
     assert idx2._docs().count() == n_docs
-    removed = idx2.vacuum()
+    removed = idx2.vacuum(min_age_s=0)
     assert idx2._docs().count() == n_docs  # live v-dirs never vacuumed
     assert not any("/v" in r for r in removed)
 
