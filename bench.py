@@ -70,6 +70,10 @@ HEADLINE = [
     "q_fingerprints",
     "q_xtr",
     "q_bm25",
+    "q_dup_clusters",
+    "q_decontaminate",
+    "q_stratified_sample",
+    "q_hash_split",
 ]
 
 

@@ -319,7 +319,14 @@ def embedding_lsh_neardup(
     like minhash-LSH's (bands, rows) knob."""
     from lintdb_spark.functions.vector import l2_normalize
 
-    buckets = hyperplane_lsh_buckets(embeddings, num_planes, bands, dim)
+    # persist across the self-join: Spark's ReusedExchange does not
+    # fire for this aliased self-join (each side re-plans the
+    # crossJoin + sign-aggregate subtree), so without it the |vectors|
+    # x num_planes dot products run TWICE. The bucket frame is
+    # |vectors| x bands slim rows — cheap to cache even at scale, and
+    # at 100 TB it would be a materialized table maintained at ingest
+    # (same build/serve split as ivf_bucket).
+    buckets = hyperplane_lsh_buckets(embeddings, num_planes, bands, dim).persist()
     cand = (
         buckets.alias("a")
         .join(
@@ -349,4 +356,83 @@ def embedding_lsh_neardup(
             F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Near-dup CLUSTER FORMATION — the step after pair generation in
+    every real dedup pipeline (pairs alone don't tell you which docs
+    to drop; transitive groups do). Connected components over the
+    pair graph via hash-min label propagation: every doc starts
+    labeled with its own id; each round a doc takes the min label
+    among itself and its neighbors; at convergence a component's label
+    is its min doc_id. Returns (doc_id, cluster_id) for every doc
+    that appears in >=1 pair.
+
+    Scale shape: each round is one join + one partial-aggregated
+    groupBy over |edges| rows — no global sort, no all-pairs.
+    Rounds = graph diameter; near-dup clusters are shallow (dozens of
+    docs, diameter ~2-4), so this converges in a handful of rounds
+    even at 100 TB. For adversarial long-chain graphs the known
+    fix is large-star/small-star (Kiveris et al. 2014), which bounds
+    rounds at O(log^2 n) — same per-round plan shape, not needed for
+    near-dup workloads. ``localCheckpoint`` truncates lineage each
+    round so the plan doesn't grow with iterations; convergence is
+    detected by the (monotonically decreasing) label sum reaching a
+    fixed point — one scalar aggregate per round, no data collected.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    ).persist()
+    labels = edges.select("v").distinct().withColumn("lbl", F.col("v"))
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("u", "v")
+        )
+        labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v", F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease -> fixed point
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+    )
+
+
+def decontaminate(
+    documents: DataFrame, eval_mod: int = 50
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents sharing >=1
+    word-trigram shingle with a held-out eval set (the standard n-gram
+    overlap check run before LLM training). The eval set here is the
+    deterministic slice ``doc_id % eval_mod == 0``; in production it
+    is the benchmark suite. Returns (doc_id, n_shared) — distinct
+    shared shingles per contaminated training doc.
+
+    Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
+    the distinct eval-shingle set is BROADCAST — the corpus-side scan
+    never shuffles; contaminated docs are the only rows that reach the
+    final aggregate. (If the eval side ever outgrew broadcast, the
+    same plan degrades gracefully to a shuffled semi-join.)"""
+    sh = doc_shingles(documents)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % eval_mod == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % eval_mod != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("bigint").alias("n_shared"))
     )

@@ -1,0 +1,101 @@
+"""Deterministic sampling / split assignment for training-data
+pipelines.
+
+Sampling for a 100 TB corpus must be (a) a pure map over the scan —
+no shuffle, no global count, no driver round-trip — and (b) stable
+across reruns and engines, so a resumed or re-sharded job selects the
+SAME rows. Both operators therefore key off an md5-derived hash of
+(salt, doc_id), the same bit-identical-across-Spark-and-DuckDB idiom
+as the dedup family (functions/text.py:hash60), rather than
+`rand()`/`TABLESAMPLE` (non-deterministic, per-partition seeded, and
+unverifiable against an oracle).
+
+Beyond the reference's operator set (LintDB has no sampling;
+SURVEY.md §2.I) — part of the data-pipeline extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lintdb_spark.functions.text import hash60
+
+# bucket granularity: rates are exact multiples of 1/10000
+SAMPLE_BUCKETS = 10_000
+
+
+def _bucket(salt: str) -> F.Column:
+    """Deterministic bucket in [0, SAMPLE_BUCKETS) from (salt, doc_id).
+    Portable: DuckDB `CAST(concat('0x', substr(md5(...),1,15)) AS
+    BIGINT) % 10000`."""
+    return hash60(
+        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+    ) % SAMPLE_BUCKETS
+
+
+def stratified_sample(
+    documents: DataFrame, rates: dict[str, float], salt: str = "strat1"
+) -> DataFrame:
+    """Per-stratum downsampling: keep a deterministic `rates[lang]`
+    fraction of each language's documents (the standard rebalancing
+    step before LLM training — e.g. downweight the dominant language,
+    keep all of a scarce one). Strata with no configured rate are
+    dropped. Returns the sampled (doc_id, lang, source, bucket).
+
+    Scale shape: the rates dim is a handful of rows -> broadcast
+    hash join; the hash filter is a pure projection — the whole plan
+    is scan + map + broadcast-join, zero shuffles of the corpus, and
+    partition-prunable if the corpus is lang-partitioned on disk.
+    """
+    spark = documents.sparkSession
+    rates_df = spark.createDataFrame(
+        [(lang, int(round(r * SAMPLE_BUCKETS))) for lang, r in sorted(rates.items())],
+        "lang string, keep_below int",
+    )
+    return (
+        documents.withColumn("bucket", _bucket(salt))
+        .join(F.broadcast(rates_df), "lang")
+        .filter(F.col("bucket") < F.col("keep_below"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(split_name, exclusive upper bucket bound) in evaluation order —
+    THE single definition of the bucket->split mapping; the DuckDB
+    oracle CASE is generated from the same list so the two engines
+    cannot drift. Deterministic order: descending weight, then name."""
+    total = sum(weights.values())
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, w in sorted(weights.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += w / total
+        out.append((name, int(round(cum * SAMPLE_BUCKETS))))
+    return out
+
+
+def hash_split(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc lands in the
+    split whose cumulative-weight interval contains its hash bucket.
+    A doc's split never changes when the corpus grows, shards move, or
+    the job reruns — the property `randomSplit` cannot give. Returns
+    (doc_id, lang, split).
+
+    Pure map over the scan (one hash + one CASE) — no shuffle, no
+    sort, no sampling pass; the split column can be written back as a
+    partition column so downstream training jobs partition-prune their
+    own split."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    expr: F.Column | None = None
+    bucket = _bucket(salt)
+    for name, bound in split_bounds(weights):
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return documents.select(
+        "doc_id", "lang", expr.otherwise(F.lit("train")).alias("split")
+    )

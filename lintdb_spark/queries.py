@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lintdb_spark import model, params
-from lintdb_spark.operators import ann, dedup, knn, relational, scoring, textstats
+from lintdb_spark.operators import (
+    ann,
+    dedup,
+    knn,
+    relational,
+    sampling,
+    scoring,
+    textstats,
+)
 from lintdb_spark.oracle import prelude
 from lintdb_spark.tables import load_table
 
@@ -225,6 +233,37 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_lsh_neardup(
         load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD
+    )
+
+
+DUP_CLUSTER_JACCARD = 0.5  # bimodal data: real near-dups sit at >=0.9
+DECONTAM_EVAL_MOD = 50
+STRAT_RATES = {"en": 0.3, "de": 0.8, "fr": 0.5, "es": 1.0, "zh": 0.1}
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.jaccard_pairs(
+        dedup.doc_shingles(load_table(spark, sf_dir, "documents"))
+    ).filter(F.col("jaccard") >= DUP_CLUSTER_JACCARD)
+    return dedup.dup_clusters(pairs)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.decontaminate(
+        load_table(spark, sf_dir, "documents"), eval_mod=DECONTAM_EVAL_MOD
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"), STRAT_RATES
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.hash_split(
+        load_table(spark, sf_dir, "documents"), SPLIT_WEIGHTS
     )
 
 
@@ -840,6 +879,61 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 """,
+    # connected components as a recursive reachability closure: a
+    # vertex's cluster id = min doc_id reachable in the (bidirected)
+    # pair graph — the same fixed point hash-min propagation converges
+    # to, computed DuckDB-natively
+    "q_dup_clusters": f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(n_common / (sa.n + sb.n - n_common), {params.ROUND})
+                >= {DUP_CLUSTER_JACCARD}),
+edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(v, lbl) AS (
+    SELECT DISTINCT v, v FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.v
+)
+SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+""",
+    "q_decontaminate": f"""
+WITH {_SHINGLES},
+eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % {DECONTAM_EVAL_MOD} = 0)
+SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared
+FROM shingles s JOIN eval_sh e ON s.shingle = e.shingle
+WHERE s.doc_id % {DECONTAM_EVAL_MOD} <> 0
+GROUP BY 1
+""",
+    "q_stratified_sample": f"""
+WITH rates(lang, keep_below) AS (VALUES {", ".join(
+        f"('{lang}', {int(round(r * sampling.SAMPLE_BUCKETS))})"
+        for lang, r in sorted(STRAT_RATES.items())
+    )}),
+b AS (SELECT doc_id, lang, source,
+      CAST(concat('0x', substr(md5(concat('strat1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      % {sampling.SAMPLE_BUCKETS} AS bucket
+      FROM documents)
+SELECT doc_id, lang, source, bucket FROM b JOIN rates USING (lang)
+WHERE bucket < keep_below
+""",
+    "q_hash_split": f"""
+WITH b AS (SELECT doc_id, lang,
+      CAST(concat('0x', substr(md5(concat('split1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      % {sampling.SAMPLE_BUCKETS} AS bucket
+      FROM documents)
+SELECT doc_id, lang, CASE {" ".join(
+        f"WHEN bucket < {bound} THEN '{name}'"
+        for name, bound in sampling.split_bounds(SPLIT_WEIGHTS)
+    )} ELSE 'train' END AS split
+FROM b
+""",
     "q_simhash": """
 WITH th AS (
     SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
@@ -1042,6 +1136,10 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_sig": q_minhash_sig,
     "q_lsh_buckets": q_lsh_buckets,
     "q_jaccard_pairs": q_jaccard_pairs,
+    "q_dup_clusters": q_dup_clusters,
+    "q_decontaminate": q_decontaminate,
+    "q_stratified_sample": q_stratified_sample,
+    "q_hash_split": q_hash_split,
     "q_simhash": q_simhash,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,

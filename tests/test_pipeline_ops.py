@@ -1,0 +1,111 @@
+"""Behavior tests for the training-pipeline operators added in round 2:
+near-dup cluster formation (connected components), decontamination, and
+deterministic sampling/splits. The oracle equivalence of the q_* twins
+is covered by test_queries_vs_oracle; these tests pin the operator
+semantics on synthetic inputs where the expected answer is known by
+construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lintdb_spark.operators import dedup, sampling
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_dup_clusters_chain_transitivity(spark):
+    # a 6-node path graph: diameter 5 forces multiple propagation
+    # rounds; all nodes must land in the min-id (=1) cluster
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = {
+        (r.doc_id, r.cluster_id) for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)}
+
+
+def test_dup_clusters_separate_components(spark):
+    pairs = _pairs(spark, [(10, 11), (11, 12), (20, 21), (30, 31)])
+    labels = dict(
+        (r.doc_id, r.cluster_id) for r in dedup.dup_clusters(pairs).collect()
+    )
+    assert labels == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_dup_clusters_iteration_cap_converges_early(spark):
+    # a triangle converges in one round regardless of the cap
+    pairs = _pairs(spark, [(1, 2), (2, 3), (1, 3)])
+    got = dedup.dup_clusters(pairs, max_iters=2).collect()
+    assert {r.cluster_id for r in got} == {1}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    shared = "alpha beta gamma delta"
+    docs = _docs(
+        spark,
+        [
+            (50, f"{shared} eval doc here", "en", "s", 1),  # eval (50 % 50 == 0)
+            (1, f"prefix {shared} suffix words", "en", "s", 1),  # contaminated
+            (2, "completely different content entirely unrelated", "en", "s", 1),
+            (100, "another eval document with other text", "en", "s", 1),  # eval
+        ],
+    )
+    got = {r.doc_id: r.n_shared for r in dedup.decontaminate(docs).collect()}
+    assert 1 in got and got[1] >= 1  # shares trigrams from the eval doc
+    assert 2 not in got  # clean doc not flagged
+    assert 50 not in got and 100 not in got  # eval docs never flagged
+
+
+def test_stratified_sample_deterministic_and_stratum_scoped(spark):
+    docs = _docs(
+        spark,
+        [(i, "t", "en" if i % 2 == 0 else "de", "s", 1) for i in range(200)],
+    )
+    rates = {"en": 0.5}  # de has no rate -> dropped entirely
+    a = sorted(r.doc_id for r in sampling.stratified_sample(docs, rates).collect())
+    b = sorted(r.doc_id for r in sampling.stratified_sample(docs, rates).collect())
+    assert a == b  # rerun-stable
+    assert all(d % 2 == 0 for d in a)  # only the configured stratum
+    assert 0 < len(a) < 100  # a real subsample, not all/none
+    # a different salt selects a different subset (same size regime)
+    c = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(docs, rates, salt="other").collect()
+    )
+    assert c != a
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    small = _docs(spark, [(i, "t", "en", "s", 1) for i in range(100)])
+    big = _docs(spark, [(i, "t", "en", "s", 1) for i in range(300)])
+    s_small = {r.doc_id: r.split for r in sampling.hash_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in sampling.hash_split(big).collect()}
+    # the property randomSplit can't give: growing the corpus never
+    # reassigns an existing doc's split
+    assert all(s_big[d] == s for d, s in s_small.items())
+    assert set(s_big.values()) == {"train", "val", "test"}
+    # rough proportions at n=300 (train weight 0.9)
+    n_train = sum(1 for s in s_big.values() if s == "train")
+    assert n_train > 240
+
+
+def test_hash_split_covers_every_doc_exactly_once(spark):
+    docs = _docs(spark, [(i, "t", "en", "s", 1) for i in range(50)])
+    out = sampling.hash_split(docs)
+    assert out.count() == 50
+    assert out.select("doc_id").distinct().count() == 50
+
+
+def test_split_bounds_partition_the_bucket_space():
+    bounds = sampling.split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds[0] == ("train", 8000)
+    assert bounds[-1][1] == sampling.SAMPLE_BUCKETS  # exhaustive
+    assert [b for _, b in bounds] == sorted(b for _, b in bounds)

@@ -108,3 +108,30 @@ def test_bm25_joins_stay_sane(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_bm25")
     assert _nodes(p, "BroadcastNestedLoopJoin") == 1
     assert "EvalPython" not in p
+
+
+def test_hash_split_is_pure_map(spark, sf_dir):
+    """Split assignment must be a pure map over the scan: no shuffle,
+    no broadcast, no Python — one hash + one CASE per row."""
+    p = plan_of(spark, sf_dir, "q_hash_split")
+    assert _nodes(p, "Exchange") == 0
+    assert "BroadcastExchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_stratified_sample_no_corpus_shuffle(spark, sf_dir):
+    """The rates dim must broadcast; the corpus side never shuffles
+    (zero shuffle Exchange nodes — BroadcastExchange is allowed)."""
+    p = plan_of(spark, sf_dir, "q_stratified_sample")
+    assert _nodes(p, "Exchange") == 0
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The (tiny) eval-shingle set is the broadcast side — the
+    corpus-side scan joins map-side, no shuffled join of the corpus."""
+    p = plan_of(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
