@@ -852,7 +852,42 @@ class Index:
         cand = cand_ids.join(
             self._docs().filter(F.col("tenant") == tenant), "doc_id"
         ).select("doc_id", codes_c, res_c, nt_c)
+        decoded = self._decoded_token_rows(field, cand)
+        q_df = self.spark.createDataFrame(
+            [(j, [float(x) for x in Q[j]]) for j in range(len(Q))],
+            "q_id long, qvec array<double>",
+        )
+        topk = _scoring.xtr_topk(
+            decoded, q_df, k=k, nearest_tokens_to_fetch=opts.nearest_tokens_to_fetch
+        )
+        # same return contract as search(): (doc_id, score, <stored>)
+        stored = [
+            f.name for f in self.schema.scalar_fields() if f.has_role(FieldType.STORED)
+        ]
+        if not stored:
+            return topk
+        return (
+            topk.join(
+                self._docs()
+                .filter(F.col("tenant") == tenant)
+                .select("doc_id", *stored),
+                "doc_id",
+            )
+            .select("doc_id", "score", *stored)
+            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        )
 
+    def _decoded_token_rows(self, field: str, cand: DataFrame) -> DataFrame:
+        """Decode candidate docs' quantized tokens into normalized
+        per-token rows (doc_id, token_idx, vec) — ONE Arrow-batched
+        mapInPandas; everything downstream stays declarative. ``cand``
+        must carry (doc_id, <field>__codes, __residuals,
+        __num_tokens)."""
+        codes_c, res_c, nt_c = (
+            f"{field}__codes",
+            f"{field}__residuals",
+            f"{field}__num_tokens",
+        )
         quant = self.quantizers[field]
         bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
 
@@ -876,31 +911,80 @@ class Index:
                     {"doc_id": ids, "token_idx": idxs, "vec": vecs}
                 )
 
-        decoded = cand.mapInPandas(
+        return cand.mapInPandas(
             decode_tokens, "doc_id long, token_idx long, vec array<double>"
         )
-        q_df = self.spark.createDataFrame(
-            [(j, [float(x) for x in Q[j]]) for j in range(len(Q))],
-            "q_id long, qvec array<double>",
+
+    def search_batch_xtr(
+        self,
+        tenant: int,
+        field: str,
+        queries: dict[int, np.ndarray],
+        k: int = 10,
+        opts: SearchOptions | None = None,
+        doc_filter=None,
+    ) -> DataFrame:
+        """Batched XTR over the real index: per-qid IVF probes select
+        each query's retrieval pool, every candidate doc's tokens are
+        decoded ONCE (distinct-doc decode, then fanned back out to the
+        qids probing it), and scoring runs as the single declarative
+        ``scoring.batch_xtr_topk`` plan. Same (qid, doc_id, rank,
+        score, <stored>) contract as the PLAID batch cascade."""
+        from lintdb_spark.operators import scoring as _scoring
+
+        opts = opts or SearchOptions()
+        qmats = {int(qid): np.asarray(q, dtype=np.float32) for qid, q in queries.items()}
+        codes_c, res_c, nt_c = (
+            f"{field}__codes",
+            f"{field}__residuals",
+            f"{field}__num_tokens",
         )
-        topk = _scoring.xtr_topk(
-            decoded, q_df, k=k, nearest_tokens_to_fetch=opts.nearest_tokens_to_fetch
+        probe_rows = [
+            (qid, c)
+            for qid, q in qmats.items()
+            for c in self._top_centroids(field, q, opts)
+        ]
+        probes_df = self.spark.createDataFrame(
+            pd.DataFrame(probe_rows, columns=["qid", "centroid_id"]).astype("int64"),
+            "qid long, centroid_id long",
         )
-        # same return contract as search(): (doc_id, score, <stored>)
+        cand_ids = (
+            self._postings(field)
+            .filter(F.col("tenant") == tenant)
+            .join(F.broadcast(probes_df), "centroid_id")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+        docs = self._docs().filter(F.col("tenant") == tenant)
+        if doc_filter is not None:
+            docs = docs.join(
+                self._filter_doc_ids(tenant, doc_filter), "doc_id", "left_semi"
+            )
+        uniq = cand_ids.select("doc_id").distinct().join(
+            docs.select("doc_id", codes_c, res_c, nt_c), "doc_id"
+        )
+        cand_tokens = self._decoded_token_rows(field, uniq).join(cand_ids, "doc_id")
+        queries_df = self.spark.createDataFrame(
+            [
+                (qid, j, [float(x) for x in q[j]])
+                for qid, q in qmats.items()
+                for j in range(len(q))
+            ],
+            "qid long, q_id long, qvec array<double>",
+        )
+        topk = _scoring.batch_xtr_topk(
+            cand_tokens,
+            queries_df,
+            k=k,
+            nearest_tokens_to_fetch=opts.nearest_tokens_to_fetch,
+        )
         stored = [
             f.name for f in self.schema.scalar_fields() if f.has_role(FieldType.STORED)
         ]
         if not stored:
             return topk
-        return (
-            topk.join(
-                self._docs()
-                .filter(F.col("tenant") == tenant)
-                .select("doc_id", *stored),
-                "doc_id",
-            )
-            .select("doc_id", "score", *stored)
-            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        return topk.join(docs.select("doc_id", *stored), "doc_id").select(
+            "qid", "doc_id", "rank", "score", *stored
         )
 
     def _filter_doc_ids(self, tenant: int, node) -> DataFrame:
@@ -976,13 +1060,12 @@ class Index:
         joins residual-bearing rows for survivors alone — same
         semantics, shuffle-lean."""
         opts = opts or SearchOptions()
-        if opts.scoring_method != "plaid":
-            # don't silently fall back: a caller who got XTR from
-            # search() must not get plaid here without noticing
-            raise NotImplementedError(
-                f"search_batch supports scoring_method='plaid' only "
-                f"(got {opts.scoring_method!r}); loop search_xtr for batch XTR"
+        if opts.scoring_method == "xtr":
+            return self.search_batch_xtr(
+                tenant, field, queries, k=k, opts=opts, doc_filter=doc_filter
             )
+        if opts.scoring_method != "plaid":
+            raise ValueError(f"unknown scoring_method: {opts.scoring_method!r}")
         qmats = {int(qid): np.asarray(q, dtype=np.float32) for qid, q in queries.items()}
         quant = self.quantizers[field]
         codes_c, res_c, nt_c = (

@@ -287,3 +287,58 @@ def xtr_topk(
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def batch_xtr_topk(
+    cand_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int | None = None,
+    nearest_tokens_to_fetch: int | None = None,
+) -> DataFrame:
+    """Batched XTR: ``xtr_topk`` with qid joined into every key — N
+    queries' token retrieval, imputation, and top-k run as ONE plan.
+
+    ``cand_tokens`` is (qid, doc_id, token_idx, vec) — each query's
+    retrieval pool, already restricted per qid (the caller decodes a
+    doc's tokens ONCE and fans them out to the qids probing it);
+    ``query_tokens`` is (qid, q_id, qvec). Returns (qid, doc_id, rank,
+    score), the same contract as the batched PLAID cascade.
+
+    Scale shape: identical to xtr_topk per qid — the per-(qid,q_token)
+    top-k' window bounds candidates at k' x |q_tokens| per query;
+    the only batch-wide structures are the broadcast query matrix and
+    one persisted retrieval set of |qids| x |q_tokens| x k' rows.
+    """
+    from pyspark.sql import Window
+
+    k = k or params.K
+    kp = nearest_tokens_to_fetch or params.XTR_NEAREST_TOKENS
+    sims = cand_tokens.join(F.broadcast(query_tokens), "qid").select(
+        "qid", "doc_id", "token_idx", "q_id", dot_product("vec", "qvec").alias("sim")
+    )
+    w = Window.partitionBy("qid", "q_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("doc_id").asc(), F.col("token_idx").asc()
+    )
+    retr = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kp)
+        .persist()
+    )
+    bounds = retr.groupBy("qid", "q_id").agg(F.min("sim").alias("m"))
+    per_doc_q = retr.groupBy("qid", "doc_id", "q_id").agg(F.max("sim").alias("best"))
+    cand = retr.select("qid", "doc_id").distinct()
+    scored = (
+        cand.join(F.broadcast(bounds), "qid")
+        .join(per_doc_q, ["qid", "doc_id", "q_id"], "left")
+        .select("qid", "doc_id", F.coalesce("best", "m").alias("s"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("s"), params.ROUND).alias("score"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score")
+    )

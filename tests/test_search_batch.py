@@ -227,3 +227,52 @@ def test_search_routes_xtr_scoring_method(spark, tmp_path):
     ]
     with pytest.raises(NotImplementedError, match="bare VectorQuery"):
         idx.search(0, TermQuery("category", "even"), k=5, opts=opts)
+
+
+def test_search_batch_xtr_matches_per_query(spark, tmp_path):
+    """scoring_method='xtr' through search_batch: every qid's ranking
+    equals the single-query search_xtr on the same index."""
+    from lintdb_spark.index import Index, SearchOptions
+    from tests.test_index_lifecycle import doc_tokens, make_docs, make_schema
+
+    idx = Index.create(spark, str(tmp_path / "bx"), make_schema("none"))
+    docs = make_docs(spark, range(14))
+    idx.train(docs)
+    idx.add(docs)
+    queries = {7: doc_tokens(2), 8: doc_tokens(11), 9: doc_tokens(5)}
+    opts = SearchOptions(
+        n_probe=100, k_top_centroids=100, nearest_tokens_to_fetch=12,
+        centroid_score_threshold=0.0, scoring_method="xtr",
+    )
+    batch = idx.search_batch(0, "colbert", queries, k=5, opts=opts).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert set(by_qid) == set(queries)
+    for qid, q in queries.items():
+        single = idx.search_xtr(0, "colbert", q, k=5, opts=opts).collect()
+        got = sorted(by_qid[qid], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single]
+        for g, s in zip(got, single):
+            assert abs(g["score"] - s["score"]) < 1e-9
+            assert g["title"] == s["title"]
+
+
+def test_search_batch_xtr_respects_doc_filter(spark, tmp_path):
+    from lintdb_spark.index import Index, SearchOptions, TermQuery
+    from tests.test_index_lifecycle import doc_tokens, make_docs, make_schema
+
+    idx = Index.create(spark, str(tmp_path / "bxf"), make_schema("none"))
+    docs = make_docs(spark, range(14))
+    idx.train(docs)
+    idx.add(docs)
+    opts = SearchOptions(
+        n_probe=100, k_top_centroids=100, nearest_tokens_to_fetch=12,
+        centroid_score_threshold=0.0, scoring_method="xtr",
+    )
+    res = idx.search_batch(
+        0, "colbert", {1: doc_tokens(4), 2: doc_tokens(7)}, k=5, opts=opts,
+        doc_filter=TermQuery("category", "odd"),
+    ).collect()
+    assert len(res) > 0
+    assert all(r["doc_id"] % 2 == 1 for r in res)
