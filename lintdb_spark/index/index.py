@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lintdb_spark.cache import tag_cached
 from lintdb_spark.index import coarse
 from lintdb_spark.index.query import (
     AndQuery,
@@ -478,21 +479,42 @@ class Index:
 
         ``min_age_s`` guards the one race vacuum has: a CONCURRENT
         add() that has staged segments but not yet flipped the meta
-        would look like an orphan — so only dirs untouched for
-        min_age_s are collected (an in-flight add touches its staging
-        dirs within seconds). Pass 0 only when no writer can be
-        active."""
+        would look like an orphan — so only dirs whose ENTIRE TREE is
+        untouched for min_age_s are collected. The age is the newest
+        mtime anywhere under the dir, not the dir's own mtime: a Spark
+        parquet job writes under seg-X/_temporary/ for its whole
+        duration and only bumps leaf mtimes, so a staged write longer
+        than min_age_s would look stale by root mtime alone. Any path
+        that vanishes mid-scan (a racing writer committed or a racing
+        vacuum won) is treated as just-touched, never as old. Pass 0
+        only when no writer can be active."""
         import shutil
         import time as _time
 
         now = _time.time()
+
+        def _tree_age(p: str) -> float:
+            try:
+                newest = os.path.getmtime(p)
+                for walk_root, dirs, files in os.walk(p):
+                    for name in dirs + files:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(walk_root, name))
+                        )
+            except FileNotFoundError:
+                return 0.0  # racing writer/remover: not an orphan
+            return now - newest
+
         removed: list[str] = []
         for child in os.listdir(self.path):
             if child.startswith("_meta.json.tmp-"):
                 full = os.path.join(self.path, child)
-                if now - os.path.getmtime(full) >= min_age_s:
-                    os.unlink(full)
-                    removed.append(child)
+                try:
+                    if now - os.path.getmtime(full) >= min_age_s:
+                        os.unlink(full)
+                        removed.append(child)
+                except FileNotFoundError:
+                    continue  # a concurrent _save_meta just renamed it
         tables = (
             ["docs"]
             + [f"postings/{f.name}" for f in self.schema.colbert_fields()]
@@ -508,9 +530,9 @@ class Index:
                 if (
                     child not in live
                     and os.path.isdir(full)
-                    and now - os.path.getmtime(full) >= min_age_s
+                    and _tree_age(full) >= min_age_s
                 ):
-                    shutil.rmtree(full)
+                    shutil.rmtree(full, ignore_errors=True)
                     removed.append(f"{table}/{child}")
         return removed
 
@@ -866,7 +888,7 @@ class Index:
         ]
         if not stored:
             return topk
-        return (
+        return tag_cached(
             topk.join(
                 self._docs()
                 .filter(F.col("tenant") == tenant)
@@ -874,7 +896,8 @@ class Index:
                 "doc_id",
             )
             .select("doc_id", "score", *stored)
-            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+            .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()),
+            topk,
         )
 
     def _decoded_token_rows(self, field: str, cand: DataFrame) -> DataFrame:
@@ -964,12 +987,17 @@ class Index:
             docs.select("doc_id", codes_c, res_c, nt_c), "doc_id"
         )
         cand_tokens = self._decoded_token_rows(field, uniq).join(cand_ids, "doc_id")
+        # pandas -> Arrow fast path (the tuple-list route serializes
+        # row-by-row via py4j: ~4M floats per 1000-query batch)
         queries_df = self.spark.createDataFrame(
-            [
-                (qid, j, [float(x) for x in q[j]])
-                for qid, q in qmats.items()
-                for j in range(len(q))
-            ],
+            pd.DataFrame(
+                [
+                    (qid, j, q[j].astype(np.float64))
+                    for qid, q in qmats.items()
+                    for j in range(len(q))
+                ],
+                columns=["qid", "q_id", "qvec"],
+            ),
             "qid long, q_id long, qvec array<double>",
         )
         topk = _scoring.batch_xtr_topk(
@@ -983,8 +1011,11 @@ class Index:
         ]
         if not stored:
             return topk
-        return topk.join(docs.select("doc_id", *stored), "doc_id").select(
-            "qid", "doc_id", "rank", "score", *stored
+        return tag_cached(
+            topk.join(docs.select("doc_id", *stored), "doc_id").select(
+                "qid", "doc_id", "rank", "score", *stored
+            ),
+            topk,
         )
 
     def _filter_doc_ids(self, tenant: int, node) -> DataFrame:
@@ -1207,8 +1238,11 @@ class Index:
         ]
         if not stored:
             return topk
-        return topk.join(docs.select("doc_id", *stored), "doc_id").select(
-            "qid", "doc_id", "rank", "score", *stored
+        return tag_cached(
+            topk.join(docs.select("doc_id", *stored), "doc_id").select(
+                "qid", "doc_id", "rank", "score", *stored
+            ),
+            topk,
         )
 
     def _with_metadata(self, scored: DataFrame, k: int) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lintdb_spark import params
+from lintdb_spark.cache import tag_cached
 from lintdb_spark.functions.text import hash32, word_trigrams, words
 from lintdb_spark.functions.vector import dot_product
 
@@ -341,7 +342,7 @@ def embedding_lsh_neardup(
     norm = embeddings.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("nv")
     )
-    return (
+    return tag_cached(
         cand.join(
             norm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("va")),
             "vec_a",
@@ -355,7 +356,8 @@ def embedding_lsh_neardup(
             "vec_b",
             F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= threshold),
+        buckets,
     )
 
 
@@ -378,15 +380,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     rounds at O(log^2 n) — same per-round plan shape, not needed for
     near-dup workloads. ``localCheckpoint`` truncates lineage each
     round so the plan doesn't grow with iterations; convergence is
-    detected by the (monotonically decreasing) label sum reaching a
-    fixed point — one scalar aggregate per round, no data collected.
+    detected by COUNTING changed labels per round (a sum of 64-bit
+    labels would overflow BIGINT for hash-derived ids — ANSI
+    ArithmeticException, or a silent false fixed point with ANSI off),
+    one scalar aggregate over already-checkpointed rows, no data
+    collected. If max_iters is exhausted before the fixed point
+    (adversarially long chains), a warning is raised rather than
+    silently returning split components.
     """
+    import warnings
+
     fwd = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
     edges = fwd.unionByName(
         fwd.select(F.col("u").alias("v"), F.col("v").alias("u"))
     ).persist()
     labels = edges.select("v").distinct().withColumn("lbl", F.col("v"))
-    prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, "v")
@@ -394,18 +403,30 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("u", "v")
         )
-        labels = (
+        stepped = (
             labels.join(nbr_min, "v", "left")
             .select(
-                "v", F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl")
+                "v",
+                F.col("lbl").alias("prev"),
+                F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:  # labels only decrease -> fixed point
+        n_changed = stepped.filter(F.col("lbl") != F.col("prev")).count()
+        labels = stepped.select("v", "lbl")
+        if n_changed == 0:  # labels only decrease -> fixed point
+            converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"dup_clusters: label propagation did not converge within "
+            f"max_iters={max_iters}; some connected components may be "
+            f"split across cluster_ids. Raise max_iters (rounds needed "
+            f"= graph diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
     )
@@ -422,17 +443,27 @@ def decontaminate(
     shared shingles per contaminated training doc.
 
     Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
-    the distinct eval-shingle set is BROADCAST — the corpus-side scan
-    never shuffles; contaminated docs are the only rows that reach the
-    final aggregate. (If the eval side ever outgrew broadcast, the
-    same plan degrades gracefully to a shuffled semi-join.)"""
-    sh = doc_shingles(documents)
+    eval docs are FILTERED FIRST and only they pass through
+    doc_shingles' repartition + distinct; their shingle set is
+    BROADCAST. The corpus side is a pure narrow
+    scan -> explode -> broadcast-join -> partial aggregate — no
+    corpus-wide shuffle at all (it skips doc_shingles' distinct
+    because count_distinct in the final aggregate dedups per doc, and
+    only contaminated rows ever reach that aggregate). If the eval
+    side ever outgrew broadcast, the same plan degrades gracefully to
+    a shuffled semi-join."""
     eval_sh = (
-        sh.filter(F.col("doc_id") % eval_mod == 0).select("shingle").distinct()
+        doc_shingles(documents.filter(F.col("doc_id") % eval_mod == 0))
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = (
+        documents.filter(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id", words("text").alias("w"))
+        .select("doc_id", F.explode(word_trigrams(F.col("w"))).alias("shingle"))
     )
     return (
-        sh.filter(F.col("doc_id") % eval_mod != 0)
-        .join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").cast("bigint").alias("n_shared"))
     )

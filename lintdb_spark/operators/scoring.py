@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lintdb_spark import params
+from lintdb_spark.cache import tag_cached
 from lintdb_spark.functions.vector import dot_product
 
 
@@ -112,11 +113,12 @@ def two_phase_topk(
         .select("doc_id")
     )
     stage2 = maxsim_scores(doc_tokens.join(F.broadcast(survivors), "doc_id"), query_tokens)
-    return (
+    out = (
         stage2.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
     )
+    return tag_cached(out, token_assign)
 
 
 def batch_two_phase_topk(
@@ -218,7 +220,7 @@ def batch_two_phase_topk(
         .groupBy("qid", "doc_id")
         .agg(F.sum("best").alias("score"))
     )
-    return (
+    out = (
         stage2.withColumn("rank", F.row_number().over(w_cut))
         .filter(F.col("rank") <= k)
         .select(
@@ -228,6 +230,7 @@ def batch_two_phase_topk(
             F.round(F.col("score"), params.ROUND).alias("score"),
         )
     )
+    return tag_cached(out, token_assign)
 
 
 def xtr_topk(
@@ -278,7 +281,7 @@ def xtr_topk(
     bounds = retr.groupBy("q_id").agg(F.min("sim").alias("m"))
     per_doc_q = retr.groupBy("doc_id", "q_id").agg(F.max("sim").alias("best"))
     cand = retr.select("doc_id").distinct()
-    return (
+    out = (
         cand.crossJoin(F.broadcast(bounds))
         .join(per_doc_q, ["doc_id", "q_id"], "left")
         .select("doc_id", F.coalesce("best", "m").alias("s"))
@@ -287,6 +290,7 @@ def xtr_topk(
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         .limit(k)
     )
+    return tag_cached(out, retr)
 
 
 def batch_xtr_topk(
@@ -337,8 +341,9 @@ def batch_xtr_topk(
     w_rank = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score")
     )
+    return tag_cached(out, retr)

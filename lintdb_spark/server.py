@@ -136,7 +136,15 @@ class IndexServer:
         raw = {**(payload.get("options") or {}), **(payload.get("search_options") or {})}
         known = {f.name for f in dataclasses.fields(SearchOptions)}
         opts = SearchOptions(**{k_: v for k_, v in raw.items() if k_ in known})
-        rows = self.index.search(tenant, query, k=k, opts=opts).collect()
+        # materialize, then free any operator-persisted intermediates
+        # (XTR's retrieval set, the cascade's token assignment) — a
+        # long-lived server would otherwise accumulate one CacheManager
+        # entry per request (see lintdb_spark/cache.py).
+        from lintdb_spark.cache import release
+
+        df = self.index.search(tenant, query, k=k, opts=opts)
+        rows = df.collect()
+        release(df)
         stored = {"doc_id", "score"}
         return {
             "results": [

@@ -339,3 +339,40 @@ def test_unknown_field_raises(spark, tmp_path):
     docs = make_docs(spark, range(3)).withColumnRenamed("category", "wrong_name")
     with pytest.raises(ValueError, match="ingest schema mismatch"):
         idx._validate_ingest(docs)
+
+
+def test_vacuum_spares_inflight_staged_write(spark, tmp_path):
+    """A staged segment whose ROOT mtime is old but whose tree holds a
+    recent touch must survive vacuum: Spark parquet jobs write under
+    seg-X/_temporary/ for their whole duration and only bump LEAF
+    mtimes, so the age guard must use the newest mtime in the tree."""
+    import os
+    import time
+
+    idx = Index.create(spark, str(tmp_path / "vacstage"), make_schema("none"))
+    docs = make_docs(spark, range(4))
+    idx.train(docs)
+    idx.add(docs)
+
+    seg = os.path.join(idx.path, "docs", "seg-inflight")
+    tmp = os.path.join(seg, "_temporary")
+    os.makedirs(tmp)
+    leaf = os.path.join(tmp, "part-00000")
+    with open(leaf, "w") as f:
+        f.write("x")
+    old = time.time() - 7200
+    os.utime(seg, (old, old))  # root LOOKS stale; leaf is fresh
+
+    removed = idx.vacuum(min_age_s=3600)
+    assert not any("seg-inflight" in r for r in removed)
+    assert os.path.isdir(seg)
+
+    # once the whole tree is genuinely old, it IS an orphan
+    for walk_root, dirs, files in os.walk(seg):
+        for n in dirs + files:
+            os.utime(os.path.join(walk_root, n), (old, old))
+    os.utime(seg, (old, old))
+    os.utime(tmp, (old, old))
+    removed = idx.vacuum(min_age_s=3600)
+    assert any("seg-inflight" in r for r in removed)
+    assert not os.path.isdir(seg)

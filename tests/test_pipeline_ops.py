@@ -109,3 +109,49 @@ def test_split_bounds_partition_the_bucket_space():
     assert bounds[0] == ("train", 8000)
     assert bounds[-1][1] == sampling.SAMPLE_BUCKETS  # exhaustive
     assert [b for _, b in bounds] == sorted(b for _, b in bounds)
+
+
+def test_dup_clusters_60bit_ids_no_overflow(spark):
+    # hash-derived 60-bit doc ids (the repo's hash60 idiom): 20 such
+    # labels SUM past 2^63, so a label-sum convergence check would
+    # throw under ANSI mode (or wrap silently with ANSI off) — the
+    # changed-count check must converge and cluster correctly
+    base = 1 << 60
+    edges = [(base + i, base + i + 1) for i in range(0, 20, 2)]
+    labels = dict(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dup_clusters(_pairs(spark, edges)).collect()
+    )
+    assert len(labels) == 20
+    for a, b in edges:
+        assert labels[a] == labels[b] == a
+
+
+def test_dup_clusters_warns_when_unconverged(spark):
+    import pytest
+
+    # diameter-5 chain can't converge in one round; partial labels must
+    # not be returned silently
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iters=1)
+
+
+def test_release_unpersists_tagged_intermediates(spark):
+    from lintdb_spark import cache
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2), 0.5]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_lsh_neardup(
+        emb, threshold=0.0, num_planes=6, bands=2, dim=4
+    )
+    out.collect()
+    deps = getattr(out, "_lintdb_cached", ())
+    assert deps, "builder must tag its persisted intermediates"
+    assert any(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
+    cache.release(out)
+    assert all(
+        not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps
+    )

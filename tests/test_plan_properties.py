@@ -131,7 +131,16 @@ def test_stratified_sample_no_corpus_shuffle(spark, sf_dir):
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     """The (tiny) eval-shingle set is the broadcast side — the
     corpus-side scan joins map-side, no shuffled join of the corpus."""
+    import re
+
     p = plan_of(spark, sf_dir, "q_decontaminate")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+    # the corpus branch must stay narrow all the way to the broadcast
+    # join: the only shuffles are the eval side's repartition+distinct
+    # and the post-join count_distinct pair (whose input is
+    # contaminated rows only). A corpus-side repartition or distinct
+    # would add exchanges here.
+    nodes = re.findall(r"^\(\d+\) (\S+)", p, re.M)
+    assert sum(1 for n in nodes if n == "Exchange") <= 4
