@@ -74,6 +74,8 @@ HEADLINE = [
     "q_decontaminate",
     "q_stratified_sample",
     "q_hash_split",
+    "q_media_features",
+    "q_media_frames",
 ]
 
 

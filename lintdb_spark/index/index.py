@@ -789,10 +789,14 @@ class Index:
         score, <stored fields>) ordered by score desc, doc_id asc.
 
         If the tree contains vector nodes, stage-1 scores feed the
-        num_second_pass cut and stage-2 reranks by exact MaxSim of the
-        first vector node (the reference wires a single ColBERTScorer
-        per query — index.cpp:390); otherwise the stage-1 boolean score
-        is final."""
+        num_second_pass cut and stage-2 reranks by the SUM of exact
+        MaxSim over EVERY vector node — consistent with the tree's
+        stage-1 SUM combination (NaryScoringMethod,
+        scoring_methods.cpp:60-97). With one vector node (the only
+        shape the reference can express — it wires a single
+        ColBERTScorer per query, index.cpp:390) this is exact parity;
+        multi-vector trees extend the same semantics. Trees without
+        vector nodes keep the stage-1 boolean score as final."""
         opts = opts or SearchOptions()
         if opts.scoring_method == "xtr":
             if not isinstance(query, VectorQuery):
@@ -817,15 +821,24 @@ class Index:
             .limit(opts.num_second_pass)
             .join(docs, "doc_id")
         )
-        vec = vecs[0]
-        maxsim = self._maxsim_udf(vec.field, np.asarray(vec.query_tokens, dtype=np.float32))
-        out = survivors.withColumn(
-            "score",
-            maxsim(
-                F.col(f"{vec.field}__codes"),
-                F.col(f"{vec.field}__residuals"),
-                F.col(f"{vec.field}__num_tokens"),
-            ),
+        out = survivors
+        for i, vec in enumerate(vecs):
+            maxsim = self._maxsim_udf(
+                vec.field, np.asarray(vec.query_tokens, dtype=np.float32)
+            )
+            out = out.withColumn(
+                f"_ms{i}",
+                maxsim(
+                    F.col(f"{vec.field}__codes"),
+                    F.col(f"{vec.field}__residuals"),
+                    F.col(f"{vec.field}__num_tokens"),
+                ),
+            )
+        total = F.col("_ms0")
+        for i in range(1, len(vecs)):
+            total = total + F.col(f"_ms{i}")
+        out = out.withColumn("score", total).drop(
+            *[f"_ms{i}" for i in range(len(vecs))]
         )
         return self._with_metadata(out, k)
 

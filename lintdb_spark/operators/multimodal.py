@@ -54,16 +54,31 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes, out_len: int) -> np.ndarray:
-    """Deterministic stand-in for a codec: expand md5(payload) into
-    out_len pseudo-samples in [0, 1). Stable across runs/engines."""
-    h = hashlib.md5(payload).digest()
-    n_rep = -(-out_len // len(h))
-    buf = np.frombuffer(
-        b"".join(hashlib.md5(h + i.to_bytes(4, "big")).digest() for i in range(n_rep)),
-        dtype=np.uint8,
-    )[:out_len]
-    return buf.astype(np.float32) / 255.0
+def _fake_decode(
+    payload: bytes, out_len: int, frame_idx: int | None = None
+) -> np.ndarray:
+    """Deterministic stand-in for a codec: expand an md5 HEX-STRING
+    chain over the payload into out_len pseudo-samples in [0, 1).
+    Stable across runs AND engines — the chain works in the hex-string
+    domain (never raw digest bytes) precisely so an ANSI-SQL oracle
+    can replicate it (``md5()`` in DuckDB/most engines is
+    VARCHAR-only), which puts the multimodal plumbing under the same
+    value-hash correctness gate as every other operator
+    (queries.q_media_features). float64 math so SQL DOUBLE
+    accumulation matches bit-for-bit before the float32 feature cast.
+
+    sample j = byte at hex position 2j of
+    md5(d0 '-' j//16), d0 = md5(payload) [md5(d0 '/' frame) for
+    frames], / 255."""
+    d0 = hashlib.md5(payload).hexdigest()
+    if frame_idx is not None:
+        d0 = hashlib.md5(f"{d0}/{frame_idx}".encode()).hexdigest()
+    n_rep = -(-out_len // 16)  # 16 bytes (32 hex chars) per digest
+    hexstr = "".join(
+        hashlib.md5(f"{d0}-{i}".encode()).hexdigest() for i in range(n_rep)
+    )
+    buf = np.frombuffer(bytes.fromhex(hexstr[: 2 * out_len]), dtype=np.uint8)
+    return buf.astype(np.float64) / 255.0
 
 
 def _real_decode(
@@ -100,9 +115,7 @@ def _decoder_fn(decoder):
     if callable(decoder):
         return decoder
     if decoder == "fake":
-        return lambda p, mt, n, fi=None: _fake_decode(
-            p if fi is None else p + int(fi).to_bytes(4, "big"), n
-        )
+        return lambda p, mt, n, fi=None: _fake_decode(p, n, fi)
     if decoder == "real":
         return _real_decode
     raise ValueError("decoder must be 'fake', 'real', or a callable")
@@ -169,3 +182,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder="fake") -> Dat
             yield pd.DataFrame(rows)
 
     return media.filter(media.media_type == "video").mapInPandas(run, schema=out_schema)
+
+
+def media_table(documents: "DataFrame") -> DataFrame:
+    """Deterministic media derivation over the driver's ``documents``
+    table (the container ships no real image/audio fixtures): payload
+    is the document text's UTF-8 bytes, media_type cycles
+    image/audio/video by doc_id, and the typed metadata derives from
+    doc_id. The SAME derivation exists as a SQL CTE in the q_media_*
+    oracles, so the whole multimodal pipeline — binary column, typed
+    metadata, mapInPandas decode, feature extraction, frame fan-out —
+    is value-hash-checked end to end, not just shape-tested."""
+    from pyspark.sql import functions as F
+
+    base = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    is_img = F.col("media_type") == "image"
+    return base.select(
+        "media_id",
+        "media_type",
+        "payload",
+        F.when(is_img, (64 + F.col("media_id") % 32).cast("int")).alias("width"),
+        F.when(is_img, (48 + F.col("media_id") % 24).cast("int")).alias("height"),
+        F.when(~is_img, (500 + (F.col("media_id") % 7) * 700).cast("int")).alias(
+            "duration_ms"
+        ),
+    )

@@ -290,6 +290,47 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rolling_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode -> feature extraction under the VALUE-hash
+    correctness gate: the deterministic fake codec is an md5 hex-string
+    chain (multimodal._fake_decode) that DuckDB replicates exactly, so
+    the mapInPandas plumbing (binary payload column, Arrow batching,
+    mean/std pooling) is checked on feature VALUES, not just shapes.
+    Both sides emit float32-cast-to-double -> exact equality."""
+    from lintdb_spark.operators import multimodal
+
+    media = multimodal.media_table(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)  # the designated UDF seam
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "val"),
+    ).select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out contract (one row per sampled
+    frame, ts = idx * every_ms, count = max(duration//every, 1)) —
+    oracle-checked on the metadata; per-frame feature values flow
+    through the same _fake_decode chain as q_media_features."""
+    from lintdb_spark.operators import multimodal
+
+    media = multimodal.media_table(load_table(spark, sf_dir, "documents"))
+    fr = multimodal.sample_frames(media, every_ms=1000)
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
 def q_remove_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 DELETE semantics, declaratively: docs from source 'src5' are
     removed (anti-join), then a term query runs over the survivors.
@@ -1110,6 +1151,52 @@ FROM r WHERE rank <= 5
 """,
 })
 
+# Multimodal: DuckDB replica of multimodal._fake_decode's md5 hex-string
+# chain (sample j = hex byte 2*(j%16) of md5(md5(payload) '-' j//16),
+# /255) + mean/std pooling over 8 chunks of 128 samples. Feature values
+# are float32-cast on BOTH sides (CAST(.. AS REAL)) so the doubles
+# compared by the driver are bit-identical — no rounding involved.
+_MEDIA_CTE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text AS payload,
+         500 + (doc_id % 7) * 700 AS duration_ms
+  FROM documents
+)
+"""
+
+ORACLE.update({
+    "q_media_features": _MEDIA_CTE + """
+, samp AS (
+  SELECT media_id, media_type, n_bytes, j,
+    ((strpos('0123456789abcdef', substr(dig, (j % 16) * 2 + 1, 1)) - 1) * 16
+     + strpos('0123456789abcdef', substr(dig, (j % 16) * 2 + 2, 1)) - 1)
+    / 255.0 AS v
+  FROM (
+    SELECT media_id, media_type, octet_length(encode(payload)) AS n_bytes, j,
+           md5(md5(payload) || '-' || CAST(j // 16 AS VARCHAR)) AS dig
+    FROM media, unnest(range(1024)) AS t(j)
+  )
+),
+agg AS (
+  SELECT media_id, media_type, n_bytes, j // 128 AS c,
+         CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS mean_v,
+         CAST(CAST(stddev_pop(v) AS REAL) AS DOUBLE) AS std_v
+  FROM samp GROUP BY ALL
+)
+SELECT media_id, media_type, n_bytes, CAST(c AS BIGINT) AS dim_idx, mean_v AS val FROM agg
+UNION ALL
+SELECT media_id, media_type, n_bytes, CAST(c + 8 AS BIGINT) AS dim_idx, std_v AS val FROM agg
+""",
+    "q_media_frames": _MEDIA_CTE + """
+SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 1000 AS BIGINT) AS frame_ts_ms
+FROM media, unnest(range(greatest(duration_ms // 1000, 1))) AS t(f)
+WHERE media_type = 'video'
+""",
+})
+
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_text": q_term_text,
@@ -1160,4 +1247,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_remove_semantics": q_remove_semantics,
     "q_update_semantics": q_update_semantics,
     "q_merge_semantics": q_merge_semantics,
+    "q_media_features": q_media_features,
+    "q_media_frames": q_media_frames,
 }

@@ -64,3 +64,21 @@ def test_or_of_terms_dedup_and_sum(idx):
             assert d not in res
         else:
             assert res[d] == expect
+
+
+def test_or_two_vectors_sums_exact_maxsim(idx):
+    """Or(vec7, vec9): stage-2 sums exact MaxSim over BOTH vector
+    nodes (the tree's SUM combination carried through the rerank), so
+    each self-hit tops the ranking on its own node's contribution."""
+    q = OrQuery(
+        [
+            VectorQuery("colbert", doc_tokens(7)),
+            VectorQuery("colbert", doc_tokens(9)),
+        ]
+    )
+    res = idx.search(0, q, k=10, opts=OPTS).collect()
+    assert {res[0]["doc_id"], res[1]["doc_id"]} == {7, 9}
+    # summed rerank: every returned score reflects both nodes — the
+    # self-hits' totals strictly beat the rest
+    third = res[2]["score"] if len(res) > 2 else float("-inf")
+    assert min(res[0]["score"], res[1]["score"]) > third
