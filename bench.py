@@ -253,9 +253,28 @@ def main() -> None:
         .filter(F.col("rn") <= 10)
         .select("qid", "doc_id")
     )
+    g_exact_topk = g_exact_topk.persist()
     g_hits = g_approx.join(g_exact_topk, ["qid", "doc_id"]).count()
     success_golden = g_hits / (32 * 10)
     timings["golden_quality"] = round(time.time() - t0, 3)
+
+    # ---- BENCH-4c: XTR scoring quality on the same golden fixture
+    # (default nearest_tokens_to_fetch; exact-MaxSim top-10 as truth —
+    # gauges the missing-similarity imputation, not just hash parity) ----
+    from lintdb_spark.cache import release
+
+    t0 = time.time()
+    g_qids = g_queries.select("qid").distinct()
+    g_xtr = scoring.batch_xtr_topk(
+        g_dt.crossJoin(g_qids).select("qid", "doc_id", "token_idx", "vec"),
+        g_queries,
+        k=10,
+    )
+    gx_hits = g_xtr.join(g_exact_topk, ["qid", "doc_id"]).count()
+    success_golden_xtr = gx_hits / (32 * 10)
+    release(g_xtr)
+    g_exact_topk.unpersist()
+    timings["golden_quality_xtr"] = round(time.time() - t0, 3)
 
     # ---- IVF bucket build (the index half of q_ivf_knn, timed
     # separately: build once, serve probe-bounded queries) ----
@@ -317,6 +336,7 @@ def main() -> None:
                 "success_at_10_default_knobs": round(success_at_k, 4),
                 "success_at_10_high_recall": round(success_at_k_hr, 4),
                 "success_at_10_golden_default_knobs": round(success_golden, 4),
+                "success_at_10_golden_xtr": round(success_golden_xtr, 4),
                 "baseline": baseline,
                 "baseline_batch_qps": round(baseline_qps, 2),
                 "spark_headline_sum": spark_headline_sum,

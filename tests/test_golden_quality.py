@@ -56,3 +56,23 @@ def test_golden_fixture_deterministic(spark):
     dt2, _, q2 = golden_fixture(spark, n_docs=50, n_queries=4)
     assert dt1.collect() == dt2.collect()
     assert q1.collect() == q2.collect()
+
+
+def test_golden_xtr_success(spark):
+    """XTR at default nearest_tokens_to_fetch must rank the golden
+    corpus nearly as well as exact MaxSim — gauges the token-retrieval
+    + missing-similarity imputation, not just oracle hash parity."""
+    n_queries = 16
+    dt, _, queries = golden_fixture(spark, n_docs=600, n_queries=n_queries)
+    qids = queries.select("qid").distinct()
+    xtr = scoring.batch_xtr_topk(
+        dt.crossJoin(qids).select("qid", "doc_id", "token_idx", "vec"),
+        queries,
+        k=10,
+    )
+    hits = xtr.join(_exact_topk(queries, dt), ["qid", "doc_id"]).count()
+    success = hits / (n_queries * 10)
+    from lintdb_spark.cache import release
+
+    release(xtr)
+    assert success >= 0.8, f"golden XTR Success@10 {success} < 0.8"
