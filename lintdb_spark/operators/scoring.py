@@ -95,8 +95,12 @@ def two_phase_topk(
     # the assignment subtree feeds candidate generation AND stage-1
     # codes; without persisting, Catalyst plans it twice (no
     # ReusedExchange across the broadcast boundary) — measured 20
-    # parquet scans for one cascade at sf0.1
-    token_assign = token_assign.persist()
+    # parquet scans for one cascade at sf0.1. If the caller already
+    # cached it, it owns the entry (don't re-persist or release it).
+    lvl = token_assign.storageLevel
+    owns_ta = not (lvl.useMemory or lvl.useDisk)
+    if owns_ta:
+        token_assign = token_assign.persist()
 
     cand = (
         token_assign.join(F.broadcast(probes.select("centroid_id")), "centroid_id")
@@ -118,7 +122,7 @@ def two_phase_topk(
         .limit(k)
         .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
     )
-    return tag_cached(out, token_assign)
+    return tag_cached(out, token_assign) if owns_ta else out
 
 
 def batch_two_phase_topk(
@@ -151,9 +155,12 @@ def batch_two_phase_topk(
     n_probe = n_probe or params.N_PROBE
     k_top = k_top or params.K_TOP_CENTROIDS
 
-    # shared by candidates and stage-1 codes — persist (see
-    # two_phase_topk)
-    token_assign = token_assign.persist()
+    # shared by candidates and stage-1 codes — persist unless the
+    # caller already cached it (see two_phase_topk)
+    lvl = token_assign.storageLevel
+    owns_ta = not (lvl.useMemory or lvl.useDisk)
+    if owns_ta:
+        token_assign = token_assign.persist()
 
     # per-(query, centroid) score matrix — small, broadcast everywhere
     qc = (
@@ -230,7 +237,7 @@ def batch_two_phase_topk(
             F.round(F.col("score"), params.ROUND).alias("score"),
         )
     )
-    return tag_cached(out, token_assign)
+    return tag_cached(out, token_assign) if owns_ta else out
 
 
 def xtr_topk(
