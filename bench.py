@@ -76,6 +76,7 @@ HEADLINE = [
     "q_hash_split",
     "q_media_features",
     "q_media_frames",
+    "q_or_vector",
 ]
 
 

@@ -290,6 +290,46 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rolling_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_or_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+C2/D7 Or(vector, term) — the reference's OrIterator with a
+    vector child (QueryNode.cpp:15-121, DocIterator.cpp:237-322):
+    stage-1 = PLAID codes-only score over probed candidates UNION term
+    presence (1.0), SUM-combined per doc (scoring_methods.cpp:60-97);
+    top num_second_pass survive; stage-2 reranks survivors by exact
+    MaxSim — the same lifecycle Index.search runs on its stored tables,
+    here as the declarative/oracle-checked twin. Term-only docs outside
+    the probed lists still surface (the Or semantics), but rerank by
+    the vector node decides the final order."""
+    cents = model.centroids(spark, sf_dir)
+    dt = model.doc_tokens(spark, sf_dir)
+    qt = model.query_tokens(spark, sf_dir)
+    ta = ann.assign_tokens(dt, cents)
+    probes = ann.top_centroids(qt, cents)
+    cand = ann.candidates(ta, probes)
+    cand_assign = ta.join(F.broadcast(cand), "doc_id", "left_semi")
+    s_vec = scoring.plaid_scores(cand_assign, qt, cents)
+    s_term = dt.filter(
+        (F.col("token_idx") == 0) & (F.col("label") % 3 == 1)
+    ).select("doc_id", F.lit(1.0).alias("score"))
+    s1 = (
+        s_vec.select("doc_id", "score")
+        .unionByName(s_term)
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("s1"))
+    )
+    surv = (
+        s1.orderBy(F.round(F.col("s1"), 6).desc(), F.col("doc_id").asc())
+        .limit(params.NUM_SECOND_PASS)
+        .select("doc_id")
+    )
+    stage2 = scoring.maxsim_scores(dt.join(F.broadcast(surv), "doc_id"), qt)
+    return (
+        stage2.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(params.K)
+        .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode -> feature extraction under the VALUE-hash
     correctness gate: the deterministic fake codec is an md5 hex-string
@@ -1167,6 +1207,33 @@ WITH media AS (
 )
 """
 
+ORACLE["q_or_vector"] = prelude() + f"""
+, cand AS (SELECT DISTINCT doc_id FROM token_assign
+           WHERE centroid_id IN (SELECT centroid_id FROM probes)),
+cand_codes AS (SELECT DISTINCT t.doc_id, t.centroid_id
+               FROM token_assign t JOIN cand USING (doc_id)),
+qc AS (SELECT q.q_id, c.centroid_id, list_dot_product(q.qvec, c.cvec) AS qc_score
+       FROM q_tokens q CROSS JOIN centroids c),
+s_vec AS (SELECT doc_id, sum(best) AS score
+          FROM (SELECT d.doc_id, q.q_id, max(q.qc_score) AS best
+                FROM cand_codes d JOIN qc q USING (centroid_id) GROUP BY 1, 2)
+          GROUP BY doc_id),
+s_term AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM doc_tokens
+           WHERE token_idx = 0 AND label % 3 = 1),
+s1 AS (SELECT doc_id, sum(score) AS s1
+       FROM (SELECT * FROM s_vec UNION ALL SELECT * FROM s_term)
+       GROUP BY doc_id),
+surv AS (SELECT doc_id FROM s1
+         ORDER BY round(s1, 6) DESC, doc_id ASC LIMIT {params.NUM_SECOND_PASS}),
+stage2 AS (SELECT doc_id, sum(best) AS score
+           FROM (SELECT t.doc_id, q.q_id, max(list_dot_product(t.vec, q.qvec)) AS best
+                 FROM doc_tokens t JOIN surv USING (doc_id) CROSS JOIN q_tokens q
+                 GROUP BY 1, 2)
+           GROUP BY doc_id)
+SELECT doc_id, round(score, {params.ROUND}) AS score FROM stage2
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {params.K}
+"""
+
 ORACLE.update({
     "q_media_features": _MEDIA_CTE + """
 , samp AS (
@@ -1249,4 +1316,5 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_merge_semantics": q_merge_semantics,
     "q_media_features": q_media_features,
     "q_media_frames": q_media_frames,
+    "q_or_vector": q_or_vector,
 }
