@@ -649,15 +649,24 @@ class Index:
         def maxsim(codes: pd.Series, residuals: pd.Series, num_tokens: pd.Series) -> pd.Series:
             Q = bc_q.value
             CC = bc_c.value
-            out = np.empty(len(codes))
-            for i, (cds, blob, nt) in enumerate(zip(codes, residuals, num_tokens)):
-                res = q.decode(blob, int(nt))
-                toks = CC[np.asarray(cds, dtype=np.int64)] + res
-                norms = np.linalg.norm(toks, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                toks = toks / norms
-                out[i] = (Q @ toks.T).max(axis=1).sum()
-            return pd.Series(out)
+            if len(codes) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            # vectorized like the batch cascade: residual blobs are
+            # token-major fixed-row-size, so ONE concatenated decode +
+            # one (n_q_tok x total_tokens) matmul + segment-max
+            # (reduceat) scores the whole Arrow batch — no per-doc
+            # Python loop. Segments are non-empty (validateField
+            # rejects empty tensors).
+            nts = num_tokens.to_numpy().astype(np.int64)
+            toks = q.decode(b"".join(residuals), int(nts.sum())) + CC[
+                np.concatenate([np.asarray(c, dtype=np.int64) for c in codes])
+            ]
+            norms = np.linalg.norm(toks, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            starts = np.zeros(len(nts), dtype=np.int64)
+            np.cumsum(nts[:-1], out=starts[1:])
+            out = np.maximum.reduceat(Q @ (toks / norms).T, starts, axis=1).sum(axis=0)
+            return pd.Series(out.astype(np.float64))
 
         return maxsim
 
