@@ -621,18 +621,28 @@ class Index:
         @F.pandas_udf(T.DoubleType())
         def plaid(codes: pd.Series) -> pd.Series:
             m = bc.value
-            out = np.empty(len(codes))
-            for i, cds in enumerate(codes):
-                u = np.unique(np.asarray(cds, dtype=np.int64))
-                sub = m[:, u]  # (n_tok, n_unique)
-                if thr > 0.0:
-                    # the threshold prunes, never disables: a doc whose
-                    # centroids ALL fall below it scores 0 (reference
-                    # score_documents_by_codes skips such codes,
-                    # plaid.cpp:39-63)
-                    sub = sub[:, sub.max(axis=0) >= thr]
-                out[i] = sub.max(axis=1).sum() if sub.shape[1] else 0.0
-            return pd.Series(out)
+            if len(codes) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            # vectorized: one gather + segment-max (reduceat) across
+            # the whole Arrow batch; duplicate codes within a doc don't
+            # change a per-token max, so the reference's unique() is
+            # unnecessary. The threshold prunes, never disables: a
+            # below-threshold centroid column becomes -inf for every
+            # query token (reference score_documents_by_codes skips
+            # such codes, plaid.cpp:39-63), and a doc with no surviving
+            # column scores 0.
+            code_arrs = [np.asarray(c, dtype=np.int64) for c in codes]
+            lens = np.fromiter(
+                (len(c) for c in code_arrs), dtype=np.int64, count=len(code_arrs)
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            M = m[:, np.concatenate(code_arrs)]
+            if thr > 0.0:
+                M = np.where(M.max(axis=0, keepdims=True) >= thr, M, -np.inf)
+            s = np.maximum.reduceat(M, starts, axis=1).sum(axis=0)
+            s = np.where(np.isfinite(s), s, 0.0)
+            return pd.Series(s.astype(np.float64))
 
         return plaid
 
