@@ -646,10 +646,11 @@ class Index:
 
         return plaid
 
-    def _maxsim_udf(self, field: str, qtok: np.ndarray):
+    def _maxsim_udf(self, field: str, qtok: np.ndarray, normalize: bool = True):
         """D6 stage-2 exact MaxSim (plaid.cpp:119-185 +
         Scorer.cpp:11-63): decode residuals -> reconstruct tokens
-        (centroid + residual) -> L2-normalize -> sum_q max_d <q, d>."""
+        (centroid + residual) -> L2-normalize (plaid.h:56's flag) ->
+        sum_q max_d <q, d>."""
         C = self.centroids[field]
         q = self.quantizers[field]
         bc_q = self.spark.sparkContext.broadcast(qtok.astype(np.float32))
@@ -671,14 +672,65 @@ class Index:
             toks = q.decode(b"".join(residuals), int(nts.sum())) + CC[
                 np.concatenate([np.asarray(c, dtype=np.int64) for c in codes])
             ]
-            norms = np.linalg.norm(toks, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
+            if normalize:
+                norms = np.linalg.norm(toks, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                toks = toks / norms
             starts = np.zeros(len(nts), dtype=np.int64)
             np.cumsum(nts[:-1], out=starts[1:])
-            out = np.maximum.reduceat(Q @ (toks / norms).T, starts, axis=1).sum(axis=0)
+            out = np.maximum.reduceat(Q @ toks.T, starts, axis=1).sum(axis=0)
             return pd.Series(out.astype(np.float64))
 
         return maxsim
+
+    def _maxsim_adc_udf(self, field: str, qtok: np.ndarray):
+        """D11 stage-2 MaxSim via PQ ADC lookup tables — the working
+        version of the reference's vestigial InvertedListScanner +
+        PQDistanceTables path (PQDistanceTables.cpp:10-43,
+        InvertedListScanner.h:14-81): per query token an (m, 2^nbits)
+        inner-product table over the PQ sub-codebooks; a doc token's
+        score is <q, centroid> (the 'precomputed distance') plus the
+        m table lookups for its code bytes — never reconstructing
+        floats. Equals _maxsim_udf(normalize=False) exactly (up to
+        float association); skips the dim-wide decode+matmul, so
+        stage-2 work drops from O(n_q*dim) to O(n_q*m) per doc token.
+        IP-only, like the reference (PQDistanceTables.cpp:18)."""
+        from lintdb_spark.index.quantizers import ProductQuantizer
+
+        q = self.quantizers[field]
+        if not isinstance(q, ProductQuantizer):
+            raise ValueError("use_adc requires a ProductQuantizer field")
+        Q = np.asarray(qtok, dtype=np.float32)
+        # q x centroid precomputed distances + per-query ADC tables,
+        # both tiny: (n_q, n_centroids) and (n_q, m, 2^nbits)
+        bc_pre = self.spark.sparkContext.broadcast(Q @ self.centroids[field].T)
+        bc_tab = self.spark.sparkContext.broadcast(q.inner_prod_tables(Q))
+
+        @F.pandas_udf(T.DoubleType())
+        def maxsim_adc(
+            codes: pd.Series, residuals: pd.Series, num_tokens: pd.Series
+        ) -> pd.Series:
+            pre = bc_pre.value  # (n_q, n_centroids)
+            tab = bc_tab.value  # (n_q, m, k)
+            n_q, m, ksub = tab.shape
+            if len(codes) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            nts = num_tokens.to_numpy().astype(np.int64)
+            total = int(nts.sum())
+            pqcodes = q.unpack_codes(b"".join(residuals), total)  # (N, m)
+            cents = np.concatenate([np.asarray(c, dtype=np.int64) for c in codes])
+            # scores (n_q, N): centroid part is a gather of pre's
+            # columns; residual part is m table lookups per doc token
+            # via one flat fancy-index (n_q, N, m) -> sum over m
+            flat = tab.reshape(n_q, m * ksub)
+            offs = pqcodes + np.arange(m, dtype=np.int64) * ksub  # (N, m)
+            S = pre[:, cents] + flat[:, offs].sum(axis=2)
+            starts = np.zeros(len(nts), dtype=np.int64)
+            np.cumsum(nts[:-1], out=starts[1:])
+            out = np.maximum.reduceat(S, starts, axis=1).sum(axis=0)
+            return pd.Series(out.astype(np.float64))
+
+        return maxsim_adc
 
     @staticmethod
     def _analyze_text(text: str) -> list[str]:
@@ -841,10 +893,29 @@ class Index:
             .join(docs, "doc_id")
         )
         out = survivors
+        from lintdb_spark.index.quantizers import ProductQuantizer
+
         for i, vec in enumerate(vecs):
-            maxsim = self._maxsim_udf(
-                vec.field, np.asarray(vec.query_tokens, dtype=np.float32)
+            # D11 routing: ADC decomposes the UNnormalized IP only, and
+            # needs PQ codes; auto-on exactly under those conditions
+            adc_ok = not opts.normalize and isinstance(
+                self.quantizers[vec.field], ProductQuantizer
             )
+            use_adc = adc_ok if opts.use_adc is None else opts.use_adc
+            if use_adc and not adc_ok:
+                raise ValueError(
+                    "use_adc requires a ProductQuantizer field and normalize=False"
+                )
+            if use_adc:
+                maxsim = self._maxsim_adc_udf(
+                    vec.field, np.asarray(vec.query_tokens, dtype=np.float32)
+                )
+            else:
+                maxsim = self._maxsim_udf(
+                    vec.field,
+                    np.asarray(vec.query_tokens, dtype=np.float32),
+                    normalize=opts.normalize,
+                )
             out = out.withColumn(
                 f"_ms{i}",
                 maxsim(

@@ -223,9 +223,10 @@ class ProductQuantizer:
             bits.reshape(codes.shape[0], -1), axis=1, bitorder="big"
         ).tobytes()
 
-    def decode(self, blob: bytes, num_tokens: int) -> np.ndarray:
-        m, ds = self.p.num_subquantizers, self.p.dim // self.p.num_subquantizers
-        nb = self.p.nbits
+    def unpack_codes(self, blob: bytes, num_tokens: int) -> np.ndarray:
+        """Packed blob -> (num_tokens, m) codebook indices (the inverse
+        of encode's packbits; no float reconstruction)."""
+        m, nb = self.p.num_subquantizers, self.p.nbits
         raw = np.frombuffer(blob, dtype=np.uint8).reshape(num_tokens, self.code_size)
         bits = np.unpackbits(raw, axis=1, bitorder="big")[:, : m * nb].reshape(
             num_tokens, m, nb
@@ -233,10 +234,29 @@ class ProductQuantizer:
         codes = np.zeros((num_tokens, m), dtype=np.int64)
         for b in range(nb):
             codes = (codes << 1) | bits[:, :, b]
+        return codes
+
+    def decode(self, blob: bytes, num_tokens: int) -> np.ndarray:
+        m, ds = self.p.num_subquantizers, self.p.dim // self.p.num_subquantizers
+        codes = self.unpack_codes(blob, num_tokens)
         out = np.empty((num_tokens, self.p.dim), dtype=np.float32)
         for i in range(m):
             out[:, i * ds : (i + 1) * ds] = self._books[i][codes[:, i]]
         return out
+
+    def inner_prod_tables(self, queries: np.ndarray) -> np.ndarray:
+        """ADC distance tables (PQDistanceTables.cpp:10-26 /
+        faiss pq.compute_inner_prod_table): for each query token a
+        (m, 2^nbits) table T with T[i, c] = <q[i*ds:(i+1)*ds],
+        books[i][c]>, so that the residual's inner product with q is
+        sum_i T[i, code_i] — no float reconstruction needed.
+        Returns (n_queries, m, 2^nbits) float32."""
+        m, ds = self.p.num_subquantizers, self.p.dim // self.p.num_subquantizers
+        q = np.asarray(queries, dtype=np.float32)
+        # (n, m, ds) x (m, k, ds) -> (n, m, k)
+        return np.einsum(
+            "nmd,mkd->nmk", q.reshape(q.shape[0], m, ds), self._books
+        ).astype(np.float32)
 
 
 class HalfQuantizer:

@@ -22,6 +22,15 @@ class SearchOptions:
     # 'plaid' = two-phase PLAID -> exact MaxSim; 'xtr' = token
     # retrieval + imputation (bare VectorQuery only)
     scoring_method: str = "plaid"
+    # stage-2 L2-normalizes reconstructed doc tokens by default
+    # (score_document_by_residuals's normalize flag, plaid.h:56)
+    normalize: bool = True
+    # D11 ADC: score stage-2 via PQ inner-product lookup tables
+    # (PQDistanceTables.cpp:10-43 — vestigial in the reference, live
+    # here). Requires a ProductQuantizer field and normalize=False
+    # (ADC decomposes the UNnormalized IP: q.centroid + q.residual).
+    # None = auto (on exactly when those conditions hold).
+    use_adc: bool | None = None
 
 
 @dataclass

@@ -376,3 +376,43 @@ def test_vacuum_spares_inflight_staged_write(spark, tmp_path):
     removed = idx.vacuum(min_age_s=3600)
     assert any("seg-inflight" in r for r in removed)
     assert not os.path.isdir(seg)
+
+
+def test_adc_matches_decode_path(built_index):
+    """D11: with normalize=False on a PQ field, the auto-selected ADC
+    stage-2 must score identically (up to float assoc) to the
+    decode+matmul stage-2 — same ranking, allclose scores."""
+    quant = built_index.schema.field("colbert").parameters.quantization
+    if quant != "product":
+        pytest.skip("ADC is PQ-only")
+    q = VectorQuery("colbert", doc_tokens(3))
+    base = dict(n_probe=8, k_top_centroids=2, num_second_pass=50,
+                centroid_score_threshold=0.0, normalize=False)
+    r_dec = built_index.search(
+        0, q, k=20, opts=SearchOptions(**base, use_adc=False)).collect()
+    r_adc = built_index.search(
+        0, q, k=20, opts=SearchOptions(**base, use_adc=True)).collect()
+    assert [r["doc_id"] for r in r_adc] == [r["doc_id"] for r in r_dec]
+    np.testing.assert_allclose(
+        [r["score"] for r in r_adc], [r["score"] for r in r_dec],
+        rtol=1e-4, atol=1e-5)
+    # auto mode (use_adc=None) routes to ADC here and agrees too
+    r_auto = built_index.search(
+        0, q, k=20, opts=SearchOptions(**base)).collect()
+    assert [r["doc_id"] for r in r_auto] == [r["doc_id"] for r in r_adc]
+
+
+def test_adc_requires_pq_and_unnormalized(built_index):
+    quant = built_index.schema.field("colbert").parameters.quantization
+    q = VectorQuery("colbert", doc_tokens(3))
+    if quant == "product":
+        # normalize=True + explicit ADC is a contract error
+        with pytest.raises(ValueError, match="use_adc"):
+            built_index.search(
+                0, q, k=5,
+                opts=SearchOptions(normalize=True, use_adc=True)).collect()
+    else:
+        with pytest.raises(ValueError, match="use_adc"):
+            built_index.search(
+                0, q, k=5,
+                opts=SearchOptions(normalize=False, use_adc=True)).collect()

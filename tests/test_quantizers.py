@@ -125,3 +125,38 @@ def test_quantizer_json_roundtrip():
         q2 = quantizer_from_json(quantizer_to_json(q))
         x = RNG.randn(3, 8).astype(np.float32)
         np.testing.assert_array_equal(q.decode(q.encode(x), 3), q2.decode(q2.encode(x), 3))
+
+
+@pytest.mark.parametrize("nbits", [4, 8])
+def test_pq_adc_tables_match_decode_dot(nbits):
+    """D11 parity: inner_prod_tables lookups summed over subquantizers
+    must equal <q, decode(code)> exactly-ish (PQDistanceTables.cpp:
+    28-43 — ADC is the same sum, just never reconstructed)."""
+    dim, m = 16, 4
+    res = RNG.randn(600, dim).astype(np.float32) * 0.3
+    pq = ProductQuantizer.train(res, m, nbits=nbits)
+    x = RNG.randn(9, dim).astype(np.float32)
+    blob = pq.encode(x)
+    codes = pq.unpack_codes(blob, 9)          # (9, m)
+    dec = pq.decode(blob, 9)                  # (9, dim)
+    Q = RNG.randn(5, dim).astype(np.float32)
+    tab = pq.inner_prod_tables(Q)             # (5, m, 2^nbits)
+    # explicit loop spelling (the UDF uses a flat fancy-index; here we
+    # assert the math, not the vectorization)
+    want = Q @ dec.T                          # (5, 9)
+    got = np.zeros_like(want)
+    for qi in range(5):
+        for ti in range(9):
+            got[qi, ti] = sum(tab[qi, i, codes[ti, i]] for i in range(m))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pq_unpack_codes_roundtrip():
+    dim, m, nbits = 16, 4, 4
+    res = RNG.randn(400, dim).astype(np.float32) * 0.3
+    pq = ProductQuantizer.train(res, m, nbits=nbits)
+    x = RNG.randn(13, dim).astype(np.float32)
+    codes = pq.unpack_codes(pq.encode(x), 13)
+    assert codes.shape == (13, m)
+    assert codes.min() >= 0 and codes.max() < (1 << nbits)
+    np.testing.assert_array_equal(codes, pq._assign(x))
