@@ -101,14 +101,23 @@ class Index:
         idx = cls(spark, path, schema)
         with open(os.path.join(path, "_meta.json")) as f:
             idx._meta = json.load(f)
-        if "segments" not in idx._meta and idx._meta.get("versions"):
+        if "segments" not in idx._meta:
             # pre-segment layout: each table's live data is its v<N>
-            # dir. Register those as segments so reads see the data and
-            # vacuum() never treats live v-dirs as orphans.
+            # dir. Enumerate the SCHEMA's tables — not versions.items():
+            # an add-only legacy index never wrote versions at all
+            # (implicit v0 dirs), and would otherwise load with no
+            # segments registered, reading empty and letting vacuum()
+            # delete the live v0 dirs as orphans.
+            versions = idx._meta.get("versions", {})
+            tables = (
+                ["docs"]
+                + [f"postings/{f.name}" for f in schema.colbert_fields()]
+                + [f"postings_text/{f.name}" for f in schema.analyzed_text_fields()]
+            )
             idx._meta["segments"] = {
-                t: [f"v{v}"]
-                for t, v in idx._meta["versions"].items()
-                if os.path.isdir(os.path.join(path, t, f"v{v}"))
+                t: [f"v{versions.get(t, 0)}"]
+                for t in tables
+                if os.path.isdir(os.path.join(path, t, f"v{versions.get(t, 0)}"))
             }
         for fld in schema.colbert_fields():
             cpath = os.path.join(path, "centroids", f"{fld.name}.parquet")

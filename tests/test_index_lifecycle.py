@@ -325,6 +325,39 @@ def test_load_migrates_pre_segment_meta(spark, tmp_path):
     assert not any("/v" in r for r in removed)
 
 
+def test_load_migrates_add_only_legacy_index(spark, tmp_path):
+    """An ADD-ONLY pre-segment index never wrote versions (the old
+    add() appended into implicit v0 dirs) — meta is {'versions': {},
+    'trained': true}. Migration must still register every existing
+    v0 dir, or the index reads empty and vacuum() destroys it."""
+    import json as _json
+    import os
+    import shutil
+
+    idx = Index.create(spark, str(tmp_path / "legacy_add_only"), make_schema("none"))
+    docs = make_docs(spark, range(5))
+    idx.train(docs)
+    idx.add(docs)
+    n_docs = idx._docs().count()
+    assert n_docs == 5
+
+    # rewrite the on-disk layout to the legacy shape: one implicit v0
+    # dir per table, meta with EMPTY versions and no segments key
+    for table, segs in idx._meta["segments"].items():
+        root = os.path.join(idx.path, table)
+        assert len(segs) == 1
+        shutil.move(os.path.join(root, segs[0]), os.path.join(root, "v0"))
+    meta_path = os.path.join(idx.path, "_meta.json")
+    with open(meta_path, "w") as f:
+        _json.dump({"versions": {}, "trained": True}, f)
+
+    idx2 = Index.load(spark, idx.path)
+    assert idx2._docs().count() == n_docs
+    removed = idx2.vacuum(min_age_s=0)
+    assert idx2._docs().count() == n_docs
+    assert not any("/v0" in r for r in removed)
+
+
 def test_get_mapping(built_index):
     """C10: mapping equals distinct sorted codes of the doc."""
     m = built_index.get_mapping(0, 3)
