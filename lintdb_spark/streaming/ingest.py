@@ -26,6 +26,18 @@ from pyspark.sql.streaming import StreamingQuery
 from lintdb_spark.index.index import Index
 
 
+def _ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet written as timestamp[us]
+    without timezone resolves to TIMESTAMP_NTZ under Spark 4.x. The
+    session TZ is UTC, so casting is value-preserving — normalize here
+    so every streaming operator tolerates either physical type."""
+    from pyspark.sql import types as T
+
+    if col in df.columns and isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def stream_ingest(
     index: Index,
     stream_df: DataFrame,
@@ -141,7 +153,7 @@ def sessionize_stream(
     from pyspark.sql import functions as FF
 
     prepared = (
-        events_stream.withWatermark("ts", watermark)
+        _ensure_event_time(events_stream, "ts").withWatermark("ts", watermark)
         .select("user_id", FF.unix_micros(FF.col("ts")).alias("us"), FF.col("ts"))
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
@@ -162,7 +174,7 @@ def windowed_event_counts(
     (window_start, event_type, n_events, total_value). Watermark bounds
     state and drops data later than ``watermark``."""
     return (
-        events_stream.withWatermark("ts", watermark)
+        _ensure_event_time(events_stream, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -196,7 +208,7 @@ def dedup_stream(
     ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which evicts each
     key once it ages past the watermark while deduping on the content
     keys only."""
-    out = stream
+    out = _ensure_event_time(stream, event_time)
     if key_cols is None:
         out = out.withColumn("content_hash", F.md5(F.col("text")))
         key_cols = ["content_hash"]

@@ -37,16 +37,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) which Spark's parquet reader
-        # rejects; read nanos as long and convert (µs truncation —
-        # matches DuckDB's epoch_us semantics on TIMESTAMP_NS).
+        # events.ts has shipped as TIMESTAMP(NANOS) (Spark's parquet
+        # reader rejects it — read nanos as long and convert; µs
+        # truncation matches DuckDB's epoch_us on TIMESTAMP_NS) and as
+        # timestamp[us] without timezone, which Spark 4.1 reads as
+        # TIMESTAMP_NTZ. Normalize both to TIMESTAMP: the session TZ is
+        # UTC, so the NTZ→TZ cast is value-preserving and keeps
+        # unix_micros / watermarks (TIMESTAMP-only) working.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
         df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
