@@ -88,6 +88,10 @@ def main() -> None:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
+    # One broken query must never zero the whole round's bench: every
+    # timed section records {"err": ...} here and the run still emits
+    # the full JSON (rc=0) for everything that did succeed.
+    errors: dict[str, str] = {}
 
     # JVM/codegen + Python-worker-pool warmup so the first timed op
     # doesn't absorb session startup (~2-4s JVM + ~1-2s Arrow/pandas
@@ -112,6 +116,8 @@ def main() -> None:
     cents = model.centroids(spark, sf_dir)
     dt = model.doc_tokens(spark, sf_dir)
     ta = ann.assign_tokens(dt, cents)
+    n_docs = n_res = None
+    qps = 0.0
     try:
         t0 = time.time()
         schema = Schema(
@@ -168,6 +174,8 @@ def main() -> None:
         dt_batch = time.time() - t0
         timings["batch_search"] = round(dt_batch, 3)
         qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
+    except Exception as exc:  # noqa: BLE001 — record, keep benching
+        errors["index_build" if "index_build" not in timings else "batch_search"] = repr(exc)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -180,116 +188,134 @@ def main() -> None:
     # ColBERT embeddings cluster, which is what makes the reference's
     # shallow-second-pass defaults work. We report the default-knob
     # quality AND a high-recall setting that meets the >=0.95 gate.
+    success_at_k = success_at_k_hr = success_golden = success_golden_xtr = None
     t0 = time.time()
     n_quality = 32
     bq_small = model.batch_queries(spark, sf_dir, n_quality)
-    approx = scoring.batch_two_phase_topk(dt, ta, bq_small, cents)
-    approx_hr = scoring.batch_two_phase_topk(
-        dt, ta, bq_small, cents, n_probe=32, num_second_pass=400, k_top=32
-    )
-    exact = (
-        bq_small.join(dt)
-        .select(
-            "qid",
-            "doc_id",
-            "q_id",
-            F.aggregate(
-                F.zip_with("vec", "qvec", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ).alias("ip"),
-        )
-        .groupBy("qid", "doc_id", "q_id")
-        .agg(F.max("ip").alias("best"))
-        .groupBy("qid", "doc_id")
-        .agg(F.sum("best").alias("score"))
-    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
-    # persist: the exact oracle top-k feeds BOTH the default-knob and
-    # high-recall joins — without it the full exact-MaxSim aggregation
-    # runs twice
-    exact_topk = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("qid", "doc_id")
-        .persist()
-    )
-    hits = approx.join(exact_topk, ["qid", "doc_id"]).count()
-    success_at_k = hits / (n_quality * 10)
-    hits_hr = approx_hr.join(exact_topk, ["qid", "doc_id"]).count()
-    success_at_k_hr = hits_hr / (n_quality * 10)
-    exact_topk.unpersist()
-    timings["quality_check"] = round(time.time() - t0, 3)
+    try:
+        approx = scoring.batch_two_phase_topk(dt, ta, bq_small, cents)
+        approx_hr = scoring.batch_two_phase_topk(
+            dt, ta, bq_small, cents, n_probe=32, num_second_pass=400, k_top=32
+        )
+        exact = (
+            bq_small.join(dt)
+            .select(
+                "qid",
+                "doc_id",
+                "q_id",
+                F.aggregate(
+                    F.zip_with("vec", "qvec", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("ip"),
+            )
+            .groupBy("qid", "doc_id", "q_id")
+            .agg(F.max("ip").alias("best"))
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("best").alias("score"))
+        )
+        # persist: the exact oracle top-k feeds BOTH the default-knob and
+        # high-recall joins — without it the full exact-MaxSim aggregation
+        # runs twice
+        exact_topk = (
+            exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "doc_id")
+            .persist()
+        )
+        hits = approx.join(exact_topk, ["qid", "doc_id"]).count()
+        success_at_k = hits / (n_quality * 10)
+        hits_hr = approx_hr.join(exact_topk, ["qid", "doc_id"]).count()
+        success_at_k_hr = hits_hr / (n_quality * 10)
+        exact_topk.unpersist()
+        timings["quality_check"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["quality_check"] = repr(exc)
 
     # ---- BENCH-4b: golden clustered fixture at DEFAULT knobs ----
     # (mirrors tests/colbert_test.cpp: a fixed corpus where the
     # reference's shallow defaults must rank correctly; gate >= 0.9)
     from lintdb_spark.golden import golden_fixture
 
-    t0 = time.time()
-    g_dt, g_cents, g_queries = golden_fixture(spark)
-    g_ta = ann.assign_tokens(g_dt.repartition(cpus, "doc_id"), g_cents)
-    g_approx = scoring.batch_two_phase_topk(g_dt, g_ta, g_queries, g_cents)
-    g_exact = (
-        g_queries.join(g_dt)
-        .select(
-            "qid",
-            "doc_id",
-            "q_id",
-            F.aggregate(
-                F.zip_with("vec", "qvec", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ).alias("ip"),
+    g_exact_topk = None
+    try:
+        t0 = time.time()
+        g_dt, g_cents, g_queries = golden_fixture(spark)
+        g_ta = ann.assign_tokens(g_dt.repartition(cpus, "doc_id"), g_cents)
+        g_approx = scoring.batch_two_phase_topk(g_dt, g_ta, g_queries, g_cents)
+        g_exact = (
+            g_queries.join(g_dt)
+            .select(
+                "qid",
+                "doc_id",
+                "q_id",
+                F.aggregate(
+                    F.zip_with("vec", "qvec", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("ip"),
+            )
+            .groupBy("qid", "doc_id", "q_id")
+            .agg(F.max("ip").alias("best"))
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("best").alias("score"))
         )
-        .groupBy("qid", "doc_id", "q_id")
-        .agg(F.max("ip").alias("best"))
-        .groupBy("qid", "doc_id")
-        .agg(F.sum("best").alias("score"))
-    )
-    g_exact_topk = (
-        g_exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("qid", "doc_id")
-    )
-    g_exact_topk = g_exact_topk.persist()
-    g_hits = g_approx.join(g_exact_topk, ["qid", "doc_id"]).count()
-    success_golden = g_hits / (32 * 10)
-    timings["golden_quality"] = round(time.time() - t0, 3)
+        g_exact_topk = (
+            g_exact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "doc_id")
+        )
+        g_exact_topk = g_exact_topk.persist()
+        g_hits = g_approx.join(g_exact_topk, ["qid", "doc_id"]).count()
+        success_golden = g_hits / (32 * 10)
+        timings["golden_quality"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["golden_quality"] = repr(exc)
 
     # ---- BENCH-4c: XTR scoring quality on the same golden fixture
     # (default nearest_tokens_to_fetch; exact-MaxSim top-10 as truth —
     # gauges the missing-similarity imputation, not just hash parity) ----
     from lintdb_spark.cache import release
 
-    t0 = time.time()
-    g_qids = g_queries.select("qid").distinct()
-    g_xtr = scoring.batch_xtr_topk(
-        g_dt.crossJoin(g_qids).select("qid", "doc_id", "token_idx", "vec"),
-        g_queries,
-        k=10,
-    )
-    gx_hits = g_xtr.join(g_exact_topk, ["qid", "doc_id"]).count()
-    success_golden_xtr = gx_hits / (32 * 10)
-    release(g_xtr)
-    g_exact_topk.unpersist()
-    timings["golden_quality_xtr"] = round(time.time() - t0, 3)
+    if g_exact_topk is not None:
+        try:
+            t0 = time.time()
+            g_qids = g_queries.select("qid").distinct()
+            g_xtr = scoring.batch_xtr_topk(
+                g_dt.crossJoin(g_qids).select("qid", "doc_id", "token_idx", "vec"),
+                g_queries,
+                k=10,
+            )
+            gx_hits = g_xtr.join(g_exact_topk, ["qid", "doc_id"]).count()
+            success_golden_xtr = gx_hits / (32 * 10)
+            release(g_xtr)
+            timings["golden_quality_xtr"] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors["golden_quality_xtr"] = repr(exc)
+        g_exact_topk.unpersist()
 
     # ---- IVF bucket build (the index half of q_ivf_knn, timed
     # separately: build once, serve probe-bounded queries) ----
     from lintdb_spark.queries import ivf_bucketed
 
-    t0 = time.time()
-    ivf_bucketed(spark, sf_dir).count()
-    timings["ivf_build"] = round(time.time() - t0, 3)
-
-    # ---- headline registry queries ----
-    for name in HEADLINE:
+    try:
         t0 = time.time()
-        REGISTRY[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        ivf_bucketed(spark, sf_dir).count()
+        timings["ivf_build"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["ivf_build"] = repr(exc)
+
+    # ---- headline registry queries (each individually crash-guarded) ----
+    for name in HEADLINE:
+        try:
+            t0 = time.time()
+            REGISTRY[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = repr(exc)
 
     # ---- DuckDB oracle BASELINE on the same protocol (BASELINE.md
     # requires recorded values next to the Spark numbers). DuckDB runs
@@ -308,54 +334,92 @@ def main() -> None:
         sql = ORACLE.get(name)
         if sql is None:
             continue
+        try:
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            baseline[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"oracle:{name}"] = repr(exc)
+    try:
         t0 = time.time()
-        con.sql(sql).fetchall()
-        baseline[name] = round(time.time() - t0, 3)
-    t0 = time.time()
-    con.sql(batch_topk_oracle_sql(BENCH_NQ)).fetchall()
-    baseline_batch = time.time() - t0
-    baseline["batch_search"] = round(baseline_batch, 3)
+        con.sql(batch_topk_oracle_sql(BENCH_NQ)).fetchall()
+        baseline_batch = time.time() - t0
+        baseline["batch_search"] = round(baseline_batch, 3)
+    except Exception as exc:  # noqa: BLE001
+        baseline_batch = 0.0
+        errors["oracle:batch_search"] = repr(exc)
     con.close()
     baseline_qps = BENCH_NQ / baseline_batch if baseline_batch > 0 else 0.0
-    shared = [n for n in HEADLINE if n in baseline]
+    # ratio only over queries BOTH sides completed
+    shared = [n for n in HEADLINE if n in baseline and n in timings]
     spark_headline_sum = round(sum(timings[n] for n in shared), 3)
     baseline_headline_sum = round(sum(baseline[n] for n in shared), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "batch_search_qps": round(qps, 2),
-                "batch_search_nq": BENCH_NQ,
-                "batch_search_rows": n_res,
-                "index_docs": n_docs,
-                "success_at_10_default_knobs": round(success_at_k, 4),
-                "success_at_10_high_recall": round(success_at_k_hr, 4),
-                "success_at_10_golden_default_knobs": round(success_golden, 4),
-                "success_at_10_golden_xtr": round(success_golden_xtr, 4),
-                "baseline": baseline,
-                "baseline_batch_qps": round(baseline_qps, 2),
-                "spark_headline_sum": spark_headline_sum,
-                "baseline_headline_sum": baseline_headline_sum,
-                "headline_ratio_spark_over_baseline": round(
-                    spark_headline_sum / baseline_headline_sum, 3
-                )
-                if baseline_headline_sum > 0
-                else None,
-                "batch_qps_ratio_spark_over_baseline": round(qps / baseline_qps, 3)
-                if baseline_qps > 0
-                else None,
-                "cpus": cpus,
-            }
+    result = {
+        "metric": "e2e_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "batch_search_qps": round(qps, 2),
+        "batch_search_nq": BENCH_NQ,
+        "batch_search_rows": n_res,
+        "index_docs": n_docs,
+        "success_at_10_default_knobs": round(success_at_k, 4)
+        if success_at_k is not None
+        else None,
+        "success_at_10_high_recall": round(success_at_k_hr, 4)
+        if success_at_k_hr is not None
+        else None,
+        "success_at_10_golden_default_knobs": round(success_golden, 4)
+        if success_golden is not None
+        else None,
+        "success_at_10_golden_xtr": round(success_golden_xtr, 4)
+        if success_golden_xtr is not None
+        else None,
+        "baseline": baseline,
+        "baseline_batch_qps": round(baseline_qps, 2),
+        "spark_headline_sum": spark_headline_sum,
+        "baseline_headline_sum": baseline_headline_sum,
+        "headline_ratio_spark_over_baseline": round(
+            spark_headline_sum / baseline_headline_sum, 3
         )
-    )
+        if baseline_headline_sum > 0
+        else None,
+        "batch_qps_ratio_spark_over_baseline": round(qps / baseline_qps, 3)
+        if baseline_qps > 0
+        else None,
+        "cpus": cpus,
+        "errors": errors,
+    }
+    line = json.dumps(result)
+    # file-backed as well as stdout: a crashed/garbled stdout pipe must
+    # not lose the round's numbers
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — last-ditch: still emit one JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        line = json.dumps(
+            {
+                "metric": "e2e_bench_total",
+                "value": None,
+                "unit": "sec",
+                "queries": {},
+                "errors": {"fatal": repr(exc)},
+            }
+        )
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+        print(line)
