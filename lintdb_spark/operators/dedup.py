@@ -129,11 +129,37 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(shingles: DataFrame, min_overlap: int = 2) -> DataFrame:
+def jaccard_pairs(
+    shingles: DataFrame, min_overlap: int = 2, max_df_frac: float | None = None
+) -> DataFrame:
     """n-gram Jaccard via inverted-index self-join on shingle.
     Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
-    min_overlap shingles. Shingle df is naturally bounded for trigram
-    shingles; for heavy-tailed corpora add a df cap before the join."""
+    min_overlap shingles.
+
+    Document-frequency cap: shingles present in more than
+    ``max_df_frac`` (default params.JACCARD_MAX_DF_FRAC) of the corpus
+    are dropped from the computation entirely — sizes AND
+    intersections — before the self-join. They carry no near-dup
+    signal (every doc shares them), and without the cap a single
+    boilerplate shingle in 50% of docs makes the join emit
+    ~|corpus|^2/8 rows. Scale shape: the stop set is tiny by
+    definition (heavy tail = few ultra-common shingles), so the
+    exclusion is a broadcast anti-join — a pure map over the shingle
+    stream; the df aggregate shuffles on the same key the self-join
+    already shuffles on."""
+    max_df_frac = (
+        params.JACCARD_MAX_DF_FRAC if max_df_frac is None else max_df_frac
+    )
+    # doc_shingles emits DISTINCT (doc_id, shingle), so count(*) = df
+    ndocs = shingles.agg(F.count_distinct("doc_id").alias("nd"))
+    stop = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(ndocs)  # 1-row frame: broadcast-nested-loop, free
+        .filter(F.col("df") > F.col("nd") * max_df_frac)
+        .select("shingle")
+    )
+    shingles = shingles.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -370,45 +396,58 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     even at 100 TB. For adversarial long-chain graphs the known
     fix is large-star/small-star (Kiveris et al. 2014), which bounds
     rounds at O(log^2 n) — same per-round plan shape, not needed for
-    near-dup workloads. ``localCheckpoint`` truncates lineage each
-    round so the plan doesn't grow with iterations; convergence is
-    detected by COUNTING changed labels per round (a sum of 64-bit
-    labels would overflow BIGINT for hash-derived ids — ANSI
-    ArithmeticException, or a silent false fixed point with ANSI off),
-    one scalar aggregate over already-checkpointed rows, no data
-    collected. If max_iters is exhausted before the fixed point
-    (adversarially long chains), a warning is raised rather than
-    silently returning split components.
+    near-dup workloads. Round structure: self-loops fold the "keep own
+    label" term into the neighbor aggregate, so one round is ONE join
+    + ONE partial-agg groupBy referencing the evolving frame once (a
+    least/coalesce merge would reference it twice and double the
+    composed plan per un-checkpointed round). Convergence is checked
+    singly for the first two rounds, then every 3 composed rounds
+    (near-dup components
+    are near-cliques that finish in 1-2 rounds — measured: batching
+    from the start wastes two rounds on the common case, while
+    per-round checks tax adversarial chains; checking singly for two
+    rounds lets the common case stop after exactly its 1 productive
+    round + 1 confirming round). The check compares the
+    label SUM as DECIMAL(38,0) between checks — labels only decrease,
+    so an unchanged sum IS the fixed point; the 38-digit accumulator
+    cannot overflow for 2^63-bounded ids below ~10^12 rows, unlike a
+    BIGINT sum (ANSI ArithmeticException, or a silent false fixed
+    point with ANSI off). One scalar aggregate per check over the
+    just-checkpointed frame, no join against the previous labels, no
+    data collected. If max_iters total rounds are exhausted before the
+    fixed point (adversarially long chains), a warning is raised
+    rather than silently returning split components.
     """
     import warnings
 
     fwd = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    sym = fwd.unionByName(fwd.select(F.col("u").alias("v"), F.col("v").alias("u")))
+    edges = sym.unionByName(
+        sym.select("v").distinct().withColumn("u", F.col("v"))
     ).persist()
     labels = edges.select("v").distinct().withColumn("lbl", F.col("v"))
     converged = False
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, "v")
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
-            .withColumnRenamed("u", "v")
-        )
-        stepped = (
-            labels.join(nbr_min, "v", "left")
-            .select(
-                "v",
-                F.col("lbl").alias("prev"),
-                F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+    prev_sum = None
+    rounds_done = 0
+    while rounds_done < max_iters:
+        batch = 1 if rounds_done < 2 else min(3, max_iters - rounds_done)
+        cur = labels
+        for _ in range(batch):
+            cur = (
+                edges.join(cur, "v")
+                .groupBy("u")
+                .agg(F.min("lbl").alias("lbl"))
+                .withColumnRenamed("u", "v")
             )
-            .localCheckpoint()
-        )
-        n_changed = stepped.filter(F.col("lbl") != F.col("prev")).count()
-        labels = stepped.select("v", "lbl")
-        if n_changed == 0:  # labels only decrease -> fixed point
+        labels = cur.localCheckpoint()
+        rounds_done += batch
+        lbl_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if lbl_sum == prev_sum:  # labels only decrease -> fixed point
             converged = True
             break
+        prev_sum = lbl_sum
     edges.unpersist()
     if not converged:
         warnings.warn(

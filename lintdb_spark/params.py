@@ -47,6 +47,11 @@ CENTROID_SCORE_THRESHOLD = 0.0  # reference: 0.45 (tuned for unit-norm 128-d)
 SHINGLE_K = 5  # character-shingle width for minhash/jaccard
 MINHASH_PERMS = 16  # number of minhash "permutations" (md5-salted)
 LSH_BANDS = 4  # bands for LSH bucketing (rows per band = PERMS/BANDS)
+# Shingles present in more than this fraction of documents are dropped
+# from jaccard similarity entirely: they are non-discriminative
+# boilerplate, and without the cap ONE stop-shingle in 50% of docs
+# makes the inverted-index self-join quadratic in the corpus.
+JACCARD_MAX_DF_FRAC = 0.2
 ROUND = 4  # decimals kept when hashing float scores across engines
 
 # English/German/French/Spanish stopword lists for the n-gram-free

@@ -956,9 +956,14 @@ GROUP BY 1, 2
 """,
     "q_jaccard_pairs": f"""
 WITH {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM shingles),
+fsh AS (SELECT s.doc_id, s.shingle FROM shingles s
+        JOIN (SELECT shingle FROM shingles GROUP BY shingle
+              HAVING count(*) <= (SELECT nd * {params.JACCARD_MAX_DF_FRAC} FROM nd)) keep
+        USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-          FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2)
 SELECT doc_a, doc_b, n_common,
        round(n_common / (sa.n + sb.n - n_common), {params.ROUND}) AS jaccard
@@ -972,9 +977,14 @@ JOIN sizes sb ON sb.doc_id = doc_b
     # to, computed DuckDB-natively
     "q_dup_clusters": f"""
 WITH RECURSIVE {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM shingles),
+fsh AS (SELECT s.doc_id, s.shingle FROM shingles s
+        JOIN (SELECT shingle FROM shingles GROUP BY shingle
+              HAVING count(*) <= (SELECT nd * {params.JACCARD_MAX_DF_FRAC} FROM nd)) keep
+        USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
-          FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2),
 pairs AS (SELECT doc_a, doc_b FROM inter
           JOIN sizes sa ON sa.doc_id = doc_a

@@ -155,3 +155,35 @@ def test_release_unpersists_tagged_intermediates(spark):
     assert all(
         not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps
     )
+
+
+def test_jaccard_df_cap_drops_boilerplate_shingles(spark):
+    """Heavy-tailed corpus: one boilerplate shingle shared by EVERY doc
+    must not connect unrelated docs (without the cap it alone emits
+    ~n^2/2 pairs); genuinely similar docs still pair on their rare
+    shingles."""
+    n = 40
+    rows = []
+    for d in range(n):
+        rows.append((d, "COMMON"))  # df = 100% > cap -> dropped
+        rows.append((d, f"uniq-{d}"))
+    # docs 0 and 1 additionally share three rare shingles -> a real pair
+    for s in range(3):
+        rows.append((0, f"dup-{s}"))
+        rows.append((1, f"dup-{s}"))
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = dedup.jaccard_pairs(sh, min_overlap=2, max_df_frac=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 3)]
+    # jaccard over the CAPPED sets: 3 shared / (4 + 4 - 3)
+    assert abs(got[0].jaccard - 3 / 5) < 1e-9
+
+
+def test_jaccard_df_cap_keeps_borderline_shingles(spark):
+    """A shingle at exactly the cap (df == max_df_frac * n_docs) stays:
+    the cap is strictly 'more than'."""
+    sh = spark.createDataFrame(
+        [(0, "s"), (1, "s"), (0, "x0"), (1, "x1"), (2, "y"), (3, "z")],
+        "doc_id long, shingle string",
+    )
+    got = dedup.jaccard_pairs(sh, min_overlap=1, max_df_frac=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 1)]
