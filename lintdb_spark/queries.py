@@ -56,6 +56,16 @@ def q_term_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 42).select("o_orderkey")
 
 
+def q_term_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 TermQueryNode on a FLOAT field (QueryNode.cpp:15-27; FLOAT
+    key prefixes in KeyBuilder.h:278-314). Equality on a DOUBLE column
+    is exact here because l_quantity holds integral values — the same
+    contract the reference's float term keys rely on (bit-identical
+    encodings match, nothing more)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") == 30.0).select("l_orderkey", "l_linenumber")
+
+
 def q_term_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 TermQueryNode on a DATETIME field (ms-precision range)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -583,6 +593,9 @@ def _stopword_in(lang: str) -> str:
 ORACLE: dict[str, str] = {
     "q_term_text": "SELECT doc_id FROM documents WHERE lang = 'en'",
     "q_term_int": "SELECT o_orderkey FROM orders WHERE o_custkey = 42",
+    "q_term_float": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity = 30.0"
+    ),
     "q_term_date": (
         "SELECT l_orderkey, l_linenumber FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'"
@@ -1284,6 +1297,7 @@ WHERE media_type = 'video'
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_text": q_term_text,
     "q_term_int": q_term_int,
+    "q_term_float": q_term_float,
     "q_term_date": q_term_date,
     "q_and": q_and,
     "q_or": q_or,

@@ -449,3 +449,44 @@ def test_adc_requires_pq_and_unnormalized(built_index):
             built_index.search(
                 0, q, k=5,
                 opts=SearchOptions(normalize=False, use_adc=True)).collect()
+
+
+def test_float_term_query(spark, tmp_path):
+    """C1 TermQueryNode on a FLOAT field (QueryNode.cpp:15-27; FLOAT key
+    prefixes KeyBuilder.h:278-314): equality filtering on an Indexed
+    DOUBLE column, alone and AND-combined with a vector child."""
+    schema = Schema(
+        [
+            TensorField(
+                "colbert", dimensions=DIM, roles=[FieldType.COLBERT],
+                quantization="none", num_centroids=8,
+            ),
+            IndexedField("weight", DataType.FLOAT),
+            StoredField("title", DataType.TEXT),
+        ]
+    )
+    idx = Index.create(spark, str(tmp_path / "fidx"), schema)
+    rows = [
+        (0, d, [[float(x) for x in tok] for tok in doc_tokens(d)],
+         2.5 if d % 2 == 0 else 7.25, f"doc-{d}")
+        for d in range(NUM_DOCS)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("tenant", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("colbert", T.ArrayType(T.ArrayType(T.FloatType()))),
+            T.StructField("weight", T.DoubleType()),
+            T.StructField("title", T.StringType()),
+        ]),
+    )
+    idx.train(docs)
+    idx.add(docs)
+    assert sorted(search_ids(idx, TermQuery("weight", 2.5), k=50)) == list(
+        range(0, NUM_DOCS, 2)
+    )
+    both = search_ids(
+        idx, AndQuery([TermQuery("weight", 7.25), VectorQuery("colbert", doc_tokens(7))]), k=5
+    )
+    assert both and all(d % 2 == 1 for d in both)
