@@ -1276,6 +1276,19 @@ class Index:
         thr = float(opts.centroid_score_threshold)
         nsp = int(opts.num_second_pass)
         kk = int(k)
+        # D11 routing, mirroring search(): ADC decomposes the
+        # UNnormalized IP only and needs PQ codes; auto-on exactly
+        # under those conditions. The same SearchOptions must score
+        # identically through search() and search_batch().
+        from lintdb_spark.index.quantizers import ProductQuantizer
+
+        adc_ok = not opts.normalize and isinstance(quant, ProductQuantizer)
+        use_adc = adc_ok if opts.use_adc is None else opts.use_adc
+        if use_adc and not adc_ok:
+            raise ValueError(
+                "use_adc requires a ProductQuantizer field and normalize=False"
+            )
+        normalize = bool(opts.normalize)
 
         def cascade(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             # per-qid full cascade: PLAID codes-only (plaid.cpp:65-95)
@@ -1324,21 +1337,34 @@ class Index:
             # stage 2, vectorized: all survivors' packed residuals are
             # token-major fixed-size rows, so one concatenated decode +
             # one (n_q_tok x total_tokens) matmul + segment-max scores
-            # the whole second pass
+            # the whole second pass. In the ADC configuration the
+            # decode+matmul is replaced by qc-gather + table lookups
+            # (qc IS the precomputed <q, centroid> matrix).
             blobs = left[res_c].to_numpy()
             nts = left[nt_c].to_numpy().astype(np.int64)
             nts_s = nts[surv]
-            toks = quant.decode(
-                b"".join(blobs[i] for i in surv), int(nts_s.sum())
-            ) + CC[np.concatenate([code_arrs[i] for i in surv])]
-            norms = np.linalg.norm(toks, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
+            cents_s = np.concatenate([code_arrs[i] for i in surv])
             starts2 = np.zeros(len(surv), dtype=np.int64)
             np.cumsum(nts_s[:-1], out=starts2[1:])
-            s2 = (
-                np.maximum.reduceat(Q @ (toks / norms).T, starts2, axis=1)
-                .sum(axis=0)
-            )
+            if use_adc:
+                tab = quant.inner_prod_tables(Q)  # (n_q, m, ksub)
+                n_q, m, ksub = tab.shape
+                pqcodes = quant.unpack_codes(
+                    b"".join(blobs[i] for i in surv), int(nts_s.sum())
+                )
+                flat = tab.reshape(n_q, m * ksub)
+                offs = pqcodes + np.arange(m, dtype=np.int64) * ksub
+                S = qc[:, cents_s] + flat[:, offs].sum(axis=2)
+            else:
+                toks = quant.decode(
+                    b"".join(blobs[i] for i in surv), int(nts_s.sum())
+                ) + CC[cents_s]
+                if normalize:
+                    norms = np.linalg.norm(toks, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    toks = toks / norms
+                S = Q @ toks.T
+            s2 = np.maximum.reduceat(S, starts2, axis=1).sum(axis=0)
             keep = np.lexsort((doc_ids[surv], -s2))[:kk]
             return pd.DataFrame(
                 {

@@ -490,3 +490,58 @@ def test_float_term_query(spark, tmp_path):
         idx, AndQuery([TermQuery("weight", 7.25), VectorQuery("colbert", doc_tokens(7))]), k=5
     )
     assert both and all(d % 2 == 1 for d in both)
+
+
+def test_search_batch_honors_normalize_and_adc(built_index):
+    """search_batch must score IDENTICALLY to search() under the same
+    SearchOptions in every configuration — the batch cascade previously
+    hard-coded L2 normalization and ignored opts.normalize/use_adc."""
+    quant = built_index.schema.field("colbert").parameters.quantization
+    base = dict(n_probe=8, k_top_centroids=2, num_second_pass=50,
+                centroid_score_threshold=0.0)
+    configs = [SearchOptions(**base, normalize=False)]
+    if quant == "product":
+        configs.append(SearchOptions(**base, normalize=False, use_adc=True))
+        configs.append(SearchOptions(**base, normalize=False, use_adc=False))
+    for opts in configs:
+        queries = {11: doc_tokens(3), 12: doc_tokens(8)}
+        batch = built_index.search_batch(0, "colbert", queries, k=10, opts=opts)
+        got = {
+            qid: [(r["doc_id"], r["score"]) for r in rows]
+            for qid, rows in (
+                (qid, sorted(
+                    [r for r in batch.collect() if r["qid"] == qid],
+                    key=lambda r: r["rank"],
+                ))
+                for qid in queries
+            )
+        }
+        for qid, qtok in queries.items():
+            single = built_index.search(
+                0, VectorQuery("colbert", qtok), k=10, opts=opts
+            ).collect()
+            assert [d for d, _ in got[qid]] == [r["doc_id"] for r in single], (
+                f"doc order diverged for qid={qid} opts={opts}"
+            )
+            np.testing.assert_allclose(
+                [s for _, s in got[qid]],
+                [r["score"] for r in single],
+                rtol=1e-4, atol=1e-5,
+            )
+
+
+def test_search_batch_rejects_bad_adc_combo(built_index):
+    quant = built_index.schema.field("colbert").parameters.quantization
+    queries = {1: doc_tokens(2)}
+    if quant == "product":
+        with pytest.raises(ValueError, match="use_adc"):
+            built_index.search_batch(
+                0, "colbert", queries, k=5,
+                opts=SearchOptions(normalize=True, use_adc=True),
+            ).count()
+    else:
+        with pytest.raises(ValueError, match="use_adc"):
+            built_index.search_batch(
+                0, "colbert", queries, k=5,
+                opts=SearchOptions(normalize=False, use_adc=True),
+            ).count()
