@@ -101,6 +101,10 @@ class Index:
         idx = cls(spark, path, schema)
         with open(os.path.join(path, "_meta.json")) as f:
             idx._meta = json.load(f)
+        # normalize once at load: _version()/_rewrite_tables() index
+        # _meta['versions'] directly, so a legacy add-only meta without
+        # the key would load fine but KeyError on the first mutation
+        idx._meta.setdefault("versions", {})
         if "segments" not in idx._meta:
             # pre-segment layout: each table's live data is its v<N>
             # dir. Enumerate the SCHEMA's tables — not versions.items():

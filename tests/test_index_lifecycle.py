@@ -545,3 +545,29 @@ def test_search_batch_rejects_bad_adc_combo(built_index):
                 0, "colbert", queries, k=5,
                 opts=SearchOptions(normalize=False, use_adc=True),
             ).count()
+
+
+def test_load_without_versions_key_survives_mutation(spark, tmp_path):
+    """A legacy meta with NO 'versions' key at all must not only load
+    (tolerated since round 3) but also survive remove()/update(),
+    which index _meta['versions'] directly."""
+    import json as _json
+    import os
+    import shutil
+
+    idx = Index.create(spark, str(tmp_path / "legacy_no_versions"), make_schema("none"))
+    docs = make_docs(spark, range(5))
+    idx.train(docs)
+    idx.add(docs)
+    for table, segs in idx._meta["segments"].items():
+        root = os.path.join(idx.path, table)
+        shutil.move(os.path.join(root, segs[0]), os.path.join(root, "v0"))
+    with open(os.path.join(idx.path, "_meta.json"), "w") as f:
+        _json.dump({"trained": True}, f)  # neither versions nor segments
+
+    idx2 = Index.load(spark, idx.path)
+    assert idx2._docs().count() == 5
+    idx2.remove(0, [1])
+    assert sorted(
+        r["doc_id"] for r in idx2._docs().select("doc_id").collect()
+    ) == [0, 2, 3, 4]
