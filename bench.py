@@ -181,12 +181,13 @@ def main() -> None:
 
     # ---- BENCH-4: quality — Success@K of the cascade vs exact MaxSim ----
     # (BASELINE.md: proxy for LoTTE Success@5; gate >= 0.95)
-    # NOTE on knobs: the driver's embeddings are unstructured (near-
-    # orthogonal random vectors), so codes-only PLAID correlates weakly
-    # with exact MaxSim and quality is governed by num_second_pass, not
-    # n_probe (measured: 0.39@nsp=64 -> 0.98@nsp=400 at sf0.1). Real
-    # ColBERT embeddings cluster, which is what makes the reference's
-    # shallow-second-pass defaults work. We report the default-knob
+    # NOTE on knobs (full analysis: BASELINE.md §4): the driver's
+    # embeddings are i.i.d. near-orthogonal, so token->centroid
+    # assignment carries little information and the candidate pool is
+    # RECALL-BOUND by n_probe — at n_probe=4, Success@10 saturates at
+    # 0.487 no matter how large num_second_pass gets. The same default
+    # knobs score 0.98 on the clustered golden fixture (the geometry
+    # real ColBERT embeddings have). We report the default-knob
     # quality AND a high-recall setting that meets the >=0.95 gate.
     success_at_k = success_at_k_hr = success_golden = success_golden_xtr = None
     t0 = time.time()
