@@ -43,20 +43,24 @@ def stratified_sample(
     keep all of a scarce one). Strata with no configured rate are
     dropped. Returns the sampled (doc_id, lang, source, bucket).
 
-    Scale shape: the rates dim is a handful of rows -> broadcast
-    hash join; the hash filter is a pure projection — the whole plan
-    is scan + map + broadcast-join, zero shuffles of the corpus, and
-    partition-prunable if the corpus is lang-partitioned on disk.
+    Scale shape: a PURE MAP — the rates dim is folded into the plan as
+    a literal map expression (scan + project + filter, no join, no
+    broadcast build, no driver createDataFrame round-trip), zero
+    shuffles of the corpus, partition-prunable if the corpus is
+    lang-partitioned on disk. With thousands of strata, swap the
+    literal for a broadcast-joined dim table; for the handful every
+    real pipeline has, the literal wins.
     """
-    spark = documents.sparkSession
-    rates_df = spark.createDataFrame(
-        [(lang, int(round(r * SAMPLE_BUCKETS))) for lang, r in sorted(rates.items())],
-        "lang string, keep_below int",
-    )
+    entries = [
+        x
+        for lang, r in sorted(rates.items())
+        for x in (F.lit(lang), F.lit(int(round(r * SAMPLE_BUCKETS))))
+    ]
+    keep_below = F.create_map(*entries)[F.col("lang")]
     return (
         documents.withColumn("bucket", _bucket(salt))
-        .join(F.broadcast(rates_df), "lang")
-        .filter(F.col("bucket") < F.col("keep_below"))
+        .withColumn("keep_below", keep_below)
+        .filter(F.col("keep_below").isNotNull() & (F.col("bucket") < F.col("keep_below")))
         .select("doc_id", "lang", "source", "bucket")
     )
 

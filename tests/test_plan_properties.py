@@ -129,12 +129,12 @@ def test_hash_split_is_pure_map(spark, sf_dir):
     assert "EvalPython" not in p
 
 
-def test_stratified_sample_no_corpus_shuffle(spark, sf_dir):
-    """The rates dim must broadcast; the corpus side never shuffles
-    (zero shuffle Exchange nodes — BroadcastExchange is allowed)."""
+def test_stratified_sample_is_pure_map(spark, sf_dir):
+    """The rates dim folds into the plan as a literal map: no join of
+    any kind, no Exchange, no Python — scan + project + filter only."""
     p = plan_of(spark, sf_dir, "q_stratified_sample")
     assert _nodes(p, "Exchange") == 0
-    assert "BroadcastHashJoin" in p
+    assert "Join" not in p
     assert "EvalPython" not in p
 
 
