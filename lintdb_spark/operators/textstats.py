@@ -161,6 +161,7 @@ def bm25_rank(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval over an analyzed text column — the
     classic full-text scorer a search engine layers on the inverted
@@ -180,8 +181,15 @@ def bm25_rank(
     # documents (punctuation -> space, lowercase) — a mismatch would
     # make punctuated query terms silently unmatched
     q_toks = sorted(set(analyze_standard_py(query)))
-    toks = documents.select(
-        "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+    # callers holding a materialized token table (the stored-postings
+    # analogue) pass it via ``tokens``; dl and tf both read it, so a
+    # cached frame halves the analyze passes
+    toks = (
+        tokens
+        if tokens is not None
+        else documents.select(
+            "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+        )
     )
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
     stats = dl.agg(
