@@ -159,7 +159,10 @@ def jaccard_pairs(
         .filter(F.col("df") > F.col("nd") * max_df_frac)
         .select("shingle")
     )
-    shingles = shingles.join(F.broadcast(stop), "shingle", "left_anti")
+    # persist the capped frame: sizes and both self-join sides read it
+    # (3 references), and each un-persisted reference re-runs the df
+    # aggregate + anti-join over the full shingle stream
+    shingles = shingles.join(F.broadcast(stop), "shingle", "left_anti").persist()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -170,7 +173,7 @@ def jaccard_pairs(
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .filter(F.col("n_common") >= min_overlap)
     )
-    return (
+    return tag_cached(
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .select(
@@ -181,7 +184,8 @@ def jaccard_pairs(
                 F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
                 params.ROUND,
             ).alias("jaccard"),
-        )
+        ),
+        shingles,
     )
 
 
@@ -339,14 +343,23 @@ def embedding_lsh_neardup(
     from lintdb_spark.functions.vector import l2_normalize
 
     # persist across the self-join: Spark's ReusedExchange does not
-    # fire for this aliased self-join (each side re-plans the
-    # crossJoin + sign-aggregate subtree), so without it the |vectors|
-    # x num_planes dot products run TWICE. The bucket frame is
-    # |vectors| x bands slim rows — cheap to cache even at scale, and
-    # at 100 TB it would be a materialized table maintained at ingest
-    # (same build/serve split as ivf_bucket).
-    buckets = hyperplane_lsh_buckets(embeddings, num_planes, bands, dim).persist()
-    cand = (
+    # fire for this aliased self-join (each side re-plans the banded
+    # matmul subtree), so without it the pandas_udf bucketing runs
+    # TWICE. The frame CARRIES the L2-normalized vector, so the
+    # self-join emits both pair vectors directly — no post-join
+    # lookups of the embeddings table (saves two shuffle joins). At
+    # |vectors| x bands rows it is still slim; at 100 TB it would be a
+    # materialized table maintained at ingest (same build/serve split
+    # as ivf_bucket).
+    buckets = (
+        hyperplane_lsh_buckets(embeddings, num_planes, bands, dim)
+        .join(
+            embeddings.select("vec_id", l2_normalize(F.col("embedding")).alias("nv")),
+            "vec_id",
+        )
+        .persist()
+    )
+    collided = (
         buckets.alias("a")
         .join(
             buckets.alias("b"),
@@ -354,26 +367,18 @@ def embedding_lsh_neardup(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    norm = embeddings.select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("nv")
-    )
-    return tag_cached(
-        cand.join(
-            norm.select(F.col("vec_id").alias("vec_a"), F.col("nv").alias("va")),
-            "vec_a",
-        )
-        .join(
-            norm.select(F.col("vec_id").alias("vec_b"), F.col("nv").alias("vb")),
-            "vec_b",
-        )
         .select(
-            "vec_a",
-            "vec_b",
-            F.round(dot_product("va", "vb"), params.ROUND).alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot_product("a.nv", "b.nv"), params.ROUND).alias("cosine"),
         )
+    )
+    # multi-band collisions produce duplicate pairs with identical
+    # cosine — one aggregate dedups and replaces the old
+    # distinct + double vector-lookup chain
+    return tag_cached(
+        collided.groupBy("vec_a", "vec_b")
+        .agg(F.first("cosine").alias("cosine"))
         .filter(F.col("cosine") >= threshold),
         buckets,
     )
