@@ -72,27 +72,28 @@ def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> Dat
     permutations are universal hashes (a_i*h+b_i mod p) — pure integer
     arithmetic, so the cost is |shingles| md5s + |shingles|*|perms|
     multiplies instead of |shingles|*|perms| md5s (16x fewer digest
-    computations at the default 16 perms). Map-side partial min keeps
-    the shuffle at |docs| x |perms| rows regardless of doc length."""
+    computations at the default 16 perms). The |perms| mins are
+    computed as PARALLEL AGGREGATE COLUMNS over the shingle stream —
+    no |shingles| x |perms| row explode ever materializes — then one
+    in-row posexplode unpivots the |docs| wide rows to the
+    (doc_id, perm, minhash) contract; the shuffle carries |docs| wide
+    rows instead of |docs| x |perms|."""
     num_perms = num_perms or params.MINHASH_PERMS
     from lintdb_spark.functions.text import base_hash31, perm_hash
 
     based = shingles.select("doc_id", base_hash31(F.col("shingle")).alias("h31"))
-    return (
-        based.select(
-            "doc_id",
-            # bigint sequence so perm matches the oracle's
-            # unnest(range(...)) BIGINT (a generator can't be nested
-            # inside a cast)
-            F.explode(
-                F.sequence(F.lit(0).cast("bigint"), F.lit(num_perms - 1).cast("bigint"))
-            ).alias("perm"),
-            F.col("h31"),
-        )
-        .select("doc_id", "perm", perm_hash(F.col("perm"), F.col("h31")).alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    wide = based.groupBy("doc_id").agg(
+        *[
+            F.min(perm_hash(F.lit(p).cast("bigint"), F.col("h31"))).alias(f"m{p}")
+            for p in range(num_perms)
+        ]
     )
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{p}") for p in range(num_perms)])).alias(
+            "perm", "minhash"
+        ),
+    ).select("doc_id", F.col("perm").cast("bigint").alias("perm"), "minhash")
 
 
 def lsh_buckets(signatures: DataFrame, bands: int | None = None, num_perms: int | None = None) -> DataFrame:

@@ -187,3 +187,26 @@ def test_jaccard_df_cap_keeps_borderline_shingles(spark):
     )
     got = dedup.jaccard_pairs(sh, min_overlap=1, max_df_frac=0.5).collect()
     assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 1)]
+
+
+def test_session_caches_reuse_and_key_on_application_id(spark, sf_dir):
+    """The build/serve caches hand back the SAME persisted frame within
+    a session and key on applicationId + sf_dir (not id(spark))."""
+    from lintdb_spark import queries as q
+
+    a1 = q.cascade_inputs(spark, sf_dir)
+    a2 = q.cascade_inputs(spark, sf_dir)
+    assert a1[2] is a2[2]
+    lvl = a1[2].storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    s1 = q.doc_shingles_cached(spark, sf_dir)
+    assert q.doc_shingles_cached(spark, sf_dir) is s1
+    t1 = q.text_tokens_cached(spark, sf_dir)
+    assert q.text_tokens_cached(spark, sf_dir) is t1
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in q._CASCADE_CACHE)
+    # a key from a dead application is pruned when a new one builds
+    q._SHINGLE_CACHE[("dead-app", sf_dir)] = s1
+    q._SHINGLE_CACHE.pop((app, sf_dir))
+    q.doc_shingles_cached(spark, sf_dir)
+    assert ("dead-app", sf_dir) not in q._SHINGLE_CACHE
