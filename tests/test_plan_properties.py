@@ -154,3 +154,34 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     # would add exchanges here.
     nodes = re.findall(r"^\(\d+\) (\S+)", p, re.M)
     assert sum(1 for n in nodes if n == "Exchange") <= 4
+
+
+def _plan_of_df(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_minhash_wide_aggregate_shape(spark, sf_dir):
+    """Minhash computes all perms as parallel aggregate columns with an
+    in-row posexplode unpivot afterwards — never the old
+    explode(sequence(perms)) row blowup before aggregation."""
+    p = plan_of(spark, sf_dir, "q_minhash_sig")
+    assert "posexplode" in p
+    assert "explode(sequence(" not in p
+    assert "EvalPython" not in p
+
+
+def test_jaccard_stop_set_broadcasts(spark, sf_dir):
+    """The df-cap stop set joins as a BROADCAST anti-join — a pure map
+    over the shingle stream, never a shuffled exclusion of the corpus."""
+    from lintdb_spark.operators import dedup
+    from lintdb_spark.tables import load_table
+
+    p = _plan_of_df(
+        dedup.jaccard_pairs(
+            dedup.doc_shingles(load_table(spark, sf_dir, "documents"))
+        )
+    )
+    assert "BroadcastHashJoin LeftAnti" in p
