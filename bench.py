@@ -403,8 +403,15 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
         fh.write(line + "\n")
     print(line)
-    spark.stop()
+    global _EMITTED
+    _EMITTED = True
+    try:
+        spark.stop()
+    except Exception:  # a wedged JVM must not poison an already-emitted run
+        pass
 
+
+_EMITTED = False
 
 if __name__ == "__main__":
     try:
@@ -413,17 +420,21 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        line = json.dumps(
-            {
-                "metric": "e2e_bench_total",
-                "value": None,
-                "unit": "sec",
-                "queries": {},
-                "errors": {"fatal": repr(exc)},
-            }
-        )
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w"
-        ) as fh:
-            fh.write(line + "\n")
-        print(line)
+        # only if main() never emitted: a late failure after the real
+        # results were printed/persisted must not overwrite them with a
+        # null record (the driver reads ONE JSON line)
+        if not _EMITTED:
+            line = json.dumps(
+                {
+                    "metric": "e2e_bench_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "errors": {"fatal": repr(exc)},
+                }
+            )
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w"
+            ) as fh:
+                fh.write(line + "\n")
+            print(line)

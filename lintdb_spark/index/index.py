@@ -733,11 +733,12 @@ class Index:
             pqcodes = q.unpack_codes(b"".join(residuals), total)  # (N, m)
             cents = np.concatenate([np.asarray(c, dtype=np.int64) for c in codes])
             # scores (n_q, N): centroid part is a gather of pre's
-            # columns; residual part is m table lookups per doc token
-            # via one flat fancy-index (n_q, N, m) -> sum over m
-            flat = tab.reshape(n_q, m * ksub)
-            offs = pqcodes + np.arange(m, dtype=np.int64) * ksub  # (N, m)
-            S = pre[:, cents] + flat[:, offs].sum(axis=2)
+            # columns; residual part accumulates the m per-subquantizer
+            # table lookups one at a time — a single (n_q, N, m)
+            # fancy-index would peak at m x the necessary memory
+            S = pre[:, cents].copy()
+            for i in range(m):
+                S += tab[:, i, :][:, pqcodes[:, i]]
             starts = np.zeros(len(nts), dtype=np.int64)
             np.cumsum(nts[:-1], out=starts[1:])
             out = np.maximum.reduceat(S, starts, axis=1).sum(axis=0)
@@ -1356,9 +1357,11 @@ class Index:
                 pqcodes = quant.unpack_codes(
                     b"".join(blobs[i] for i in surv), int(nts_s.sum())
                 )
-                flat = tab.reshape(n_q, m * ksub)
-                offs = pqcodes + np.arange(m, dtype=np.int64) * ksub
-                S = qc[:, cents_s] + flat[:, offs].sum(axis=2)
+                # accumulate per subquantizer: O(n_q x N) peak memory
+                # instead of the (n_q, N, m) fancy-index intermediate
+                S = qc[:, cents_s].copy()
+                for i in range(m):
+                    S += tab[:, i, :][:, pqcodes[:, i]]
             else:
                 toks = quant.decode(
                     b"".join(blobs[i] for i in surv), int(nts_s.sum())

@@ -458,6 +458,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             converged = True
             break
         prev_sum = lbl_sum
+    if not converged:
+        # the last check window may have ENDED at the fixed point (its
+        # sum still differs from the window before), so one extra
+        # confirming round distinguishes "converged on the boundary"
+        # from genuine non-convergence before warning
+        confirm = (
+            edges.join(labels, "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .withColumnRenamed("u", "v")
+            .localCheckpoint()
+        )
+        confirm_sum = confirm.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        converged = confirm_sum == prev_sum
     edges.unpersist()
     fwd.unpersist()
     if not converged:
@@ -469,8 +485,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(
-        F.col("v").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+    return tag_cached(
+        labels.select(
+            F.col("v").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+        ),
+        pairs,
     )
 
 

@@ -91,6 +91,20 @@ def q_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """THE session-cache discipline, shared by every build/serve cache
+    below: key on (applicationId, sf_dir) — id(spark) could be reused
+    after GC for a session bound to a dead context — and prune entries
+    from previous applications (dead contexts) when a new one builds,
+    so the dict stays bounded across session restarts in one process."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in cache:
+        for stale in [k for k in cache if k[0] != key[0]]:
+            cache.pop(stale)
+        cache[key] = build()
+    return cache[key]
+
+
 _CASCADE_CACHE: dict = {}
 
 
@@ -100,17 +114,15 @@ def cascade_inputs(spark: SparkSession, sf_dir: str):
     the index's materialized parquet tables (Index.add writes postings
     partitioned by (tenant, centroid_id)); the q_* twins otherwise
     re-derive the full token->centroid assignment on every call, which
-    at bench scale re-paid ~1-1.5 s per cascade query. Same
-    applicationId keying/pruning discipline as _IVF_BUCKET_CACHE."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CASCADE_CACHE:
-        for stale in [k for k in _CASCADE_CACHE if k[0] != key[0]]:
-            _CASCADE_CACHE.pop(stale)
+    at bench scale re-paid ~1-1.5 s per cascade query."""
+
+    def build():
         cents = model.centroids(spark, sf_dir)
         dt = model.doc_tokens(spark, sf_dir).persist()
         ta = ann.assign_tokens(dt, cents).persist()
-        _CASCADE_CACHE[key] = (cents, dt, ta)
-    return _CASCADE_CACHE[key]
+        return (cents, dt, ta)
+
+    return _session_cached(_CASCADE_CACHE, spark, sf_dir, build)
 
 
 def q_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,15 +254,13 @@ def doc_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_clusters). At 100 TB this is a materialized intermediate a
     pipeline writes once per corpus snapshot; recomputing the explode
     + distinct per downstream operator re-paid ~0.5-1 s per query at
-    bench scale. Same keying/pruning discipline as _IVF_BUCKET_CACHE."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CACHE:
-        for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
-            _SHINGLE_CACHE.pop(stale)
-        _SHINGLE_CACHE[key] = dedup.doc_shingles(
-            load_table(spark, sf_dir, "documents")
-        ).persist()
-    return _SHINGLE_CACHE[key]
+    bench scale."""
+    return _session_cached(
+        _SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.doc_shingles(load_table(spark, sf_dir, "documents")).persist(),
+    )
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,14 +280,12 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dup_clusters consumes it, so cluster formation never re-runs the
     shingle self-join (pairs are the materialized hand-off between the
     two stages of every real dedup pipeline)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PAIR_CACHE:
-        for stale in [k for k in _PAIR_CACHE if k[0] != key[0]]:
-            _PAIR_CACHE.pop(stale)
-        _PAIR_CACHE[key] = dedup.jaccard_pairs(
-            doc_shingles_cached(spark, sf_dir)
-        ).persist()
-    return _PAIR_CACHE[key]
+    return _session_cached(
+        _PAIR_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.jaccard_pairs(doc_shingles_cached(spark, sf_dir)).persist(),
+    )
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,20 +356,17 @@ _TEXT_TOKEN_CACHE: dict = {}
 def text_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached (doc_id, token) analyzed-token table — the
     stored text-postings analogue shared by bm25 and text match (the
-    Index class materializes the same thing at add() time). Same
-    keying/pruning discipline as _IVF_BUCKET_CACHE."""
+    Index class materializes the same thing at add() time)."""
     from lintdb_spark.functions.text import analyze_standard
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _TEXT_TOKEN_CACHE:
-        for stale in [k for k in _TEXT_TOKEN_CACHE if k[0] != key[0]]:
-            _TEXT_TOKEN_CACHE.pop(stale)
-        _TEXT_TOKEN_CACHE[key] = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", F.explode(analyze_standard(F.col("text"))).alias("token"))
-            .persist()
-        )
-    return _TEXT_TOKEN_CACHE[key]
+    return _session_cached(
+        _TEXT_TOKEN_CACHE,
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(analyze_standard(F.col("text"))).alias("token"))
+        .persist(),
+    )
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,21 +573,15 @@ def ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by centroid_id; here it's a persisted DataFrame built
     once per (session, sf_dir). bench.py materializes it explicitly
     (timed as ivf_build) so q_ivf_knn measures probe-bounded QUERY
-    cost, mirroring how every ANN system separates build from serve.
-
-    Keyed on applicationId, not id(spark): CPython id reuse after GC
-    could hand a new session an entry bound to a dead SparkContext."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_BUCKET_CACHE:
-        # entries from previous sessions reference dead contexts —
-        # drop the handles so the dict stays bounded across restarts
-        for stale in [k for k in _IVF_BUCKET_CACHE if k[0] != key[0]]:
-            _IVF_BUCKET_CACHE.pop(stale)
-        b = knn.ivf_bucket(
+    cost, mirroring how every ANN system separates build from serve."""
+    return _session_cached(
+        _IVF_BUCKET_CACHE,
+        spark,
+        sf_dir,
+        lambda: knn.ivf_bucket(
             load_table(spark, sf_dir, "embeddings"), model.centroids(spark, sf_dir)
-        ).persist()
-        _IVF_BUCKET_CACHE[key] = b
-    return _IVF_BUCKET_CACHE[key]
+        ).persist(),
+    )
 
 
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
