@@ -137,17 +137,21 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
     min_overlap shingles.
 
-    Document-frequency cap: shingles present in more than
-    ``max_df_frac`` (default params.JACCARD_MAX_DF_FRAC) of the corpus
-    are dropped from the computation entirely — sizes AND
-    intersections — before the self-join. They carry no near-dup
-    signal (every doc shares them), and without the cap a single
-    boilerplate shingle in 50% of docs makes the join emit
-    ~|corpus|^2/8 rows. Scale shape: the stop set is tiny by
-    definition (heavy tail = few ultra-common shingles), so the
-    exclusion is a broadcast anti-join — a pure map over the shingle
-    stream; the df aggregate shuffles on the same key the self-join
-    already shuffles on."""
+    Document-frequency cap: shingles with df above
+    ``clamp(nd * max_df_frac, params.JACCARD_DF_FLOOR,
+    params.JACCARD_DF_CEIL)`` are dropped from the computation
+    entirely — sizes AND intersections — before the self-join. They
+    carry no near-dup signal (every doc shares them), and without the
+    cap a single boilerplate shingle in 50% of docs makes the join
+    emit ~|corpus|^2/8 rows. The FLOOR keeps small corpora working (a
+    purely fractional cap drops every df>=2 shingle when nd < 10); the
+    CEILING bounds the self-join fan-out at sum(df^2) <=
+    |shingles| * DF_CEIL even when nd*frac is huge — the 100 TB
+    guarantee (see params.py for the recall trade). Scale shape: the
+    stop set is tiny by definition (heavy tail = few ultra-common
+    shingles), so the exclusion is a broadcast anti-join — a pure map
+    over the shingle stream; the df aggregate shuffles on the same key
+    the self-join already shuffles on."""
     max_df_frac = (
         params.JACCARD_MAX_DF_FRAC if max_df_frac is None else max_df_frac
     )
@@ -157,7 +161,15 @@ def jaccard_pairs(
         shingles.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .crossJoin(ndocs)  # 1-row frame: broadcast-nested-loop, free
-        .filter(F.col("df") > F.col("nd") * max_df_frac)
+        .filter(
+            F.col("df")
+            > F.least(
+                F.greatest(
+                    F.col("nd") * max_df_frac, F.lit(float(params.JACCARD_DF_FLOOR))
+                ),
+                F.lit(float(params.JACCARD_DF_CEIL)),
+            )
+        )
         .select("shingle")
     )
     # persist the capped frame: sizes and both self-join sides read it

@@ -51,7 +51,19 @@ LSH_BANDS = 4  # bands for LSH bucketing (rows per band = PERMS/BANDS)
 # from jaccard similarity entirely: they are non-discriminative
 # boilerplate, and without the cap ONE stop-shingle in 50% of docs
 # makes the inverted-index self-join quadratic in the corpus.
+# The effective df threshold is clamp(nd * FRAC, DF_FLOOR, DF_CEIL):
+# - DF_FLOOR: on a corpus of < FLOOR/FRAC docs the fractional cap
+#   alone would drop EVERY repeated shingle (df=2 > 0.2*nd for nd<10),
+#   silently returning zero pairs on legitimate small inputs — the
+#   floor keeps low-df shingles regardless of corpus size.
+# - DF_CEIL: a shingle just under a purely fractional cap still fans
+#   out (FRAC*nd)^2 join rows — quadratic again at 100 TB. The absolute
+#   ceiling bounds the self-join at sum(df^2) <= |shingles| * DF_CEIL,
+#   trading recall only on pairs whose ONLY shared shingles appear in
+#   >DF_CEIL docs (such shingles carry ~no near-dup signal).
 JACCARD_MAX_DF_FRAC = 0.2
+JACCARD_DF_FLOOR = 8
+JACCARD_DF_CEIL = 10_000
 ROUND = 4  # decimals kept when hashing float scores across engines
 
 # English/German/French/Spanish stopword lists for the n-gram-free

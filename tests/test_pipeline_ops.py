@@ -189,6 +189,37 @@ def test_jaccard_df_cap_keeps_borderline_shingles(spark):
     assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 1)]
 
 
+def test_jaccard_df_floor_keeps_small_corpora_working(spark):
+    """Regression (r04 advice): on a tiny corpus the fractional cap
+    alone drops EVERY df>=2 shingle (df=2 > 0.2*nd for nd<10), so
+    jaccard_pairs silently returned zero pairs on legitimate small
+    inputs. The DF_FLOOR keeps them."""
+    sh = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "a"), (1, "b"), (2, "c")],
+        "doc_id long, shingle string",
+    )
+    got = dedup.jaccard_pairs(sh, min_overlap=2).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 2)]
+    assert abs(got[0].jaccard - 1.0) < 1e-9
+
+
+def test_jaccard_df_ceiling_bounds_fanout(spark, monkeypatch):
+    """The absolute ceiling drops a shingle whose df exceeds it even
+    when the fractional cap would keep it — the 100 TB fan-out bound."""
+    from lintdb_spark import params as p
+
+    monkeypatch.setattr(p, "JACCARD_DF_CEIL", 5)
+    monkeypatch.setattr(p, "JACCARD_DF_FLOOR", 2)
+    n = 12
+    rows = [(d, "HOT") for d in range(n)]  # df=12 > ceil=5, <= frac cap (1.0*12)
+    rows += [(0, f"r{s}") for s in range(2)] + [(1, f"r{s}") for s in range(2)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = dedup.jaccard_pairs(sh, min_overlap=2, max_df_frac=1.0).collect()
+    # HOT is gone: only the rare-shingle pair survives, sized w/o HOT
+    assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 2)]
+    assert abs(got[0].jaccard - 1.0) < 1e-9
+
+
 def test_session_caches_reuse_and_key_on_application_id(spark, sf_dir):
     """The build/serve caches hand back the SAME persisted frame within
     a session and key on applicationId + sf_dir (not id(spark))."""
