@@ -270,14 +270,23 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> Da
     )
 
 
+# Embedding components are snapped to the grid 2^-20 before the
+# hyperplane dot product: with BOTH factors integral (scaled component
+# x integer plane component), every product and partial sum is an
+# integer far below 2^53, so double addition is EXACT and the sign is
+# independent of summation order — numpy's pairwise sum, a SQL engine's
+# sequential sum, and any future vectorized layout all agree
+# bit-for-bit, even when the dot product lands exactly on zero.
+LSH_QUANT_SCALE = 1 << 20
+
+
 def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random-hyperplane family for sign-LSH: component
     (p, d) is an LCG hash of the flat index mapped to an integer in
     [-1000, 1000]. Integer components are exactly representable as
-    doubles, so Spark and any SQL oracle computing the same dot product
-    agree bit-for-bit on the sign (float32 value x 10-bit integer is
-    exact in double; the 64-term sum differs across engines only in the
-    last ulp, never enough to flip a sign in practice)."""
+    doubles; combined with the LSH_QUANT_SCALE embedding quantization
+    the bucket sign bits are exact integer arithmetic on every
+    engine (see LSH_QUANT_SCALE note)."""
     return [
         [
             float((1103515245 * (p * dim + d) + 12345) % 2147483647 % 2001 - 1000)
@@ -315,9 +324,10 @@ def hyperplane_lsh_buckets(
     r = num_planes // bands
     from pyspark.sql.functions import pandas_udf
 
-    # plane components are small integers: float32 x int products are
-    # exact in double, so the numpy matmul and any SQL oracle agree on
-    # every sign (see hyperplanes() docstring)
+    # integer plane components x grid-snapped embedding components:
+    # every product/partial sum is an integer << 2^53, so the float64
+    # matmul is exact and the sign bits are order-independent (see
+    # LSH_QUANT_SCALE note above)
     P = np.asarray(hyperplanes(num_planes, dim), dtype=np.float64)
     W = (1 << np.arange(r, dtype=np.int64)).astype(np.int64)
 
@@ -326,12 +336,35 @@ def hyperplane_lsh_buckets(
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         M = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
-        bits = (M @ P.T >= 0).astype(np.int64)  # |batch| x planes
+        # half-up rounding via floor(x+0.5): identical on every engine
+        # (np.rint's half-to-even differs from SQL round's half-away)
+        Mq = np.floor(M * LSH_QUANT_SCALE + 0.5)  # integral doubles, exact
+        bits = (Mq @ P.T >= 0).astype(np.int64)  # |batch| x planes
         keys = bits.reshape(len(emb), bands, r) @ W  # |batch| x bands
         return pd.Series(list(keys))
 
     return embeddings.select(
         "vec_id", F.posexplode(band_keys("embedding")).alias("band", "key")
+    )
+
+
+def lsh_bucket_frame(
+    embeddings: DataFrame,
+    num_planes: int = 18,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """The BUILD half of sign-LSH near-dup: (vec_id, band, key, nv) —
+    banded bucket assignment carrying the L2-normalized vector, so the
+    downstream self-join emits both pair vectors directly (no post-join
+    lookups of the embeddings table). At 100 TB this is a materialized
+    table maintained at ingest, partitioned by (band, key) — the same
+    build/serve split as ivf_bucket."""
+    from lintdb_spark.functions.vector import l2_normalize
+
+    return hyperplane_lsh_buckets(embeddings, num_planes, bands, dim).join(
+        embeddings.select("vec_id", l2_normalize(F.col("embedding")).alias("nv")),
+        "vec_id",
     )
 
 
@@ -341,6 +374,7 @@ def embedding_lsh_neardup(
     num_planes: int = 18,
     bands: int = 3,
     dim: int = 64,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The scale path for embedding near-dup: sign-LSH candidate
     generation + exact cosine verification on candidates only. Returns
@@ -352,26 +386,17 @@ def embedding_lsh_neardup(
     At 18 planes / 3 bands of 6 bits, a cos=0.95 pair collides with
     p ~= 0.90 and a cos=0.4 pair with p ~= 0.49 — the knob trades
     recall at the threshold boundary for candidate volume, exactly
-    like minhash-LSH's (bands, rows) knob."""
-    from lintdb_spark.functions.vector import l2_normalize
+    like minhash-LSH's (bands, rows) knob.
 
+    ``buckets``: optional prebuilt ``lsh_bucket_frame`` (persisted by
+    the caller, e.g. a session cache) — the serve path then runs just
+    the bucket-bounded self-join + verify."""
     # persist across the self-join: Spark's ReusedExchange does not
     # fire for this aliased self-join (each side re-plans the banded
     # matmul subtree), so without it the pandas_udf bucketing runs
-    # TWICE. The frame CARRIES the L2-normalized vector, so the
-    # self-join emits both pair vectors directly — no post-join
-    # lookups of the embeddings table (saves two shuffle joins). At
-    # |vectors| x bands rows it is still slim; at 100 TB it would be a
-    # materialized table maintained at ingest (same build/serve split
-    # as ivf_bucket).
-    buckets = (
-        hyperplane_lsh_buckets(embeddings, num_planes, bands, dim)
-        .join(
-            embeddings.select("vec_id", l2_normalize(F.col("embedding")).alias("nv")),
-            "vec_id",
-        )
-        .persist()
-    )
+    # TWICE.
+    if buckets is None:
+        buckets = lsh_bucket_frame(embeddings, num_planes, bands, dim).persist()
     collided = (
         buckets.alias("a")
         .join(
@@ -474,7 +499,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         # the last check window may have ENDED at the fixed point (its
         # sum still differs from the window before), so one extra
         # confirming round distinguishes "converged on the boundary"
-        # from genuine non-convergence before warning
+        # from genuine non-convergence before warning. Either way the
+        # confirm frame's labels are returned: when genuinely
+        # non-converged they are one productive round closer to the
+        # fixed point than the pre-confirm frame (labels only
+        # decrease), so discarding them would waste the round.
         confirm = (
             edges.join(labels, "v")
             .groupBy("u")
@@ -486,6 +515,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         converged = confirm_sum == prev_sum
+        labels = confirm
     edges.unpersist()
     fwd.unpersist()
     if not converged:

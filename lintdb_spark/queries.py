@@ -91,18 +91,35 @@ def q_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_CACHE_LOCK = __import__("threading").RLock()
+
+
 def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
     """THE session-cache discipline, shared by every build/serve cache
     below: key on (applicationId, sf_dir) — id(spark) could be reused
     after GC for a session bound to a dead context — and prune entries
     from previous applications (dead contexts) when a new one builds,
-    so the dict stays bounded across session restarts in one process."""
+    so the dict stays bounded across session restarts in one process.
+
+    Thread-safe (one lock guards check-and-build: the REST server
+    fields concurrent requests), and every persisted DataFrame the
+    build returns is PINNED (cache.pin) so a downstream
+    tag_cached/release cycle can never unpersist a frame this dict
+    still hands out — releasing it would silently degrade later cache
+    hits to recomputes."""
+    from lintdb_spark.cache import pin
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in cache:
-        for stale in [k for k in cache if k[0] != key[0]]:
-            cache.pop(stale)
-        cache[key] = build()
-    return cache[key]
+    with _SESSION_CACHE_LOCK:
+        if key not in cache:
+            for stale in [k for k in cache if k[0] != key[0]]:
+                cache.pop(stale)
+            built = build()
+            for d in built if isinstance(built, tuple) else (built,):
+                if isinstance(d, DataFrame):
+                    pin(d)
+            cache[key] = built
+        return cache[key]
 
 
 _CASCADE_CACHE: dict = {}
@@ -168,9 +185,20 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xtr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D10 XTR — the reference's declared-but-dead scoring enum, working."""
-    _, dt, _ = cascade_inputs(spark, sf_dir)
-    return scoring.xtr_topk(dt, model.query_tokens(spark, sf_dir))
+    """D10 XTR — the reference's declared-but-dead scoring enum,
+    working. The retrieval pool is routed through the IVF probe path —
+    candidates from probed posting lists, exactly as the real index
+    serves it (Index.search_xtr, index/index.py:949-1018) — instead of
+    a dense corpus cross-join; the oracle applies the identical
+    candidate restriction, so both sides stay in lock-step. At 100 TB
+    the dense twin would scan every token per query; the probe-bounded
+    pool is what makes XTR serve-able."""
+    cents, dt, ta = cascade_inputs(spark, sf_dir)
+    qt = model.query_tokens(spark, sf_dir)
+    probes = ann.top_centroids(qt, cents)
+    cand = ann.candidates(ta, probes)
+    cand_tokens = dt.join(F.broadcast(cand), "doc_id", "left_semi")
+    return scoring.xtr_topk(cand_tokens, qt)
 
 
 def _topk(spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None) -> DataFrame:
@@ -302,9 +330,31 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_BUCKET_CACHE: dict = {}
+
+
+def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached sign-LSH bucket frame (vec_id, band, key, nv) —
+    the build half of embedding near-dup, mirroring ivf_bucketed: at
+    100 TB this is a parquet table maintained at ingest; here it is
+    persisted once per (session, sf_dir) so q_embedding_neardup_lsh
+    measures the bucket-bounded serve half (bench times the build
+    separately as lsh_bucket_build)."""
+    return _session_cached(
+        _LSH_BUCKET_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.lsh_bucket_frame(
+            load_table(spark, sf_dir, "embeddings")
+        ).persist(),
+    )
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_lsh_neardup(
-        load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        NEARDUP_THRESHOLD,
+        buckets=lsh_bucketed(spark, sf_dir),
     )
 
 
@@ -863,12 +913,16 @@ def _lsh_neardup_sql(
 ) -> str:
     """Oracle twin of dedup.embedding_lsh_neardup: the hyperplane
     family is the same deterministic LCG (integer components, exact in
-    double), inlined as list literals so DuckDB computes the identical
-    sign bits."""
+    double), inlined as list literals; embedding components are
+    grid-snapped with the same floor(x*2^20 + 0.5) half-up rule, so
+    every product/partial sum is an integral double and DuckDB's
+    sequential sum equals numpy's pairwise sum bit-for-bit — sign bits
+    are identical by construction, even at exact zero."""
     planes = dedup.hyperplanes(num_planes, dim)
     r = num_planes // bands
     sign_cols = ",\n           ".join(
-        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        "CASE WHEN list_dot_product(list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> floor(x * {dedup.LSH_QUANT_SCALE}.0 + 0.5)), ["
         + ", ".join(f"{v:.1f}" for v in row)
         + f"]) >= 0 THEN 1 ELSE 0 END AS s{p}"
         for p, row in enumerate(planes)
@@ -924,9 +978,11 @@ SELECT doc_id, pos, fp FROM fps WHERE fp % {sample} = 0
 ORACLE.update({
     "q_xtr": prelude()
     + f"""
-, sims AS (
+, xcand AS (SELECT DISTINCT doc_id FROM token_assign
+            WHERE centroid_id IN (SELECT centroid_id FROM probes)),
+sims AS (
     SELECT t.doc_id, t.token_idx, q.q_id, list_dot_product(t.vec, q.qvec) AS sim
-    FROM doc_tokens t CROSS JOIN q_tokens q
+    FROM doc_tokens t JOIN xcand USING (doc_id) CROSS JOIN q_tokens q
 ),
 retr AS (
     SELECT doc_id, token_idx, q_id, sim FROM (

@@ -189,6 +189,25 @@ def test_jaccard_df_cap_keeps_borderline_shingles(spark):
     assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 1)]
 
 
+def test_release_never_unpersists_session_pinned_frames(spark, sf_dir):
+    """Regression (r04 advice): a consumer that builds on a
+    session-cached frame and then release()s its result must NOT
+    unpersist the session cache — the dict still hands that frame out,
+    so unpersisting silently degrades later hits to recomputes."""
+    from lintdb_spark import cache, queries as q
+
+    buckets = q.lsh_bucketed(spark, sf_dir)
+    assert getattr(buckets, "_lintdb_pinned", False)
+    out = q.q_embedding_neardup_lsh(spark, sf_dir)
+    out.collect()
+    cache.release(out)
+    lvl = buckets.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "session cache was unpersisted"
+    # and tag_cached itself refuses to record pinned frames
+    tagged = cache.tag_cached(out.limit(1), buckets)
+    assert buckets not in getattr(tagged, "_lintdb_cached", ())
+
+
 def test_jaccard_df_floor_keeps_small_corpora_working(spark):
     """Regression (r04 advice): on a tiny corpus the fractional cap
     alone drops EVERY df>=2 shingle (df=2 > 0.2*nd for nd<10), so

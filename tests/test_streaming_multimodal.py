@@ -181,12 +181,69 @@ def test_multimodal_callable_decoder(spark):
     assert {r["media_id"] for r in frames} == {2, 5}
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _tiny_png(value: int, w: int = 4, h: int = 4) -> bytes:
+    """A valid grayscale PNG built with stdlib only (zlib + struct):
+    every pixel = ``value``. Constant images survive ANY resampling
+    filter unchanged, which makes the decode parity check robust to
+    Pillow's resize internals."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes([value]) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: real decode works")
 def test_multimodal_real_decoder_image_message(spark):
     """decoder='real' on images names the missing optional dep (Pillow)
     rather than a generic failure — the seam is pluggable, not dead."""
     img_only = _media_df(spark, 6).filter(F.col("media_type") == "image")
     with pytest.raises(Exception, match="Pillow|PIL"):
         multimodal.extract_features(img_only, decoder="real").collect()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_multimodal_real_decoder_png_parity(spark):
+    """With Pillow present, _real_decode on a committed-bytes PNG
+    fixture returns the known pixel values: a constant-128 grayscale
+    PNG decodes (convert L, any resize) to exactly 128/255 everywhere,
+    and the full mapInPandas pipeline pools those into the expected
+    constant mean / zero std feature."""
+    png = _tiny_png(128)
+    arr = multimodal._real_decode(png, "image", 16)
+    np.testing.assert_allclose(arr, np.full(16, 128.0 / 255.0), rtol=0, atol=1e-7)
+    rows = [(0, "image", png, 4, 4, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, decoder="real").collect()
+    assert len(feats) == 1
+    f = np.asarray(feats[0]["feature"])
+    np.testing.assert_allclose(
+        f[: multimodal.FEATURE_DIM // 2], 128.0 / 255.0, atol=1e-6
+    )
+    np.testing.assert_allclose(f[multimodal.FEATURE_DIM // 2 :], 0.0, atol=1e-6)
 
 
 def test_dedup_stream_suppresses_exact_dups(spark, tmp_path):
