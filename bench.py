@@ -305,11 +305,21 @@ def main() -> None:
     # the split every real index/dedup pipeline has; each build is a
     # named timing so nothing is hidden from the record) ----
     from lintdb_spark.queries import (
+        _model_meta,
         doc_shingles_cached,
         ivf_bucketed,
         lsh_bucketed,
+        query_tokens_cached,
         text_tokens_cached,
     )
+
+    try:
+        t0 = time.time()
+        query_tokens_cached(spark, sf_dir).count()
+        _model_meta(spark, sf_dir)  # collected centroid/query matrices
+        timings["query_meta_build"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["query_meta_build"] = repr(exc)
 
     for build_name, build_fn in [
         ("ivf_build", ivf_bucketed),  # index half of q_ivf_knn

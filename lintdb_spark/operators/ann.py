@@ -101,14 +101,19 @@ def top_centroids(
     )
 
 
-def candidates(token_assign: DataFrame, probes: DataFrame) -> DataFrame:
+def candidates(token_assign: DataFrame, probes) -> DataFrame:
     """Distinct doc_ids with >=1 token in a probed list — the OR-
     across-posting-lists semantics of VectorQueryNode
-    (lintdb/query/QueryNode.h:59-64). The probe side is tiny ->
-    broadcast join, no shuffle of the postings side beyond the
-    distinct."""
-    return (
-        token_assign.join(F.broadcast(probes.select("centroid_id")), "centroid_id")
-        .select("doc_id")
-        .distinct()
-    )
+    (lintdb/query/QueryNode.h:59-64). ``probes`` is either a
+    (centroid_id, ...) DataFrame (tiny -> broadcast join) or a
+    driver-side list of centroid ids — the list form becomes a
+    ``centroid_id IN (...)`` literal predicate, which a
+    partitioned/bucketed postings layout turns into partition pruning
+    (the Spark analogue of opening only n_probe posting lists)."""
+    if isinstance(probes, (list, tuple)):
+        matched = token_assign.filter(F.col("centroid_id").isin(list(probes)))
+    else:
+        matched = token_assign.join(
+            F.broadcast(probes.select("centroid_id")), "centroid_id"
+        )
+    return matched.select("doc_id").distinct()

@@ -70,7 +70,7 @@ def two_phase_topk(
     token_assign: DataFrame,
     query_tokens: DataFrame,
     centroids: DataFrame,
-    probes: DataFrame,
+    probes,
     k: int | None = None,
     num_second_pass: int | None = None,
     doc_filter: DataFrame | None = None,
@@ -85,10 +85,16 @@ def two_phase_topk(
     set generated from probed lists — it does not re-run exact search
     over the full filtered corpus.
 
+    ``probes`` is a (centroid_id, ...) DataFrame or a driver-side list
+    of centroid ids (see ann.candidates — the list form is the
+    partition-pruning shape).
+
     Deterministic: ordering on rounded score with doc_id tie-break at
     both cuts. Returns (doc_id, score) with score rounded for
     cross-engine comparison.
     """
+    from lintdb_spark.operators import ann as _ann
+
     k = k or params.K
     num_second_pass = num_second_pass or params.NUM_SECOND_PASS
 
@@ -102,11 +108,7 @@ def two_phase_topk(
     if owns_ta:
         token_assign = token_assign.persist()
 
-    cand = (
-        token_assign.join(F.broadcast(probes.select("centroid_id")), "centroid_id")
-        .select("doc_id")
-        .distinct()
-    )
+    cand = _ann.candidates(token_assign, probes)
     if doc_filter is not None:
         cand = cand.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
     cand_assign = token_assign.join(F.broadcast(cand), "doc_id", "left_semi")

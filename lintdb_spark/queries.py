@@ -134,12 +134,100 @@ def cascade_inputs(spark: SparkSession, sf_dir: str):
     at bench scale re-paid ~1-1.5 s per cascade query."""
 
     def build():
-        cents = model.centroids(spark, sf_dir)
+        cents = model.centroids(spark, sf_dir).persist()
         dt = model.doc_tokens(spark, sf_dir).persist()
         ta = ann.assign_tokens(dt, cents).persist()
         return (cents, dt, ta)
 
     return _session_cached(_CASCADE_CACHE, spark, sf_dir, build)
+
+
+_QT_CACHE: dict = {}
+
+
+def query_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached fixed query-token frame (8 rows). The reference
+    harness loads the query matrix into memory once before timing
+    searches (tests/colbert_test.cpp:44); re-scanning parquet for 8
+    rows per query call costs a whole Spark job."""
+    return _session_cached(
+        _QT_CACHE,
+        spark,
+        sf_dir,
+        lambda: model.query_tokens(spark, sf_dir).persist(),
+    )
+
+
+_MODEL_META_CACHE: dict = {}
+
+
+def _model_meta(spark: SparkSession, sf_dir: str):
+    """Session-collected model METADATA: (centroid_ids, centroid
+    matrix, query matrix). The centroid table is small by construction
+    (index metadata — the reference holds it in RAM for its whole
+    lifetime) and the fixed query matrix is the benchmark's query
+    file; collecting them once per session mirrors both."""
+
+    def build():
+        import numpy as np
+
+        cents, _, _ = cascade_inputs(spark, sf_dir)
+        crows = cents.orderBy("centroid_id").collect()
+        cids = [int(r["centroid_id"]) for r in crows]
+        C = np.asarray([r["cvec"] for r in crows], dtype=np.float64)
+        qrows = query_tokens_cached(spark, sf_dir).collect()
+        Q = np.asarray([r["qvec"] for r in qrows], dtype=np.float64)
+        return (cids, C, Q)
+
+    return _session_cached(_MODEL_META_CACHE, spark, sf_dir, build)
+
+
+def probe_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Driver-side probe selection for the fixed cascade query — the
+    Spark-idiomatic mirror of the reference's in-memory
+    KnnNearestCentroids (KnnNearestCentroids.cpp:38-110): ranking
+    |q_tokens| x |centroids| scores on the driver replaces a
+    multi-stage Spark job over a few thousand rows, and the resulting
+    probe list reaches the postings scan as a `centroid_id IN (...)`
+    literal — partition pruning at 100 TB. Selection runs per call
+    (it is query-side work); only the collected metadata is cached.
+
+    EXACT oracle parity: the inner product replicates dot_product's
+    left-to-right double fold (element-order-identical vectorized
+    accumulation), and ranking uses round-half-up at 6 decimals on the
+    shortest-repr decimal — the same BigDecimal HALF_UP semantics as
+    Spark's `round(x, 6)` and DuckDB's `round` — with ascending
+    centroid_id tie-breaks, so the selected set equals the declarative
+    ann.top_centroids / the oracle's probes CTE bit-for-bit."""
+    import decimal
+
+    import numpy as np
+
+    cids, C, Q = _model_meta(spark, sf_dir)
+    # left-to-right fold, vectorized over (token, centroid): each
+    # step performs the SAME float64 add the JVM fold performs
+    S = np.zeros((Q.shape[0], C.shape[0]))
+    for d in range(Q.shape[1]):
+        S += np.multiply.outer(Q[:, d], C[:, d])
+
+    def r6(x: float):
+        return decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    best: dict[int, float] = {}
+    for i in range(S.shape[0]):
+        nominated = sorted(
+            range(len(cids)), key=lambda j: (-r6(S[i, j]), cids[j])
+        )[: params.K_TOP_CENTROIDS]
+        for j in nominated:
+            if j not in best or S[i, j] > best[j]:
+                best[j] = S[i, j]
+    ranked = sorted(
+        (j for j in best if best[j] > 0),
+        key=lambda j: (-r6(best[j]), cids[j]),
+    )
+    return [cids[j] for j in ranked[: params.N_PROBE]]
 
 
 def q_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,28 +247,30 @@ def q_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topcentroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6/C7 per-centroid max over query tokens -> top n_probe."""
-    p = ann.top_centroids(model.query_tokens(spark, sf_dir), model.centroids(spark, sf_dir))
+    cents, _, _ = cascade_inputs(spark, sf_dir)
+    p = ann.top_centroids(query_tokens_cached(spark, sf_dir), cents)
     return p.select("centroid_id", F.round(F.col("score"), params.ROUND).alias("score"))
 
 
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 distinct docs with a token in a probed posting list."""
-    cents, _, ta = cascade_inputs(spark, sf_dir)
-    probes = ann.top_centroids(model.query_tokens(spark, sf_dir), cents)
-    return ann.candidates(ta, probes)
+    """C2 distinct docs with a token in a probed posting list. Probe
+    selection is driver-side (probe_ids) -> a literal IN predicate on
+    the postings scan, the partition-pruning shape."""
+    _, _, ta = cascade_inputs(spark, sf_dir)
+    return ann.candidates(ta, probe_ids(spark, sf_dir))
 
 
 def q_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 codes-only approximate MaxSim for every doc."""
     cents, _, ta = cascade_inputs(spark, sf_dir)
-    s = scoring.plaid_scores(ta, model.query_tokens(spark, sf_dir), cents)
+    s = scoring.plaid_scores(ta, query_tokens_cached(spark, sf_dir), cents)
     return s.select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
 
 
 def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 exact MaxSim for every doc."""
     _, dt, _ = cascade_inputs(spark, sf_dir)
-    s = scoring.maxsim_scores(dt, model.query_tokens(spark, sf_dir))
+    s = scoring.maxsim_scores(dt, query_tokens_cached(spark, sf_dir))
     return s.select("doc_id", F.round(F.col("score"), params.ROUND).alias("score"))
 
 
@@ -193,19 +283,19 @@ def q_xtr(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate restriction, so both sides stay in lock-step. At 100 TB
     the dense twin would scan every token per query; the probe-bounded
     pool is what makes XTR serve-able."""
-    cents, dt, ta = cascade_inputs(spark, sf_dir)
-    qt = model.query_tokens(spark, sf_dir)
-    probes = ann.top_centroids(qt, cents)
-    cand = ann.candidates(ta, probes)
+    _, dt, ta = cascade_inputs(spark, sf_dir)
+    qt = query_tokens_cached(spark, sf_dir)
+    cand = ann.candidates(ta, probe_ids(spark, sf_dir))
     cand_tokens = dt.join(F.broadcast(cand), "doc_id", "left_semi")
     return scoring.xtr_topk(cand_tokens, qt)
 
 
 def _topk(spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None) -> DataFrame:
     cents, dt, ta = cascade_inputs(spark, sf_dir)
-    qt = model.query_tokens(spark, sf_dir)
-    probes = ann.top_centroids(qt, cents)
-    return scoring.two_phase_topk(dt, ta, qt, cents, probes, doc_filter=doc_filter)
+    qt = query_tokens_cached(spark, sf_dir)
+    return scoring.two_phase_topk(
+        dt, ta, qt, cents, probe_ids(spark, sf_dir), doc_filter=doc_filter
+    )
 
 
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,9 +552,8 @@ def q_or_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame Catalyst re-plans the full assign across the broadcast
     # boundary on both sides — measured 2.88 s vs oracle 0.48 s (r02)
     cents, dt, ta = cascade_inputs(spark, sf_dir)
-    qt = model.query_tokens(spark, sf_dir)
-    probes = ann.top_centroids(qt, cents)
-    cand = ann.candidates(ta, probes)
+    qt = query_tokens_cached(spark, sf_dir)
+    cand = ann.candidates(ta, probe_ids(spark, sf_dir))
     cand_assign = ta.join(F.broadcast(cand), "doc_id", "left_semi")
     s_vec = scoring.plaid_scores(cand_assign, qt, cents)
     s_term = dt.filter(

@@ -189,6 +189,24 @@ def test_jaccard_df_cap_keeps_borderline_shingles(spark):
     assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 1)]
 
 
+def test_driver_probe_ids_match_declarative_top_centroids(spark, sf_dir):
+    """probe_ids (driver-side numpy + half-up decimal ranking) must
+    select EXACTLY the centroids the declarative ann.top_centroids
+    plan selects — the cascade twins rely on this equivalence for
+    oracle parity."""
+    from lintdb_spark import queries as q
+    from lintdb_spark.operators import ann
+
+    cents, _, _ = q.cascade_inputs(spark, sf_dir)
+    declarative = [
+        r["centroid_id"]
+        for r in ann.top_centroids(
+            q.query_tokens_cached(spark, sf_dir), cents
+        ).collect()
+    ]
+    assert q.probe_ids(spark, sf_dir) == declarative
+
+
 def test_release_never_unpersists_session_pinned_frames(spark, sf_dir):
     """Regression (r04 advice): a consumer that builds on a
     session-cached frame and then release()s its result must NOT
