@@ -321,10 +321,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["query_meta_build"] = repr(exc)
 
+    from lintdb_spark.queries import capped_shingles_cached
+
     for build_name, build_fn in [
         ("ivf_build", ivf_bucketed),  # index half of q_ivf_knn
         ("lsh_bucket_build", lsh_bucketed),  # of q_embedding_neardup_lsh
         ("shingle_build", doc_shingles_cached),  # of the minhash/jaccard family
+        ("capped_shingle_build", capped_shingles_cached),  # df stop list, jaccard input
         ("text_token_build", text_tokens_cached),  # of q_text_match / q_bm25
     ]:
         try:

