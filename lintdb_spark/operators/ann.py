@@ -101,7 +101,7 @@ def top_centroids(
     )
 
 
-def candidates(token_assign: DataFrame, probes) -> DataFrame:
+def candidates(token_assign: DataFrame, probes, distinct: bool = True) -> DataFrame:
     """Distinct doc_ids with >=1 token in a probed list — the OR-
     across-posting-lists semantics of VectorQueryNode
     (lintdb/query/QueryNode.h:59-64). ``probes`` is either a
@@ -109,11 +109,16 @@ def candidates(token_assign: DataFrame, probes) -> DataFrame:
     driver-side list of centroid ids — the list form becomes a
     ``centroid_id IN (...)`` literal predicate, which a
     partitioned/bucketed postings layout turns into partition pruning
-    (the Spark analogue of opening only n_probe posting lists)."""
+    (the Spark analogue of opening only n_probe posting lists).
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    result only feeds a left-semi join or broadcast hash-set build
+    (both dedup inherently), which is every cascade consumer."""
     if isinstance(probes, (list, tuple)):
         matched = token_assign.filter(F.col("centroid_id").isin(list(probes)))
     else:
         matched = token_assign.join(
             F.broadcast(probes.select("centroid_id")), "centroid_id"
         )
-    return matched.select("doc_id").distinct()
+    out = matched.select("doc_id")
+    return out.distinct() if distinct else out

@@ -36,8 +36,14 @@ def plaid_scores(token_assign: DataFrame, query_tokens: DataFrame, centroids: Da
     score(doc) = sum_q max_{c in distinct codes(doc)} <q, centroid_c>
     Returns (doc_id, score). Scores are NOT rounded here — callers
     round at the output boundary.
+
+    No distinct on (doc_id, centroid_id): max is idempotent under
+    duplicates, so the max-per-(doc, q) aggregate below yields the
+    distinct-codes semantics without paying a dedup shuffle of the
+    assignment frame first (one exchange + one AQE job saved per
+    cascade query).
     """
-    doc_codes = token_assign.select("doc_id", "centroid_id").distinct()
+    doc_codes = token_assign.select("doc_id", "centroid_id")
     qc = (
         query_tokens.join(F.broadcast(centroids))
         .select("q_id", "centroid_id", dot_product("qvec", "cvec").alias("qc_score"))
@@ -108,7 +114,9 @@ def two_phase_topk(
     if owns_ta:
         token_assign = token_assign.persist()
 
-    cand = _ann.candidates(token_assign, probes)
+    # non-distinct candidates: the broadcast left-semi join below
+    # dedups in its hash-set build, so the distinct shuffle is waste
+    cand = _ann.candidates(token_assign, probes, distinct=False)
     if doc_filter is not None:
         cand = cand.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
     cand_assign = token_assign.join(F.broadcast(cand), "doc_id", "left_semi")

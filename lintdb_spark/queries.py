@@ -134,8 +134,18 @@ def cascade_inputs(spark: SparkSession, sf_dir: str):
     at bench scale re-paid ~1-1.5 s per cascade query."""
 
     def build():
+        n = spark.sparkContext.defaultParallelism
         cents = model.centroids(spark, sf_dir).persist()
-        dt = model.doc_tokens(spark, sf_dir).persist()
+        # co-partition BOTH cached tables on doc_id: every cascade
+        # aggregate groups on doc_id-first keys ([doc_id] is a subset
+        # of each grouping, so HashPartitioning(doc_id) satisfies the
+        # required distribution) and every candidate restriction is a
+        # broadcast semi-join that PRESERVES partitioning — so stage-1
+        # and stage-2 run with ZERO exchanges after the build. This is
+        # the DataFrame mirror of the index's postings layout
+        # (partitioned by (tenant, centroid_id) on disk, clustered by
+        # doc within).
+        dt = model.doc_tokens(spark, sf_dir).repartition(n, "doc_id").persist()
         ta = ann.assign_tokens(dt, cents).persist()
         return (cents, dt, ta)
 
@@ -285,7 +295,7 @@ def q_xtr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool is what makes XTR serve-able."""
     _, dt, ta = cascade_inputs(spark, sf_dir)
     qt = query_tokens_cached(spark, sf_dir)
-    cand = ann.candidates(ta, probe_ids(spark, sf_dir))
+    cand = ann.candidates(ta, probe_ids(spark, sf_dir), distinct=False)
     cand_tokens = dt.join(F.broadcast(cand), "doc_id", "left_semi")
     return scoring.xtr_topk(cand_tokens, qt)
 
@@ -577,7 +587,7 @@ def q_or_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary on both sides — measured 2.88 s vs oracle 0.48 s (r02)
     cents, dt, ta = cascade_inputs(spark, sf_dir)
     qt = query_tokens_cached(spark, sf_dir)
-    cand = ann.candidates(ta, probe_ids(spark, sf_dir))
+    cand = ann.candidates(ta, probe_ids(spark, sf_dir), distinct=False)
     cand_assign = ta.join(F.broadcast(cand), "doc_id", "left_semi")
     s_vec = scoring.plaid_scores(cand_assign, qt, cents)
     s_term = dt.filter(
