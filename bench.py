@@ -55,6 +55,7 @@ HEADLINE = [
     "q_jaccard_pairs",
     "q_simhash",
     "q_text_stats",
+    "q_repetition",
     "q_lang_id",
     "q_knn_cosine",
     "q_ivf_knn",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lintdb_spark import params
-from lintdb_spark.functions.text import words
+from lintdb_spark.functions.text import word_trigrams, words
 
 _PUNCT_RE = "[.,!?;:]"
 
@@ -89,6 +89,30 @@ def token_counts(documents: DataFrame) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, v: a + v,
         ).alias("n_subword_est"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Within-document repetition — the Gopher-style quality signal
+    (Rae et al. 2021 §A1.1: documents whose n-grams repeat heavily are
+    boilerplate/spam and get filtered before LLM training). Returns
+    (doc_id, n_trigrams, n_distinct_trigrams, dup_trigram_frac) where
+    dup_trigram_frac = 1 - distinct/total over word trigrams (the same
+    trigram definition the dedup family shingles on).
+
+    Scale shape: pure column expressions over in-row arrays — one
+    narrow projection, no explode, no shuffle; runs at parquet-scan
+    speed like the rest of the featurization layer."""
+    tg = word_trigrams(words("text"))
+    n = F.size(tg)
+    nd = F.size(F.array_distinct(tg))
+    return documents.select(
+        "doc_id",
+        n.cast("bigint").alias("n_trigrams"),
+        nd.cast("bigint").alias("n_distinct_trigrams"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(1.0 - nd / n), params.ROUND
+        ).alias("dup_trigram_frac"),
     )
 
 

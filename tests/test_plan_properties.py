@@ -91,6 +91,15 @@ def test_token_counts_is_narrow_projection(spark, sf_dir):
     assert "Exchange" not in p
 
 
+def test_repetition_is_narrow_projection(spark, sf_dir):
+    """repetition_stats is in-row array math — no shuffle, no explode
+    (Generate), no Python; pure scan-speed projection."""
+    p = plan_of(spark, sf_dir, "q_repetition")
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "EvalPython" not in p
+
+
 def _nodes(plan: str, kind: str) -> int:
     """Count physical nodes of a kind in explain('formatted') output
     (each node appears once in the tree and once in the detail list —
