@@ -49,6 +49,7 @@ HEADLINE = [
     "q_revenue_by_nation",
     "q_events_hourly",
     "q_user_sessions",
+    "q_asof",
     "q_dedup_exact",
     "q_minhash_sig",
     "q_lsh_buckets",

@@ -138,3 +138,60 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum("is_new").cast("bigint").alias("n_sessions"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """AS-OF JOIN — for each left row, the LATEST right row with
+    right.ts <= left.ts in the same ``on`` partition (left-join
+    semantics: unmatched left rows keep NULLs). The classic
+    point-in-time lookup (trade->quote, click->purchase attribution)
+    that Spark has no built-in operator for.
+
+    Tie rule (deterministic, mirrored by the oracle): at equal ts the
+    right row still matches (inclusive), and among right rows sharing
+    (key, ts) the one greatest in ``right_cols`` order wins.
+
+    Scale shape: implemented as union + window carry-forward, NOT a
+    range join — both streams are tagged, unioned, and sorted once per
+    key by (ts, tag, payload); a last(ignorenulls) carries the most
+    recent right payload into each left row. ONE shuffle on the key,
+    state bounded by one carried struct per row, no per-key row
+    explosion (a naive l.ts >= r.ts range join is quadratic per key).
+    Skewed keys split under AQE; at 100 TB this is the plan every
+    point-in-time feature store runs."""
+    payload_t = F.struct(*[F.col(c) for c in right_cols])
+    rt = right.select(
+        F.col(on),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_is_l"),
+        payload_t.alias("_p"),
+    )
+    left_cols = [c for c in left.columns if c not in (on, ts)]
+    lt = left.select(
+        F.col(on),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(rt.schema["_p"].dataType).alias("_p"),
+        *left_cols,
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort BEFORE left at equal ts (inclusive match); among
+    # right rows sharing (key, ts) the struct sort puts the greatest
+    # payload LAST, so it is the one carried
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_l").asc(), F.col("_p").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_l") == 1).drop("_is_l", "_p")
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_match.{c}"))
+    return out.drop("_match").withColumnRenamed("_ts", ts)

@@ -369,6 +369,32 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.user_sessions(load_table(spark, sf_dir, "events"))
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: click->purchase attribution — each purchase joined
+    to the user's most recent click at-or-before it (point-in-time
+    lookup; relational.asof_join has the scale notes). Purchases with
+    no prior click keep NULLs (left-join semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = relational.asof_join(
+        p, c, on="user_id", ts="ts", right_cols=["event_id", "value"], suffix="_c"
+    )
+    # sentinel -1 for purchases with no prior click: the operator
+    # keeps true left-join NULLs; the registry projection coalesces
+    # because the driver's value-hash comparator need not be null-safe
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("event_id_c"), F.lit(-1)).alias("click_event_id"),
+        F.coalesce(F.round(F.col("value_c"), params.ROUND), F.lit(-1.0)).alias(
+            "click_value"
+        ),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -1232,6 +1258,22 @@ WITH marked AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
 FROM marked GROUP BY user_id
 """,
+    # DuckDB has a NATIVE ASOF JOIN — the ideal oracle for the Spark
+    # union+window implementation. Right side deduped per (user, ts)
+    # with the same greatest-(event_id, value) tie rule the struct
+    # sort applies.
+    "q_asof": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC, value DESC) AS rn
+      FROM events WHERE event_type = 'click'),
+c1 AS (SELECT user_id, ts, event_id, value FROM c WHERE rn = 1)
+SELECT p.event_id, p.user_id,
+       coalesce(c1.event_id, -1) AS click_event_id,
+       coalesce(round(c1.value, 4), -1.0) AS click_value
+FROM p ASOF LEFT JOIN c1 ON p.user_id = c1.user_id AND p.ts >= c1.ts
+""",
     "q_dedup_exact": """
 SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1
@@ -1607,6 +1649,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_hourly": q_events_hourly,
     "q_user_sessions": q_user_sessions,
+    "q_asof": q_asof,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_sig": q_minhash_sig,
     "q_lsh_buckets": q_lsh_buckets,
@@ -1627,7 +1670,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition": q_repetition,
     "q_knn_cosine": q_knn_cosine,
     "q_ivf_knn": q_ivf_knn,
-    "q_supplier_balance": q_supplier_balance,
     "q_events_top_users": q_events_top_users,
     "q_text_match": q_text_match,
     "q_remove_semantics": q_remove_semantics,
@@ -1645,4 +1687,5 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_length_stats": q_doc_length_stats,
     "q_events_value_stats": q_events_value_stats,
     "q_brand_stats": q_brand_stats,
+    "q_supplier_balance": q_supplier_balance,
 }

@@ -36,8 +36,15 @@ def _norm_cell(v):
 
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    # null-safe row sort: None sorts before any value, and mixed-type
+    # cells compare by type name first (Python 3 refuses int < None)
     return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        normed,
+        key=lambda row: tuple(
+            (v is not None, type(v).__name__, v) if v is not None else (False, "", 0)
+            for v in row
+        ),
     ), [cols[i] for i in order]
 
 

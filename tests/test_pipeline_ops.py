@@ -189,6 +189,26 @@ def test_jaccard_df_cap_keeps_borderline_shingles(spark):
     assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 1)]
 
 
+def test_asof_join_semantics(spark):
+    """asof_join: latest right row at-or-before each left ts per key;
+    equal ts matches (inclusive); ties on (key, ts) resolve to the
+    greatest payload; unmatched left rows keep NULLs."""
+    from lintdb_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102), (3, 7, 103)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        # k=1: rows at t=10 (tie -> rid 21 wins), t=15
+        [(1, 10, 20), (1, 10, 21), (1, 15, 22), (2, 6, 23)],
+        "k long, t long, rid long",
+    )
+    out = relational.asof_join(left, right, on="k", ts="t", right_cols=["rid"])
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+    assert got == {100: 21, 101: 22, 102: None, 103: None}
+
+
 def test_driver_probe_ids_match_declarative_top_centroids(spark, sf_dir):
     """probe_ids (driver-side numpy + half-up decimal ranking) must
     select EXACTLY the centroids the declarative ann.top_centroids
