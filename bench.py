@@ -48,6 +48,7 @@ HEADLINE = [
     "q_top_orders",
     "q_revenue_by_nation",
     "q_events_hourly",
+    "q_events_rollup",
     "q_user_sessions",
     "q_asof",
     "q_dedup_exact",

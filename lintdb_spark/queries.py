@@ -395,6 +395,31 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (day -> event_type -> grand total) — the
+    hypertable continuous-aggregate shape, expressed with Spark's
+    native ROLLUP (one pass, partial-aggregated at every level; the
+    reference has no grouping sets at all, SURVEY §2.I). Grouping-set
+    NULL markers are coalesced to sentinels so the value-hash compare
+    stays null-free; grouping_id disambiguates genuine keys."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
+    return (
+        ev.select(day, "event_type", "value")
+        .rollup("day_epoch", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("day_epoch"), F.lit(-1)).alias("day_epoch"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -1258,6 +1283,14 @@ WITH marked AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(is_new) AS BIGINT) AS n_sessions
 FROM marked GROUP BY user_id
 """,
+    "q_events_rollup": """
+SELECT coalesce(CAST(epoch(day_ts) AS BIGINT), -1) AS day_epoch,
+       coalesce(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM (SELECT date_trunc('day', ts) AS day_ts, event_type, value FROM events)
+GROUP BY ROLLUP(day_ts, event_type)
+""",
     # DuckDB has a NATIVE ASOF JOIN — the ideal oracle for the Spark
     # union+window implementation. Right side deduped per (user, ts)
     # with the same greatest-(event_id, value) tie rule the struct
@@ -1648,6 +1681,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_orders": q_top_orders,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_events_hourly": q_events_hourly,
+    "q_events_rollup": q_events_rollup,
     "q_user_sessions": q_user_sessions,
     "q_asof": q_asof,
     "q_dedup_exact": q_dedup_exact,
@@ -1657,7 +1691,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_clusters": q_dup_clusters,
     "q_decontaminate": q_decontaminate,
     "q_stratified_sample": q_stratified_sample,
-    "q_hash_split": q_hash_split,
     "q_simhash": q_simhash,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1688,4 +1721,5 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_value_stats": q_events_value_stats,
     "q_brand_stats": q_brand_stats,
     "q_supplier_balance": q_supplier_balance,
+    "q_hash_split": q_hash_split,
 }
