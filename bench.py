@@ -51,6 +51,7 @@ HEADLINE = [
     "q_events_rollup",
     "q_user_sessions",
     "q_asof",
+    "q_range_join",
     "q_dedup_exact",
     "q_minhash_sig",
     "q_lsh_buckets",

@@ -420,6 +420,39 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_JOIN_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: per signup, the count of that user's
+    error events in the 30 minutes after it (zero-filled). Exercises
+    relational.range_join's bucketed equi-join plan — no per-key
+    quadratic sort-merge, fan-out bounded by rows per time bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    m = relational.range_join(
+        s, e, on="user_id", ts="ts", lower_us=0, upper_us=RANGE_JOIN_WINDOW_US,
+        right_cols=["err_id"],
+    )
+    counts = m.groupBy("event_id").agg(
+        F.count("*").cast("bigint").alias("n_errors_30m")
+    )
+    return (
+        s.select("event_id", "user_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_errors_30m"), F.lit(0).cast("bigint")).alias(
+                "n_errors_30m"
+            ),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -1291,6 +1324,14 @@ SELECT coalesce(CAST(epoch(day_ts) AS BIGINT), -1) AS day_epoch,
 FROM (SELECT date_trunc('day', ts) AS day_ts, event_type, value FROM events)
 GROUP BY ROLLUP(day_ts, event_type)
 """,
+    "q_range_join": f"""
+WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'signup'),
+er AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error')
+SELECT s.event_id, s.user_id, CAST(count(er.us) AS BIGINT) AS n_errors_30m
+FROM s LEFT JOIN er
+  ON s.user_id = er.user_id AND er.us >= s.us AND er.us < s.us + {RANGE_JOIN_WINDOW_US}
+GROUP BY s.event_id, s.user_id
+""",
     # DuckDB has a NATIVE ASOF JOIN — the ideal oracle for the Spark
     # union+window implementation. Right side deduped per (user, ts)
     # with the same greatest-(event_id, value) tie rule the struct
@@ -1684,6 +1725,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_rollup": q_events_rollup,
     "q_user_sessions": q_user_sessions,
     "q_asof": q_asof,
+    "q_range_join": q_range_join,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_sig": q_minhash_sig,
     "q_lsh_buckets": q_lsh_buckets,
@@ -1703,7 +1745,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition": q_repetition,
     "q_knn_cosine": q_knn_cosine,
     "q_ivf_knn": q_ivf_knn,
-    "q_events_top_users": q_events_top_users,
     "q_text_match": q_text_match,
     "q_remove_semantics": q_remove_semantics,
     "q_update_semantics": q_update_semantics,
@@ -1722,4 +1763,5 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_stats": q_brand_stats,
     "q_supplier_balance": q_supplier_balance,
     "q_hash_split": q_hash_split,
+    "q_events_top_users": q_events_top_users,
 }

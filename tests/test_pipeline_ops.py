@@ -209,6 +209,29 @@ def test_asof_join_semantics(spark):
     assert got == {100: 21, 101: 22, 102: None, 103: None}
 
 
+def test_range_join_semantics(spark):
+    """range_join: half-open [ts+lower, ts+upper) bounds, bucket-edge
+    pairs found exactly once, cross-key rows never match."""
+    from lintdb_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 250, 2), (2, 100, 3)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        # for lid=1 (t=100, window [100, 200)): 100 in, 199 in, 200 out
+        # 199 sits in the NEXT bucket of width 100 -> edge case
+        [(1, 100, 10), (1, 199, 11), (1, 200, 12), (2, 150, 13)],
+        "k long, t long, rid long",
+    )
+    out = relational.range_join(
+        left, right, on="k", ts="t", lower_us=0, upper_us=100, right_cols=["rid"]
+    )
+    got = sorted((r["lid"], r["rid_r"]) for r in out.collect())
+    assert got == [(1, 10), (1, 11), (3, 13)]
+    # no duplicates from the two candidate buckets
+    assert len(got) == len(set(got))
+
+
 def test_driver_probe_ids_match_declarative_top_centroids(spark, sf_dir):
     """probe_ids (driver-side numpy + half-up decimal ranking) must
     select EXACTLY the centroids the declarative ann.top_centroids
