@@ -91,6 +91,34 @@ def test_token_counts_is_narrow_projection(spark, sf_dir):
     assert "Exchange" not in p
 
 
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """asof_join must be union + ONE window shuffle — never a join of
+    the two streams (no join operator of any kind in the plan)."""
+    p = plan_of(spark, sf_dir, "q_asof")
+    body = p.split("== Physical Plan ==")[-1]
+    # the final zero-fill lookup joins counts back; the asof core itself
+    # must contain a Window and no nested-loop join
+    assert "Window" in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "CartesianProduct" not in body
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """range_join must plan as an EQUI-join on (key, bucket) — the
+    nested-loop/cartesian shape a raw inequality join produces is the
+    exact thing the bucketing exists to avoid."""
+    p = plan_of(spark, sf_dir, "q_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_events_rollup_single_pass(spark, sf_dir):
+    """ROLLUP must run as one Expand + aggregate pass, not one
+    aggregate per grouping level."""
+    p = plan_of(spark, sf_dir, "q_events_rollup")
+    assert _nodes(p, "Expand") == 1
+
+
 def test_repetition_is_narrow_projection(spark, sf_dir):
     """repetition_stats is in-row array math — no shuffle, no explode
     (Generate), no Python; pure scan-speed projection."""
