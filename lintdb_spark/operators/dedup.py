@@ -424,8 +424,12 @@ def embedding_lsh_neardup(
     # JVM row with two 64-d arrays and folding the dot per pair
     # (measured ~3x at sf0.1: near-orthogonal data makes sign buckets
     # dense, so candidate pairs >> vectors). This is also the scale
-    # shape: each bucket's work is local to its shuffle partition,
-    # bounded by the (bands, rows-per-band) knob.
+    # shape: each bucket's work is local to its shuffle partition.
+    # MEMORY CONTRACT: the applyInPandas group (one bucket) must fit
+    # an executor — E[|bucket|] = n / 2^(planes/bands), so planes
+    # per band is the knob that bounds it; size rows-per-band so a
+    # bucket stays in the low millions of vectors at the target
+    # corpus (e.g. 20 bits -> ~1e6 per bucket at 1e12 vectors).
     thr = float(threshold)
     scale = float(10**params.ROUND)
 
