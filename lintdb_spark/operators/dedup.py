@@ -526,7 +526,10 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 .agg(F.min("lbl").alias("lbl"))
                 .withColumnRenamed("u", "v")
             )
-        labels = cur.localCheckpoint()
+        # lazy checkpoint: the convergence-check aggregate below is the
+        # action that materializes it — one job per window instead of
+        # an eager-checkpoint job PLUS an aggregate job
+        labels = cur.localCheckpoint(eager=False)
         rounds_done += batch
         lbl_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")

@@ -471,7 +471,12 @@ def doc_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SHINGLE_CACHE,
         spark,
         sf_dir,
-        lambda: dedup.doc_shingles(load_table(spark, sf_dir, "documents")).persist(),
+        # partitioned by doc_id so every doc-keyed consumer aggregate
+        # (minhash's 16-min wide agg, decontaminate's count_distinct)
+        # runs exchange-free off the cache
+        lambda: dedup.doc_shingles(load_table(spark, sf_dir, "documents"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .persist(),
     )
 
 
@@ -497,9 +502,12 @@ def capped_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CAPPED_SHINGLE_CACHE,
         spark,
         sf_dir,
-        lambda: dedup.df_capped_shingles(
-            doc_shingles_cached(spark, sf_dir)
-        ).persist(),
+        # partitioned by shingle: both sides of jaccard's inverted-index
+        # self-join are then pre-clustered on the join key — the join
+        # runs with zero exchanges off the cache
+        lambda: dedup.df_capped_shingles(doc_shingles_cached(spark, sf_dir))
+        .repartition(spark.sparkContext.defaultParallelism, "shingle")
+        .persist(),
     )
 
 
@@ -550,9 +558,11 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LSH_BUCKET_CACHE,
         spark,
         sf_dir,
-        lambda: dedup.lsh_bucket_frame(
-            load_table(spark, sf_dir, "embeddings")
-        ).persist(),
+        # partitioned by (band, key): the bucket-local applyInPandas
+        # verify requires exactly that clustering -> exchange-free serve
+        lambda: dedup.lsh_bucket_frame(load_table(spark, sf_dir, "embeddings"))
+        .repartition(spark.sparkContext.defaultParallelism, "band", "key")
+        .persist(),
     )
 
 
