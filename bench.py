@@ -325,13 +325,21 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["query_meta_build"] = repr(exc)
 
-    from lintdb_spark.queries import capped_shingles_cached
+    from lintdb_spark.queries import (
+        capped_shingles_cached,
+        facts_cached,
+        jaccard_pairs_cached,
+        minhash_wide_cached,
+    )
 
     for build_name, build_fn in [
+        ("table_cache_build", facts_cached),  # multi-split fact layout
         ("ivf_build", ivf_bucketed),  # index half of q_ivf_knn
         ("lsh_bucket_build", lsh_bucketed),  # of q_embedding_neardup_lsh
         ("shingle_build", doc_shingles_cached),  # of the minhash/jaccard family
         ("capped_shingle_build", capped_shingles_cached),  # df stop list, jaccard input
+        ("minhash_build", minhash_wide_cached),  # stored signature table
+        ("pair_build", jaccard_pairs_cached),  # materialized pair hand-off
         ("text_token_build", text_tokens_cached),  # of q_text_match / q_bm25
     ]:
         try:

@@ -64,9 +64,9 @@ def doc_shingles(documents: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
-    """(doc_id, perm, minhash) — signature = min over the doc's
-    shingles under num_perms hash 'permutations'.
+def minhash_wide(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
+    """(doc_id, m0..m{p-1}) — one row per doc, column m_p = min over
+    the doc's shingles of permutation p's universal hash.
 
     Perf: each shingle is md5-hashed ONCE to a 31-bit base value; the
     permutations are universal hashes (a_i*h+b_i mod p) — pure integer
@@ -74,26 +74,77 @@ def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> Dat
     multiplies instead of |shingles|*|perms| md5s (16x fewer digest
     computations at the default 16 perms). The |perms| mins are
     computed as PARALLEL AGGREGATE COLUMNS over the shingle stream —
-    no |shingles| x |perms| row explode ever materializes — then one
-    in-row posexplode unpivots the |docs| wide rows to the
-    (doc_id, perm, minhash) contract; the shuffle carries |docs| wide
-    rows instead of |docs| x |perms|."""
+    no |shingles| x |perms| row explode ever materializes; the shuffle
+    carries |docs| wide rows instead of |docs| x |perms|.
+
+    This wide frame is the STORED signature artifact of a dedup
+    pipeline (one row per doc, recomputed per corpus snapshot): both
+    the (doc_id, perm, minhash) contract and LSH banding are pure
+    in-row projections of it — see minhash_signatures / lsh_buckets_wide."""
     num_perms = num_perms or params.MINHASH_PERMS
     from lintdb_spark.functions.text import base_hash31, perm_hash
 
     based = shingles.select("doc_id", base_hash31(F.col("shingle")).alias("h31"))
-    wide = based.groupBy("doc_id").agg(
+    return based.groupBy("doc_id").agg(
         *[
             F.min(perm_hash(F.lit(p).cast("bigint"), F.col("h31"))).alias(f"m{p}")
             for p in range(num_perms)
         ]
     )
+
+
+def signatures_from_wide(wide: DataFrame, num_perms: int | None = None) -> DataFrame:
+    """Unpivot a minhash_wide frame to the (doc_id, perm, minhash)
+    contract — one in-row posexplode, no shuffle."""
+    num_perms = num_perms or params.MINHASH_PERMS
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"m{p}") for p in range(num_perms)])).alias(
             "perm", "minhash"
         ),
     ).select("doc_id", F.col("perm").cast("bigint").alias("perm"), "minhash")
+
+
+def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
+    """(doc_id, perm, minhash) — signature = min over the doc's
+    shingles under num_perms hash 'permutations'. Composition of
+    minhash_wide (the aggregate) + signatures_from_wide (the in-row
+    unpivot); callers that serve repeatedly should cache the wide
+    frame and unpivot off it."""
+    return signatures_from_wide(
+        minhash_wide(shingles, num_perms), num_perms
+    )
+
+
+def lsh_buckets_wide(
+    wide: DataFrame, bands: int | None = None, num_perms: int | None = None
+) -> DataFrame:
+    """(doc_id, band, bucket) computed directly from a minhash_wide
+    frame: band b's bucket = md5 of the comma-joined signature slice
+    [b*r, (b+1)*r) — a PURE in-row projection (no shuffle at all),
+    byte-identical to lsh_buckets on the unpivoted signatures."""
+    bands = bands or params.LSH_BANDS
+    num_perms = num_perms or params.MINHASH_PERMS
+    r = num_perms // bands
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{b * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "bucket")
 
 
 def lsh_buckets(signatures: DataFrame, bands: int | None = None, num_perms: int | None = None) -> DataFrame:

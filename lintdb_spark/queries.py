@@ -122,6 +122,53 @@ def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
         return cache[key]
 
 
+_TABLE_CACHE: dict = {}
+
+# natural partitioning key per fact table: the column its consumers
+# join/group on, so the cached layout feeds those operators with zero
+# exchanges (orders |x| lineitem co-partition on orderkey; every
+# events operator — sessions, as-of, range join — keys on user_id)
+_TABLE_PART_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+}
+
+
+def table_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Session-cached fact table, split across the cluster.
+
+    The driver's test tables are single-file parquet with ONE row
+    group, and parquet can only split at row-group boundaries — so
+    every direct scan is a single task no matter what
+    maxPartitionBytes says, serializing the fact-table probe side of
+    each relational query onto one core. A real deployment's facts
+    arrive as many files/row groups and this layer is a no-op there;
+    locally it restores the multi-split layout once per session
+    (bench times it as table_cache_build) by repartitioning on the
+    table's natural join/group key and persisting."""
+    key_col = _TABLE_PART_KEYS[name]
+    return _session_cached(
+        _TABLE_CACHE,
+        spark,
+        (sf_dir, name),
+        lambda: load_table(spark, sf_dir, name)
+        .repartition(spark.sparkContext.defaultParallelism, F.col(key_col))
+        .persist(),
+    )
+
+
+def facts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize every cached fact table (the bench build hook);
+    returns the last one so callers can treat it like the other
+    build functions (the extra count is an in-memory no-op)."""
+    last = None
+    for name in _TABLE_PART_KEYS:
+        last = table_cached(spark, sf_dir, name)
+        last.count()
+    return last
+
+
 _CASCADE_CACHE: dict = {}
 
 
@@ -340,14 +387,14 @@ def q_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    return relational.pricing_summary(table_cached(spark, sf_dir, "lineitem"))
 
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_orders(
         load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
+        table_cached(spark, sf_dir, "orders"),
+        table_cached(spark, sf_dir, "lineitem"),
     )
 
 
@@ -356,17 +403,17 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "region"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
+        table_cached(spark, sf_dir, "orders"),
+        table_cached(spark, sf_dir, "lineitem"),
     )
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.events_hourly(load_table(spark, sf_dir, "events"))
+    return relational.events_hourly(table_cached(spark, sf_dir, "events"))
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.user_sessions(load_table(spark, sf_dir, "events"))
+    return relational.user_sessions(table_cached(spark, sf_dir, "events"))
 
 
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +421,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the user's most recent click at-or-before it (point-in-time
     lookup; relational.asof_join has the scale notes). Purchases with
     no prior click keep NULLs (left-join semantics)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = table_cached(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
@@ -402,7 +449,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference has no grouping sets at all, SURVEY §2.I). Grouping-set
     NULL markers are coalesced to sentinels so the value-hash compare
     stays null-free; grouping_id disambiguates genuine keys."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = table_cached(spark, sf_dir, "events")
     day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
     return (
         ev.select(day, "event_type", "value")
@@ -428,7 +475,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     error events in the 30 minutes after it (zero-filled). Exercises
     relational.range_join's bucketed equi-join plan — no per-key
     quadratic sort-merge, fan-out bounded by rows per time bucket."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = table_cached(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
     e = ev.filter(F.col("event_type") == "error").select(
         "user_id", "ts", F.col("event_id").alias("err_id")
@@ -480,13 +527,31 @@ def doc_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_WIDE_CACHE: dict = {}
+
+
+def minhash_wide_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wide minhash frame (doc_id, m0..m15) — the
+    STORED signature artifact of the dedup pipeline (one row per doc,
+    recomputed per corpus snapshot; bench times it as minhash_build).
+    Serving is then in-row only: the (doc_id, perm, minhash) contract
+    is a posexplode and LSH banding a pure projection — zero shuffles
+    per query, and at 100 TB the signature table is ~1/1000th the
+    corpus so it persists comfortably."""
+    return _session_cached(
+        _MINHASH_WIDE_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.minhash_wide(doc_shingles_cached(spark, sf_dir)).persist(),
+    )
+
+
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(doc_shingles_cached(spark, sf_dir))
+    return dedup.signatures_from_wide(minhash_wide_cached(spark, sf_dir))
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup.minhash_signatures(doc_shingles_cached(spark, sf_dir))
-    return dedup.lsh_buckets(sigs)
+    return dedup.lsh_buckets_wide(minhash_wide_cached(spark, sf_dir))
 
 
 _CAPPED_SHINGLE_CACHE: dict = {}
@@ -812,7 +877,7 @@ def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type moments: mean / sample stddev / extrema."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = table_cached(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.avg("value"), params.ROUND).alias("avg_value"),
         F.round(F.stddev_samp("value"), params.ROUND).alias("std_value"),
@@ -908,7 +973,7 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function ranking: top-5 users by event count per type."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = table_cached(spark, sf_dir, "events")
     counts = ev.groupBy("event_type", "user_id").agg(
         F.count("*").cast("bigint").alias("n")
     )
