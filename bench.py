@@ -327,6 +327,7 @@ def main() -> None:
 
     from lintdb_spark.queries import (
         capped_shingles_cached,
+        doc_lengths_cached,
         facts_cached,
         jaccard_pairs_cached,
         minhash_wide_cached,
@@ -341,6 +342,7 @@ def main() -> None:
         ("minhash_build", minhash_wide_cached),  # stored signature table
         ("pair_build", jaccard_pairs_cached),  # materialized pair hand-off
         ("text_token_build", text_tokens_cached),  # of q_text_match / q_bm25
+        ("doclen_build", doc_lengths_cached),  # bm25's stored dl statistic
     ]:
         try:
             t0 = time.time()

@@ -186,6 +186,7 @@ def bm25_rank(
     k1: float = BM25_K1,
     b: float = BM25_B,
     tokens: DataFrame | None = None,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval over an analyzed text column — the
     classic full-text scorer a search engine layers on the inverted
@@ -215,7 +216,11 @@ def bm25_rank(
             "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
         )
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    # dl (per-doc length) is a corpus statistic a real engine stores
+    # next to the postings; callers serving repeatedly pass the
+    # persisted frame so each query skips one full token-table scan
+    if dl is None:
+        dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

