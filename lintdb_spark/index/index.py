@@ -1206,16 +1206,25 @@ class Index:
         independent of batch size. The only broadcast is the centroid
         matrix itself (~32 MB at the reference's largest config).
 
-        Shuffle tradeoff: the single cogroup ships candidates'
-        residual blobs through the qid shuffle even though only
-        num_second_pass of them get decoded. One shuffle stage beats
-        three for any batch where candidates-per-query is within ~100x
-        of num_second_pass (measured 1.8x faster end-to-end at bench
-        scale). For corpora where probe pruning still yields millions
-        of candidates per query, the declarative twin
-        ``scoring.batch_two_phase_topk`` keeps stage-1 codes-only and
-        joins residual-bearing rows for survivors alone — same
-        semantics, shuffle-lean."""
+        Physical strategy (the batch analogue of Spark's broadcast-vs-
+        shuffle join selection, decided by a column-pruned size
+        estimate against autoBroadcastJoinThreshold):
+
+        - doc blobs fit the broadcast threshold -> ship the blob table
+          ONCE per executor and shuffle only the (qid, doc_id) pairs;
+          the cascade runs as mapInPandas over qid partitions with
+          queries + blobs read from broadcasts (zero blob shuffle).
+        - else -> the cogrouped path: one qid shuffle carrying each
+          candidate's codes+residuals to its group. Per-executor
+          memory stays ONE group (that query's candidates), bounded
+          regardless of corpus size — the 100 TB path. One shuffle
+          stage beats three for any batch where candidates-per-query
+          is within ~100x of num_second_pass (measured 1.8x faster
+          end-to-end at bench scale); for corpora where probe pruning
+          still yields millions of candidates per query, the
+          declarative twin ``scoring.batch_two_phase_topk`` keeps
+          stage-1 codes-only and joins residual rows for survivors
+          alone — same semantics, shuffle-lean."""
         opts = opts or SearchOptions()
         if opts.scoring_method == "xtr":
             return self.search_batch_xtr(
@@ -1242,18 +1251,6 @@ class Index:
             pd.DataFrame(probe_rows, columns=["qid", "centroid_id"]).astype("int64"),
             "qid long, centroid_id long",
         )
-        queries_df = self.spark.createDataFrame(
-            pd.DataFrame(
-                [
-                    (qid, j, tok.astype(np.float32))
-                    for qid, q in qmats.items()
-                    for j, tok in enumerate(q)
-                ],
-                columns=["qid", "q_id", "qvec"],
-            ),
-            "qid long, q_id long, qvec array<float>",
-        )
-
         cand_ids = (
             self._postings(field)
             .filter(F.col("tenant") == tenant)
@@ -1266,17 +1263,8 @@ class Index:
             docs = docs.join(
                 self._filter_doc_ids(tenant, doc_filter), "doc_id", "left_semi"
             )
-        cand = cand_ids.join(docs.select("doc_id", codes_c, res_c, nt_c), "doc_id")
 
-        # explicit qid partitioning ahead of the cogroup: the Python
-        # cascade is CPU-bound per group, and AQE (which only sees
-        # bytes) would coalesce a small batch's shuffle into few
-        # partitions, serializing the groups. A user repartition is
-        # AQE-exempt and the cogroup reuses it.
         n_parts = self.spark.sparkContext.defaultParallelism
-        cand = cand.repartition(n_parts, "qid")
-        queries_part = queries_df.repartition(n_parts, "qid")
-
         bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
         thr = float(opts.centroid_score_threshold)
         nsp = int(opts.num_second_pass)
@@ -1295,23 +1283,17 @@ class Index:
             )
         normalize = bool(opts.normalize)
 
-        def cascade(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        _EMPTY = {
+            "qid": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+
+        def score_group(qid, Q, doc_ids, code_arrs, blobs, nts):
             # per-qid full cascade: PLAID codes-only (plaid.cpp:65-95)
             # -> num_second_pass cut -> residual decode + exact MaxSim
             # (plaid.cpp:119-185, Scorer.cpp:11-63) -> top-k
-            empty = pd.DataFrame(
-                {
-                    "qid": pd.Series(dtype="int64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "rank": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64"),
-                }
-            )
-            if left.empty or right.empty:
-                return empty
-            Q = np.vstack(
-                right.sort_values("q_id")["qvec"].to_numpy()
-            ).astype(np.float32)
             CC = bc_c.value
             qc = Q @ CC.T  # (n_tok, num_centroids)
 
@@ -1322,7 +1304,6 @@ class Index:
             # reference's unique() is unnecessary here. Docs always
             # have >=1 token (validateField rejects empty tensors), so
             # every reduceat segment is non-empty.
-            code_arrs = [np.asarray(c, dtype=np.int64) for c in left[codes_c]]
             lens = np.fromiter(
                 (len(c) for c in code_arrs), dtype=np.int64, count=len(code_arrs)
             )
@@ -1336,7 +1317,6 @@ class Index:
                 M = np.where(M.max(axis=0, keepdims=True) >= thr, M, -np.inf)
             s1 = np.maximum.reduceat(M, starts, axis=1).sum(axis=0)
             s1 = np.where(np.isfinite(s1), s1, 0.0)
-            doc_ids = left["doc_id"].to_numpy()
             surv = np.lexsort((doc_ids, -s1))[:nsp]
 
             # stage 2, vectorized: all survivors' packed residuals are
@@ -1345,8 +1325,6 @@ class Index:
             # the whole second pass. In the ADC configuration the
             # decode+matmul is replaced by qc-gather + table lookups
             # (qc IS the precomputed <q, centroid> matrix).
-            blobs = left[res_c].to_numpy()
-            nts = left[nt_c].to_numpy().astype(np.int64)
             nts_s = nts[surv]
             cents_s = np.concatenate([code_arrs[i] for i in surv])
             starts2 = np.zeros(len(surv), dtype=np.int64)
@@ -1375,18 +1353,128 @@ class Index:
             keep = np.lexsort((doc_ids[surv], -s2))[:kk]
             return pd.DataFrame(
                 {
-                    "qid": left["qid"].to_numpy()[surv][keep],
+                    "qid": np.full(len(keep), qid, dtype=np.int64),
                     "doc_id": doc_ids[surv][keep],
                     "rank": np.arange(1, len(keep) + 1, dtype=np.int64),
                     "score": s2[keep],
                 }
             )
 
-        topk = (
-            cand.groupBy("qid")
-            .cogroup(queries_part.groupBy("qid"))
-            .applyInPandas(cascade, "qid long, doc_id long, rank long, score double")
-        )
+        # ---- physical strategy selection, the batch analogue of
+        # Spark's broadcast-vs-shuffle join choice ----
+        # The qid-cogroup path ships every candidate's codes+residual
+        # blobs through the shuffle (bounded per-executor memory: one
+        # group at a time — the 100 TB path). When the WHOLE doc blob
+        # table fits the broadcast threshold, shipping it once to each
+        # executor and shuffling only the tiny (qid, doc_id) pairs is
+        # strictly cheaper. The estimate reads only the num_tokens
+        # column (column-pruned scan): tokens * (code bytes + 8B
+        # centroid id) + per-doc overhead.
+        est_row = docs.agg(
+            F.sum(nt_c).alias("toks"), F.count("*").alias("nd")
+        ).collect()[0]
+        tok_total = int(est_row["toks"] or 0)
+        est_bytes = tok_total * (quant.code_size + 8) + int(est_row["nd"]) * 128
+        try:
+            bcast_max = int(
+                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except (ValueError, TypeError):
+            bcast_max = 32 * 1024 * 1024
+
+        if est_bytes <= bcast_max:
+            doc_rows = docs.select("doc_id", codes_c, res_c, nt_c).collect()
+            doc_map = {
+                int(r["doc_id"]): (
+                    np.asarray(r[codes_c], dtype=np.int64),
+                    bytes(r[res_c]),
+                    int(r[nt_c]),
+                )
+                for r in doc_rows
+            }
+            bc_docs = self.spark.sparkContext.broadcast(doc_map)
+            bc_q = self.spark.sparkContext.broadcast(qmats)
+
+            def serve(batches):
+                dm = bc_docs.value
+                qm = bc_q.value
+                for pdf in batches:
+                    outs = []
+                    for qid_val, grp in pdf.groupby("qid", sort=False):
+                        ents = [
+                            (d, dm[d]) for d in grp["doc_id"].to_numpy() if d in dm
+                        ]
+                        # absent map entries = docs removed by doc_filter
+                        # (the broadcast map IS the filter) or deleted
+                        if not ents:
+                            continue
+                        dids = np.fromiter(
+                            (d for d, _ in ents), dtype=np.int64, count=len(ents)
+                        )
+                        outs.append(
+                            score_group(
+                                int(qid_val),
+                                qm[int(qid_val)],
+                                dids,
+                                [e[0] for _, e in ents],
+                                np.array([e[1] for _, e in ents], dtype=object),
+                                np.fromiter(
+                                    (e[2] for _, e in ents),
+                                    dtype=np.int64,
+                                    count=len(ents),
+                                ),
+                            )
+                        )
+                    yield pd.concat(outs) if outs else pd.DataFrame(_EMPTY)
+
+            topk = cand_ids.repartition(n_parts, "qid").mapInPandas(
+                serve, "qid long, doc_id long, rank long, score double"
+            )
+        else:
+            cand = cand_ids.join(
+                docs.select("doc_id", codes_c, res_c, nt_c), "doc_id"
+            )
+            # explicit qid partitioning ahead of the cogroup: the
+            # Python cascade is CPU-bound per group, and AQE (which
+            # only sees bytes) would coalesce a small batch's shuffle
+            # into few partitions, serializing the groups. A user
+            # repartition is AQE-exempt and the cogroup reuses it.
+            cand = cand.repartition(n_parts, "qid")
+            queries_df = self.spark.createDataFrame(
+                pd.DataFrame(
+                    [
+                        (qid, j, tok.astype(np.float32))
+                        for qid, q in qmats.items()
+                        for j, tok in enumerate(q)
+                    ],
+                    columns=["qid", "q_id", "qvec"],
+                ),
+                "qid long, q_id long, qvec array<float>",
+            )
+            queries_part = queries_df.repartition(n_parts, "qid")
+
+            def cascade(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if left.empty or right.empty:
+                    return pd.DataFrame(_EMPTY)
+                Q = np.vstack(
+                    right.sort_values("q_id")["qvec"].to_numpy()
+                ).astype(np.float32)
+                return score_group(
+                    int(left["qid"].iloc[0]),
+                    Q,
+                    left["doc_id"].to_numpy(),
+                    [np.asarray(c, dtype=np.int64) for c in left[codes_c]],
+                    left[res_c].to_numpy(),
+                    left[nt_c].to_numpy().astype(np.int64),
+                )
+
+            topk = (
+                cand.groupBy("qid")
+                .cogroup(queries_part.groupBy("qid"))
+                .applyInPandas(
+                    cascade, "qid long, doc_id long, rank long, score double"
+                )
+            )
         stored = [
             f.name for f in self.schema.scalar_fields() if f.has_role(FieldType.STORED)
         ]

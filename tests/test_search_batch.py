@@ -276,3 +276,30 @@ def test_search_batch_xtr_respects_doc_filter(spark, tmp_path):
     ).collect()
     assert len(res) > 0
     assert all(r["doc_id"] % 2 == 1 for r in res)
+
+
+def test_batch_broadcast_and_cogroup_paths_agree(spark, tmp_path):
+    """search_batch auto-routes between the broadcast-docs serve path
+    and the qid-cogroup shuffle path on a size estimate vs
+    autoBroadcastJoinThreshold; both must score identically (same
+    SearchOptions => same results, whatever the physical strategy)."""
+    idx = Index.create(spark, str(tmp_path / "bpath"), make_schema("binarizer"))
+    docs = make_docs(spark, range(15))
+    idx.train(docs)
+    idx.add(docs)
+    queries = {7: doc_tokens(3), 8: doc_tokens(11)}
+
+    def run():
+        rows = idx.search_batch(0, "colbert", queries, k=5, opts=OPTS).collect()
+        return sorted(
+            (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bcast = run()  # tiny corpus: broadcast path
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cogroup = run()  # forced shuffle path
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bcast == cogroup
