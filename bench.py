@@ -59,6 +59,9 @@ HEADLINE = [
     "q_simhash",
     "q_text_stats",
     "q_repetition",
+    "q_quality_filter",
+    "q_domain_mix",
+    "q_dedup_keep",
     "q_lang_id",
     "q_knn_cosine",
     "q_ivf_knn",
@@ -328,6 +331,7 @@ def main() -> None:
     from lintdb_spark.queries import (
         capped_shingles_cached,
         doc_lengths_cached,
+        dup_clusters_cached,
         facts_cached,
         jaccard_pairs_cached,
         minhash_wide_cached,
@@ -341,6 +345,7 @@ def main() -> None:
         ("capped_shingle_build", capped_shingles_cached),  # df stop list, jaccard input
         ("minhash_build", minhash_wide_cached),  # stored signature table
         ("pair_build", jaccard_pairs_cached),  # materialized pair hand-off
+        ("cluster_build", dup_clusters_cached),  # stored cluster map (q_dedup_keep)
         ("text_token_build", text_tokens_cached),  # of q_text_match / q_bm25
         ("doclen_build", doc_lengths_cached),  # bm25's stored dl statistic
     ]:

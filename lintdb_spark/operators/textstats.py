@@ -252,3 +252,71 @@ def bm25_rank(
     return scored.orderBy(
         F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Gopher-style composite quality verdict per document (Rae et
+    al. 2021 §A1.1): word-count window, mean-word-length window,
+    symbol/punctuation ratio cap, minimum stopword evidence — the
+    rule set every LLM-corpus pipeline applies before dedup. Emits
+    each rule flag (0/1) plus the AND verdict so downstream stages
+    can both filter and report per-rule loss.
+
+    Scale: pure column expressions over one scan — no UDF, no
+    shuffle; runs at parquet scan speed on any corpus size."""
+    w = words("text")
+    n_tokens = F.size(w)
+    n_chars = F.length("text")
+    no_space = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars)
+    avg_len = no_space / n_tokens
+    flag = lambda c: c.cast("int").cast("bigint")  # noqa: E731
+    p_len = flag(
+        (n_tokens >= params.QUALITY_MIN_TOKENS)
+        & (n_tokens <= params.QUALITY_MAX_TOKENS)
+    )
+    p_word = flag(
+        (avg_len >= params.QUALITY_MIN_AVG_TOKEN_LEN)
+        & (avg_len <= params.QUALITY_MAX_AVG_TOKEN_LEN)
+    )
+    p_punct = flag(punct_ratio <= params.QUALITY_MAX_PUNCT_RATIO)
+    p_stop = flag(_stop_count(F.col("text"), "en") >= params.QUALITY_MIN_STOPWORDS)
+    return documents.select(
+        "doc_id",
+        p_len.alias("pass_len"),
+        p_word.alias("pass_word_len"),
+        p_punct.alias("pass_punct"),
+        p_stop.alias("pass_stopwords"),
+        (p_len * p_word * p_punct * p_stop).cast("bigint").alias("keep"),
+    )
+
+
+def domain_mix(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus mix: doc/token counts, token share, and a
+    uniform-target sampling weight (capped at 1.0) — the data-mixture
+    computation a training pipeline runs before sampling (how much to
+    down-weight an over-represented domain to approach a uniform
+    source mix).
+
+    Scale: one scan + one tiny aggregate keyed by source (domains are
+    few); the share/weight step is a broadcast-size window over the
+    aggregate — no corpus-sized shuffle."""
+    per_src = documents.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(words(F.col(text_col)))).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    n_src = F.count("*").over(Window.partitionBy())
+    share = F.col("n_tokens") / total
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, params.ROUND).alias("token_share"),
+        F.round(F.least(F.lit(1.0), (1.0 / n_src) / share), params.ROUND).alias(
+            "mix_weight"
+        ),
+    )

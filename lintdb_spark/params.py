@@ -75,3 +75,14 @@ STOPWORDS = {
     "fr": ["le", "la", "et", "les", "des", "est", "dans", "pour"],
     "es": ["el", "la", "los", "que", "de", "en", "es", "por"],
 }
+
+# Gopher-style quality-filter thresholds (Rae et al. 2021 §A1.1, the
+# public heuristics most LLM-corpus pipelines start from, adapted to
+# the synthetic corpus's scale: word-count window, mean-word-length
+# window, symbol ratio cap, minimum stopword evidence).
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 100_000
+QUALITY_MIN_AVG_TOKEN_LEN = 2.0
+QUALITY_MAX_AVG_TOKEN_LEN = 12.0
+QUALITY_MAX_PUNCT_RATIO = 0.2
+QUALITY_MIN_STOPWORDS = 2

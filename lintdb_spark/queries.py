@@ -657,6 +657,40 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs)
 
 
+_CLUSTER_CACHE: dict = {}
+
+
+def dup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached cluster map (doc_id, cluster_id) — the
+    materialized output of near-dup clustering, which a real pipeline
+    computes once per corpus snapshot and then serves survivorship /
+    reporting queries from (bench times it as cluster_build;
+    q_dup_clusters itself still exercises the LIVE propagation)."""
+    return _session_cached(
+        _CLUSTER_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.dup_clusters(
+            jaccard_pairs_cached(spark, sf_dir).filter(
+                F.col("jaccard") >= DUP_CLUSTER_JACCARD
+            )
+        ).persist(),
+    )
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship: per near-dup cluster keep the smallest
+    doc_id; emit the DROP list (doc_id -> the kept representative) a
+    training-data pipeline anti-joins against the corpus. cluster_id
+    already IS the component's min label, so this is a pure filter +
+    projection off the stored cluster map — the serve half of
+    clustering, zero shuffles."""
+    cl = dup_clusters_cached(spark, sf_dir)
+    return cl.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.col("cluster_id").alias("keep_doc_id")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(
         load_table(spark, sf_dir, "documents"),
@@ -932,6 +966,18 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document n-gram repetition (quality filter
     input for LLM training corpora)."""
     return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule quality verdict (per-rule flags + AND
+    keep bit) — the pre-dedup corpus filter of an LLM pipeline."""
+    return textstats.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share + uniform-target sampling weight — the
+    data-mixture computation before corpus sampling."""
+    return textstats.domain_mix(load_table(spark, sf_dir, "documents"))
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1789,51 @@ WITH media AS (
 )
 """
 
+# survivorship = the cluster CTE with min-label kept; only drops emitted
+_KEEP_SQL = ORACLE["q_dup_clusters"].replace(
+    "SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY v",
+    "SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS keep_doc_id "
+    "FROM reach GROUP BY v HAVING v <> min(lbl)",
+)
+assert "keep_doc_id" in _KEEP_SQL, "q_dup_clusters tail SQL changed"
+ORACLE["q_dedup_keep"] = _KEEP_SQL
+
+ORACLE["q_quality_filter"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS avg_len,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio,
+         len(list_filter(string_split(lower(text), ' '), t -> t IN ({_stopword_in('en')}))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens >= {params.QUALITY_MIN_TOKENS} AND n_tokens <= {params.QUALITY_MAX_TOKENS} AS BIGINT) AS pass_len,
+       CAST(avg_len >= {params.QUALITY_MIN_AVG_TOKEN_LEN} AND avg_len <= {params.QUALITY_MAX_AVG_TOKEN_LEN} AS BIGINT) AS pass_word_len,
+       CAST(punct_ratio <= {params.QUALITY_MAX_PUNCT_RATIO} AS BIGINT) AS pass_punct,
+       CAST(n_stop >= {params.QUALITY_MIN_STOPWORDS} AS BIGINT) AS pass_stopwords,
+       CAST((n_tokens >= {params.QUALITY_MIN_TOKENS} AND n_tokens <= {params.QUALITY_MAX_TOKENS})
+            AND (avg_len >= {params.QUALITY_MIN_AVG_TOKEN_LEN} AND avg_len <= {params.QUALITY_MAX_AVG_TOKEN_LEN})
+            AND punct_ratio <= {params.QUALITY_MAX_PUNCT_RATIO}
+            AND n_stop >= {params.QUALITY_MIN_STOPWORDS} AS BIGINT) AS keep
+FROM base
+"""
+
+ORACLE["q_domain_mix"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER (), {params.ROUND}) AS token_share,
+       round(least(1.0, (1.0 / count(*) OVER ())
+                        / (n_tokens * 1.0 / sum(n_tokens) OVER ())), {params.ROUND}) AS mix_weight
+FROM per_src
+"""
+
 ORACLE["q_or_vector"] = prelude() + f"""
 , cand AS (SELECT DISTINCT doc_id FROM token_assign
            WHERE centroid_id IN (SELECT centroid_id FROM probes)),
@@ -1856,8 +1947,11 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries; these scalar aggregates are multiply-proven (green
     # r01-r04) so they sit at the tail, keeping the rarer
     # q_media_frames / q_or_vector lifecycles and the new operators
-    # inside the window. (All 53 are still locally oracle-checked by
-    # tests/test_queries_vs_oracle.py.)
+    # inside the window. (Every entry, tail included, is still
+    # locally oracle-checked by tests/test_queries_vs_oracle.py.)
+    "q_quality_filter": q_quality_filter,
+    "q_domain_mix": q_domain_mix,
+    "q_dedup_keep": q_dedup_keep,
     "q_doc_length_stats": q_doc_length_stats,
     "q_events_value_stats": q_events_value_stats,
     "q_brand_stats": q_brand_stats,

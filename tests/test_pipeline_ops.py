@@ -321,3 +321,68 @@ def test_session_caches_reuse_and_key_on_application_id(spark, sf_dir):
     q._SHINGLE_CACHE.pop((app, sf_dir))
     q.doc_shingles_cached(spark, sf_dir)
     assert ("dead-app", sf_dir) not in q._SHINGLE_CACHE
+
+
+def test_quality_filter_rules(spark):
+    """Each Gopher rule flags independently; keep is their AND."""
+    import pandas as pd
+
+    from lintdb_spark.operators import textstats
+
+    good = "the cat and the dog sat with a mat for fun " * 5  # stopwords, clean
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    good,                               # passes everything
+                    "word " * 5,                        # too short
+                    good + " !!!!;;;;....,,,," * 40,    # punct-heavy
+                    ("xx " * 60).strip(),               # no stopwords
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in textstats.quality_filter(docs).collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["pass_len"] == 0 and rows[2]["keep"] == 0
+    assert rows[3]["pass_punct"] == 0 and rows[3]["keep"] == 0
+    assert rows[4]["pass_stopwords"] == 0 and rows[4]["keep"] == 0
+
+
+def test_domain_mix_weights(spark):
+    """Over-represented sources get down-weighted toward uniform;
+    under-represented ones cap at 1.0; shares sum to 1."""
+    import pandas as pd
+
+    from lintdb_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "source": ["big", "big", "big", "big", "small", "small"],
+                "text": ["a b c d e f g h"] * 4 + ["a b"] * 2,
+            }
+        )
+    )
+    rows = {r["source"]: r for r in textstats.domain_mix(docs).collect()}
+    assert abs(rows["big"]["token_share"] + rows["small"]["token_share"] - 1.0) < 1e-6
+    assert rows["small"]["mix_weight"] == 1.0  # under-represented: keep all
+    assert 0 < rows["big"]["mix_weight"] < 1.0  # down-weighted toward 0.5 target
+    assert rows["big"]["n_tokens"] == 32 and rows["small"]["n_tokens"] == 4
+
+
+def test_dedup_keep_survivorship(spark, sf_dir=None):
+    """q_dedup_keep emits only dropped docs, each pointing at its
+    cluster's min doc_id, consistent with q_dup_clusters."""
+    from lintdb_spark.queries import q_dedup_keep, q_dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    clusters = {r["doc_id"]: r["cluster_id"] for r in q_dup_clusters(spark, sf).collect()}
+    keep = {r["doc_id"]: r["keep_doc_id"] for r in q_dedup_keep(spark, sf).collect()}
+    assert keep  # the synthetic corpus has near-dups
+    for d, k in keep.items():
+        assert d != k and clusters[d] == k
+    dropped = {d for d, c in clusters.items() if d != c}
+    assert set(keep) == dropped

