@@ -240,3 +240,45 @@ def test_jaccard_stop_set_broadcasts(spark, sf_dir):
         )
     )
     assert "BroadcastHashJoin LeftAnti" in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """orders |x| lineitem co-bucketed on orderkey must join with NO
+    Exchange on either side — the bucketed layout IS the shuffle,
+    paid once at write time. This is the 100 TB claim in
+    relational.top_orders' docstring, made checkable."""
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.operators.relational import write_bucketed
+    from lintdb_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(o, "t_orders_b", "o_orderkey", 4, path=str(tmp_path / "o"))
+    write_bucketed(li, "t_lineitem_b", "l_orderkey", 4, path=str(tmp_path / "li"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the test exercises the sort-merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucket layout satisfies distribution
+        assert "SelectedBucketsCount" in p
+        # and the join is still correct
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
