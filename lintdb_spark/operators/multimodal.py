@@ -195,7 +195,17 @@ def media_table(documents: "DataFrame") -> DataFrame:
     is value-hash-checked end to end, not just shape-tested."""
     from pyspark.sql import functions as F
 
-    base = documents.select(
+    # the source parquet is a single input split; without the spread
+    # every downstream mapInPandas decode runs in ONE task — the same
+    # serialization failure dedup.doc_shingles guards against, and
+    # with a REAL codec (Pillow/ffmpeg) a catastrophic one. Quarter
+    # parallelism: the payload shuffle is the cost and decode the
+    # win, so fewer/larger partitions than the compute-bound caches
+    # (at scale media arrives as many files and this is a no-op).
+    sc = documents.sparkSession.sparkContext
+    base = documents.repartition(
+        max(8, sc.defaultParallelism // 4), F.col("doc_id")
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
