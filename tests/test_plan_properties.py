@@ -282,3 +282,31 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_quality_filter_is_narrow_projection(spark, sf_dir):
+    """The Gopher-rule verdict is pure column math — no shuffle, no
+    Python, no explode; scan-speed on any corpus."""
+    p = plan_of(spark, sf_dir, "q_quality_filter")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "Generate" not in p
+
+
+def test_domain_mix_no_corpus_shuffle(spark, sf_dir):
+    """domain_mix shuffles only the per-source aggregate (a handful of
+    rows), never corpus rows: exactly one pre-aggregate exchange plus
+    the single-partition window over it; no Python."""
+    p = plan_of(spark, sf_dir, "q_domain_mix")
+    assert "EvalPython" not in p
+    assert _nodes(p, "Exchange") <= 2  # partial-agg exchange + window
+    assert "HashAggregate" in p  # map-side partial aggregation
+
+
+def test_dedup_keep_serves_from_cache(spark, sf_dir):
+    """Survivorship is a filter+projection off the session-cached
+    cluster map — no join, no aggregate, no Python in the serve plan."""
+    p = plan_of(spark, sf_dir, "q_dedup_keep")
+    assert "InMemoryTableScan" in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
