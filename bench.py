@@ -62,6 +62,7 @@ HEADLINE = [
     "q_quality_filter",
     "q_domain_mix",
     "q_dedup_keep",
+    "q_skew_agg",
     "q_lang_id",
     "q_knn_cosine",
     "q_ivf_knn",

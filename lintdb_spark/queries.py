@@ -968,6 +968,23 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py) as a
+    first-class query: per-user event totals where phase 1 spreads any
+    hot user over 16 (key, salt) reduce tasks and phase 2 combines the
+    algebraic partials — same result as a plain GROUP BY (the oracle),
+    skew-proof shuffle shape at 100 TB."""
+    from lintdb_spark.operators import skew
+
+    ev = table_cached(spark, sf_dir, "events")
+    out = skew.salted_sum_count(ev, ["user_id"], "value")
+    return out.select(
+        "user_id",
+        F.round(F.col("total"), params.ROUND).alias("total_value"),
+        "n",
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-rule quality verdict (per-rule flags + AND
     keep bit) — the pre-dedup corpus filter of an LLM pipeline."""
@@ -1821,6 +1838,13 @@ SELECT doc_id,
 FROM base
 """
 
+ORACLE["q_skew_agg"] = f"""
+SELECT user_id,
+       round(sum(value), {params.ROUND}) AS total_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+"""
+
 ORACLE["q_domain_mix"] = f"""
 WITH per_src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1952,6 +1976,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_filter": q_quality_filter,
     "q_domain_mix": q_domain_mix,
     "q_dedup_keep": q_dedup_keep,
+    "q_skew_agg": q_skew_agg,
     "q_doc_length_stats": q_doc_length_stats,
     "q_events_value_stats": q_events_value_stats,
     "q_brand_stats": q_brand_stats,
