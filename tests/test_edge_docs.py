@@ -47,3 +47,42 @@ def test_text_stats_empty_doc_zero_guard(spark):
     # split('') -> [''] so n_tokens=1 -> quality = min(1, 1/100) * 1
     assert out[1].quality_score == 0.01
     assert out[5].punct_ratio == 1.0
+
+
+def test_lsh_buckets_wide_matches_long_path(spark):
+    """lsh_buckets_wide (in-row banding off the wide signature table)
+    must be byte-identical to lsh_buckets over the unpivoted
+    signatures — the two serve paths of the same stored artifact."""
+    import pandas as pd
+
+    from lintdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "text": [
+                    f"alpha beta gamma delta {i} epsilon zeta eta theta" for i in range(8)
+                ],
+            }
+        )
+    )
+    sh = dedup.doc_shingles(docs)
+    wide = dedup.minhash_wide(sh, num_perms=8)
+    long_sig = dedup.signatures_from_wide(wide, num_perms=8)
+    a = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in dedup.lsh_buckets(long_sig, bands=4, num_perms=8).collect()
+    }
+    b = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in dedup.lsh_buckets_wide(wide, bands=4, num_perms=8).collect()
+    }
+    assert a == b and len(a) == 8 * 4
+    # and the unpivot agrees with the one-shot signature builder
+    c = {
+        (r["doc_id"], r["perm"]): r["minhash"]
+        for r in dedup.minhash_signatures(sh, num_perms=8).collect()
+    }
+    d = {(r["doc_id"], r["perm"]): r["minhash"] for r in long_sig.collect()}
+    assert c == d
