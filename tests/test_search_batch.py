@@ -303,3 +303,43 @@ def test_batch_broadcast_and_cogroup_paths_agree(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert bcast == cogroup
+
+
+def test_batch_adc_parity_both_paths(spark, tmp_path):
+    """PQ index: batch ADC scoring must equal the decode+matmul batch
+    on BOTH physical paths (broadcast-docs and cogroup) and agree with
+    per-query search — D11 through every batch strategy."""
+    from lintdb_spark.index import SearchOptions
+
+    idx = Index.create(spark, str(tmp_path / "badc"), make_schema("product"))
+    docs = make_docs(spark, range(15))
+    idx.train(docs)
+    idx.add(docs)
+    queries = {1: doc_tokens(3), 2: doc_tokens(12)}
+    base = dict(
+        n_probe=8, k_top_centroids=2, num_second_pass=50,
+        centroid_score_threshold=0.0, normalize=False,
+    )
+
+    def run(use_adc, thresh):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+            rows = idx.search_batch(
+                0, "colbert", queries, k=5,
+                opts=SearchOptions(**base, use_adc=use_adc),
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return sorted((r["qid"], r["rank"], r["doc_id"]) for r in rows), {
+            (r["qid"], r["doc_id"]): r["score"] for r in rows
+        }
+
+    big = str(64 * 1024 * 1024)
+    ids_dec_b, s_dec_b = run(False, big)       # broadcast, decode
+    ids_adc_b, s_adc_b = run(True, big)        # broadcast, ADC
+    ids_adc_c, s_adc_c = run(True, "-1")       # cogroup, ADC
+    assert ids_dec_b == ids_adc_b == ids_adc_c
+    for k2 in s_dec_b:
+        assert abs(s_dec_b[k2] - s_adc_b[k2]) < 1e-3
+        assert abs(s_adc_b[k2] - s_adc_c[k2]) < 1e-9
