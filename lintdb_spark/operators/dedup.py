@@ -513,7 +513,9 @@ def embedding_lsh_neardup(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iters: int = 25, local_max_edges: int | None = None
+) -> DataFrame:
     """Near-dup CLUSTER FORMATION — the step after pair generation in
     every real dedup pipeline (pairs alone don't tell you which docs
     to drop; transitive groups do). Connected components over the
@@ -522,6 +524,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     among itself and its neighbors; at convergence a component's label
     is its min doc_id. Returns (doc_id, cluster_id) for every doc
     that appears in >=1 pair.
+
+    Physical strategy selection (like search_batch's broadcast-vs-
+    shuffle choice): the thresholded near-dup edge set is usually
+    ORDERS of magnitude smaller than the corpus (it lists actual
+    near-duplicates, not candidates), so when a bounded limit+collect
+    shows it fits ``local_max_edges`` (params.CLUSTER_LOCAL_MAX_EDGES,
+    ~32 MB at the default cap) the components are solved EXACTLY with
+    driver-side union-find in one Spark job — no iteration, no
+    variance. Larger graphs take the distributed propagation below.
+    Pass ``local_max_edges=0`` to force the distributed path.
 
     Scale shape: each round is one join + one partial-aggregated
     groupBy over |edges| rows — no global sort, no all-pairs.
@@ -553,6 +565,48 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     rather than silently returning split components.
     """
     import warnings
+
+    local_max = (
+        params.CLUSTER_LOCAL_MAX_EDGES if local_max_edges is None else local_max_edges
+    )
+    if local_max > 0:
+        # bounded probe: ONE job that both fetches the edges and
+        # proves the bound (limit stops the scan at local_max+1 rows,
+        # so an over-sized graph costs one truncated pass, not a
+        # count + a collect)
+        rows = (
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .limit(local_max + 1)
+            .collect()
+        )
+        if len(rows) <= local_max:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r0 in rows:
+                ra, rb = find(int(r0["a"])), find(int(r0["b"]))
+                if ra != rb:
+                    # union by MIN root so the final root IS the
+                    # component's min doc_id (the output contract)
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            verts = {v for r0 in rows for v in (int(r0["a"]), int(r0["b"]))}
+            out = pd.DataFrame(
+                {
+                    "doc_id": list(verts),
+                    "cluster_id": [find(v) for v in verts],
+                }
+            ).astype("int64")
+            return pairs.sparkSession.createDataFrame(
+                out, "doc_id long, cluster_id long"
+            )
 
     # persist the pair list FIRST: fwd is referenced four times through
     # the symmetrize + self-loop unions, and each un-persisted

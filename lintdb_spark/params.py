@@ -86,3 +86,10 @@ QUALITY_MIN_AVG_TOKEN_LEN = 2.0
 QUALITY_MAX_AVG_TOKEN_LEN = 12.0
 QUALITY_MAX_PUNCT_RATIO = 0.2
 QUALITY_MIN_STOPWORDS = 2
+
+# dup_clusters physical-strategy threshold: edge sets at or below this
+# collect to the driver for exact union-find (2 longs/edge -> ~32 MB at
+# the cap, one Spark job total); larger graphs run the distributed
+# hash-min propagation. The same broadcast-vs-shuffle style selection
+# search_batch makes for doc blobs.
+CLUSTER_LOCAL_MAX_EDGES = 2_000_000

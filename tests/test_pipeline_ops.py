@@ -18,26 +18,31 @@ def _pairs(spark, edges):
 
 def test_dup_clusters_chain_transitivity(spark):
     # a 6-node path graph: diameter 5 forces multiple propagation
-    # rounds; all nodes must land in the min-id (=1) cluster
+    # rounds; all nodes must land in the min-id (=1) cluster — on the
+    # driver union-find path AND the forced distributed path
     pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
-    got = {
-        (r.doc_id, r.cluster_id) for r in dedup.dup_clusters(pairs).collect()
-    }
-    assert got == {(i, 1) for i in range(1, 7)}
+    for lme in (None, 0):
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.dup_clusters(pairs, local_max_edges=lme).collect()
+        }
+        assert got == {(i, 1) for i in range(1, 7)}
 
 
 def test_dup_clusters_separate_components(spark):
     pairs = _pairs(spark, [(10, 11), (11, 12), (20, 21), (30, 31)])
-    labels = dict(
-        (r.doc_id, r.cluster_id) for r in dedup.dup_clusters(pairs).collect()
-    )
-    assert labels == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+    for lme in (None, 0):
+        labels = dict(
+            (r.doc_id, r.cluster_id)
+            for r in dedup.dup_clusters(pairs, local_max_edges=lme).collect()
+        )
+        assert labels == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
 
 
 def test_dup_clusters_iteration_cap_converges_early(spark):
     # a triangle converges in one round regardless of the cap
     pairs = _pairs(spark, [(1, 2), (2, 3), (1, 3)])
-    got = dedup.dup_clusters(pairs, max_iters=2).collect()
+    got = dedup.dup_clusters(pairs, max_iters=2, local_max_edges=0).collect()
     assert {r.cluster_id for r in got} == {1}
 
 
@@ -120,7 +125,9 @@ def test_dup_clusters_60bit_ids_no_overflow(spark):
     edges = [(base + i, base + i + 1) for i in range(0, 20, 2)]
     labels = dict(
         (r.doc_id, r.cluster_id)
-        for r in dedup.dup_clusters(_pairs(spark, edges)).collect()
+        for r in dedup.dup_clusters(
+            _pairs(spark, edges), local_max_edges=0
+        ).collect()
     )
     assert len(labels) == 20
     for a, b in edges:
@@ -134,7 +141,7 @@ def test_dup_clusters_warns_when_unconverged(spark):
     # not be returned silently
     pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        dedup.dup_clusters(pairs, max_iters=1)
+        dedup.dup_clusters(pairs, max_iters=1, local_max_edges=0)
 
 
 def test_release_unpersists_tagged_intermediates(spark):
