@@ -393,3 +393,26 @@ def test_dedup_keep_survivorship(spark, sf_dir=None):
         assert d != k and clusters[d] == k
     dropped = {d for d, c in clusters.items() if d != c}
     assert set(keep) == dropped
+
+
+def test_table_cached_layout(spark):
+    """The fact-table cache must (a) key-partition on the consumer
+    join/group column so equi-joins run exchange-free off it, and
+    (b) return the SAME frame per (sf_dir, table) within a session."""
+    from lintdb_spark.queries import table_cached
+
+    sf = "/root/testdata/sf0.001"
+    li = table_cached(spark, sf, "lineitem")
+    assert li is table_cached(spark, sf, "lineitem")  # session-cached
+    assert li.storageLevel.useMemory
+    o = table_cached(spark, sf, "orders")
+    # co-partitioned equi-join: no Exchange on either side
+    import contextlib
+    import io
+
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange hashpartitioning" not in p.split("InMemoryRelation")[0]
