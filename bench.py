@@ -63,6 +63,11 @@ HEADLINE = [
     "q_domain_mix",
     "q_dedup_keep",
     "q_skew_agg",
+    "q_unigram_loglik",
+    "q_tfidf_keywords",
+    "q_decontaminate_fuzzy",
+    "q_embedding_clusters",
+    "q_pack_plan",
     "q_lang_id",
     "q_knn_cosine",
     "q_ivf_knn",

@@ -731,3 +731,33 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").cast("bigint").alias("n_shared"))
     )
+
+
+def fuzzy_decontaminate(buckets: DataFrame, eval_mod: int = 50) -> DataFrame:
+    """FUZZY decontamination via MinHash-LSH bucket collision: flag
+    training documents whose signature lands in the same (band,
+    bucket) as any held-out eval document — catching paraphrased /
+    lightly-edited eval leakage the exact-trigram check misses
+    (an LSH bucket hit means estimated Jaccard >= ~(1/bands)^(1/r)).
+    The eval set is the same deterministic slice as ``decontaminate``
+    (doc_id % eval_mod == 0). Returns (doc_id, n_eval_matches) —
+    distinct eval documents each training doc collides with.
+
+    ``buckets``: a (doc_id, band, bucket) LSH frame (lsh_buckets_wide
+    over the stored wide-signature table — the serve path reads the
+    same artifact the dedup family maintains at ingest).
+
+    Scale shape: eval-side buckets are benchmark-sized and BROADCAST;
+    the corpus side is a narrow filter + broadcast-join + doc-keyed
+    partial aggregate — the corpus never shuffles, exactly like exact
+    decontamination. Signature/bucket strings are md5-exact across
+    engines, so parity is bit-for-bit with no float involved."""
+    ev = buckets.filter(F.col("doc_id") % eval_mod == 0).select(
+        "band", "bucket", F.col("doc_id").alias("eval_doc_id")
+    )
+    corpus = buckets.filter(F.col("doc_id") % eval_mod != 0)
+    return (
+        corpus.join(F.broadcast(ev), ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("eval_doc_id").cast("bigint").alias("n_eval_matches"))
+    )

@@ -147,3 +147,35 @@ def ivf_knn(
             F.round(F.col("cos"), params.ROUND).alias("cosine"),
         )
     )
+
+
+def cluster_stats(
+    embeddings: DataFrame, centroids: DataFrame, bucketed: DataFrame | None = None
+) -> DataFrame:
+    """Corpus map: per-IVF-cell statistics over the embedding corpus —
+    (centroid_id, n_vecs, avg_norm, min_norm, max_norm). This is the
+    cluster-occupancy report every ANN deployment monitors (skewed
+    cells mean probe-cost skew; empty cells mean wasted centroids) and
+    the embedding-space density summary a training-data pipeline uses
+    as a cheap topic histogram.
+
+    ``bucketed``: a materialized ivf_bucket() frame; per-cell stats
+    are then ONE doc-partition-friendly aggregate off the stored
+    bucket table (at 100 TB: a groupBy on the partition column —
+    map-side partial aggregation, minimal shuffle of |centroids|
+    partial rows). Norms are per-row deterministic (same left-to-right
+    dot fold both engines); only avg's accumulation order differs,
+    absorbed by round(.., params.ROUND)."""
+    if bucketed is None:
+        bucketed = ivf_bucket(embeddings, centroids)
+    nrm = F.sqrt(dot_product("cv", "cv"))
+    return (
+        bucketed.select("centroid_id", nrm.alias("nrm"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("nrm"), params.ROUND).alias("avg_norm"),
+            F.round(F.min("nrm"), params.ROUND).alias("min_norm"),
+            F.round(F.max("nrm"), params.ROUND).alias("max_norm"),
+        )
+    )

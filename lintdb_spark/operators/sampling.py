@@ -103,3 +103,50 @@ def hash_split(
     return documents.select(
         "doc_id", "lang", expr.otherwise(F.lit("train")).alias("split")
     )
+
+
+def pack_plan(
+    documents: DataFrame, budget: int, part_col: str = "lang"
+) -> DataFrame:
+    """Sequence-PACKING plan: assign each document a (pack_id,
+    pack_offset) under a fixed token budget per pack — the layout step
+    of LLM training-data preparation (concatenate documents into
+    fixed-length training sequences; a doc whose tokens straddle a
+    boundary continues into the next pack, the standard streaming
+    concat-and-chunk scheme). Deterministic: docs are laid out in
+    doc_id order within each ``part_col`` shard, so reruns and
+    engines agree bit-for-bit (pure integer arithmetic, no floats).
+
+    Returns (doc_id, <part_col>, n_tokens, pack_id, pack_offset)
+    where pack_id = floor(tokens_before / budget) and pack_offset =
+    tokens_before % budget, with tokens_before = the running token
+    total of earlier docs in the same shard.
+
+    Scale shape: one window per shard (sum over rows unbounded
+    preceding). Real pipelines pack per shard/worker anyway — pass
+    the shard column as ``part_col`` and each window partition is one
+    writer's worth of data, not the whole corpus; the cumulative sums
+    stay exact well past 100 TB (token totals < 2^53)."""
+    from lintdb_spark.functions.text import words
+
+    from pyspark.sql import Window
+
+    n = F.size(words("text")).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        documents.select("doc_id", part_col, n.alias("n_tokens"))
+        .withColumn(
+            "before", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            part_col,
+            "n_tokens",
+            F.floor(F.col("before") / F.lit(budget)).cast("bigint").alias("pack_id"),
+            (F.col("before") % budget).cast("bigint").alias("pack_offset"),
+        )
+    )

@@ -292,6 +292,100 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     )
 
 
+def unigram_loglik(documents: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
+    """Unigram language-model score per document — the cheap stand-in
+    for the KenLM-perplexity quality signal every LLM-corpus pipeline
+    computes (CCNet/Wenzek et al. 2019 filter on LM perplexity; a
+    unigram model is the rank-preserving floor of that family and
+    needs no external model file). Returns (doc_id, n_tokens,
+    mean_loglik) where mean_loglik = (1/n) * sum over token instances
+    of ln(count(tok)/total_tokens) under the corpus's own empirical
+    unigram distribution — higher = more typical text, very negative =
+    rare-token noise (binary junk, boilerplate IDs).
+
+    Scale: tf is one doc-keyed aggregate (exchange-free off the cached
+    token table), the vocab table is one token-keyed aggregate
+    (vocabulary-sized — millions of rows at 100 TB, fine to shuffle),
+    and the scalar total rides in as a broadcast single-row frame; the
+    final join back to tf shuffles only the vocab side when tf is
+    doc-partitioned. Cross-engine parity: cnt/total and ln() are
+    single IEEE ops on both engines; the per-doc sum's accumulation
+    order differs, absorbed by round(.., params.ROUND).
+
+    Pass ``tokens`` = a (doc_id, token) analyzed-token frame (e.g. the
+    session-cached text-token table) to skip re-tokenizing."""
+    from lintdb_spark.functions.text import analyze_standard
+
+    if tokens is None:
+        tokens = documents.select(
+            "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+        )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (
+        tf.join(vocab, "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log(F.col("cnt") / F.col("total"))).alias("ll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("ll") / F.sum("tf"), params.ROUND).alias("mean_loglik"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(
+    documents: DataFrame, k: int = TFIDF_TOP_K, tokens: DataFrame | None = None
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — document fingerprinting /
+    topical labeling for corpus reporting (which terms characterize
+    each doc against the whole collection). Returns (doc_id, token,
+    tf, rank, tfidf) with score = tf * ln(n_docs/df), ranked per doc
+    by round(score, 6) desc with token-ascending tie-break (the same
+    deterministic top-k idiom as the cascade).
+
+    Scale: tf aggregates exchange-free off the doc-partitioned token
+    table; df is a vocabulary-sized aggregate; the per-doc ranking
+    window shuffles on doc_id once. Score parity is exact: tf, df,
+    n_docs are integers and tf * ln(n_docs/df) is the same two IEEE
+    ops on both engines — no accumulation-order ambiguity at all."""
+    from lintdb_spark.functions.text import analyze_standard
+
+    if tokens is None:
+        tokens = documents.select(
+            "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+        )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    n = documents.agg(F.count("*").cast("bigint").alias("n_docs"))
+    from pyspark.sql import Window
+
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(score, 6).desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_tbl, "token")
+        .join(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(score, params.ROUND).alias("tfidf"),
+        )
+    )
+
+
 def domain_mix(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-source corpus mix: doc/token counts, token share, and a
     uniform-target sampling weight (capped at 1.0) — the data-mixture

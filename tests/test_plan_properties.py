@@ -310,3 +310,60 @@ def test_dedup_keep_serves_from_cache(spark, sf_dir):
     assert "InMemoryTableScan" in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_unigram_loglik_serves_from_cached_tokens(spark, sf_dir):
+    """The LM score reads the session-cached token table (no
+    re-tokenization Generate over parquet), keeps the scalar total on
+    a broadcast, and stays JVM-side."""
+    p = plan_of(spark, sf_dir, "q_unigram_loglik")
+    assert "InMemoryTableScan" in p
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # single-row total rides broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_tfidf_keywords_broadcast_count_and_single_rank_window(spark, sf_dir):
+    """TF-IDF ranking: corpus count broadcast (never a cross join),
+    exactly one ranking window, no Python."""
+    p = plan_of(spark, sf_dir, "q_tfidf_keywords")
+    assert "InMemoryTableScan" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # exactly one ranking Window (WindowGroupLimit pre-prune nodes are
+    # the rank<=k pushdown — desirable, not extra windows)
+    assert _nodes(p, r"Window\b") == 1
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Fuzzy decontamination mirrors the exact path's shape: eval
+    buckets broadcast, corpus side scan+filter+aggregate only — the
+    corpus never shuffles through the join."""
+    p = plan_of(spark, sf_dir, "q_decontaminate_fuzzy")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_embedding_clusters_single_aggregate_off_bucket_table(spark, sf_dir):
+    """The corpus map is ONE aggregate off the cached bucket table:
+    no join in the SERVE plan (the assignment join lives in the cached
+    build, printed under InMemoryRelation — slice it off), map-side
+    partials, no Python."""
+    p = plan_of(spark, sf_dir, "q_embedding_clusters")
+    assert "InMemoryTableScan" in p
+    serve = p.split("InMemoryRelation")[0]  # tree above the cache boundary
+    assert "Join" not in serve
+    assert "HashAggregate" in serve
+    assert "EvalPython" not in serve
+
+
+def test_pack_plan_single_shuffle_window(spark, sf_dir):
+    """Sequence packing is one window per shard: a single exchange on
+    the shard key, one Window node, pure integer arithmetic (no
+    Python, no join)."""
+    p = plan_of(spark, sf_dir, "q_pack_plan")
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "Window") == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p
