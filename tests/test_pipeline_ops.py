@@ -416,3 +416,103 @@ def test_table_cached_layout(spark):
         j.explain("formatted")
     p = buf.getvalue()
     assert "Exchange hashpartitioning" not in p.split("InMemoryRelation")[0]
+
+
+def test_pack_plan_boundary_and_continuity(spark):
+    """Packing semantics at the budget boundary: a doc that exactly
+    fills a pack ends it (next doc starts at offset 0 of the next
+    pack), a doc straddling the boundary starts in the earlier pack
+    (streaming concat-and-chunk), and shards pack independently."""
+    rows = [
+        # lang 'en': 3 docs of 4 tokens each, budget 8
+        (1, "a b c d", "en", "s", 7),
+        (2, "a b c d", "en", "s", 7),
+        (3, "a b c d", "en", "s", 7),
+        # lang 'de': one 6-token doc then a 4-token doc straddling
+        (4, "a b c d e f", "de", "s", 11),
+        (5, "a b c d", "de", "s", 7),
+    ]
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in sampling.pack_plan(_docs(spark, rows), budget=8).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 4)
+    assert out[3] == (1, 0)  # exactly-full pack: next doc opens pack 1
+    assert out[4] == (0, 0)  # de shard packs independently
+    assert out[5] == (0, 6)  # starts in pack 0, straddles into pack 1
+
+
+def test_fuzzy_decontaminate_flags_only_colliding_train_docs(spark):
+    """A train doc identical to an eval doc collides in every band; an
+    unrelated doc collides nowhere; eval docs never appear in the
+    output."""
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (50, text_dup, "en", "s", 40),  # eval (doc_id % 50 == 0)
+        (51, text_dup, "en", "s", 40),  # train dup of eval -> flagged
+        (52, "one two three four five six seven eight", "en", "s", 40),
+    ]
+    buckets = dedup.lsh_buckets_wide(
+        dedup.minhash_wide(dedup.doc_shingles(_docs(spark, rows)))
+    )
+    got = {
+        r["doc_id"]: r["n_eval_matches"]
+        for r in dedup.fuzzy_decontaminate(buckets, eval_mod=50).collect()
+    }
+    assert got == {51: 1}
+
+
+def test_tfidf_keywords_rank_and_tiebreak(spark):
+    """Corpus-wide terms score ln(1)=0 and lose to distinctive terms;
+    equal-scored terms rank token-ascending."""
+    from lintdb_spark.operators import textstats
+
+    rows = [
+        (1, "common zebra zebra apple", "en", "s", 10),
+        (2, "common apple", "en", "s", 10),
+        (3, "common banana", "en", "s", 10),
+    ]
+    out = textstats.tfidf_keywords(_docs(spark, rows), k=2).collect()
+    d1 = sorted(
+        [(r["rank"], r["token"]) for r in out if r["doc_id"] == 1]
+    )
+    # zebra: tf=2 * ln(3/1) beats apple: tf=1 * ln(3/2); 'common' has
+    # df=3 -> score 0, never surfaces at k=2
+    assert d1 == [(1, "zebra"), (2, "apple")]
+    d2 = sorted(
+        [(r["rank"], r["token"]) for r in out if r["doc_id"] == 2]
+    )
+    assert d2[0] == (1, "apple")
+
+
+def test_unigram_loglik_orders_typical_above_rare(spark):
+    """A doc of corpus-frequent tokens scores higher (less negative)
+    than a doc of hapax tokens; n_tokens counts analyzed tokens."""
+    from lintdb_spark.operators import textstats
+
+    rows = [
+        (1, "the the the the", "en", "s", 10),
+        (2, "the the the the", "en", "s", 10),
+        (3, "qwzx vbnm plkj uhygt", "en", "s", 10),
+    ]
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_loglik"])
+        for r in textstats.unigram_loglik(_docs(spark, rows)).collect()
+    }
+    assert out[1][0] == 4 and out[3][0] == 4
+    assert out[1][1] == out[2][1] > out[3][1]
+
+
+def test_cluster_stats_counts_cover_corpus(spark, sf_dir):
+    """Every corpus vector lands in exactly one cell: n_vecs sums to
+    the embedding count, and norm bounds are ordered."""
+    from lintdb_spark import model
+    from lintdb_spark.operators import knn
+    from lintdb_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn.cluster_stats(emb, model.centroids(spark, sf_dir)).collect()
+    assert sum(r["n_vecs"] for r in out) == emb.count()
+    for r in out:
+        assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
