@@ -341,7 +341,15 @@ def main() -> None:
         facts_cached,
         jaccard_pairs_cached,
         minhash_wide_cached,
+        text_tf_cached,
+        vocab_stats_cached,
     )
+
+    def _vocab_build(s, d):
+        vocab, total, n_docs = vocab_stats_cached(s, d)
+        total.count()
+        n_docs.count()
+        return vocab
 
     for build_name, build_fn in [
         ("table_cache_build", facts_cached),  # multi-split fact layout
@@ -354,6 +362,8 @@ def main() -> None:
         ("cluster_build", dup_clusters_cached),  # stored cluster map (q_dedup_keep)
         ("text_token_build", text_tokens_cached),  # of q_text_match / q_bm25
         ("doclen_build", doc_lengths_cached),  # bm25's stored dl statistic
+        ("tf_build", text_tf_cached),  # stored tf table (unigram/tfidf)
+        ("vocab_build", _vocab_build),  # df/cf vocabulary stats
     ]:
         try:
             t0 = time.time()

@@ -292,7 +292,13 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     )
 
 
-def unigram_loglik(documents: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
+def unigram_loglik(
+    documents: DataFrame,
+    tokens: DataFrame | None = None,
+    tf: DataFrame | None = None,
+    vocab: DataFrame | None = None,
+    total: DataFrame | None = None,
+) -> DataFrame:
     """Unigram language-model score per document — the cheap stand-in
     for the KenLM-perplexity quality signal every LLM-corpus pipeline
     computes (CCNet/Wenzek et al. 2019 filter on LM perplexity; a
@@ -313,16 +319,24 @@ def unigram_loglik(documents: DataFrame, tokens: DataFrame | None = None) -> Dat
     order differs, absorbed by round(.., params.ROUND).
 
     Pass ``tokens`` = a (doc_id, token) analyzed-token frame (e.g. the
-    session-cached text-token table) to skip re-tokenizing."""
+    session-cached text-token table) to skip re-tokenizing, and/or the
+    stored statistics ``tf`` (doc_id, token, tf), ``vocab`` (token,
+    cnt), ``total`` (single-row corpus token total) to serve entirely
+    off index-maintained artifacts."""
     from lintdb_spark.functions.text import analyze_standard
 
-    if tokens is None:
-        tokens = documents.select(
-            "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+    if tf is None:
+        if tokens is None:
+            tokens = documents.select(
+                "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+            )
+        tf = tokens.groupBy("doc_id", "token").agg(
+            F.count("*").cast("bigint").alias("tf")
         )
-    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
-    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    if vocab is None:
+        vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    if total is None:
+        total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
     scored = (
         tf.join(vocab, "token")
         .join(F.broadcast(total))
@@ -342,7 +356,12 @@ TFIDF_TOP_K = 3
 
 
 def tfidf_keywords(
-    documents: DataFrame, k: int = TFIDF_TOP_K, tokens: DataFrame | None = None
+    documents: DataFrame,
+    k: int = TFIDF_TOP_K,
+    tokens: DataFrame | None = None,
+    tf: DataFrame | None = None,
+    df_stats: DataFrame | None = None,
+    n_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF keywords per document — document fingerprinting /
     topical labeling for corpus reporting (which terms characterize
@@ -355,16 +374,31 @@ def tfidf_keywords(
     table; df is a vocabulary-sized aggregate; the per-doc ranking
     window shuffles on doc_id once. Score parity is exact: tf, df,
     n_docs are integers and tf * ln(n_docs/df) is the same two IEEE
-    ops on both engines — no accumulation-order ambiguity at all."""
+    ops on both engines — no accumulation-order ambiguity at all.
+
+    ``tf`` / ``df_stats`` (a (token, df) frame) / ``n_docs`` (a
+    single-row count frame) serve the query off stored index
+    statistics, like unigram_loglik."""
     from lintdb_spark.functions.text import analyze_standard
 
-    if tokens is None:
-        tokens = documents.select(
-            "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+    if tf is None:
+        if tokens is None:
+            tokens = documents.select(
+                "doc_id", F.explode(analyze_standard(F.col("text"))).alias("token")
+            )
+        tf = tokens.groupBy("doc_id", "token").agg(
+            F.count("*").cast("bigint").alias("tf")
         )
-    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
-    df_tbl = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    n = documents.agg(F.count("*").cast("bigint").alias("n_docs"))
+    df_tbl = (
+        df_stats
+        if df_stats is not None
+        else tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    )
+    n = (
+        n_docs
+        if n_docs is not None
+        else documents.agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
     from pyspark.sql import Window
 
     score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))

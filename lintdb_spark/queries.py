@@ -752,6 +752,57 @@ def text_tokens_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(_TEXT_TOKEN_CACHE, spark, sf_dir, build)
 
 
+_TF_CACHE: dict = {}
+
+
+def text_tf_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, token, tf) term-frequency table — the
+    stored tf statistic every text index materializes at add() time
+    (the Index class keeps the same numbers in its tf postings). The
+    parent token table is doc-partitioned, so this aggregate builds
+    exchange-free; bench times it as tf_build."""
+    return _session_cached(
+        _TF_CACHE,
+        spark,
+        sf_dir,
+        lambda: text_tokens_cached(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist(),
+    )
+
+
+_VOCAB_CACHE: dict = {}
+
+
+def vocab_stats_cached(spark: SparkSession, sf_dir: str):
+    """Session-cached corpus vocabulary statistics: the (token, cnt,
+    df) table, the single-row corpus token total, and the single-row
+    document count — the df/cf sidecar stats a text index maintains
+    at ingest (BM25's df, the LM's unigram counts). Serving queries
+    then touch only broadcast-sized or vocab-sized frames."""
+
+    def build():
+        tf = text_tf_cached(spark, sf_dir)
+        vocab = (
+            tf.groupBy("token")
+            .agg(
+                F.sum("tf").cast("bigint").alias("cnt"),
+                F.count("*").cast("bigint").alias("df"),
+            )
+            .persist()
+        )
+        total = vocab.agg(F.sum("cnt").cast("bigint").alias("total")).persist()
+        n_docs = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .persist()
+        )
+        return (vocab, total, n_docs)
+
+    return _session_cached(_VOCAB_CACHE, spark, sf_dir, build)
+
+
 _DOCLEN_CACHE: dict = {}
 
 
@@ -963,19 +1014,26 @@ def q_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM quality score (KenLM-perplexity stand-in) off the
-    session-cached analyzed-token table."""
+    """Unigram-LM quality score (KenLM-perplexity stand-in) served off
+    the stored tf table and vocabulary statistics (bench: tf_build /
+    vocab_build)."""
+    vocab, total, _ = vocab_stats_cached(spark, sf_dir)
     return textstats.unigram_loglik(
         load_table(spark, sf_dir, "documents"),
-        tokens=text_tokens_cached(spark, sf_dir),
+        tf=text_tf_cached(spark, sf_dir),
+        vocab=vocab,
+        total=total,
     )
 
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF keywords per doc off the cached token table."""
+    """Top-3 TF-IDF keywords per doc off the stored tf/df statistics."""
+    vocab, _, n_docs = vocab_stats_cached(spark, sf_dir)
     return textstats.tfidf_keywords(
         load_table(spark, sf_dir, "documents"),
-        tokens=text_tokens_cached(spark, sf_dir),
+        tf=text_tf_cached(spark, sf_dir),
+        df_stats=vocab.select("token", "df"),
+        n_docs=n_docs,
     )
 
 
