@@ -37,6 +37,7 @@ from lintdb_spark.queries import ORACLE, REGISTRY, batch_topk_oracle_sql  # noqa
 from lintdb_spark.session import get_spark  # noqa: E402
 
 BENCH_NQ = 1000  # batch-search query count, matching the reference harness's 1000 searches
+HEADLINE_REPS = 2  # timings = min over this many executions per query, BOTH engines
 
 # registry queries included as-is (names -> themselves)
 HEADLINE = [
@@ -372,12 +373,21 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[build_name] = repr(exc)
 
-    # ---- headline registry queries (each individually crash-guarded) ----
+    # ---- headline registry queries (each individually crash-guarded).
+    # Each query is timed HEADLINE_REPS times and the per-query MIN
+    # recorded — steady-state measurement on a shared box where a
+    # background-load burst can inflate any single execution ~4-8x
+    # (BASELINE.md §3); the DuckDB baseline below gets the identical
+    # treatment, so the ratio compares like with like. ----
     for name in HEADLINE:
         try:
-            t0 = time.time()
-            REGISTRY[name](spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(HEADLINE_REPS):
+                t0 = time.time()
+                REGISTRY[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = repr(exc)
 
@@ -399,9 +409,13 @@ def main() -> None:
         if sql is None:
             continue
         try:
-            t0 = time.time()
-            con.sql(sql).fetchall()
-            baseline[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(HEADLINE_REPS):
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            baseline[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             errors[f"oracle:{name}"] = repr(exc)
     try:

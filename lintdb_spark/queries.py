@@ -1037,11 +1037,19 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_DECONTAM_BANDS = 8  # 8 bands x 2 rows: catches ~Jaccard>=0.5 leakage
+# (the dedup family's 4x4 banding targets >=0.9 near-dups; decontamination
+# wants higher sensitivity — banding is a per-consumer projection of the
+# SAME stored wide-signature table, so both granularities serve in-row)
+
+
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH bucket-collision decontamination (fuzzy twin of
     q_decontaminate) served from the stored wide-signature table."""
     return dedup.fuzzy_decontaminate(
-        dedup.lsh_buckets_wide(minhash_wide_cached(spark, sf_dir)),
+        dedup.lsh_buckets_wide(
+            minhash_wide_cached(spark, sf_dir), bands=FUZZY_DECONTAM_BANDS
+        ),
         eval_mod=DECONTAM_EVAL_MOD,
     )
 
@@ -1982,7 +1990,7 @@ WHERE rn <= {textstats.TFIDF_TOP_K}
 
 ORACLE["q_decontaminate_fuzzy"] = f"""
 WITH {_SIGS},
-bk AS (SELECT doc_id, CAST(floor(perm / {params.MINHASH_PERMS // params.LSH_BANDS}.0) AS INT) AS band,
+bk AS (SELECT doc_id, CAST(floor(perm / {params.MINHASH_PERMS // FUZZY_DECONTAM_BANDS}.0) AS INT) AS band,
               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS bucket
        FROM sigs GROUP BY 1, 2),
 ev AS (SELECT band, bucket, doc_id AS eval_doc_id FROM bk WHERE doc_id % {DECONTAM_EVAL_MOD} = 0)
