@@ -105,6 +105,43 @@ def signatures_from_wide(wide: DataFrame, num_perms: int | None = None) -> DataF
     ).select("doc_id", F.col("perm").cast("bigint").alias("perm"), "minhash")
 
 
+def inrow_minhash(text_col, num_perms: int | None = None):
+    """MinHash signature as a pure IN-ROW column expression (array of
+    num_perms minhashes) — no explode, no aggregate, no shuffle: the
+    trigram array is hashed to 31-bit base values once, then each
+    permutation is an array_min over a cheap integer transform.
+    Identical values to minhash_wide's aggregate (min is duplicate-
+    insensitive, so the explode+distinct path and this in-row path
+    agree exactly; parity-tested in test_pipeline_ops).
+
+    This is the form a STREAMING gate needs — signatures computed at
+    scan speed on rows as they land, no stateful aggregation — and
+    works anywhere a per-row signature column is wanted."""
+    from lintdb_spark.functions.text import base_hash31, perm_hash
+
+    num_perms = num_perms or params.MINHASH_PERMS
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    h31 = F.transform(word_trigrams(words(c)), base_hash31)
+
+    # factory, NOT `lambda v, p=p`: pyspark counts lambda parameters,
+    # and a two-parameter lambda is called as (element, index) — the
+    # default arg would silently become the index column
+    def perm_min(p: int):
+        return F.array_min(
+            F.transform(h31, lambda v: perm_hash(F.lit(p).cast("bigint"), v))
+        )
+
+    return F.array(*[perm_min(p) for p in range(num_perms)])
+
+
+def signature_digest(text_col, num_perms: int | None = None):
+    """md5 digest of the full in-row minhash signature — equal digests
+    mean all num_perms minhashes agree, i.e. the two documents'
+    shingle sets are (near-)identical after analysis. The key the
+    streaming near-dup gate dedups on."""
+    return F.md5(F.array_join(inrow_minhash(text_col, num_perms), ","))
+
+
 def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
     """(doc_id, perm, minhash) — signature = min over the doc's
     shingles under num_perms hash 'permutations'. Composition of

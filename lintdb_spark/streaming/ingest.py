@@ -215,3 +215,43 @@ def dedup_stream(
     return out.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def neardup_stream(
+    stream: DataFrame,
+    event_time: str = "ts",
+    watermark: str = "2 hours",
+    num_perms: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup suppression at the door: each document's
+    full MinHash signature is computed IN-ROW (dedup.inrow_minhash —
+    scan-speed column expressions, no stateful aggregation) and rows
+    whose signature digest was already seen inside the watermark
+    horizon are dropped. Signatures are taken over the ANALYZED token
+    stream (lowercase, punctuation stripped), so equal digests mean
+    the documents' normalized trigram sets are identical —
+    so this catches reformatted / re-serialized duplicates that byte
+    hashing (dedup_stream) misses, while never dropping on a partial
+    band collision (a single-band gate would discard false positives;
+    data loss is the one unacceptable failure for an ingest filter).
+    Lower-Jaccard near-dups remain the batch LSH family's job.
+
+    State boundedness mirrors dedup_stream:
+    dropDuplicatesWithinWatermark evicts signature keys older than
+    the watermark, so state is bounded by the ingest rate x horizon,
+    not corpus size."""
+    from lintdb_spark.functions.text import analyze_standard
+    from lintdb_spark.operators.dedup import signature_digest
+
+    out = _ensure_event_time(stream, event_time)
+    # normalize BEFORE signing: the batch shingle family hashes raw
+    # whitespace tokens (exact trigram parity with its oracle); the
+    # ingest gate instead wants analysis-invariant identity, so the
+    # signature is computed over the analyzed-token reconstruction —
+    # case/punctuation/serialization differences vanish, word order
+    # and content still count
+    norm = F.array_join(analyze_standard(F.col("text")), " ")
+    out = out.withColumn("sig_digest", signature_digest(norm, num_perms))
+    return out.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        ["sig_digest"]
+    )

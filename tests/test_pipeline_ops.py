@@ -516,3 +516,26 @@ def test_cluster_stats_counts_cover_corpus(spark, sf_dir):
     assert sum(r["n_vecs"] for r in out) == emb.count()
     for r in out:
         assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
+
+
+def test_inrow_minhash_matches_aggregate_path(spark, sf_dir):
+    """The in-row signature (array-min over in-row trigrams) equals
+    the explode+distinct+aggregate minhash_wide signature for every
+    document — min is duplicate-insensitive, so both paths converge."""
+    from lintdb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inrow = docs.select(
+        "doc_id", dedup.inrow_minhash("text").alias("sig")
+    )
+    wide = dedup.minhash_wide(dedup.doc_shingles(docs))
+    from lintdb_spark import params
+
+    joined = inrow.join(wide, "doc_id")
+    mism = joined.filter(
+        ~F.expr(
+            " AND ".join(f"sig[{p}] = m{p}" for p in range(params.MINHASH_PERMS))
+        )
+    ).count()
+    assert mism == 0
+    assert inrow.count() == wide.count()

@@ -279,3 +279,46 @@ def test_dedup_stream_suppresses_exact_dups(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT text FROM dedup_out").collect()
     assert sorted(r["text"] for r in got) == [f"text-{i}" for i in range(4)]
+
+
+def test_neardup_stream_suppresses_reformatted_dups(spark, tmp_path):
+    """neardup_stream drops documents whose analyzed trigram set
+    matches an earlier arrival (reformatted duplicates byte-hashing
+    misses) while keeping genuinely distinct docs."""
+    import datetime
+
+    from lintdb_spark.streaming.ingest import neardup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base, t0),
+        # same analyzed trigrams, different bytes (case + punctuation)
+        (2, "Alpha BETA gamma, delta epsilon zeta!", t0 + datetime.timedelta(minutes=1)),
+        (3, "one two three four five six", t0 + datetime.timedelta(minutes=2)),
+    ]
+    src = str(tmp_path / "src_nd")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    out = neardup_stream(spark.readStream.schema(schema).parquet(src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM neardup_out").collect()
+    )
+    # doc 2 suppressed (signature collision with doc 1); 1 and 3 kept
+    assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
