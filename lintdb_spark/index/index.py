@@ -485,6 +485,22 @@ class Index:
         self._remove_keys(docs_df)
         self.add(docs_df)
 
+    def compact(self) -> None:
+        """Consolidate every table's segment list into ONE v<N>
+        segment (the Delta OPTIMIZE / RocksDB manual-compaction
+        analogue — the reference gets this implicitly from RocksDB's
+        background LSM compaction; a segmented parquet layout needs it
+        explicit). Streaming/micro-batch ingest accretes one staged
+        segment per add(), and every read unions one scan per segment
+        — after N small adds a search pays N scan branches and the
+        per-file footer overhead. Compaction is the same
+        read-survivors -> write-one-segment -> single-meta-flip
+        rewrite remove/update already use, with nothing dropped;
+        readers of the old segment list are untouched, and a crash
+        before the flip changes nothing. Run vacuum() afterwards (age
+        guard permitting) to reclaim the superseded segment dirs."""
+        self._rewrite_tables(lambda df: df)
+
     def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
         """Delete unreferenced segment directories (the leftovers of
         crashed, uncommitted adds) plus orphaned _meta temp files.

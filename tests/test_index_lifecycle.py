@@ -571,3 +571,38 @@ def test_load_without_versions_key_survives_mutation(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in idx2._docs().select("doc_id").collect()
     ) == [0, 2, 3, 4]
+
+
+def test_compact_consolidates_segments_and_preserves_results(spark, tmp_path):
+    """compact() collapses the per-add() segment accretion into one
+    v<N> segment per table without changing any query result, and a
+    subsequent zero-age vacuum reclaims the superseded dirs."""
+    path = str(tmp_path / "idx_compact")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(10))
+    idx.train(docs)
+    # 3 separate adds -> 3 staged segments per table
+    idx.add(make_docs(spark, range(0, 4)))
+    idx.add(make_docs(spark, range(4, 8)))
+    idx.add(make_docs(spark, range(8, 10)))
+    assert len(idx._segments("docs")) == 3
+
+    before_vec = search_ids(idx, VectorQuery("colbert", doc_tokens(5)))
+    before_term = search_ids(idx, TermQuery("category", "even"), k=50)
+
+    idx.compact()
+    assert len(idx._segments("docs")) == 1
+    for fld in idx.schema.colbert_fields():
+        assert len(idx._segments(f"postings/{fld.name}")) == 1
+
+    assert search_ids(idx, VectorQuery("colbert", doc_tokens(5))) == before_vec
+    assert search_ids(idx, TermQuery("category", "even"), k=50) == before_term
+
+    removed = idx.vacuum(min_age_s=0)
+    assert removed  # the three superseded add() segments
+    # results still intact off the compacted segment after vacuum
+    assert search_ids(idx, VectorQuery("colbert", doc_tokens(5))) == before_vec
+
+    # reload sees the compacted layout
+    idx2 = Index.load(spark, path)
+    assert search_ids(idx2, TermQuery("category", "even"), k=50) == before_term
