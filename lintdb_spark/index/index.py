@@ -913,6 +913,22 @@ class Index:
         vecs = self._vector_nodes(query)
         stage1 = self._stage1(query, tenant, docs, opts)
 
+        if opts.expected_id >= 0:
+            # debug parity with the reference's expected_id trace
+            # (SearchOptions.h:24-26): report the doc's stage-1 fate
+            import logging
+
+            eid = int(opts.expected_id)
+            hit = stage1.filter(F.col("doc_id") == eid).select("s1").collect()
+            logging.getLogger("lintdb_spark.index").info(
+                "expected_id %d: %s",
+                eid,
+                f"stage-1 candidate, s1={hit[0]['s1']:.6f}"
+                if hit
+                else "NOT a stage-1 candidate (outside probed posting "
+                "lists or filtered out)",
+            )
+
         if not vecs:
             out = stage1.join(docs, "doc_id").withColumn("score", F.col("s1"))
             return self._with_metadata(out, k)
@@ -922,6 +938,17 @@ class Index:
             .limit(opts.num_second_pass)
             .join(docs, "doc_id")
         )
+        if opts.expected_id >= 0:
+            import logging
+
+            eid = int(opts.expected_id)
+            surv_hit = survivors.filter(F.col("doc_id") == eid).count()
+            logging.getLogger("lintdb_spark.index").info(
+                "expected_id %d: %s num_second_pass=%d cut",
+                eid,
+                "survived" if surv_hit else "ELIMINATED by",
+                opts.num_second_pass,
+            )
         out = survivors
         from lintdb_spark.index.quantizers import ProductQuantizer
 

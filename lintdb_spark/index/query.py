@@ -13,6 +13,11 @@ import numpy as np
 @dataclass
 class SearchOptions:
     # reference defaults, SearchOptions.h:24-38
+    # debug aid (SearchOptions.h:24-26): when >= 0, search() logs the
+    # expected doc's fate through the cascade (candidate? survived the
+    # num_second_pass cut?) on the lintdb_spark.index logger — extra
+    # tiny actions run ONLY when set
+    expected_id: int = -1
     n_probe: int = 32
     k_top_centroids: int = 2
     num_second_pass: int = 1024

@@ -606,3 +606,32 @@ def test_compact_consolidates_segments_and_preserves_results(spark, tmp_path):
     # reload sees the compacted layout
     idx2 = Index.load(spark, path)
     assert search_ids(idx2, TermQuery("category", "even"), k=50) == before_term
+
+
+def test_expected_id_debug_trace(spark, tmp_path, caplog):
+    """SearchOptions.expected_id (SearchOptions.h:24-26) logs the
+    expected doc's cascade fate without changing results."""
+    import dataclasses
+    import logging
+
+    path = str(tmp_path / "idx_eid")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(10))
+    idx.train(docs)
+    idx.add(docs)
+
+    opts = dataclasses.replace(OPTS, expected_id=7)
+    with caplog.at_level(logging.INFO, logger="lintdb_spark.index"):
+        res = idx.search(0, VectorQuery("colbert", doc_tokens(7)), k=5, opts=opts)
+        rows = res.collect()
+    assert rows[0]["doc_id"] == 7
+    msgs = [r.message for r in caplog.records]
+    assert any("expected_id 7" in m and "stage-1 candidate" in m for m in msgs)
+    assert any("expected_id 7" in m and "survived" in m for m in msgs)
+
+    # same search without the flag: identical results, no trace
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="lintdb_spark.index"):
+        rows2 = idx.search(0, VectorQuery("colbert", doc_tokens(7)), k=5, opts=OPTS).collect()
+    assert [r["doc_id"] for r in rows2] == [r["doc_id"] for r in rows]
+    assert not [r for r in caplog.records if "expected_id" in r.message]
