@@ -224,10 +224,20 @@ class Index:
         return seg, os.path.join(self.path, table, seg)
 
     def _read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        def _has_parquet(p: str) -> bool:
+            # a committed-but-footerless dir (empty batch from an old
+            # build, or crash remnant) would fail schema inference for
+            # the whole union; zero rows to read means skip the branch
+            for walk_root, _dirs, files in os.walk(p):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
         paths = [
             os.path.join(self.path, table, s)
             for s in self._segments(table)
             if os.path.exists(os.path.join(self.path, table, s))
+            and _has_parquet(os.path.join(self.path, table, s))
         ]
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -343,6 +353,12 @@ class Index:
         if not self._meta["trained"]:
             raise RuntimeError("index must be trained before add()")
         self._validate_ingest(docs_df)
+        # empty batch -> no-op, like the reference's add of an empty doc
+        # list. Without this a zero-row micro-batch (streaming sources
+        # emit them) would commit a parquet segment with no footers,
+        # breaking schema inference for every later read of the table.
+        if docs_df.isEmpty():
+            return
 
         out = docs_df
         for fld in self.schema.colbert_fields():

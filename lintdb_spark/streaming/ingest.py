@@ -43,6 +43,7 @@ def stream_ingest(
     stream_df: DataFrame,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Append a streaming DataFrame (ingest schema) into an index.
 
@@ -57,15 +58,34 @@ def stream_ingest(
     and published by one _meta.json flip, so a crash BETWEEN table
     writes followed by a retry leaves only orphan (unreferenced)
     directories, never duplicate rows (crash-injection tested in
-    test_index_lifecycle.py)."""
+    test_index_lifecycle.py).
+
+    ``compact_every=N`` bounds segment accretion: every add() appends
+    one segment per table and every read unions one scan per segment,
+    so a long-running stream degrades reads linearly in batch count —
+    after every N ingested batches the foreachBatch hook runs
+    Index.compact() (segment lists collapse to one v<N> per table,
+    query-preserving), keeping the live segment count <= N+1. The
+    compaction inherits add()'s crash safety: it is the same
+    stage-then-flip rewrite, and a crash mid-compact re-runs the
+    BATCH (foreachBatch is the recovery unit) against the pre-flip
+    layout. Compactions after a restart count from the restart (the
+    counter is process-local), which only delays — never skips —
+    the bound."""
+    n_batches = 0
+
     def _add(batch_df: DataFrame, _id: int) -> None:
         # Index.add runs two actions (docs write + postings write);
         # cache the micro-batch so the source is scanned once, not twice.
+        nonlocal n_batches
         batch_df.persist()
         try:
             index.add(batch_df)
         finally:
             batch_df.unpersist()
+        n_batches += 1
+        if compact_every and n_batches % compact_every == 0:
+            index.compact()
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -635,3 +635,20 @@ def test_expected_id_debug_trace(spark, tmp_path, caplog):
         rows2 = idx.search(0, VectorQuery("colbert", doc_tokens(7)), k=5, opts=OPTS).collect()
     assert [r["doc_id"] for r in rows2] == [r["doc_id"] for r in rows]
     assert not [r for r in caplog.records if "expected_id" in r.message]
+
+
+def test_add_empty_batch_is_noop(spark, tmp_path):
+    """add() of a zero-row frame commits nothing: no segment appears,
+    and every table stays readable (a footerless parquet segment
+    would otherwise break schema inference for all later reads)."""
+    path = str(tmp_path / "idx_empty")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(6))
+    idx.train(docs)
+    idx.add(docs)
+    segs_before = list(idx._segments("docs"))
+
+    idx.add(spark.createDataFrame([], docs.schema))
+    assert idx._segments("docs") == segs_before
+    assert idx._docs().count() == 6
+    assert search_ids(idx, VectorQuery("colbert", doc_tokens(3)))[0] == 3

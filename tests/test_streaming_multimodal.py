@@ -322,3 +322,38 @@ def test_neardup_stream_suppresses_reformatted_dups(spark, tmp_path):
     )
     # doc 2 suppressed (signature collision with doc 1); 1 and 3 kept
     assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
+
+
+def test_stream_ingest_compact_every_bounds_segments(spark, tmp_path):
+    """compact_every keeps the live segment count bounded across
+    micro-batches and preserves searchability of every ingested doc."""
+    import glob
+
+    idx = Index.create(spark, str(tmp_path / "idx_ce"), make_schema("none"))
+    train = make_docs(spark, range(10))
+    idx.train(train)
+
+    src = str(tmp_path / "incoming_ce")
+    # three separate files -> maxFilesPerTrigger=1 yields 3 micro-batches
+    for lo in (0, 4, 8):
+        make_docs(spark, range(lo, lo + 4 if lo < 8 else 10)).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest(
+        idx, stream, str(tmp_path / "ckpt_ce"), compact_every=2
+    )
+    q.awaitTermination(180)
+
+    # 3 batches with compact_every=2: compaction fired at batch 2 ->
+    # bound holds (1 compacted + 1 post-compaction add = 2 live)
+    assert len(idx._segments("docs")) <= 2
+
+    res = idx.search(0, VectorQuery("colbert", doc_tokens(9)), k=3, opts=OPTS).collect()
+    assert res[0]["doc_id"] == 9
+    assert idx._docs().count() == 10
