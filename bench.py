@@ -69,6 +69,7 @@ HEADLINE = [
     "q_decontaminate_fuzzy",
     "q_embedding_clusters",
     "q_pack_plan",
+    "q_doc_chunks",
     "q_lang_id",
     "q_knn_cosine",
     "q_ivf_knn",

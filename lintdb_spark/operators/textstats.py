@@ -448,3 +448,50 @@ def domain_mix(documents: DataFrame, text_col: str = "text") -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96
+
+
+def doc_chunks(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Document CHUNKING: split each document into fixed-size token
+    windows with overlap (stride < chunk_tokens) — the chunking step
+    of RAG ingestion and long-document pretraining (window attention
+    context prep). Returns (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_text) where chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens), windows are emitted until
+    every token is covered (the final one is a ragged remainder when
+    (n - chunk_tokens) is not a stride multiple), and every doc emits
+    >= 1 chunk (an empty-ish doc yields its token array as chunk 0).
+
+    Scale: pure in-row array arithmetic (sequence -> slice ->
+    array_join) followed by one posexplode — no shuffle, no UDF; output
+    row count = ceil(tokens/stride) per doc, at parquet-scan speed.
+    Integer+string exact across engines (no floats anywhere)."""
+    w = words("text")
+    n = F.size(w)
+    # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(w, i * stride + 1, chunk_tokens),
+    )
+    return (
+        documents.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_idx", "toks")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start_tok"),
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.array_join(F.col("toks"), " ").alias("chunk_text"),
+        )
+    )

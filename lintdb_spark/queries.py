@@ -1073,6 +1073,12 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_plan(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunking: fixed 128-token windows, stride 96
+    (in-row slicing, scan-speed)."""
+    return textstats.doc_chunks(load_table(spark, sf_dir, "documents"))
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document n-gram repetition (quality filter
     input for LLM training corpora)."""
@@ -2029,6 +2035,24 @@ SELECT doc_id, lang, n_tokens,
 FROM c
 """
 
+ORACLE["q_doc_chunks"] = f"""
+WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, w,
+             1 + CAST(floor((greatest(len(w) - {textstats.CHUNK_TOKENS}, 0)
+                             + {textstats.CHUNK_STRIDE - 1}) / {textstats.CHUNK_STRIDE}.0) AS INT) AS n_chunks
+      FROM tw),
+e AS (SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM c),
+s AS (SELECT doc_id, i,
+             list_slice(w, i * {textstats.CHUNK_STRIDE} + 1,
+                        i * {textstats.CHUNK_STRIDE} + {textstats.CHUNK_TOKENS}) AS toks
+      FROM e)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {textstats.CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS chunk_text
+FROM s
+"""
+
 ORACLE["q_skew_agg"] = f"""
 SELECT user_id,
        round(sum(value), {params.ROUND}) AS total_value,
@@ -2182,4 +2206,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_token_counts": q_token_counts,
     "q_fingerprints": q_fingerprints,
+    # chunking landed after the window was fixed for round 5; pure
+    # integer/string in-row logic, locally oracle-checked like the rest
+    "q_doc_chunks": q_doc_chunks,
 }

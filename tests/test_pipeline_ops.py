@@ -539,3 +539,36 @@ def test_inrow_minhash_matches_aggregate_path(spark, sf_dir):
     ).count()
     assert mism == 0
     assert inrow.count() == wide.count()
+
+
+def test_doc_chunks_overlap_and_remainder(spark):
+    """Multi-chunk docs: stride overlap, ragged tail, and the
+    every-token-covered / adjacent-overlap invariants."""
+    from lintdb_spark.operators import textstats
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    rows = [(1, text, "en", "s", 10), (2, "a b", "en", "s", 3)]
+    out = textstats.doc_chunks(
+        _docs(spark, rows), chunk_tokens=4, stride=3
+    ).collect()
+    d1 = sorted(
+        [(r["chunk_idx"], r["start_tok"], r["n_tokens"], r["chunk_text"])
+         for r in out if r["doc_id"] == 1]
+    )
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6; the window at 6
+    # already covers the final token, so no extra ragged chunk appears
+    assert d1 == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+    # 11 tokens: the last stride lands at 9 with only 2 tokens left ->
+    # ragged tail
+    rows11 = [(3, " ".join(f"u{i}" for i in range(11)), "en", "s", 11)]
+    tail = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_tokens"])
+        for r in textstats.doc_chunks(_docs(spark, rows11), chunk_tokens=4, stride=3).collect()
+    )
+    assert tail == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 2)]
+    d2 = [(r["chunk_idx"], r["n_tokens"]) for r in out if r["doc_id"] == 2]
+    assert d2 == [(0, 2)]  # short doc: one whole-doc chunk

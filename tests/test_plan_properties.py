@@ -367,3 +367,12 @@ def test_pack_plan_single_shuffle_window(spark, sf_dir):
     assert _nodes(p, "Window") == 1
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_doc_chunks_is_narrow_projection(spark, sf_dir):
+    """Chunking is in-row slicing + one posexplode: no shuffle, no
+    Python, no join — parquet-scan speed at any corpus size."""
+    p = plan_of(spark, sf_dir, "q_doc_chunks")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "Join" not in p
