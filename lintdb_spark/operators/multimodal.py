@@ -224,3 +224,35 @@ def media_table(documents: "DataFrame") -> DataFrame:
             "duration_ms"
         ),
     )
+
+
+def frame_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Declarative frame-sampling PLAN: one row per sampled frame
+    (media_id, frame_idx, frame_ts_ms) as pure column expressions —
+    same fan-out contract as sample_frames (frame count =
+    max(duration_ms // every_ms, 1)) with NO decode and NO Python.
+
+    The plan/decode split is the 100 TB shape: mapInPandas blocks
+    column pruning, so projecting just frame metadata off
+    sample_frames still decodes every frame of every video. Plan the
+    frames declaratively (scan-speed, filterable/joinable — pick the
+    frames you actually need), then feed the selection into the
+    decode seam. Agreement between the two paths is pytest-enforced
+    (test_frame_plan_matches_decode_fanout)."""
+    from pyspark.sql import functions as F
+
+    n = F.greatest(
+        F.floor(F.col("duration_ms") / F.lit(every_ms)), F.lit(1)
+    ).cast("int")
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+        )
+    )

@@ -908,13 +908,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out contract (one row per sampled
-    frame, ts = idx * every_ms, count = max(duration//every, 1)) —
-    oracle-checked on the metadata; per-frame feature values flow
-    through the same _fake_decode chain as q_media_features."""
+    frame, ts = idx * every_ms, count = max(duration//every, 1)),
+    served by the DECLARATIVE plan half (multimodal.frame_plan — pure
+    column fan-out, no decode: mapInPandas blocks column pruning, so
+    the metadata-only query must not pay per-frame Python decode).
+    The decode half (sample_frames) shares the identical fan-out,
+    pytest-enforced (test_frame_plan_matches_decode_fanout), and its
+    feature VALUES are oracle-checked via q_media_features' chain."""
     from lintdb_spark.operators import multimodal
 
     media = multimodal.media_table(load_table(spark, sf_dir, "documents"))
-    fr = multimodal.sample_frames(media, every_ms=1000)
+    fr = multimodal.frame_plan(media, every_ms=1000)
     return fr.select(
         "media_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),

@@ -376,3 +376,12 @@ def test_doc_chunks_is_narrow_projection(spark, sf_dir):
     assert "Exchange" not in p
     assert "EvalPython" not in p
     assert "Join" not in p
+
+
+def test_media_frames_plan_has_no_python(spark, sf_dir):
+    """q_media_frames serves from the declarative frame plan: no
+    mapInPandas / Python in the plan — the metadata fan-out must not
+    pay per-frame decode."""
+    p = plan_of(spark, sf_dir, "q_media_frames")
+    assert "EvalPython" not in p
+    assert "MapInPandas" not in p

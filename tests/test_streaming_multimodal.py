@@ -357,3 +357,24 @@ def test_stream_ingest_compact_every_bounds_segments(spark, tmp_path):
     res = idx.search(0, VectorQuery("colbert", doc_tokens(9)), k=3, opts=OPTS).collect()
     assert res[0]["doc_id"] == 9
     assert idx._docs().count() == 10
+
+
+def test_frame_plan_matches_decode_fanout(spark, sf_dir):
+    """The declarative frame plan and the decoding sample_frames path
+    agree row-for-row on (media_id, frame_idx, frame_ts_ms) — the
+    plan/decode split contract q_media_frames relies on."""
+    from lintdb_spark.operators import multimodal
+    from lintdb_spark.tables import load_table
+
+    media = multimodal.media_table(load_table(spark, sf_dir, "documents"))
+    plan = sorted(
+        (r["media_id"], r["frame_idx"], r["frame_ts_ms"])
+        for r in multimodal.frame_plan(media, every_ms=1000).collect()
+    )
+    decoded = sorted(
+        (r["media_id"], r["frame_idx"], r["frame_ts_ms"])
+        for r in multimodal.sample_frames(media, every_ms=1000)
+        .select("media_id", "frame_idx", "frame_ts_ms")
+        .collect()
+    )
+    assert plan == decoded and len(plan) > 0
