@@ -70,6 +70,7 @@ HEADLINE = [
     "q_embedding_clusters",
     "q_pack_plan",
     "q_doc_chunks",
+    "q_cross_dedup",
     "q_lang_id",
     "q_knn_cosine",
     "q_ivf_knn",

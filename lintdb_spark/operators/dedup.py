@@ -798,3 +798,37 @@ def fuzzy_decontaminate(buckets: DataFrame, eval_mod: int = 50) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("eval_doc_id").cast("bigint").alias("n_eval_matches"))
     )
+
+
+def cross_corpus_dedup(new_buckets: DataFrame, base_buckets: DataFrame) -> DataFrame:
+    """Incremental-crawl dedup: keep only the NEW documents whose LSH
+    signature collides with NO existing-corpus document — the
+    "dedupe this crawl against what we already have" stage every
+    growing training corpus runs before appending. Returns the
+    surviving new doc_ids (one column, distinct).
+
+    Inputs are (doc_id, band, bucket) LSH frames (lsh_buckets_wide
+    over each corpus's stored wide-signature table). A single band
+    collision drops the new doc — for APPEND dedup, unlike an ingest
+    gate, recall beats precision: a false collision only costs one
+    near-duplicate document, while a miss permanently pollutes the
+    corpus (tune bands/rows for the target Jaccard threshold).
+
+    Scale shape: join on (band, bucket) — bucket-bounded like every
+    LSH self-join here, never all-pairs; the base side at 100 TB is
+    the maintained signature table read from its bucket-partitioned
+    layout, and only (band, bucket) key pairs shuffle, never
+    documents. The anti-join against collision hits is doc-keyed and
+    broadcast-friendly (hits are dup-sized, tiny next to the crawl)."""
+    hits = (
+        new_buckets.join(
+            base_buckets.select("band", "bucket").distinct(), ["band", "bucket"]
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        new_buckets.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left_anti")
+    )

@@ -1058,6 +1058,18 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: the odd-doc_id half of the corpus is
+    the new crawl, the even half the existing corpus; survivors = new
+    docs with no LSH bucket collision against the base. Both sides
+    band in-row off the stored wide-signature table."""
+    buckets = dedup.lsh_buckets_wide(minhash_wide_cached(spark, sf_dir))
+    return dedup.cross_corpus_dedup(
+        buckets.filter(F.col("doc_id") % 2 == 1),
+        buckets.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2039,6 +2051,19 @@ SELECT doc_id, lang, n_tokens,
 FROM c
 """
 
+ORACLE["q_cross_dedup"] = f"""
+WITH {_SIGS},
+bk AS (SELECT doc_id, CAST(floor(perm / {params.MINHASH_PERMS // params.LSH_BANDS}.0) AS INT) AS band,
+              md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS bucket
+       FROM sigs GROUP BY 1, 2),
+nb AS (SELECT doc_id, band, bucket FROM bk WHERE doc_id % 2 = 1),
+hits AS (SELECT DISTINCT nb.doc_id FROM nb
+         JOIN (SELECT DISTINCT band, bucket FROM bk WHERE doc_id % 2 = 0) bb
+           ON nb.band = bb.band AND nb.bucket = bb.bucket)
+SELECT DISTINCT doc_id FROM nb
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 c AS (SELECT doc_id, w,
@@ -2210,7 +2235,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_token_counts": q_token_counts,
     "q_fingerprints": q_fingerprints,
-    # chunking landed after the window was fixed for round 5; pure
-    # integer/string in-row logic, locally oracle-checked like the rest
+    # chunking and cross-corpus dedup landed after the window was fixed
+    # for round 5; pure in-row / bucket-join logic, locally
+    # oracle-checked like the rest
     "q_doc_chunks": q_doc_chunks,
+    "q_cross_dedup": q_cross_dedup,
 }

@@ -572,3 +572,25 @@ def test_doc_chunks_overlap_and_remainder(spark):
     assert tail == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 2)]
     d2 = [(r["chunk_idx"], r["n_tokens"]) for r in out if r["doc_id"] == 2]
     assert d2 == [(0, 2)]  # short doc: one whole-doc chunk
+
+
+def test_cross_corpus_dedup_drops_colliding_new_docs(spark):
+    """A new doc duplicating a base doc is dropped; distinct new docs
+    survive; base docs never appear in the output."""
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (2, text_dup, "en", "s", 40),  # base (even)
+        (3, text_dup, "en", "s", 40),  # new dup of base -> dropped
+        (5, "one two three four five six seven eight", "en", "s", 40),  # new, novel
+    ]
+    buckets = dedup.lsh_buckets_wide(
+        dedup.minhash_wide(dedup.doc_shingles(_docs(spark, rows)))
+    )
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.cross_corpus_dedup(
+            buckets.filter(F.col("doc_id") % 2 == 1),
+            buckets.filter(F.col("doc_id") % 2 == 0),
+        ).collect()
+    )
+    assert survivors == [5]
