@@ -378,3 +378,42 @@ def test_frame_plan_matches_decode_fanout(spark, sf_dir):
         .collect()
     )
     assert plan == decoded and len(plan) > 0
+
+
+def test_doc_chunks_works_on_streams(spark, tmp_path):
+    """The featurization layer is stateless column logic, so it runs
+    unchanged on Structured Streaming inputs: doc_chunks over a file
+    stream equals the batch result on the same data."""
+    from lintdb_spark.operators import textstats
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")]
+    src = str(tmp_path / "chunk_src")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    batch = sorted(
+        tuple(r) for r in textstats.doc_chunks(
+            spark.read.parquet(src), chunk_tokens=4, stride=3
+        ).collect()
+    )
+    out = textstats.doc_chunks(
+        spark.readStream.schema(schema).parquet(src), chunk_tokens=4, stride=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM chunk_out").collect()
+    )
+    assert streamed == batch and len(batch) >= 4
