@@ -566,8 +566,8 @@ def dup_clusters(
     shuffle choice): the thresholded near-dup edge set is usually
     ORDERS of magnitude smaller than the corpus (it lists actual
     near-duplicates, not candidates), so when a bounded limit+collect
-    shows it fits ``local_max_edges`` (params.CLUSTER_LOCAL_MAX_EDGES,
-    ~32 MB at the default cap) the components are solved EXACTLY with
+    shows it fits ``local_max_edges`` (params.CLUSTER_LOCAL_MAX_EDGES;
+    see the driver-memory note there) the components are solved EXACTLY with
     driver-side union-find in one Spark job — no iteration, no
     variance. Larger graphs take the distributed propagation below.
     Pass ``local_max_edges=0`` to force the distributed path.
@@ -641,8 +641,15 @@ def dup_clusters(
                     "cluster_id": [find(v) for v in verts],
                 }
             ).astype("int64")
-            return pairs.sparkSession.createDataFrame(
-                out, "doc_id long, cluster_id long"
+            # same tag propagation as the distributed path's return:
+            # the PAIRS frame may carry persisted intermediates (capped
+            # shingles, bucket frames) that callers release through the
+            # result — dropping them here would leak executor memory
+            return tag_cached(
+                pairs.sparkSession.createDataFrame(
+                    out, "doc_id long, cluster_id long"
+                ),
+                pairs,
             )
 
     # persist the pair list FIRST: fwd is referenced four times through

@@ -88,8 +88,11 @@ QUALITY_MAX_PUNCT_RATIO = 0.2
 QUALITY_MIN_STOPWORDS = 2
 
 # dup_clusters physical-strategy threshold: edge sets at or below this
-# collect to the driver for exact union-find (2 longs/edge -> ~32 MB at
-# the cap, one Spark job total); larger graphs run the distributed
-# hash-min propagation. The same broadcast-vs-shuffle style selection
-# search_batch makes for doc blobs.
+# collect to the driver for exact union-find (one Spark job total);
+# larger graphs run the distributed hash-min propagation. The same
+# broadcast-vs-shuffle style selection search_batch makes for doc
+# blobs. Driver memory at the cap is NOT the 32 MB of raw edge
+# payload: 2M Row objects plus the union-find dict and vertex set cost
+# on the order of 1 GB of Python heap — sized for this deployment's
+# 8g driver (session.py); shrink the cap when the driver is smaller.
 CLUSTER_LOCAL_MAX_EDGES = 2_000_000

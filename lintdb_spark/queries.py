@@ -273,7 +273,9 @@ def probe_ids(spark: SparkSession, sf_dir: str) -> list[int]:
         S += np.multiply.outer(Q[:, d], C[:, d])
 
     def r6(x: float):
-        return decimal.Decimal(repr(x)).quantize(
+        # repr(float(x)), not repr(x): x is numpy.float64 and numpy 2.x
+        # reprs it as 'np.float64(0.1)', which Decimal rejects
+        return decimal.Decimal(repr(float(x))).quantize(
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
 

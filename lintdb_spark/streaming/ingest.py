@@ -51,14 +51,16 @@ def stream_ingest(
     OMP-parallel per-doc add pipeline (lintdb/index.cpp:481-490)
     becomes per-micro-batch distributed ingestion.
 
-    Delivery semantics: exactly-once. The checkpoint prevents
-    re-processing of COMPLETED batches (verified: restart re-ingests
-    nothing), and Index.add commits atomically across its tables —
-    every table's rows are staged into invisible segment directories
-    and published by one _meta.json flip, so a crash BETWEEN table
-    writes followed by a retry leaves only orphan (unreferenced)
-    directories, never duplicate rows (crash-injection tested in
-    test_index_lifecycle.py).
+    Delivery semantics: exactly-once, closed end to end. The
+    checkpoint prevents re-processing of COMPLETED batches; Index.add
+    commits atomically across its tables (staged segments + one
+    _meta.json flip, so a crash BETWEEN table writes leaves only
+    orphan directories); and the remaining at-least-once window — a
+    crash AFTER add's flip but BEFORE the checkpoint commit (or
+    during the optional post-add compaction) re-delivers the batch —
+    is closed by add's idempotency token: (checkpoint_dir, batch_id)
+    commits in the same meta flip as the segments, so a replayed
+    batch is recognized and skipped instead of appended twice.
 
     ``compact_every=N`` bounds segment accretion: every add() appends
     one segment per table and every read unions one scan per segment,
@@ -68,19 +70,20 @@ def stream_ingest(
     query-preserving), keeping the live segment count <= N+1. The
     compaction inherits add()'s crash safety: it is the same
     stage-then-flip rewrite, and a crash mid-compact re-runs the
-    BATCH (foreachBatch is the recovery unit) against the pre-flip
-    layout. Compactions after a restart count from the restart (the
-    counter is process-local), which only delays — never skips —
-    the bound."""
+    BATCH (foreachBatch is the recovery unit) — the replayed add() is
+    a no-op via its idempotency token, and compaction simply runs
+    again against whatever layout the crash left. Compactions after a
+    restart count from the restart (the counter is process-local),
+    which only delays — never skips — the bound."""
     n_batches = 0
 
-    def _add(batch_df: DataFrame, _id: int) -> None:
+    def _add(batch_df: DataFrame, batch_id: int) -> None:
         # Index.add runs two actions (docs write + postings write);
         # cache the micro-batch so the source is scanned once, not twice.
         nonlocal n_batches
         batch_df.persist()
         try:
-            index.add(batch_df)
+            index.add(batch_df, idempotency_token=(checkpoint_dir, batch_id))
         finally:
             batch_df.unpersist()
         n_batches += 1

@@ -652,3 +652,28 @@ def test_add_empty_batch_is_noop(spark, tmp_path):
     assert idx._segments("docs") == segs_before
     assert idx._docs().count() == 6
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(3)))[0] == 3
+
+
+def test_add_idempotency_token_skips_replayed_batch(spark, tmp_path):
+    """A replayed (source_key, batch_id) is a no-op: the watermark
+    commits in the same meta flip as the segments, so at-least-once
+    delivery cannot duplicate rows; later batch_ids still append."""
+    path = str(tmp_path / "idx_idem")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(6))
+    idx.train(docs)
+
+    idx.add(make_docs(spark, range(0, 3)), idempotency_token=("ckpt-a", 0))
+    assert idx._docs().count() == 3
+    # replay of batch 0 (the foreachBatch-crashed-after-add scenario)
+    idx.add(make_docs(spark, range(0, 3)), idempotency_token=("ckpt-a", 0))
+    assert idx._docs().count() == 3
+    # next batch appends; replay watermark survives save/load
+    idx.add(make_docs(spark, range(3, 6)), idempotency_token=("ckpt-a", 1))
+    assert idx._docs().count() == 6
+    idx2 = Index.load(spark, path)
+    idx2.add(make_docs(spark, range(0, 3)), idempotency_token=("ckpt-a", 1))
+    assert idx2._docs().count() == 6
+    # a different source key is independent
+    idx2.add(make_docs(spark, range(10, 12)), idempotency_token=("ckpt-b", 0))
+    assert idx2._docs().count() == 8

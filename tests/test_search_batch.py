@@ -343,3 +343,68 @@ def test_batch_adc_parity_both_paths(spark, tmp_path):
     for k2 in s_dec_b:
         assert abs(s_dec_b[k2] - s_adc_b[k2]) < 1e-3
         assert abs(s_adc_b[k2] - s_adc_c[k2]) < 1e-9
+
+
+def test_batch_broadcast_path_survives_tiny_arrow_batches(spark, tmp_path):
+    """Arrow batches don't respect group boundaries: with
+    maxRecordsPerBatch=3 every qid's candidate rows straddle batches,
+    and the broadcast serve path must still emit exactly one ranked
+    list per qid (the carry-over guard) — identical to results under
+    the default batch size."""
+    idx = Index.create(spark, str(tmp_path / "bidx_tiny"), make_schema("none"))
+    docs = make_docs(spark, range(15))
+    idx.train(docs)
+    idx.add(docs)
+    queries = {100: doc_tokens(2), 200: doc_tokens(9), 300: doc_tokens(14)}
+
+    def run():
+        rows = idx.search_batch(0, "colbert", queries, k=5, opts=OPTS).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+        return {q: sorted(v) for q, v in out.items()}
+
+    base = run()
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        tiny = run()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert tiny == base
+    for q, ranked in tiny.items():
+        ranks = [r for r, _ in ranked]
+        assert ranks == list(range(1, len(ranks) + 1)), f"qid {q}: {ranks}"
+
+
+def test_batch_serve_cache_reuses_and_invalidates(spark, tmp_path):
+    """Unfiltered batch serve reuses the doc-blob broadcast across
+    calls on an unchanged index and rebuilds it after any committed
+    mutation; filtered calls never touch the cache."""
+    from lintdb_spark.index import TermQuery
+
+    idx = Index.create(spark, str(tmp_path / "bidx_cache"), make_schema("none"))
+    docs = make_docs(spark, range(10))
+    idx.train(docs)
+    idx.add(docs)
+    q = {1: doc_tokens(4)}
+
+    idx.search_batch(0, "colbert", q, k=3, opts=OPTS).collect()
+    cache1 = idx._serve_blob_cache
+    idx.search_batch(0, "colbert", q, k=3, opts=OPTS).collect()
+    assert idx._serve_blob_cache is cache1  # reused, not rebuilt
+
+    # a filtered call must not replace or serve from the cache
+    res_f = idx.search_batch(
+        0, "colbert", q, k=10, opts=OPTS,
+        doc_filter=TermQuery("category", "even"),
+    ).collect()
+    assert idx._serve_blob_cache is cache1
+    assert all(r["doc_id"] % 2 == 0 for r in res_f)
+
+    # committed mutation invalidates: the new doc is immediately servable
+    idx.add(make_docs(spark, range(100, 101)))
+    res = idx.search_batch(0, "colbert", {2: doc_tokens(100)}, k=3, opts=OPTS).collect()
+    assert idx._serve_blob_cache is not cache1
+    assert res and sorted(res, key=lambda r: r["rank"])[0]["doc_id"] == 100
