@@ -191,6 +191,13 @@ def main() -> None:
         res = idx.search_batch(0, "emb", qmats, k=10, opts=opts)
         n_res = res.count()
         dt_batch = time.time() - t0
+        # min-of-2 like the headline queries (HEADLINE_REPS; the
+        # DuckDB batch twin below gets the same treatment): the repeat
+        # measures the serving steady state — probe selection + the
+        # cascade with the doc-blob broadcast already resident
+        t0 = time.time()
+        idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
+        dt_batch = min(dt_batch, time.time() - t0)
         timings["batch_search"] = round(dt_batch, 3)
         qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
     except Exception as exc:  # noqa: BLE001 — record, keep benching
@@ -421,9 +428,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[f"oracle:{name}"] = repr(exc)
     try:
-        t0 = time.time()
-        con.sql(batch_topk_oracle_sql(BENCH_NQ)).fetchall()
-        baseline_batch = time.time() - t0
+        baseline_batch = None
+        for _ in range(HEADLINE_REPS):
+            t0 = time.time()
+            con.sql(batch_topk_oracle_sql(BENCH_NQ)).fetchall()
+            dtb = time.time() - t0
+            baseline_batch = dtb if baseline_batch is None else min(baseline_batch, dtb)
         baseline["batch_search"] = round(baseline_batch, 3)
     except Exception as exc:  # noqa: BLE001
         baseline_batch = 0.0
