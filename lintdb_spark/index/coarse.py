@@ -63,6 +63,16 @@ def assign_udf(spark: SparkSession, centroids: np.ndarray):
         if not len(tokens):
             return pd.Series([], dtype=object)
         ct = bc.value
+        # B2 validateField, value half: a NULL/empty tensor would
+        # otherwise die in np.vstack with an opaque concatenate error;
+        # every downstream scorer (reduceat segments) relies on >= 1
+        # token per doc, so reject it here with the rule's name
+        for tok in tokens:
+            if tok is None or len(tok) == 0:
+                raise ValueError(
+                    "tensor field must contain >= 1 token vector "
+                    "(B2 validateField)"
+                )
         mats = [np.vstack(tok).astype(np.float32, copy=False) for tok in tokens]
         counts = np.fromiter((m.shape[0] for m in mats), dtype=np.int64, count=len(mats))
         codes = (np.vstack(mats) @ ct).argmax(axis=1).astype(np.int64)

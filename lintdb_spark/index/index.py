@@ -73,6 +73,27 @@ from lintdb_spark.index.quantizers import (
 from lintdb_spark.index.schema import FieldType, QuantizerType, Schema
 
 
+def _parse_byte_conf(value, default: int) -> int:
+    """Parse a Spark byte-size conf value. Spark returns these as
+    strings that may carry a unit suffix ('10485760b' — the stock
+    default —, '64m', '1g', '10mb'); a plain int() would reject them
+    and silently fall back, ignoring the user's configured threshold.
+    '-1' (feature disabled) passes through as -1."""
+    if value is None:
+        return default
+    s = str(value).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}[s[-1]]
+        s = s[:-1]
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return default
+
+
 class Index:
     def __init__(self, spark: SparkSession, path: str, schema: Schema):
         self.spark = spark
@@ -113,11 +134,7 @@ class Index:
             # segments registered, reading empty and letting vacuum()
             # delete the live v0 dirs as orphans.
             versions = idx._meta.get("versions", {})
-            tables = (
-                ["docs"]
-                + [f"postings/{f.name}" for f in schema.colbert_fields()]
-                + [f"postings_text/{f.name}" for f in schema.analyzed_text_fields()]
-            )
+            tables = idx._all_tables(schema)
             idx._meta["segments"] = {
                 t: [f"v{versions.get(t, 0)}"]
                 for t in tables
@@ -190,6 +207,18 @@ class Index:
                 f.write(quantizer_to_json(q))
 
     # ---------------- table paths / segments ----------------
+
+    def _all_tables(self, schema: Schema | None = None) -> list[str]:
+        """Every table this schema materializes — THE single list
+        load()'s legacy-migration and vacuum()'s orphan sweep both
+        enumerate (a new table kind added in one place is covered by
+        both)."""
+        sch = schema or self.schema
+        return (
+            ["docs"]
+            + [f"postings/{f.name}" for f in sch.colbert_fields()]
+            + [f"postings_text/{f.name}" for f in sch.analyzed_text_fields()]
+        )
 
     def _version(self, table: str) -> int:
         return self._meta["versions"].get(table, 0)
@@ -397,6 +426,11 @@ class Index:
             q = self.quantizers[fld.name]
             assign = coarse.assign_udf(self.spark, C)
             enc = coarse.residual_encode_udf(self.spark, C, q)
+            # B2 validateField's value half (>= 1 token vector per doc,
+            # non-NULL) is enforced INSIDE assign_udf: Catalyst extracts
+            # Python UDFs into their own plan node below any projection,
+            # so a plan-side assert_true cannot be ordered before the
+            # UDF — the UDF itself raises the clear B2 error.
             out = (
                 out.withColumn(f"{fld.name}__codes", assign(F.col(fld.name)))
                 .withColumn(f"{fld.name}__residuals", enc(F.col(fld.name), F.col(f"{fld.name}__codes")))
@@ -528,7 +562,18 @@ class Index:
         """A7: remove + add (index.cpp:501-510), with the removal done
         as a distributed anti-join on (tenant, doc_id) — no driver-side
         collect anywhere in the path, so bulk updates scale to key sets
-        that would OOM an IN-list."""
+        that would OOM an IN-list.
+
+        The cheap add() preconditions (trained index, ingest schema)
+        are checked BEFORE the delete commits: otherwise a doomed add
+        would leave the old rows already removed on bad input. A
+        runtime failure mid-add (executor crash) can still land
+        between the two flips — remove+add is two commits, exactly
+        like the reference's sequential remove-then-add; re-running
+        the update is the recovery."""
+        if not self._meta["trained"]:
+            raise RuntimeError("index must be trained before add()")
+        self._validate_ingest(docs_df)
         self._remove_keys(docs_df)
         self.add(docs_df)
 
@@ -591,12 +636,7 @@ class Index:
                         removed.append(child)
                 except FileNotFoundError:
                     continue  # a concurrent _save_meta just renamed it
-        tables = (
-            ["docs"]
-            + [f"postings/{f.name}" for f in self.schema.colbert_fields()]
-            + [f"postings_text/{f.name}" for f in self.schema.analyzed_text_fields()]
-        )
-        for table in tables:
+        for table in self._all_tables():
             root = os.path.join(self.path, table)
             if not os.path.isdir(root):
                 continue
@@ -672,16 +712,22 @@ class Index:
         token's top-k never contributes); non-positive scores dropped;
         top n_probe survive."""
         C = self.centroids[field]
-        scores = qtok.astype(np.float32) @ C.T  # (n_tok, k)
+        # float64 scores ranked on round(.., 6) with ascending
+        # centroid_id tie-breaks — the SAME ordering semantics as the
+        # declarative twin (ann.top_centroids) and the oracle, so both
+        # serve paths select identical probe sets on near-ties instead
+        # of drifting on sub-1e-6 float noise
+        scores = qtok.astype(np.float64) @ C.astype(np.float64).T  # (n_tok, k)
         k_top = min(max(opts.k_top_centroids, 1), C.shape[0])
-        # stable argsort on -score: ties keep ascending centroid_id
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :k_top]
-        high = np.full(C.shape[0], -np.inf, dtype=np.float32)
+        r6 = np.round(scores, 6)
+        # stable argsort on -rounded score: ties keep ascending centroid_id
+        order = np.argsort(-r6, axis=1, kind="stable")[:, :k_top]
+        high = np.full(C.shape[0], -np.inf, dtype=np.float64)
         rows = np.repeat(np.arange(scores.shape[0]), k_top)
         cols = order.ravel()
         np.maximum.at(high, cols, scores[rows, cols])
         cand = np.nonzero(high > 0)[0]
-        ranked = sorted(cand.tolist(), key=lambda c: (-high[c], c))
+        ranked = sorted(cand.tolist(), key=lambda c: (-round(float(high[c]), 6), c))
         return [int(c) for c in ranked[: opts.n_probe]]
 
     def _plaid_udf(self, field: str, qtok: np.ndarray, threshold: float):
@@ -1081,7 +1127,7 @@ class Index:
         cand = cand_ids.join(
             self._docs().filter(F.col("tenant") == tenant), "doc_id"
         ).select("doc_id", codes_c, res_c, nt_c)
-        decoded = self._decoded_token_rows(field, cand)
+        decoded = self._decoded_token_rows(field, cand, normalize=opts.normalize)
         q_df = self.spark.createDataFrame(
             [(j, [float(x) for x in Q[j]]) for j in range(len(Q))],
             "q_id long, qvec array<double>",
@@ -1107,12 +1153,16 @@ class Index:
             topk,
         )
 
-    def _decoded_token_rows(self, field: str, cand: DataFrame) -> DataFrame:
-        """Decode candidate docs' quantized tokens into normalized
-        per-token rows (doc_id, token_idx, vec) — ONE Arrow-batched
-        mapInPandas; everything downstream stays declarative. ``cand``
-        must carry (doc_id, <field>__codes, __residuals,
-        __num_tokens)."""
+    def _decoded_token_rows(
+        self, field: str, cand: DataFrame, normalize: bool = True
+    ) -> DataFrame:
+        """Decode candidate docs' quantized tokens into per-token rows
+        (doc_id, token_idx, vec), L2-normalized when ``normalize`` (the
+        plaid.h:56 flag — honored here so the XTR paths score the same
+        reconstructions SearchOptions.normalize selects on the plaid
+        path) — ONE Arrow-batched mapInPandas; everything downstream
+        stays declarative. ``cand`` must carry (doc_id,
+        <field>__codes, __residuals, __num_tokens)."""
         codes_c, res_c, nt_c = (
             f"{field}__codes",
             f"{field}__residuals",
@@ -1137,9 +1187,11 @@ class Index:
                     [np.asarray(c, dtype=np.int64) for c in pdf[codes_c]]
                 )
                 toks = quant.decode(b"".join(pdf[res_c]), total) + CC[codes]
-                norms = np.linalg.norm(toks, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                toks = (toks / norms).astype(np.float64)
+                if normalize:
+                    norms = np.linalg.norm(toks, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    toks = toks / norms
+                toks = toks.astype(np.float64)
                 starts = np.cumsum(nts) - nts
                 yield pd.DataFrame(
                     {
@@ -1202,7 +1254,9 @@ class Index:
         uniq = cand_ids.select("doc_id").distinct().join(
             docs.select("doc_id", codes_c, res_c, nt_c), "doc_id"
         )
-        cand_tokens = self._decoded_token_rows(field, uniq).join(cand_ids, "doc_id")
+        cand_tokens = self._decoded_token_rows(
+            field, uniq, normalize=opts.normalize
+        ).join(cand_ids, "doc_id")
         # pandas -> Arrow fast path (the tuple-list route serializes
         # row-by-row via py4j: ~4M floats per 1000-query batch)
         queries_df = self.spark.createDataFrame(
@@ -1341,6 +1395,13 @@ class Index:
             pd.DataFrame(probe_rows, columns=["qid", "centroid_id"]).astype("int64"),
             "qid long, centroid_id long",
         )
+        # serve-cache key SNAPSHOT taken BEFORE the docs plan below is
+        # built: if a concurrent commit lands in between, we at worst
+        # cache the NEW state's blobs under the OLD key (refreshed on
+        # the next call) — reading the seq after building the plan
+        # could cache the OLD state's blobs under the NEW key, serving
+        # stale results until the next mutation
+        cache_key = (tenant, field, getattr(self, "_meta_seq", 0))
         cand_ids = (
             self._postings(field)
             .filter(F.col("tenant") == tenant)
@@ -1465,10 +1526,10 @@ class Index:
         # only on the committed index state for UNFILTERED calls — a
         # server fielding per-request batches on an unchanged index
         # must not re-pay them per call. Keyed on (tenant, field,
-        # _meta_seq); any committed mutation bumps _meta_seq. Filtered
-        # calls bypass the cache entirely: absent map entries ARE the
-        # filter, so a filtered map must never be reused.
-        cache_key = (tenant, field, getattr(self, "_meta_seq", 0))
+        # _meta_seq) snapshotted above; any committed mutation bumps
+        # _meta_seq. Filtered calls bypass the cache entirely: absent
+        # map entries ARE the filter, so a filtered map must never be
+        # reused.
         cached = getattr(self, "_serve_blob_cache", None)
         est_bytes = bc_docs = None
         if doc_filter is None and cached is not None and cached[0] == cache_key:
@@ -1479,12 +1540,10 @@ class Index:
             ).collect()[0]
             tok_total = int(est_row["toks"] or 0)
             est_bytes = tok_total * (quant.code_size + 8) + int(est_row["nd"]) * 128
-        try:
-            bcast_max = int(
-                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            )
-        except (ValueError, TypeError):
-            bcast_max = 32 * 1024 * 1024
+        bcast_max = _parse_byte_conf(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None),
+            default=32 * 1024 * 1024,
+        )
 
         if est_bytes <= bcast_max:
             if bc_docs is None:
@@ -1500,8 +1559,13 @@ class Index:
                 bc_docs = self.spark.sparkContext.broadcast(doc_map)
                 if doc_filter is None:
                     if cached is not None and cached[2] is not bc_docs:
-                        try:  # reclaim the superseded broadcast's memory
-                            cached[2].destroy()
+                        try:
+                            # unpersist, NOT destroy: executors drop their
+                            # cached copies (the memory that matters) but a
+                            # concurrent request still mid-job on the old
+                            # broadcast can lazily refetch it — destroy()
+                            # would fail that request's tasks
+                            cached[2].unpersist(blocking=False)
                         except Exception:  # noqa: BLE001 — best-effort
                             pass
                     self._serve_blob_cache = (cache_key, est_bytes, bc_docs)

@@ -93,9 +93,14 @@ class IndexServer:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     body, status = outer._route(self.path, payload)
+                    # serialize INSIDE the try: a non-JSON-native stored
+                    # field (DATETIME -> datetime.datetime) must produce
+                    # a 500 error body, not an aborted connection.
+                    # default=str covers datetime/date/Decimal.
+                    data = json.dumps(body, default=str).encode()
                 except Exception as exc:  # -> {"error": ...} like Index.h
                     body, status = {"error": str(exc)}, 500
-                data = json.dumps(body).encode()
+                    data = json.dumps(body, default=str).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
@@ -143,8 +148,12 @@ class IndexServer:
         from lintdb_spark.cache import release
 
         df = self.index.search(tenant, query, k=k, opts=opts)
-        rows = df.collect()
-        release(df)
+        try:
+            rows = df.collect()
+        finally:
+            # release even when collect fails — a long-lived server
+            # must not leak one persisted intermediate per failed query
+            release(df)
         stored = {"doc_id", "score"}
         return {
             "results": [

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lintdb_spark.index import (
@@ -677,3 +678,37 @@ def test_add_idempotency_token_skips_replayed_batch(spark, tmp_path):
     # a different source key is independent
     idx2.add(make_docs(spark, range(10, 12)), idempotency_token=("ckpt-b", 0))
     assert idx2._docs().count() == 8
+
+
+def test_add_rejects_empty_tensor_with_clear_error(spark, tmp_path):
+    """B2 validateField's value half: a document with zero token
+    vectors fails ingest with a message naming the rule, not an
+    opaque executor vstack traceback — and nothing commits."""
+    path = str(tmp_path / "idx_b2")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(4))
+    idx.train(docs)
+    idx.add(docs)
+    n_before = idx._docs().count()
+
+    bad = make_docs(spark, [7]).withColumn(
+        "colbert", F.expr("array()").cast("array<array<float>>")
+    )
+    with pytest.raises(Exception, match="B2 validateField"):
+        idx.add(bad)
+    assert idx._docs().count() == n_before  # staged segments not committed
+
+
+def test_update_validates_before_deleting(spark, tmp_path):
+    """update() with a bad ingest frame must fail BEFORE the delete
+    commits — the old rows survive."""
+    path = str(tmp_path / "idx_updv")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(4))
+    idx.train(docs)
+    idx.add(docs)
+
+    bad = make_docs(spark, [2]).drop("title")  # schema mismatch
+    with pytest.raises(ValueError, match="ingest schema mismatch"):
+        idx.update(bad)
+    assert idx._docs().filter("doc_id = 2").count() == 1  # not deleted
