@@ -162,6 +162,13 @@ def lsh_buckets_wide(
     byte-identical to lsh_buckets on the unpivoted signatures."""
     bands = bands or params.LSH_BANDS
     num_perms = num_perms or params.MINHASH_PERMS
+    if num_perms % bands:
+        raise ValueError(
+            f"num_perms ({num_perms}) must divide evenly into bands "
+            f"({bands}) — a remainder would silently drop signature "
+            "columns here while the unpivoted path emits a ragged "
+            "extra band (divergent buckets)"
+        )
     r = num_perms // bands
     return wide.select(
         "doc_id",
@@ -189,6 +196,10 @@ def lsh_buckets(signatures: DataFrame, bands: int | None = None, num_perms: int 
     bucket = md5 of the comma-joined signature slice in perm order."""
     bands = bands or params.LSH_BANDS
     num_perms = num_perms or params.MINHASH_PERMS
+    if num_perms % bands:
+        raise ValueError(
+            f"num_perms ({num_perms}) must divide evenly into bands ({bands})"
+        )
     r = num_perms // bands
     sig_str = F.array_join(
         F.transform(

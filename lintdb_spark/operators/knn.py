@@ -20,8 +20,15 @@ from lintdb_spark import params
 from lintdb_spark.functions.vector import dot_product, l2_norm
 
 
-def _cosine(a: str, b: str):
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+def _cosine_pre(a: str, b: str, an: str, bn: str):
+    """Cosine from a dot product and PRE-computed side norms (each norm
+    evaluated once per input row, not once per candidate pair — the
+    same arithmetic as dot/(|a||b|), so oracle values are unchanged).
+    Zero-norm vectors score 0.0 instead of NaN — Spark sorts NaN above
+    every real double, so an unguarded zero embedding would rank as the
+    top neighbor of every query (the oracle applies the same guard)."""
+    denom = F.col(an) * F.col(bn)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
 
 
 def brute_force_knn(
@@ -31,18 +38,19 @@ def brute_force_knn(
     self-match excluded. Ordering on round(cos, 6) with vec_id
     tie-break for cross-engine determinism."""
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
-    )
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("qn", l2_norm("qv"))
     c = embeddings.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism, F.col("vec_id")
     ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", l2_norm("cv"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+        .select("q_id", "neighbor_id", _cosine_pre("qv", "cv", "qn", "cn").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
@@ -116,8 +124,9 @@ def ivf_knn(
         bucketed = ivf_bucket(embeddings, centroids)
 
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qv")
-    )
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("qn", l2_norm("qv"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.round(F.col("qip"), 6).desc(), F.col("centroid_id").asc()
     )
@@ -126,13 +135,14 @@ def ivf_knn(
         .withColumn("qip", dot_product("qv", "cvec"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
-        .select("q_id", "qv", "centroid_id")
+        .select("q_id", "qv", "qn", "centroid_id")
     )
 
     scored = (
-        bucketed.join(F.broadcast(probes), "centroid_id")
+        bucketed.withColumn("cn", l2_norm("cv"))
+        .join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", _cosine("qv", "cv").alias("cos"))
+        .select("q_id", "neighbor_id", _cosine_pre("qv", "cv", "qn", "cn").alias("cos"))
     )
     w_rank = Window.partitionBy("q_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()

@@ -169,7 +169,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder="fake") -> Dat
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "feature": []}
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
-                n_frames = max(int(dur or 0) // every_ms, 1)
+                # NULL duration arrives as NaN through Arrow->pandas
+                # (float64 column); NaN is truthy, so `int(dur or 0)`
+                # would raise. Treat missing duration as one frame —
+                # the same contract frame_plan's greatest(..) applies.
+                n_frames = max((0 if pd.isna(dur) else int(dur)) // every_ms, 1)
                 for i in range(n_frames):
                     samples = decode(bytes(payload), "video", 256, i)
                     chunks = samples.reshape(FEATURE_DIM // 2, -1)

@@ -167,7 +167,12 @@ def asof_join(
     Skewed keys split under AQE; at 100 TB this is the plan every
     point-in-time feature store runs."""
     payload_t = F.struct(*[F.col(c) for c in right_cols])
-    rt = right.select(
+    # a NULL-ts right row can never satisfy right.ts <= left.ts (SQL
+    # comparison semantics; DuckDB's native ASOF never matches it
+    # either) — but NULLs sort FIRST ascending, so an unfiltered one
+    # would be carried into every left row that precedes all real
+    # right rows, silently matching the unmatched
+    rt = right.filter(F.col(ts).isNotNull()).select(
         F.col(on),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_is_l"),
@@ -226,8 +231,22 @@ def range_join(
     width = upper_us - lower_us
     if width <= 0:
         raise ValueError("upper_us must be > lower_us")
-    l_us = F.unix_micros(F.col(ts)) if dict(left.dtypes)[ts] == "timestamp" else F.col(ts)
-    r_us = F.unix_micros(F.col(ts)) if dict(right.dtypes)[ts] == "timestamp" else F.col(ts)
+    def _us(df):
+        # TIMESTAMP_NTZ is what parquet-without-timezone resolves to
+        # under Spark 4.x (the same normalization streaming's
+        # _ensure_event_time does); matching only "timestamp" would
+        # send NTZ columns down the integer path and fail the bigint
+        # arithmetic below. Session TZ is UTC, so the cast is
+        # value-preserving — and both sides of the join shift alike.
+        dt = dict(df.dtypes)[ts]
+        if dt == "timestamp":
+            return F.unix_micros(F.col(ts))
+        if dt == "timestamp_ntz":
+            return F.unix_micros(F.col(ts).cast("timestamp"))
+        return F.col(ts)
+
+    l_us = _us(left)
+    r_us = _us(right)
     lt = left.withColumn("_lus", l_us).withColumn(
         "_b", F.floor((F.col("_lus") + lower_us) / width)
     )

@@ -473,6 +473,11 @@ def doc_chunks(
     array_join) followed by one posexplode — no shuffle, no UDF; output
     row count = ceil(tokens/stride) per doc, at parquet-scan speed.
     Integer+string exact across engines (no floats anywhere)."""
+    if stride <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) must be in (0, chunk_tokens={chunk_tokens}] — "
+            "a larger stride leaves token gaps no chunk covers"
+        )
     w = words("text")
     n = F.size(w)
     # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)

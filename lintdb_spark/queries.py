@@ -1821,9 +1821,13 @@ kqp AS (SELECT q_id, centroid_id FROM (
         WHERE rn <= {params.N_PROBE}),
 kcand AS (SELECT p.q_id, v.neighbor_id FROM va v JOIN kqp p USING (centroid_id)),
 ks AS (SELECT c.q_id, c.neighbor_id,
-              list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
-              / (sqrt(list_dot_product(q.qv, q.qv))
-                 * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+              CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) = 0
+                   THEN 0.0
+                   ELSE list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+              END AS cos
        FROM kcand c
        JOIN kq q ON q.q_id = c.q_id
        JOIN embeddings e ON e.vec_id = c.neighbor_id
@@ -1913,8 +1917,11 @@ WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id IN ({_KNN_IDS})),
 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 s AS (SELECT q_id, neighbor_id,
-             list_dot_product(qv, cv)
-             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+             CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) = 0
+                  THEN 0.0
+                  ELSE list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             END AS cos
       FROM q CROSS JOIN c WHERE neighbor_id != q_id),
 r AS (SELECT q_id, neighbor_id,
              row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank,

@@ -165,7 +165,16 @@ def sessionize_stream(
                     s, n = us, 0
                 if s is None:
                     s = us
-                l = us
+                # min/max merge, NOT `l = us`: batches sort internally
+                # but an in-watermark event can still arrive BEHIND the
+                # persisted state's last-seen — overwriting l with it
+                # would regress last-seen and emit end < start sessions;
+                # merging keeps the session envelope monotone (a late
+                # event more than gap before the open session's start is
+                # absorbed into it — the bounded-state trade, same as
+                # the watermark's own late-data policy)
+                s = min(s, us)
+                l = us if l is None else max(l, us)
                 n += 1
             state.update((s, l, n))
             state.setTimeoutTimestamp(l // 1000 + gap_minutes * 60 * 1000)
@@ -232,12 +241,17 @@ def dedup_stream(
     key once it ages past the watermark while deduping on the content
     keys only."""
     out = _ensure_event_time(stream, event_time)
+    drop_after = []
     if key_cols is None:
         out = out.withColumn("content_hash", F.md5(F.col("text")))
         key_cols = ["content_hash"]
-    return out.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        drop_after = key_cols  # helper column: the gate must pass the
+        # input schema through unchanged (stream_ingest's strict
+        # ingest-schema validation downstream rejects extra columns)
+    out = out.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+    return out.drop(*drop_after)
 
 
 def neardup_stream(
@@ -275,6 +289,11 @@ def neardup_stream(
     # and content still count
     norm = F.array_join(analyze_standard(F.col("text")), " ")
     out = out.withColumn("sig_digest", signature_digest(norm, num_perms))
-    return out.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
-        ["sig_digest"]
+    # drop the helper key after deduping: the gate passes the input
+    # schema through unchanged (downstream strict-schema sinks —
+    # stream_ingest's ingest validation — reject extra columns)
+    return (
+        out.withWatermark(event_time, watermark)
+        .dropDuplicatesWithinWatermark(["sig_digest"])
+        .drop("sig_digest")
     )

@@ -594,3 +594,58 @@ def test_cross_corpus_dedup_drops_colliding_new_docs(spark):
         ).collect()
     )
     assert survivors == [5]
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with NULL ts can never match (DuckDB ASOF
+    semantics) — it must not be carried into early left rows."""
+    from lintdb_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, 5, 10)], "event_id long, user_id long, ts long"
+    ).select("event_id", "user_id", F.timestamp_micros(F.col("ts")).alias("ts"))
+    right = spark.createDataFrame(
+        [(5, None, 99), (5, 50, 7)], "user_id long, ts long, rid long"
+    ).select("user_id", F.timestamp_micros(F.col("ts")).alias("ts"), "rid")
+    out = relational.asof_join(
+        left, right, on="user_id", ts="ts", right_cols=["rid"]
+    ).collect()
+    # left ts=10 precedes the only real right row (ts=50) -> unmatched;
+    # the NULL-ts row's rid=99 must NOT leak in
+    assert out[0]["rid_r"] is None
+
+
+def test_knn_zero_vector_scores_zero_not_nan(spark):
+    """A zero embedding must score cosine 0.0 (not NaN, which Spark
+    ranks above every real score)."""
+    from lintdb_spark.operators import knn as knn_ops
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_ops.brute_force_knn(emb, [0], k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor_id"] == 1  # the real vector wins
+    z = [r for r in ranked if r["neighbor_id"] == 2]
+    assert z and z[0]["cosine"] == 0.0
+
+
+def test_doc_chunks_rejects_gap_leaving_stride(spark):
+    from lintdb_spark.operators import textstats
+
+    with __import__("pytest").raises(ValueError, match="stride"):
+        textstats.doc_chunks(_docs(spark, [(1, "a b", "en", "s", 3)]),
+                             chunk_tokens=4, stride=5)
+
+
+def test_lsh_banding_rejects_ragged_band_split(spark):
+    import pytest as _pt
+
+    wide = dedup.minhash_wide(
+        dedup.doc_shingles(_docs(spark, [(1, "a b c d e", "en", "s", 9)]))
+    )
+    with _pt.raises(ValueError, match="divide evenly"):
+        dedup.lsh_buckets_wide(wide, bands=5)

@@ -417,3 +417,39 @@ def test_doc_chunks_works_on_streams(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM chunk_out").collect()
     )
     assert streamed == batch and len(batch) >= 4
+
+
+def test_gates_pass_input_schema_through(spark, tmp_path):
+    """dedup_stream / neardup_stream return the INPUT schema — helper
+    key columns must not leak into downstream strict-schema sinks."""
+    from lintdb_spark.streaming.ingest import dedup_stream, neardup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "schema_src")
+    import datetime
+
+    spark.createDataFrame(
+        [(1, "a b c", datetime.datetime(2026, 1, 1))], schema
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert dedup_stream(stream).columns == ["doc_id", "text", "ts"]
+    assert neardup_stream(stream).columns == ["doc_id", "text", "ts"]
+
+
+def test_sample_frames_tolerates_null_duration(spark):
+    """A video row with NULL duration_ms yields one frame (the same
+    contract as frame_plan) instead of a NaN->int task crash."""
+    from lintdb_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"payload"), None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert len(out) == 1 and out[0]["frame_idx"] == 0
