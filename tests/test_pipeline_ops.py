@@ -443,6 +443,28 @@ def test_pack_plan_boundary_and_continuity(spark):
     assert out[5] == (0, 6)  # starts in pack 0, straddles into pack 1
 
 
+def test_pack_plan_composite_shard_bounds_skew(spark):
+    """The default composite (lang, doc_id // shard_docs) shard key
+    fans a single-language corpus out over multiple window partitions
+    (the round-5 scale flag: part_col='lang' serialized a skewed
+    corpus through ONE cumulative-sum task). Each shard packs
+    independently from offset 0."""
+    rows = [(i, "a b c d", "en", "s", 7) for i in range(12)]
+    out = sampling.pack_plan(_docs(spark, rows), budget=8, shard_docs=4)
+    got = {
+        r["doc_id"]: (r["pack_shard"], r["pack_id"], r["pack_offset"])
+        for r in out.collect()
+    }
+    # 12 single-lang docs, 4 per shard -> 3 independent shards
+    assert {s for s, _, _ in got.values()} == {0, 1, 2}
+    # every shard restarts packing at (pack 0, offset 0)
+    for first_doc in (0, 4, 8):
+        assert got[first_doc][1:] == (0, 0)
+    # within a shard the cumulative layout is unchanged
+    assert got[1] == (0, 0, 4)
+    assert got[2] == (0, 1, 0)
+
+
 def test_fuzzy_decontaminate_flags_only_colliding_train_docs(spark):
     """A train doc identical to an eval doc collides in every band; an
     unrelated doc collides nowhere; eval docs never appear in the
