@@ -136,7 +136,7 @@ def main() -> None:
 
     cents, dt, ta = cascade_inputs(spark, sf_dir)
     n_docs = n_res = None
-    qps = 0.0
+    qps = qps_cold = dt_batch_cold = 0.0
     try:
         t0 = time.time()
         schema = Schema(
@@ -190,16 +190,21 @@ def main() -> None:
         opts = SearchOptions(n_probe=8, num_second_pass=64, centroid_score_threshold=0.0)
         res = idx.search_batch(0, "emb", qmats, k=10, opts=opts)
         n_res = res.count()
-        dt_batch = time.time() - t0
+        dt_batch_cold = time.time() - t0
         # min-of-2 like the headline queries (HEADLINE_REPS; the
         # DuckDB batch twin below gets the same treatment): the repeat
         # measures the serving steady state — probe selection + the
-        # cascade with the doc-blob broadcast already resident
+        # cascade with the doc-blob broadcast already resident. BOTH
+        # numbers are recorded (batch_search_cold_sec vs batch_search)
+        # so the headline qps is explicitly labeled steady-state: the
+        # warm rep reuses the in-process serve-blob broadcast, which
+        # the recompute-per-query DuckDB twin never has.
         t0 = time.time()
         idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
-        dt_batch = min(dt_batch, time.time() - t0)
+        dt_batch = min(dt_batch_cold, time.time() - t0)
         timings["batch_search"] = round(dt_batch, 3)
         qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
+        qps_cold = BENCH_NQ / dt_batch_cold if dt_batch_cold > 0 else 0.0
     except Exception as exc:  # noqa: BLE001 — record, keep benching
         errors["index_build" if "index_build" not in timings else "batch_search"] = repr(exc)
     finally:
@@ -458,6 +463,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "batch_search_qps": round(qps, 2),
+        "batch_search_qps_cold": round(qps_cold, 2),
+        "batch_search_cold_sec": round(dt_batch_cold, 3),
         "batch_search_nq": BENCH_NQ,
         "batch_search_rows": n_res,
         "index_docs": n_docs,

@@ -41,23 +41,52 @@ def tag_cached(out: DataFrame, *deps: DataFrame) -> DataFrame:
     (see ``pin``) are skipped.
     """
     cached = list(getattr(out, "_lintdb_cached", ()))
+    bcasts = list(getattr(out, "_lintdb_broadcasts", ()))
     for d in deps:
         cached.extend(getattr(d, "_lintdb_cached", ()))
+        bcasts.extend(getattr(d, "_lintdb_broadcasts", ()))
         if getattr(d, "_lintdb_pinned", False):
             continue
         lvl = d.storageLevel
         if lvl.useMemory or lvl.useDisk:
             cached.append(d)
     out._lintdb_cached = tuple(cached)
+    if bcasts:
+        out._lintdb_broadcasts = tuple(bcasts)
+    return out
+
+
+def tag_broadcasts(out: DataFrame, *bcs) -> DataFrame:
+    """Attach per-call Spark broadcast variables to ``out`` so
+    ``release`` frees their executor copies too. A long-lived caller
+    (the REST server, a driver loop issuing thousands of batches)
+    otherwise accumulates one broadcast blob per request — the query
+    matrices and centroid blobs the serve UDFs close over. Broadcasts
+    owned by a session-level cache (the serve-blob doc map) must NOT
+    be tagged; they are released by the cache's unpersist-on-replace."""
+    prev = list(getattr(out, "_lintdb_broadcasts", ()))
+    prev.extend(bcs)
+    if prev:
+        out._lintdb_broadcasts = tuple(prev)
     return out
 
 
 def release(df: DataFrame) -> None:
-    """Unpersist every intermediate cached while building ``df``.
+    """Unpersist every intermediate cached (and broadcast) while
+    building ``df``.
 
     Call AFTER materializing (collect/write) — unpersisting first just
-    forces a recompute, it does not break correctness."""
+    forces a recompute, it does not break correctness. Broadcasts are
+    unpersist()ed, not destroy()ed: executors drop their copies (the
+    memory that matters) but a re-collect of the same frame can still
+    lazily refetch from the driver."""
     for c in getattr(df, "_lintdb_cached", ()):
         if not getattr(c, "_lintdb_pinned", False):
             c.unpersist()
     df._lintdb_cached = ()
+    for b in getattr(df, "_lintdb_broadcasts", ()):
+        try:
+            b.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — best-effort on shutdown paths
+            pass
+    df._lintdb_broadcasts = ()

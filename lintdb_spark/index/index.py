@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lintdb_spark.cache import tag_cached
+from lintdb_spark.cache import tag_broadcasts, tag_cached
 from lintdb_spark.index import coarse
 from lintdb_spark.index.query import (
     AndQuery,
@@ -89,9 +89,35 @@ def _parse_byte_conf(value, default: int) -> int:
         mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}[s[-1]]
         s = s[:-1]
     try:
-        return int(float(s)) * mult
+        # multiply BEFORE truncating: '1.5g' is 1.5 GiB, not 1 GiB
+        return int(float(s) * mult)
     except ValueError:
         return default
+
+
+def _tags_broadcasts(fn):
+    """Wrap a serve entry point so every per-call broadcast it creates
+    (via ``Index._bc``) is tagged onto the returned DataFrame for
+    ``cache.release``. Only the OUTERMOST serve call owns the pending
+    list — search() delegating to search_xtr() must not reset it; the
+    outer wrapper tags the combined set on the frame it returns."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        outer = getattr(self, "_pending_bcasts", None) is None
+        if outer:
+            self._pending_bcasts = []
+        try:
+            out = fn(self, *args, **kwargs)
+            if outer and self._pending_bcasts:
+                tag_broadcasts(out, *self._pending_bcasts)
+            return out
+        finally:
+            if outer:
+                self._pending_bcasts = None
+
+    return wrapper
 
 
 class Index:
@@ -102,6 +128,45 @@ class Index:
         self.centroids: dict[str, np.ndarray] = {}
         self.quantizers: dict[str, object] = {}
         self._meta = {"versions": {}, "trained": False}
+        # per-call broadcast tracking: non-None only while inside a
+        # @_tags_broadcasts serve entry point (see _bc)
+        self._pending_bcasts = None
+
+    def _refresh_meta_if_stale(self) -> None:
+        """Cross-process staleness guard for serve paths: another
+        process (an offline ingest job beside a long-lived IndexServer)
+        may commit segments to the same index path. The atomic
+        `_meta.json` flip is the commit point, so stat'ing that one
+        file per serve call detects any such commit; on change the
+        meta is reloaded and `_meta_seq` bumped, invalidating the
+        serve-blob cache. Within one process, writes still require a
+        single writer (the server takes a write lock); this guard only
+        makes READERS follow external commits instead of serving a
+        stale snapshot forever."""
+        try:
+            st = os.stat(os.path.join(self.path, "_meta.json"))
+            cur = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return
+        if cur != getattr(self, "_meta_stat", None):
+            try:
+                with open(os.path.join(self.path, "_meta.json")) as f:
+                    self._meta = json.load(f)
+            except (OSError, ValueError):
+                return  # mid-replace race: next call retries
+            self._meta_stat = cur
+            self._meta_seq = getattr(self, "_meta_seq", 0) + 1
+
+    def _bc(self, obj):
+        """Broadcast ``obj``, registering the handle with the current
+        serve call (if any) so cache.release can unpersist it after the
+        result is materialized. Broadcasts owned by session-lifetime
+        caches (the serve-blob doc map) must use
+        ``sparkContext.broadcast`` directly instead."""
+        b = self.spark.sparkContext.broadcast(obj)
+        if self._pending_bcasts is not None:
+            self._pending_bcasts.append(b)
+        return b
 
     # ---------------- lifecycle (A1-A3, A9) ----------------
 
@@ -122,6 +187,11 @@ class Index:
         idx = cls(spark, path, schema)
         with open(os.path.join(path, "_meta.json")) as f:
             idx._meta = json.load(f)
+        try:
+            st = os.stat(os.path.join(path, "_meta.json"))
+            idx._meta_stat = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            idx._meta_stat = None
         # normalize once at load: _version()/_rewrite_tables() index
         # _meta['versions'] directly, so a legacy add-only meta without
         # the key would load fine but KeyError on the first mutation
@@ -184,6 +254,13 @@ class Index:
             # search_batch's doc-blob broadcast): every committed state
             # change bumps it, so caches key on it and never serve stale
             self._meta_seq = getattr(self, "_meta_seq", 0) + 1
+            # snapshot the committed file's identity so
+            # _refresh_meta_if_stale recognizes our own commit
+            try:
+                st = os.stat(os.path.join(self.path, "_meta.json"))
+                self._meta_stat = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                self._meta_stat = None
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -737,7 +814,7 @@ class Index:
         tokens) are skipped."""
         C = self.centroids[field]
         qc = qtok.astype(np.float32) @ C.T  # (n_tok, k)
-        bc = self.spark.sparkContext.broadcast(qc)
+        bc = self._bc(qc)
         thr = float(threshold)
 
         @F.pandas_udf(T.DoubleType())
@@ -775,8 +852,8 @@ class Index:
         sum_q max_d <q, d>."""
         C = self.centroids[field]
         q = self.quantizers[field]
-        bc_q = self.spark.sparkContext.broadcast(qtok.astype(np.float32))
-        bc_c = self.spark.sparkContext.broadcast(C)
+        bc_q = self._bc(qtok.astype(np.float32))
+        bc_c = self._bc(C)
 
         @F.pandas_udf(T.DoubleType())
         def maxsim(codes: pd.Series, residuals: pd.Series, num_tokens: pd.Series) -> pd.Series:
@@ -825,8 +902,8 @@ class Index:
         Q = np.asarray(qtok, dtype=np.float32)
         # q x centroid precomputed distances + per-query ADC tables,
         # both tiny: (n_q, n_centroids) and (n_q, m, 2^nbits)
-        bc_pre = self.spark.sparkContext.broadcast(Q @ self.centroids[field].T)
-        bc_tab = self.spark.sparkContext.broadcast(q.inner_prod_tables(Q))
+        bc_pre = self._bc(Q @ self.centroids[field].T)
+        bc_tab = self._bc(q.inner_prod_tables(Q))
 
         @F.pandas_udf(T.DoubleType())
         def maxsim_adc(
@@ -971,6 +1048,7 @@ class Index:
             return out.groupBy("doc_id").agg(F.sum("s1").alias("s1"))
         raise TypeError(f"unsupported query node {node}")
 
+    @_tags_broadcasts
     def search(
         self,
         tenant: int,
@@ -991,6 +1069,7 @@ class Index:
         ColBERTScorer per query, index.cpp:390) this is exact parity;
         multi-vector trees extend the same semantics. Trees without
         vector nodes keep the stage-1 boolean score as final."""
+        self._refresh_meta_if_stale()
         opts = opts or SearchOptions()
         if opts.scoring_method == "xtr":
             if not isinstance(query, VectorQuery):
@@ -1082,6 +1161,7 @@ class Index:
         )
         return self._with_metadata(out, k)
 
+    @_tags_broadcasts
     def search_xtr(
         self,
         tenant: int,
@@ -1104,6 +1184,7 @@ class Index:
         windows/aggregations). Exact-twin property: with n_probe
         covering all centroids and a lossless quantizer this equals
         xtr_topk on the raw corpus (tested)."""
+        self._refresh_meta_if_stale()
         from lintdb_spark.operators import scoring as _scoring
 
         opts = opts or SearchOptions()
@@ -1169,7 +1250,7 @@ class Index:
             f"{field}__num_tokens",
         )
         quant = self.quantizers[field]
-        bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
+        bc_c = self._bc(self.centroids[field])
 
         def decode_tokens(batches):
             # residual blobs are token-major fixed-row-size, so ONE
@@ -1206,6 +1287,7 @@ class Index:
             decode_tokens, "doc_id long, token_idx long, vec array<double>"
         )
 
+    @_tags_broadcasts
     def search_batch_xtr(
         self,
         tenant: int,
@@ -1221,6 +1303,7 @@ class Index:
         qids probing it), and scoring runs as the single declarative
         ``scoring.batch_xtr_topk`` plan. Same (qid, doc_id, rank,
         score, <stored>) contract as the PLAID batch cascade."""
+        self._refresh_meta_if_stale()
         from lintdb_spark.operators import scoring as _scoring
 
         opts = opts or SearchOptions()
@@ -1316,6 +1399,7 @@ class Index:
             f"doc_filter supports Term/Match/And/Or nodes only, got {type(node).__name__}"
         )
 
+    @_tags_broadcasts
     def search_batch(
         self,
         tenant: int,
@@ -1369,6 +1453,7 @@ class Index:
           declarative twin ``scoring.batch_two_phase_topk`` keeps
           stage-1 codes-only and joins residual rows for survivors
           alone — same semantics, shuffle-lean."""
+        self._refresh_meta_if_stale()
         opts = opts or SearchOptions()
         if opts.scoring_method == "xtr":
             return self.search_batch_xtr(
@@ -1416,7 +1501,7 @@ class Index:
             )
 
         n_parts = self.spark.sparkContext.defaultParallelism
-        bc_c = self.spark.sparkContext.broadcast(self.centroids[field])
+        bc_c = self._bc(self.centroids[field])
         thr = float(opts.centroid_score_threshold)
         nsp = int(opts.num_second_pass)
         kk = int(k)
@@ -1556,7 +1641,14 @@ class Index:
                     )
                     for r in doc_rows
                 }
-                bc_docs = self.spark.sparkContext.broadcast(doc_map)
+                # filtered maps are per-call (never cached) -> track
+                # for release; unfiltered maps are owned by the serve
+                # cache, freed by its unpersist-on-replace
+                bc_docs = (
+                    self._bc(doc_map)
+                    if doc_filter is not None
+                    else self.spark.sparkContext.broadcast(doc_map)
+                )
                 if doc_filter is None:
                     if cached is not None and cached[2] is not bc_docs:
                         try:
@@ -1569,7 +1661,7 @@ class Index:
                         except Exception:  # noqa: BLE001 — best-effort
                             pass
                     self._serve_blob_cache = (cache_key, est_bytes, bc_docs)
-            bc_q = self.spark.sparkContext.broadcast(qmats)
+            bc_q = self._bc(qmats)
 
             def serve(batches):
                 dm = bc_docs.value

@@ -96,3 +96,12 @@ QUALITY_MIN_STOPWORDS = 2
 # on the order of 1 GB of Python heap — sized for this deployment's
 # 8g driver (session.py); shrink the cap when the driver is smaller.
 CLUSTER_LOCAL_MAX_EDGES = 2_000_000
+
+# Minimum token rows per cached serve partition (cascade_inputs). The
+# defaultParallelism cap does the scale work — any real corpus uses
+# full cluster width; this floor only stops a SMALL corpus from being
+# sliced into dozens of near-empty partitions where per-task
+# scheduling dominates every serve stage (measured at sf0.1: 32
+# partitions of ~60 rows cost q_topk ~0.2 s/query in pure task
+# overhead vs 2 right-sized partitions).
+SERVE_PARTITION_ROWS = 1024

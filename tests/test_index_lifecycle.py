@@ -712,3 +712,49 @@ def test_update_validates_before_deleting(spark, tmp_path):
     with pytest.raises(ValueError, match="ingest schema mismatch"):
         idx.update(bad)
     assert idx._docs().filter("doc_id = 2").count() == 1  # not deleted
+
+
+def test_serve_follows_external_commit(spark, tmp_path):
+    """Cross-process staleness guard: a reader Index object must pick
+    up a commit made through a DIFFERENT Index object on the same path
+    (the IndexServer + offline-ingest deployment). The _meta.json
+    atomic flip is the commit point; serve paths stat it per call."""
+    path = str(tmp_path / "idx_xproc")
+    writer = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(6))
+    writer.train(docs)
+    writer.add(docs)
+
+    reader = Index.load(spark, path)  # simulates the serving process
+    q = {0: doc_tokens(7)}
+    before = reader.search_batch(0, "colbert", q, k=5, opts=OPTS)
+    assert 7 not in [r["doc_id"] for r in before.collect()]
+
+    writer.add(make_docs(spark, [7]))  # "external" commit
+    after = reader.search_batch(0, "colbert", q, k=5, opts=OPTS)
+    got = [r["doc_id"] for r in after.collect()]
+    assert got and got[0] == 7  # self-search finds the new doc
+
+
+def test_release_frees_per_call_broadcasts(built_index):
+    """Serve calls tag their per-call broadcasts (query matrices,
+    centroid blobs) on the result; cache.release unpersists them so a
+    long-lived server does not accumulate one blob per request."""
+    from lintdb_spark.cache import release
+
+    df = built_index.search(0, VectorQuery("colbert", doc_tokens(3)), k=3, opts=OPTS)
+    bcs = getattr(df, "_lintdb_broadcasts", ())
+    assert len(bcs) >= 1  # plaid qc + maxsim q/c matrices
+    df.collect()
+    release(df)
+    assert getattr(df, "_lintdb_broadcasts", ()) == ()
+    # released broadcasts are unpersisted, not destroyed: a re-collect
+    # of the same frame can lazily refetch and still works
+    assert df.collect()
+
+    qm = {0: doc_tokens(3)}
+    bdf = built_index.search_batch(0, "colbert", qm, k=3, opts=OPTS)
+    assert len(getattr(bdf, "_lintdb_broadcasts", ())) >= 1  # bc_c + bc_q
+    bdf.collect()
+    release(bdf)
+    assert bdf.collect()
