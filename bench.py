@@ -72,6 +72,8 @@ HEADLINE = [
     "q_doc_chunks",
     "q_cross_dedup",
     "q_lang_id",
+    "q_len_histogram",
+    "q_events_props",
     "q_knn_cosine",
     "q_ivf_knn",
     "q_text_match",

@@ -500,3 +500,35 @@ def doc_chunks(
             F.array_join(F.col("toks"), " ").alias("chunk_text"),
         )
     )
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Sequence-length histogram in log2 buckets — the context-length /
+    pack-budget diagnostic a training pipeline runs before choosing
+    max_seq_len (what fraction of documents truncate at 2k? at 8k?).
+    Returns per-bucket (len_bucket = floor(log2(n_tokens)), n_docs,
+    sum_tokens, min_tokens, max_tokens).
+
+    Bucketing is INTEGER-exact: floor(log2(n)) computed as
+    length(bin(n)) - 1 (binary digit count), never float log — Spark's
+    log2 is Math.log(x)/Math.log(2), which can land a hair below an
+    exact power of two and put boundary docs in the wrong bucket
+    (engine-dependent). Scale: one pure-map projection + a
+    ~60-row aggregate (bucket count is bounded by the bigint width),
+    scan-speed at any corpus size."""
+    from lintdb_spark.functions.text import words
+
+    n = F.size(words("text")).cast("bigint")
+    return (
+        documents.select(
+            (F.length(F.bin(n)) - 1).cast("bigint").alias("len_bucket"),
+            n.alias("n"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )

@@ -857,6 +857,19 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed sequence-length histogram — the max_seq_len /
+    pack-budget diagnostic; integer-exact bucketing via binary digit
+    count (never float log2)."""
+    return textstats.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ETL: JVM-side JSON path extraction over the
+    events props payload + per-type stats (no UDF, scan-speed)."""
+    return relational.props_stats(table_cached(spark, sf_dir, "events"))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rolling_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -2019,6 +2032,29 @@ toks AS (
 )
 """
 
+ORACLE["q_len_histogram"] = """
+WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1
+"""
+
+ORACLE["q_events_props"] = """
+WITH t AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM t GROUP BY event_type
+"""
+
 ORACLE["q_unigram_loglik"] = f"""
 WITH {_TOKS},
 tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
@@ -2209,11 +2245,15 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   r06: q_doc_chunks, q_cross_dedup rotated IN (landed r05, never
     #        driver-verified); q_term_float, q_term_date rotated OUT
     #        (driver-green r01,r02,r03,r04,r05 — five consecutive
-    #        rounds). ----
+    #        rounds). q_len_histogram, q_events_props (NEW in r06)
+    #        rotated IN; q_lang_id, q_repetition rotated OUT
+    #        (driver-green r01-r05, pure column expressions). ----
     "q_term_text": q_term_text,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
+    "q_len_histogram": q_len_histogram,
+    "q_events_props": q_events_props,
     "q_and": q_and,
     "q_or": q_or,
     "q_assign": q_assign,
@@ -2248,8 +2288,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25": q_bm25,
     "q_text_match": q_text_match,
     "q_text_stats": q_text_stats,
-    "q_lang_id": q_lang_id,
-    "q_repetition": q_repetition,
     "q_quality_filter": q_quality_filter,
     "q_domain_mix": q_domain_mix,
     "q_unigram_loglik": q_unigram_loglik,
@@ -2268,6 +2306,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
     "q_term_float": q_term_float,
     "q_term_date": q_term_date,
+    "q_lang_id": q_lang_id,
+    "q_repetition": q_repetition,
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_revenue_by_nation": q_revenue_by_nation,

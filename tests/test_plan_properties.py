@@ -385,3 +385,22 @@ def test_media_frames_plan_has_no_python(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_media_frames")
     assert "EvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_len_histogram_is_single_aggregate(spark, sf_dir):
+    """The length histogram is one pure-map projection + one bounded
+    aggregate (<=63 buckets): no join, no Python, exactly one
+    exchange for the final bucket aggregate."""
+    p = plan_of(spark, sf_dir, "q_len_histogram")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert _nodes(p, "Exchange") == 1
+
+
+def test_events_props_json_stays_jvm_side(spark, sf_dir):
+    """JSON props extraction runs JVM-side (get_json_object): no
+    Python in the plan, one aggregate exchange on event_type."""
+    p = plan_of(spark, sf_dir, "q_events_props")
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert _nodes(p, "Exchange") <= 2  # agg exchange (+ cached layout)
