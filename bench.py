@@ -180,7 +180,6 @@ def main() -> None:
         timings["index_build"] = round(time.time() - t0, 3)
 
         # ---- BENCH-2: batch search through the real index ----
-        t0 = time.time()
         qrows = model.batch_queries(spark, sf_dir, BENCH_NQ).collect()
         queries: dict[int, list] = {}
         for r in qrows:
@@ -190,6 +189,10 @@ def main() -> None:
             for qid, toks in queries.items()
         }
         opts = SearchOptions(n_probe=8, num_second_pass=64, centroid_score_threshold=0.0)
+        # timer starts AFTER query generation/collect — that prep is
+        # harness work, not serving; cold vs warm must differ only in
+        # cache residency
+        t0 = time.time()
         res = idx.search_batch(0, "emb", qmats, k=10, opts=opts)
         n_res = res.count()
         dt_batch_cold = time.time() - t0

@@ -78,6 +78,10 @@ def assign_udf(spark: SparkSession, centroids: np.ndarray):
         codes = (np.vstack(mats) @ ct).argmax(axis=1).astype(np.int64)
         return pd.Series(np.split(codes, np.cumsum(counts)[:-1]))
 
+    # expose the broadcast so the (synchronous) ingest call that built
+    # this UDF can unpersist it once its writes commit — a long-lived
+    # server otherwise accumulates one centroid blob per add()
+    assign._lintdb_bc = bc
     return assign
 
 
@@ -108,4 +112,5 @@ def residual_encode_udf(spark: SparkSession, centroids: np.ndarray, quantizer):
             [blob[bounds[i] : bounds[i + 1]] for i in range(len(mats))]
         )
 
+    enc._lintdb_bc = bc_c
     return enc

@@ -105,17 +105,21 @@ def _tags_broadcasts(fn):
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
-        outer = getattr(self, "_pending_bcasts", None) is None
+        tls = self._bcast_tls  # THREAD-local: the HTTP server runs
+        # concurrent lock-free searches on one shared Index; shared
+        # instance state here would cross-tag (and then prematurely
+        # release) another request's broadcasts
+        outer = getattr(tls, "pending", None) is None
         if outer:
-            self._pending_bcasts = []
+            tls.pending = []
         try:
             out = fn(self, *args, **kwargs)
-            if outer and self._pending_bcasts:
-                tag_broadcasts(out, *self._pending_bcasts)
+            if outer and tls.pending:
+                tag_broadcasts(out, *tls.pending)
             return out
         finally:
             if outer:
-                self._pending_bcasts = None
+                tls.pending = None
 
     return wrapper
 
@@ -128,9 +132,13 @@ class Index:
         self.centroids: dict[str, np.ndarray] = {}
         self.quantizers: dict[str, object] = {}
         self._meta = {"versions": {}, "trained": False}
-        # per-call broadcast tracking: non-None only while inside a
-        # @_tags_broadcasts serve entry point (see _bc)
-        self._pending_bcasts = None
+        # per-call broadcast tracking: a THREAD-local list, non-None
+        # only while that thread is inside a @_tags_broadcasts serve
+        # entry point (see _bc); thread-local because the HTTP server
+        # issues concurrent searches against one shared Index
+        import threading
+
+        self._bcast_tls = threading.local()
 
     def _refresh_meta_if_stale(self) -> None:
         """Cross-process staleness guard for serve paths: another
@@ -143,10 +151,8 @@ class Index:
         single writer (the server takes a write lock); this guard only
         makes READERS follow external commits instead of serving a
         stale snapshot forever."""
-        try:
-            st = os.stat(os.path.join(self.path, "_meta.json"))
-            cur = (st.st_mtime_ns, st.st_size)
-        except OSError:
+        cur = self._stat_meta()
+        if cur is None:
             return
         if cur != getattr(self, "_meta_stat", None):
             try:
@@ -154,6 +160,10 @@ class Index:
                     self._meta = json.load(f)
             except (OSError, ValueError):
                 return  # mid-replace race: next call retries
+            self._normalize_meta()
+            # an external commit may have RE-TRAINED (new centroid
+            # matrices / quantizer params), not just added segments
+            self._load_trained_sidecars()
             self._meta_stat = cur
             self._meta_seq = getattr(self, "_meta_seq", 0) + 1
 
@@ -164,8 +174,9 @@ class Index:
         caches (the serve-blob doc map) must use
         ``sparkContext.broadcast`` directly instead."""
         b = self.spark.sparkContext.broadcast(obj)
-        if self._pending_bcasts is not None:
-            self._pending_bcasts.append(b)
+        pending = getattr(self._bcast_tls, "pending", None)
+        if pending is not None:
+            pending.append(b)
         return b
 
     # ---------------- lifecycle (A1-A3, A9) ----------------
@@ -187,39 +198,61 @@ class Index:
         idx = cls(spark, path, schema)
         with open(os.path.join(path, "_meta.json")) as f:
             idx._meta = json.load(f)
+        idx._meta_stat = idx._stat_meta()
+        idx._normalize_meta()
+        idx._load_trained_sidecars()
+        return idx
+
+    def _stat_meta(self):
+        """(mtime_ns, size, inode) identity of the committed
+        _meta.json. The inode matters: os.replace swaps the inode on
+        every commit, so two commits inside one mtime quantum with
+        same-length payloads (coarse-granularity network mounts) are
+        still distinguishable."""
         try:
-            st = os.stat(os.path.join(path, "_meta.json"))
-            idx._meta_stat = (st.st_mtime_ns, st.st_size)
+            st = os.stat(os.path.join(self.path, "_meta.json"))
+            return (st.st_mtime_ns, st.st_size, st.st_ino)
         except OSError:
-            idx._meta_stat = None
-        # normalize once at load: _version()/_rewrite_tables() index
-        # _meta['versions'] directly, so a legacy add-only meta without
-        # the key would load fine but KeyError on the first mutation
-        idx._meta.setdefault("versions", {})
-        if "segments" not in idx._meta:
+            return None
+
+    def _normalize_meta(self) -> None:
+        # normalize once per (re)load: _version()/_rewrite_tables()
+        # index _meta['versions'] directly, so a legacy add-only meta
+        # without the key would load fine but KeyError on the first
+        # mutation
+        self._meta.setdefault("versions", {})
+        if "segments" not in self._meta:
             # pre-segment layout: each table's live data is its v<N>
             # dir. Enumerate the SCHEMA's tables — not versions.items():
             # an add-only legacy index never wrote versions at all
             # (implicit v0 dirs), and would otherwise load with no
             # segments registered, reading empty and letting vacuum()
             # delete the live v0 dirs as orphans.
-            versions = idx._meta.get("versions", {})
-            tables = idx._all_tables(schema)
-            idx._meta["segments"] = {
+            versions = self._meta.get("versions", {})
+            tables = self._all_tables(self.schema)
+            self._meta["segments"] = {
                 t: [f"v{versions.get(t, 0)}"]
                 for t in tables
-                if os.path.isdir(os.path.join(path, t, f"v{versions.get(t, 0)}"))
+                if os.path.isdir(os.path.join(self.path, t, f"v{versions.get(t, 0)}"))
             }
-        for fld in schema.colbert_fields():
-            cpath = os.path.join(path, "centroids", f"{fld.name}.parquet")
+
+    def _load_trained_sidecars(self) -> None:
+        """(Re)load centroids + quantizers from disk — shared by
+        load() and the cross-process staleness refresh (an external
+        RE-TRAIN commit changes these, not just the segment lists;
+        scoring new postings against old centroid matrices would
+        return garbage or IndexError)."""
+        for fld in self.schema.colbert_fields():
+            cpath = os.path.join(self.path, "centroids", f"{fld.name}.parquet")
             if os.path.exists(cpath):
                 pdf = pd.read_parquet(cpath).sort_values("centroid_id")
-                idx.centroids[fld.name] = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
-            qpath = os.path.join(path, "quantizers", f"{fld.name}.json")
+                self.centroids[fld.name] = np.vstack(pdf["vec"].to_numpy()).astype(
+                    np.float32
+                )
+            qpath = os.path.join(self.path, "quantizers", f"{fld.name}.json")
             if os.path.exists(qpath):
                 with open(qpath) as f:
-                    idx.quantizers[fld.name] = quantizer_from_json(f.read())
-        return idx
+                    self.quantizers[fld.name] = quantizer_from_json(f.read())
 
     def copy_trained(self, path: str) -> "Index":
         """A3: clone trained state (centroids/quantizers) into a fresh
@@ -256,11 +289,7 @@ class Index:
             self._meta_seq = getattr(self, "_meta_seq", 0) + 1
             # snapshot the committed file's identity so
             # _refresh_meta_if_stale recognizes our own commit
-            try:
-                st = os.stat(os.path.join(self.path, "_meta.json"))
-                self._meta_stat = (st.st_mtime_ns, st.st_size)
-            except OSError:
-                self._meta_stat = None
+            self._meta_stat = self._stat_meta()
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -498,11 +527,18 @@ class Index:
             return
 
         out = docs_df
+        ingest_bcs = []  # centroid blobs the coarse UDFs broadcast;
+        # add() is synchronous, so they are released in the finally
+        # below (a long-lived server must not leak one pair per ingest)
         for fld in self.schema.colbert_fields():
             C = self.centroids[fld.name]
             q = self.quantizers[fld.name]
             assign = coarse.assign_udf(self.spark, C)
             enc = coarse.residual_encode_udf(self.spark, C, q)
+            for u in (assign, enc):
+                b = getattr(u, "_lintdb_bc", None)
+                if b is not None:
+                    ingest_bcs.append(b)
             # B2 validateField's value half (>= 1 token vector per doc,
             # non-NULL) is enforced INSIDE assign_udf: Catalyst extracts
             # Python UDFs into their own plan node below any projection,
@@ -564,6 +600,11 @@ class Index:
                 staged.append((table, seg))
         finally:
             out.unpersist()
+            for b in ingest_bcs:
+                try:
+                    b.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
         self._commit_segments(staged, stream_batch=idempotency_token)
 
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
@@ -1616,6 +1657,18 @@ class Index:
         # map entries ARE the filter, so a filtered map must never be
         # reused.
         cached = getattr(self, "_serve_blob_cache", None)
+        if cached is not None and cached[0] != cache_key:
+            # stale entry (a commit bumped _meta_seq): evict NOW, not
+            # lazily on the next broadcast-path build — if the grown
+            # corpus routes every future call down the cogroup path,
+            # the replace branch below never runs and the old doc-blob
+            # broadcast (the largest serve object) would stay resident
+            # for the process lifetime
+            try:
+                cached[2].unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
+            self._serve_blob_cache = cached = None
         est_bytes = bc_docs = None
         if doc_filter is None and cached is not None and cached[0] == cache_key:
             _, est_bytes, bc_docs = cached

@@ -161,7 +161,10 @@ def pack_plan(
         base = documents.select(
             "doc_id",
             "lang",
-            F.floor(F.col("doc_id").cast("bigint") / F.lit(int(shard_docs)))
+            # SQL `div` = exact integer division; `/` on bigints yields
+            # DOUBLE in Spark, which loses exactness past 2^53 doc ids
+            # (and the oracle's `//` is integer division)
+            F.expr(f"CAST(doc_id AS BIGINT) div {int(shard_docs)}")
             .cast("bigint")
             .alias("pack_shard"),
             n.alias("n_tokens"),

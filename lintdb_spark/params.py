@@ -63,7 +63,13 @@ LSH_BANDS = 4  # bands for LSH bucketing (rows per band = PERMS/BANDS)
 #   >DF_CEIL docs (such shingles carry ~no near-dup signal).
 JACCARD_MAX_DF_FRAC = 0.2
 JACCARD_DF_FLOOR = 8
-JACCARD_DF_CEIL = 10_000
+# 1000, not 10_000: the sf1 scale probe (SCALE.md §6) measured the
+# pair build at 319 s / 198M candidate pairs on a 50k-doc corpus with
+# the ceiling at 10k — shingles sitting just under the cap fan out
+# ~df^2 join rows each. At 1000 the worst-case per-shingle fanout
+# drops 100x; tiers at or below sf0.1 are unchanged (their fractional
+# cap 0.2*n was already <= 1000).
+JACCARD_DF_CEIL = 1_000
 ROUND = 4  # decimals kept when hashing float scores across engines
 
 # English/German/French/Spanish stopword lists for the n-gram-free

@@ -205,8 +205,11 @@ def cascade_inputs(spark: SparkSession, sf_dir: str):
         # serve stage pay 32 tasks of pure scheduling (measured:
         # q_topk 0.65 s -> 0.45 s at sf0.1 with 2 right-sized
         # partitions, identical results).
-        dt0 = model.doc_tokens(spark, sf_dir)
-        n_rows = dt0.count()  # one-time at build; frame is about to be cached anyway
+        # row count from the SOURCE parquet (metadata-cheap count, no
+        # shuffle) — doc_tokens is a 1:1 projection of embeddings, and
+        # counting the derived frame would run its repartition shuffle
+        # once for the count and again for the cache build
+        n_rows = load_table(spark, sf_dir, "embeddings").count()
         n = int(
             max(
                 2,
@@ -216,7 +219,7 @@ def cascade_inputs(spark: SparkSession, sf_dir: str):
                 ),
             )
         )
-        dt = dt0.repartition(n, "doc_id").persist()
+        dt = model.doc_tokens(spark, sf_dir).repartition(n, "doc_id").persist()
         ta = ann.assign_tokens(dt, cents).persist()
         return (cents, dt, ta)
 
