@@ -20,22 +20,49 @@ from pyspark.sql import functions as F
 from lintdb_spark import params
 
 
+def _money(col: str):
+    """Money/ratio columns as exact DECIMAL(12,2) — the synthetic data
+    is 2-decimal by construction (like TPC-H's DECIMAL(15,2)). Exact
+    decimal accumulation makes every SUM independent of partition
+    layout and row order; summing the raw doubles instead leaves the
+    result one ulp from a round-half boundary on knife-edge totals
+    (observed: q_pricing_summary's sum_disc_price flipped a cent when
+    the cached partition count changed)."""
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _one():
+    # built lazily: F.lit at module import time requires an active
+    # SparkContext under classic PySpark
+    return F.lit(1).cast("decimal(12,2)")
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate, 4 groups. One shuffle of
-    8 partial rows per task — pure map-side combine at any scale."""
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    8 partial rows per task — pure map-side combine at any scale.
+    Decimal-exact sums (see _money); averages divide the exact decimal
+    sum as a double by the count, so both engines do ONE identical
+    float division instead of order-sensitive accumulation."""
+    disc_price = _money("l_extendedprice") * (_one() - _money("l_discount"))
+    charge = disc_price * (_one() + _money("l_tax"))
+    cnt = F.count("*")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(cutoff)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), params.ROUND).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), params.ROUND).alias("avg_price"),
-            F.round(F.avg("l_discount"), params.ROUND).alias("avg_disc"),
+            F.round(F.sum(_money("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_money("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_money("l_quantity")).cast("double") / cnt, params.ROUND
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double") / cnt, params.ROUND
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_money("l_discount")).cast("double") / cnt, params.ROUND
+            ).alias("avg_disc"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -53,7 +80,7 @@ def top_orders(
     revenue per order, top-k. lineitem-orders co-shuffle on orderkey;
     at 100 TB bucket both on orderkey to kill the shuffle entirely."""
     d = F.to_timestamp(F.lit(date))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _money("l_extendedprice") * (_one() - _money("l_discount"))
     return (
         F.broadcast(customer.filter(F.col("c_mktsegment") == segment))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -61,7 +88,7 @@ def top_orders(
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > d)
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(k)
     )
@@ -80,7 +107,7 @@ def revenue_by_nation(
     """TPC-H Q5 shape (customer-nation variant): snowflake of broadcast
     dims onto the lineitem fact; single shuffle on the 25-value group
     key."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _money("l_extendedprice") * (_one() - _money("l_discount"))
     return (
         F.broadcast(
             region.filter(F.col("r_name") == region_name)
@@ -95,7 +122,7 @@ def revenue_by_nation(
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count("*").cast("bigint").alias("n_items"),
         )
     )

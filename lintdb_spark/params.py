@@ -111,3 +111,9 @@ CLUSTER_LOCAL_MAX_EDGES = 2_000_000
 # partitions of ~60 rows cost q_topk ~0.2 s/query in pure task
 # overhead vs 2 right-sized partitions).
 SERVE_PARTITION_ROWS = 1024
+
+# Minimum rows per cached fact-table partition (queries.table_cached).
+# Same rationale as SERVE_PARTITION_ROWS: the parallelism cap does the
+# scale work; this floor only keeps small tables from paying dozens of
+# near-empty tasks per serve-speed aggregate.
+TABLE_PARTITION_ROWS = 25_000

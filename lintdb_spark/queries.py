@@ -152,15 +152,22 @@ def table_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (bench times it as table_cache_build) by repartitioning on the
     table's natural join/group key and persisting."""
     key_col, frac = _TABLE_PART_KEYS[name]
-    n_parts = max(8, int(spark.sparkContext.defaultParallelism * frac))
-    return _session_cached(
-        _TABLE_CACHE,
-        spark,
-        (sf_dir, name),
-        lambda: load_table(spark, sf_dir, name)
-        .repartition(n_parts, F.col(key_col))
-        .persist(),
-    )
+
+    def build():
+        # SIZE-AWARE like cascade_inputs: parallelism*frac is the CAP
+        # (a big table always gets full width), the metadata-cheap row
+        # count only stops SMALL tables from being sliced into dozens
+        # of near-empty partitions whose per-task scheduling dominates
+        # every serve-speed aggregate. Operators with expensive
+        # per-row work (shingles, token explodes) re-spread themselves
+        # (doc_shingles / text_tokens_cached repartition internally).
+        src = load_table(spark, sf_dir, name)
+        n_rows = src.count()
+        cap = max(8, int(spark.sparkContext.defaultParallelism * frac))
+        n_parts = int(max(2, min(cap, n_rows // params.TABLE_PARTITION_ROWS + 1)))
+        return src.repartition(n_parts, F.col(key_col)).persist()
+
+    return _session_cached(_TABLE_CACHE, spark, (sf_dir, name), build)
 
 
 def facts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,21 +1607,28 @@ FROM documents
 """,
     "q_fingerprints": _fingerprint_sql(),
     "q_pricing_summary": """
+WITH t AS (SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                  CAST(l_discount AS DECIMAL(12,2)) AS disc,
+                  CAST(l_tax AS DECIMAL(12,2)) AS tax
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(price * (1 - disc)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(price * (1 - disc) * (1 + tax)), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(disc) AS DOUBLE) / count(*), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM t
 GROUP BY l_returnflag, l_linestatus
 """,
     "q_top_orders": """
-SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT o_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1626,7 +1640,8 @@ ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
 """,
     "q_revenue_by_nation": """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
