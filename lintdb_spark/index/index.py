@@ -139,6 +139,7 @@ class Index:
         import threading
 
         self._bcast_tls = threading.local()
+        self._refresh_lock = threading.Lock()
 
     def _refresh_meta_if_stale(self) -> None:
         """Cross-process staleness guard for serve paths: another
@@ -154,16 +155,24 @@ class Index:
         cur = self._stat_meta()
         if cur is None:
             return
-        if cur != getattr(self, "_meta_stat", None):
+        if cur == getattr(self, "_meta_stat", None):
+            return
+        with self._refresh_lock:  # one refresher at a time
+            cur = self._stat_meta()
+            if cur == getattr(self, "_meta_stat", None):
+                return
             try:
                 with open(os.path.join(self.path, "_meta.json")) as f:
                     self._meta = json.load(f)
-            except (OSError, ValueError):
-                return  # mid-replace race: next call retries
-            self._normalize_meta()
-            # an external commit may have RE-TRAINED (new centroid
-            # matrices / quantizer params), not just added segments
-            self._load_trained_sidecars()
+                self._normalize_meta()
+                # an external commit may have RE-TRAINED (new centroid
+                # matrices / quantizer params), not just added
+                # segments. Any read failure (mid-replace race) leaves
+                # _meta_stat UNCHANGED so the next call retries the
+                # whole refresh instead of pinning a torn state.
+                self._load_trained_sidecars()
+            except Exception:  # noqa: BLE001 — retry on next serve call
+                return
             self._meta_stat = cur
             self._meta_seq = getattr(self, "_meta_seq", 0) + 1
 
@@ -242,17 +251,26 @@ class Index:
         RE-TRAIN commit changes these, not just the segment lists;
         scoring new postings against old centroid matrices would
         return garbage or IndexError)."""
+        new_c = dict(self.centroids)
+        new_q = dict(self.quantizers)
         for fld in self.schema.colbert_fields():
             cpath = os.path.join(self.path, "centroids", f"{fld.name}.parquet")
             if os.path.exists(cpath):
                 pdf = pd.read_parquet(cpath).sort_values("centroid_id")
-                self.centroids[fld.name] = np.vstack(pdf["vec"].to_numpy()).astype(
-                    np.float32
-                )
+                new_c[fld.name] = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
             qpath = os.path.join(self.path, "quantizers", f"{fld.name}.json")
             if os.path.exists(qpath):
                 with open(qpath) as f:
-                    self.quantizers[fld.name] = quantizer_from_json(f.read())
+                    new_q[fld.name] = quantizer_from_json(f.read())
+        # swap via two reference assignments AFTER every file read
+        # succeeded: a concurrent search sees either the old dicts or
+        # the new ones, never a half-reloaded dict (a search reading
+        # centroids and quantizers across the swap boundary can still
+        # mix generations for one request — the window is two adjacent
+        # attribute reads; callers needing strict isolation should
+        # serve from a per-request Index.load)
+        self.centroids = new_c
+        self.quantizers = new_q
 
     def copy_trained(self, path: str) -> "Index":
         """A3: clone trained state (centroids/quantizers) into a fresh
@@ -301,16 +319,28 @@ class Index:
         uses the meta-only _save_meta."""
         with open(os.path.join(self.path, "_schema.json"), "w") as f:
             f.write(self.schema.to_json())
-        self._save_meta()
         os.makedirs(os.path.join(self.path, "centroids"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "quantizers"), exist_ok=True)
+        # sidecars first, each atomically (tmp + rename), THEN the
+        # _meta.json flip: the meta flip is the one commit point a
+        # cross-process reader keys its staleness refresh on, so every
+        # byte the refresh will reload must already be on disk when
+        # the flip lands (flipping first let a racing reader load OLD
+        # or torn centroid files and pin them until the next commit)
         for name, C in self.centroids.items():
+            dst = os.path.join(self.path, "centroids", f"{name}.parquet")
+            tmp = dst + ".tmp"
             pd.DataFrame(
                 {"centroid_id": np.arange(len(C)), "vec": list(C)}
-            ).to_parquet(os.path.join(self.path, "centroids", f"{name}.parquet"))
+            ).to_parquet(tmp)
+            os.replace(tmp, dst)
         for name, q in self.quantizers.items():
-            with open(os.path.join(self.path, "quantizers", f"{name}.json"), "w") as f:
+            dst = os.path.join(self.path, "quantizers", f"{name}.json")
+            tmp = dst + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(quantizer_to_json(q))
+            os.replace(tmp, dst)
+        self._save_meta()
 
     # ---------------- table paths / segments ----------------
 
@@ -528,8 +558,20 @@ class Index:
 
         out = docs_df
         ingest_bcs = []  # centroid blobs the coarse UDFs broadcast;
-        # add() is synchronous, so they are released in the finally
-        # below (a long-lived server must not leak one pair per ingest)
+        # add() is synchronous, so they are released in the outer
+        # finally (a long-lived server must not leak one pair per
+        # ingest — including when UDF construction itself fails
+        # between fields, e.g. a missing quantizer sidecar)
+        try:
+            return self._add_encoded(out, ingest_bcs, idempotency_token)
+        finally:
+            for b in ingest_bcs:
+                try:
+                    b.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
+
+    def _add_encoded(self, out, ingest_bcs, idempotency_token) -> None:
         for fld in self.schema.colbert_fields():
             C = self.centroids[fld.name]
             q = self.quantizers[fld.name]
@@ -600,11 +642,6 @@ class Index:
                 staged.append((table, seg))
         finally:
             out.unpersist()
-            for b in ingest_bcs:
-                try:
-                    b.unpersist(blocking=False)
-                except Exception:  # noqa: BLE001 — best-effort
-                    pass
         self._commit_segments(staged, stream_batch=idempotency_token)
 
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
@@ -1703,17 +1740,34 @@ class Index:
                     else self.spark.sparkContext.broadcast(doc_map)
                 )
                 if doc_filter is None:
-                    if cached is not None and cached[2] is not bc_docs:
-                        try:
-                            # unpersist, NOT destroy: executors drop their
-                            # cached copies (the memory that matters) but a
-                            # concurrent request still mid-job on the old
-                            # broadcast can lazily refetch it — destroy()
-                            # would fail that request's tasks
-                            cached[2].unpersist(blocking=False)
-                        except Exception:  # noqa: BLE001 — best-effort
-                            pass
-                    self._serve_blob_cache = (cache_key, est_bytes, bc_docs)
+                    # re-read the LIVE slot, not the snapshot from the
+                    # top of the call: a concurrent thread racing a
+                    # commit may have installed a different-key entry
+                    # in between, and blindly overwriting would both
+                    # drop its broadcast without unpersist and pin our
+                    # stale key
+                    prev = getattr(self, "_serve_blob_cache", None)
+                    if prev is None or prev[0] == cache_key:
+                        if prev is not None and prev[2] is not bc_docs:
+                            try:
+                                # unpersist, NOT destroy: executors drop
+                                # their cached copies (the memory that
+                                # matters) but a concurrent request still
+                                # mid-job on the old broadcast can lazily
+                                # refetch it — destroy() would fail that
+                                # request's tasks
+                                prev[2].unpersist(blocking=False)
+                            except Exception:  # noqa: BLE001 — best-effort
+                                pass
+                        self._serve_blob_cache = (cache_key, est_bytes, bc_docs)
+                    else:
+                        # someone installed a newer snapshot: keep
+                        # theirs, and track OUR blob for release with
+                        # this call (lazy refetch keeps us correct if
+                        # executors drop it before our job finishes)
+                        pending = getattr(self._bcast_tls, "pending", None)
+                        if pending is not None:
+                            pending.append(bc_docs)
             bc_q = self._bc(qmats)
 
             def serve(batches):

@@ -9,9 +9,10 @@ Synthesis: 10 key-shifted copies of every fact table; dims
 keep workload STATISTICS comparable instead of creating 10x exact
 duplicates (which would change the dedup/near-dup workload, not just
 its size):
-- documents.text is deterministically word-scrambled per copy (sort
-  words by md5(word || copy)), so cross-copy shingle overlap is low
-  while length/vocab distributions are preserved;
+- documents.text is deterministically word-PERMUTED per copy (sort
+  words by md5(word || copy || position) — position-salted so repeated
+  words don't collapse into runs), so cross-copy shingle overlap is
+  low while length/vocab distributions are preserved;
 - embeddings are deterministically jittered per copy, so cosine
   near-dup rates stay in the same regime.
 
@@ -157,14 +158,16 @@ def run():
         a, b = results["sf0.1"].get(n), results["sf1"].get(n)
         alpha = (
             round(math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(10), 2)
-            if a and b
+            if a is not None and b is not None  # 0.0 is a valid timing
             else None
         )
         rows.append((n, a, b, alpha))
     print(json.dumps({"rows": rows}))
     print("\n| query | sf0.1 s | sf1 s | alpha |")
     print("|---|---|---|---|")
-    for n, a, b, alpha in sorted(rows, key=lambda r: -(r[3] or -9)):
+    for n, a, b, alpha in sorted(
+        rows, key=lambda r: -r[3] if r[3] is not None else 9  # None rows last
+    ):
         print(f"| {n} | {a} | {b} | {alpha} |")
 
 

@@ -789,3 +789,40 @@ def test_search_scan_prunes_to_tenant_partition(built_index):
     # and the results really are isolated
     ids = [r["doc_id"] for r in df.collect()]
     assert ids and all(100 <= d < 105 for d in ids)
+
+
+def test_serve_follows_external_retrain(spark, tmp_path):
+    """An external RE-TRAIN commit (new centroid matrices + quantizer
+    sidecars) must be picked up by a reader process's next serve call
+    — reloading meta alone would score new postings against the old
+    matrices. Also exercises the commit ordering: sidecars land on
+    disk BEFORE the _meta.json flip the reader keys on."""
+    path = str(tmp_path / "idx_retrain")
+    writer = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(6))
+    writer.train(docs)
+    writer.add(docs)
+
+    reader = Index.load(spark, path)
+    before = [
+        r["doc_id"]
+        for r in reader.search_batch(0, "colbert", {0: doc_tokens(2)}, k=3, opts=OPTS).collect()
+    ]
+    assert before and before[0] == 2
+
+    # external rebuild: fresh trained state + different corpus
+    writer2 = Index.create(spark, str(tmp_path / "idx_retrain2"), make_schema("none"))
+    docs2 = make_docs(spark, range(10, 18))
+    writer2.train(docs2)
+    # transplant the NEW trained state + data into the original path
+    # via the public API (train + full re-add on the same Index object)
+    writer.centroids = dict(writer2.centroids)
+    writer.quantizers = dict(writer2.quantizers)
+    writer._save_sidecars()
+    writer.update(docs)  # rewrite under the new model (bumps meta)
+    writer.add(make_docs(spark, [7]))
+
+    after = reader.search_batch(0, "colbert", {0: doc_tokens(7)}, k=3, opts=OPTS)
+    got = [r["doc_id"] for r in after.collect()]
+    assert got and got[0] == 7  # served with the RELOADED trained state
+    assert np.allclose(reader.centroids["colbert"], writer2.centroids["colbert"])
