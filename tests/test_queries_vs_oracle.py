@@ -32,3 +32,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "score"]
+
+
+def test_verification_window_holds_current_round_queries():
+    """Rotation policy guard: every query added or rotated in THIS
+    round must sit inside the driver's first-50 verification window —
+    an accidental registry reorder would silently launch them without
+    an independent driver verdict (the r04/r05 gap the policy fixes).
+    Update the list when the round rotates."""
+    ks = list(REGISTRY)
+    assert len(ks) >= 50
+    window = set(ks[:50])
+    for q in ("q_doc_chunks", "q_cross_dedup", "q_len_histogram", "q_events_props"):
+        assert q in window, f"{q} fell out of the driver's first-50 window"
