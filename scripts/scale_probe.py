@@ -31,8 +31,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 BASE = "/root/testdata/sf0.1"
-OUT = os.path.join(REPO, ".scale_probe", "sf1")
-COPIES = 10
+# COPIES=100 + SCALE_PROBE_LABEL=sf10 gives a second order of
+# magnitude on the same protocol
+COPIES = int(os.environ.get("SCALE_PROBE_COPIES", "10"))
+LABEL = os.environ.get("SCALE_PROBE_LABEL", "sf1")
+OUT = os.path.join(REPO, ".scale_probe", LABEL)
 
 # key families shared across tables: (table, column) -> family
 SHIFTS = {
@@ -125,11 +128,11 @@ def run():
     spark = get_spark("lintdb_spark_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in bench.HEADLINE]
-    res_path = os.path.join(REPO, ".scale_probe", "results.json")
+    res_path = os.path.join(REPO, ".scale_probe", f"results_{LABEL}.json")
     results = {}
     if os.path.exists(res_path):  # resume across runs
         results = json.load(open(res_path))
-    for sf_dir, label in ((BASE, "sf0.1"), (OUT, "sf1")):
+    for sf_dir, label in ((BASE, "sf0.1"), (OUT, LABEL)):
         t_all = results.setdefault(label, {})
         for n in names:
             if t_all.get(n) is not None:
@@ -155,15 +158,15 @@ def run():
               file=sys.stderr, flush=True)
     rows = []
     for n in names:
-        a, b = results["sf0.1"].get(n), results["sf1"].get(n)
+        a, b = results["sf0.1"].get(n), results[LABEL].get(n)
         alpha = (
-            round(math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(10), 2)
+            round(math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(COPIES), 2)
             if a is not None and b is not None  # 0.0 is a valid timing
             else None
         )
         rows.append((n, a, b, alpha))
     print(json.dumps({"rows": rows}))
-    print("\n| query | sf0.1 s | sf1 s | alpha |")
+    print(f"\n| query | sf0.1 s | {LABEL} s | alpha |")
     print("|---|---|---|---|")
     for n, a, b, alpha in sorted(
         rows, key=lambda r: -r[3] if r[3] is not None else 9  # None rows last
