@@ -57,6 +57,7 @@ HEADLINE = [
     "q_minhash_sig",
     "q_lsh_buckets",
     "q_jaccard_pairs",
+    "q_jaccard_verified",
     "q_simhash",
     "q_text_stats",
     "q_repetition",

@@ -322,6 +322,75 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    shingles: DataFrame,
+    buckets: DataFrame,
+    min_jaccard: float = 0.5,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Production near-dup pair path: LSH candidate generation + exact
+    Jaccard VERIFICATION — the shape a 100 TB dedup pipeline actually
+    runs. Candidates are band-bucket collisions (lsh_candidate_pairs,
+    bounded per bucket, never all-pairs); each candidate is then
+    verified on the two docs' exact capped shingle sets. No shingle
+    inverted-index self-join anywhere, so jaccard_pairs' sum(df^2)
+    bound — linear in the corpus but with a DF_CEIL-sized constant —
+    never appears. Measured motivation (SCALE.md §6): at the sf10
+    probe (500k docs) the exhaustive join spilled >70 GB of local
+    shuffle while every LSH path stayed flat.
+
+    Recall contract: standard MinHash-LSH semantics — a pair is
+    emitted only if it collides in >= 1 band AND its exact Jaccard
+    over the df-capped shingle sets >= min_jaccard (collision
+    probability 1-(1-s^r)^b; with the repo's 16 perms / 4 bands,
+    s=0.5 pairs collide w.p. ~0.23, s=0.9 w.p. ~0.93). This is a
+    candidate-restricted SUBSET of jaccard_pairs' exhaustive output —
+    the deliberate recall-for-boundedness trade every production
+    near-dup system makes.
+
+    ``shingles`` must be the df-CAPPED shingle table (sizes and
+    intersections then use the same sets as jaccard_pairs, so shared
+    pairs carry identical jaccard values). Returns
+    (doc_a, doc_b, n_common, jaccard).
+
+    Scale shape: one bucket-bounded join for candidates; the verify is
+    cand |x| shingles(doc_a) (fan-out = candidate count x avg doc
+    shingle count) hash-joined to shingles on (doc_b, shingle); sizes
+    is a doc-keyed aggregate. Everything is linear in
+    |candidates| x |doc shingles|."""
+    cand = lsh_candidate_pairs(buckets)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                params.ROUND,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per doc: per-bit majority vote over
     md5-hashed tokens (with multiplicity). (doc_id, simhash)."""

@@ -635,6 +635,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_cached(spark, sf_dir)
 
 
+def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup pair path: LSH band-bucket candidates +
+    exact Jaccard verify (>= 0.5) on the capped shingle sets — the
+    bounded alternative the sf10 probe motivated (SCALE.md §6: the
+    exhaustive inverted-index join spilled >70 GB at 500k docs; this
+    path's joins are candidate- and bucket-bounded)."""
+    buckets = dedup.lsh_buckets_wide(minhash_wide_cached(spark, sf_dir))
+    return dedup.jaccard_verify_pairs(
+        capped_shingles_cached(spark, sf_dir), buckets, min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -1733,6 +1745,32 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 """,
+    "q_jaccard_verified": f"""
+WITH {_SIGS},
+bk AS (SELECT doc_id, CAST(floor(perm / {params.MINHASH_PERMS // params.LSH_BANDS}.0) AS INT) AS band,
+              md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS bucket
+       FROM sigs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM shingles),
+fsh AS (SELECT s.doc_id, s.shingle FROM shingles s
+        JOIN (SELECT shingle FROM shingles GROUP BY shingle
+              HAVING count(*) <= (SELECT least(greatest(nd * {params.JACCARD_MAX_DF_FRAC}, {params.JACCARD_DF_FLOOR}), {params.JACCARD_DF_CEIL}) FROM nd)) keep
+        USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM cand c
+          JOIN fsh a ON a.doc_id = c.doc_a
+          JOIN fsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n + sb.n - n_common), {params.ROUND}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n + sb.n - n_common), {params.ROUND}) >= {DUP_CLUSTER_JACCARD}
+""",
     # connected components as a recursive reachability closure: a
     # vertex's cluster id = min doc_id reachable in the (bidirected)
     # pair graph — the same fixed point hash-min propagation converges
@@ -2265,13 +2303,16 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        (driver-green r01,r02,r03,r04,r05 — five consecutive
     #        rounds). q_len_histogram, q_events_props (NEW in r06)
     #        rotated IN; q_lang_id, q_repetition rotated OUT
-    #        (driver-green r01-r05, pure column expressions). ----
+    #        (driver-green r01-r05, pure column expressions).
+    #        q_jaccard_verified (NEW in r06) rotated IN; q_text_stats
+    #        rotated OUT (driver-green r01-r05). ----
     "q_term_text": q_term_text,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
     "q_len_histogram": q_len_histogram,
     "q_events_props": q_events_props,
+    "q_jaccard_verified": q_jaccard_verified,
     "q_and": q_and,
     "q_or": q_or,
     "q_assign": q_assign,
@@ -2305,7 +2346,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_keep": q_dedup_keep,
     "q_bm25": q_bm25,
     "q_text_match": q_text_match,
-    "q_text_stats": q_text_stats,
     "q_quality_filter": q_quality_filter,
     "q_domain_mix": q_domain_mix,
     "q_unigram_loglik": q_unigram_loglik,
@@ -2326,6 +2366,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_term_date": q_term_date,
     "q_lang_id": q_lang_id,
     "q_repetition": q_repetition,
+    "q_text_stats": q_text_stats,
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,
     "q_revenue_by_nation": q_revenue_by_nation,

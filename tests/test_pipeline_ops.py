@@ -671,3 +671,32 @@ def test_lsh_banding_rejects_ragged_band_split(spark):
     )
     with _pt.raises(ValueError, match="divide evenly"):
         dedup.lsh_buckets_wide(wide, bands=5)
+
+
+def test_jaccard_verified_is_candidate_subset_with_identical_values(spark):
+    """LSH-verified pairs are a SUBSET of the exhaustive pair list
+    (candidates only), and every shared (doc_a, doc_b) carries the
+    IDENTICAL n_common/jaccard (same capped shingle sets verify both
+    paths). Near-identical docs collide in some band with near
+    certainty, so the known dup pair must survive."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, text, "en", "s", 10),
+        (2, text + " lambda", "en", "s", 11),  # near-dup of 1
+        (3, "one two three four five six seven eight nine ten", "en", "s", 10),
+    ]
+    docs = _docs(spark, rows)
+    capped = dedup.df_capped_shingles(dedup.doc_shingles(docs)).persist()
+    buckets = dedup.lsh_buckets_wide(dedup.minhash_wide(capped))
+    exhaustive = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.jaccard_pairs(capped, capped=capped).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.jaccard_verify_pairs(capped, buckets, min_jaccard=0.5).collect()
+    }
+    assert set(verified) <= {k for k, v in exhaustive.items() if v[1] >= 0.5}
+    assert (1, 2) in verified  # near-identical docs collide
+    for k, v in verified.items():
+        assert exhaustive[k] == v  # identical values on shared pairs

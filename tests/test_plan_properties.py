@@ -404,3 +404,19 @@ def test_events_props_json_stays_jvm_side(spark, sf_dir):
     assert "EvalPython" not in p
     assert "Join" not in p
     assert _nodes(p, "Exchange") <= 2  # agg exchange (+ cached layout)
+
+
+def test_jaccard_verified_has_no_shingle_self_join(spark, sf_dir):
+    """The LSH-verified jaccard path must never contain the
+    inverted-index shingle self-join (the sum(df^2) shape): its joins
+    are candidate-bounded (band-bucket collisions) and doc-keyed. A
+    SortMergeJoin or shuffle on `shingle` ALONE would mean the
+    exhaustive join leaked back in."""
+    p = plan_of(spark, sf_dir, "q_jaccard_verified")
+    assert "EvalPython" not in p
+    # the only shingle-keyed hash partitionings allowed are compound
+    # (doc_b, shingle) verify joins, never shingle alone
+    import re
+
+    solo = re.findall(r"hashpartitioning\(shingle#\d+[,\s]+\d+\)", p)
+    assert not solo, solo

@@ -43,5 +43,11 @@ def test_verification_window_holds_current_round_queries():
     ks = list(REGISTRY)
     assert len(ks) >= 50
     window = set(ks[:50])
-    for q in ("q_doc_chunks", "q_cross_dedup", "q_len_histogram", "q_events_props"):
+    for q in (
+        "q_doc_chunks",
+        "q_cross_dedup",
+        "q_len_histogram",
+        "q_events_props",
+        "q_jaccard_verified",
+    ):
         assert q in window, f"{q} fell out of the driver's first-50 window"
