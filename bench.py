@@ -363,6 +363,7 @@ def main() -> None:
         jaccard_pairs_cached,
         minhash_wide_cached,
         text_tf_cached,
+        verified_pairs_cached,
         vocab_stats_cached,
     )
 
@@ -380,6 +381,7 @@ def main() -> None:
         ("capped_shingle_build", capped_shingles_cached),  # df stop list, jaccard input
         ("minhash_build", minhash_wide_cached),  # stored signature table
         ("pair_build", jaccard_pairs_cached),  # materialized pair hand-off
+        ("verified_pair_build", verified_pairs_cached),  # LSH-verified pair artifact
         ("cluster_build", dup_clusters_cached),  # stored cluster map (q_dedup_keep)
         ("text_token_build", text_tokens_cached),  # of q_text_match / q_bm25
         ("doclen_build", doc_lengths_cached),  # bm25's stored dl statistic

@@ -258,7 +258,14 @@ def df_capped_shingles(
         )
         .select("shingle")
     )
-    return shingles.join(F.broadcast(stop), "shingle", "left_anti")
+    # NO forced broadcast: on natural text the stop list is tiny
+    # (heavy tail) and Catalyst broadcasts it anyway under the
+    # threshold, but nothing BOUNDS it — a low-entropy corpus at scale
+    # can push millions of shingles over the cap, and a forced
+    # broadcast then dies building the blob on the driver (measured at
+    # the sf10 probe). The fallback shuffle anti-join lands on the
+    # same shingle key the df aggregate already shuffled on.
+    return shingles.join(stop, "shingle", "left_anti")
 
 
 def jaccard_pairs(

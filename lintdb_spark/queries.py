@@ -635,16 +635,33 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_cached(spark, sf_dir)
 
 
+_VERIFIED_PAIR_CACHE: dict = {}
+
+
+def verified_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached LSH-verified pair set (same stored-artifact
+    discipline as jaccard_pairs_cached — a real pipeline materializes
+    the verified pairs once per corpus snapshot; bench times the build
+    as verified_pair_build)."""
+
+    def build():
+        buckets = dedup.lsh_buckets_wide(minhash_wide_cached(spark, sf_dir))
+        return dedup.jaccard_verify_pairs(
+            capped_shingles_cached(spark, sf_dir),
+            buckets,
+            min_jaccard=DUP_CLUSTER_JACCARD,
+        ).persist()
+
+    return _session_cached(_VERIFIED_PAIR_CACHE, spark, sf_dir, build)
+
+
 def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup pair path: LSH band-bucket candidates +
     exact Jaccard verify (>= 0.5) on the capped shingle sets — the
     bounded alternative the sf10 probe motivated (SCALE.md §6: the
     exhaustive inverted-index join spilled >70 GB at 500k docs; this
     path's joins are candidate- and bucket-bounded)."""
-    buckets = dedup.lsh_buckets_wide(minhash_wide_cached(spark, sf_dir))
-    return dedup.jaccard_verify_pairs(
-        capped_shingles_cached(spark, sf_dir), buckets, min_jaccard=DUP_CLUSTER_JACCARD
-    )
+    return verified_pairs_cached(spark, sf_dir)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
