@@ -402,6 +402,36 @@ class Index:
         return seg, os.path.join(self.path, table, seg)
 
     def _read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        """Open a table's committed segments as one DataFrame.
+
+        The OPENED frame is memoized per (table, segment list): file
+        listing for a heavily partitioned table is a Spark job with
+        one task per directory (parallelPartitionDiscovery — measured
+        6183 tasks / ~15 s per call on the sf10 probe's 8000-centroid
+        postings), and spark.read re-lists on every call. Re-using the
+        relation makes listing a once-per-snapshot cost — the Spark
+        analogue of the reference keeping its index open in RAM
+        (index.cpp:40-58 opens RocksDB once, not per query). Any
+        commit changes the segment list (or bumps versions), which
+        changes the key; _refresh_meta_if_stale reloads meta, so
+        external commits re-key too. Entries are plain lazy frames —
+        no persisted data, just the resolved file index."""
+        cache = getattr(self, "_read_cache", None)
+        if cache is None:
+            cache = self._read_cache = {}
+        key = (table, tuple(self._segments(table)), self._version(table))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._read_uncached(table, schema)
+        cache[key] = out
+        # drop superseded snapshots of the same table (old segment
+        # lists can never be served again)
+        for k in [k for k in cache if k[0] == table and k != key]:
+            del cache[k]
+        return out
+
+    def _read_uncached(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         def _has_parquet(p: str) -> bool:
             # a committed-but-footerless dir (empty batch from an old
             # build, or crash remnant) would fail schema inference for
@@ -615,7 +645,21 @@ class Index:
                     .distinct()
                 )
                 seg, p = self._stage_path(table)
-                postings.write.mode("overwrite").partitionBy("tenant", "centroid_id").parquet(p)
+                # align the shuffle with the table's directory
+                # partitioning: without this every input task writes a
+                # file into EVERY (tenant, centroid) dir it touches —
+                # at the sf10 probe (8000 centroids) that made ~200k
+                # tiny files and a 6000-partition scan per serve call
+                # (the classic small-files problem). One shuffle here
+                # buys one file per directory; maxRecordsPerFile
+                # re-splits genuinely large posting lists.
+                (
+                    postings.repartition("tenant", "centroid_id")
+                    .write.mode("overwrite")
+                    .option("maxRecordsPerFile", 5_000_000)
+                    .partitionBy("tenant", "centroid_id")
+                    .parquet(p)
+                )
                 staged.append((table, seg))
 
             # analyzed TEXT fields -> token postings (inverted text
@@ -687,8 +731,12 @@ class Index:
             table = f"postings/{fld.name}"
             p = drop_rows(self._postings(fld.name))
             new_v = self._version(table) + 1
-            p.write.mode("overwrite").partitionBy("tenant", "centroid_id").parquet(
-                self._table_path(table, new_v)
+            (
+                p.repartition("tenant", "centroid_id")  # one file per dir (see add)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", 5_000_000)
+                .partitionBy("tenant", "centroid_id")
+                .parquet(self._table_path(table, new_v))
             )
             new_segs[table] = f"v{new_v}"
         for fld in self.schema.analyzed_text_fields():
@@ -844,9 +892,14 @@ class Index:
         for fld in self.schema.colbert_fields():
             table = f"postings/{fld.name}"
             seg, p = self._stage_path(table)
-            other._postings(fld.name).write.mode("overwrite").partitionBy(
-                "tenant", "centroid_id"
-            ).parquet(p)
+            (
+                other._postings(fld.name)
+                .repartition("tenant", "centroid_id")  # one file per dir (see add)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", 5_000_000)
+                .partitionBy("tenant", "centroid_id")
+                .parquet(p)
+            )
             staged.append((table, seg))
         for fld in self.schema.analyzed_text_fields():
             table = f"postings_text/{fld.name}"
