@@ -64,6 +64,8 @@ HEADLINE = [
     "q_quality_filter",
     "q_domain_mix",
     "q_dedup_keep",
+    "q_dup_clusters_verified",
+    "q_dedup_keep_verified",
     "q_skew_agg",
     "q_unigram_loglik",
     "q_tfidf_keywords",

@@ -268,11 +268,26 @@ def df_capped_shingles(
     return shingles.join(stop, "shingle", "left_anti")
 
 
+def exhaustive_pair_bound(capped: DataFrame) -> int:
+    """Candidate-pair count of the inverted-index self-join over a
+    (df-capped) shingle table: sum over shingles of C(df, 2). One
+    integer-exact aggregate over the frame — cheap relative to the join
+    it sizes (the frame is persisted on every caller path)."""
+    row = (
+        capped.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     min_overlap: int = 2,
     max_df_frac: float | None = None,
     capped: DataFrame | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard via inverted-index self-join on shingle.
     Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
@@ -296,13 +311,29 @@ def jaccard_pairs(
 
     ``capped``: optional prebuilt ``df_capped_shingles`` frame
     (persisted by the caller, e.g. a session cache) — the serve path
-    then runs just sizes + the inverted-index self-join."""
+    then runs just sizes + the inverted-index self-join.
+
+    ``max_pairs``: guard ceiling on the candidate-pair bound (default
+    params.EXHAUSTIVE_PAIR_CAP); raises ValueError BEFORE launching the
+    self-join when sum(C(df, 2)) exceeds it — the sf10 probe proved the
+    over-cap regime spills unboundedly (>70 GB at 10e9 pairs) and the
+    bounded production path is jaccard_verify_pairs."""
     if capped is None:
         # persist the capped frame: sizes and both self-join sides read
         # it (3 references), and each un-persisted reference re-runs
         # the df aggregate + anti-join over the full shingle stream
         capped = df_capped_shingles(shingles, max_df_frac).persist()
     shingles = capped
+    cap = params.EXHAUSTIVE_PAIR_CAP if max_pairs is None else max_pairs
+    bound = exhaustive_pair_bound(shingles)
+    if bound > cap:
+        raise ValueError(
+            f"exhaustive jaccard_pairs would emit ~{bound:,} candidate "
+            f"pairs (> cap {cap:,}); this tier is for correctness-scale "
+            "corpora only — use jaccard_verify_pairs (LSH candidates + "
+            "exact verify, the bounded production path), or pass an "
+            "explicit max_pairs to override"
+        )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -433,16 +464,33 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, max_pairs: int | None = None
+) -> DataFrame:
     """All-pairs cosine >= threshold (vec_a < vec_b). Quadratic — fine
     for correctness tier; the scale path is LSH-bucketed (knn.ivf_knn
     pattern). Returns (vec_a, vec_b, cosine).
+
+    ``max_pairs``: guard ceiling on the n*(n-1)/2 pair count (default
+    params.EXHAUSTIVE_PAIR_CAP); raises ValueError before launching the
+    nested-loop join — the bounded production path is
+    embedding_lsh_neardup (sign-LSH buckets, sf10-measured linear).
 
     Perf: vectors are L2-normalized once per ROW (projection before the
     join), so each pair evaluates a single dot product — not dot plus
     two norms. cosine(a,b) == dot(a/|a|, b/|b|) up to ~1e-15, absorbed
     by params.ROUND before the threshold filter on both engines."""
     from lintdb_spark.functions.vector import l2_normalize
+
+    cap = params.EXHAUSTIVE_PAIR_CAP if max_pairs is None else max_pairs
+    n = embeddings.count()  # parquet metadata count — no scan
+    if n * (n - 1) // 2 > cap:
+        raise ValueError(
+            f"exhaustive embedding_neardup_pairs over {n:,} vectors is "
+            f"~{n * (n - 1) // 2:,} pairs (> cap {cap:,}); use "
+            "embedding_lsh_neardup (sign-LSH bucketed, the bounded "
+            "production path), or pass an explicit max_pairs to override"
+        )
 
     # explicit partition COUNT on the streaming side: the source is
     # single-file parquet, and AQE would coalesce a column-only

@@ -70,6 +70,17 @@ JACCARD_DF_FLOOR = 8
 # drops 100x; tiers at or below sf0.1 are unchanged (their fractional
 # cap 0.2*n was already <= 1000).
 JACCARD_DF_CEIL = 1_000
+# Exhaustive-tier guard: the all-pairs paths (jaccard_pairs'
+# inverted-index self-join, embedding_neardup_pairs' nested loop) raise
+# before launching a build whose candidate-pair count exceeds this.
+# ~1e9 candidate rows is tens of GB of shuffle — the regime where the
+# sf10 probe measured the exhaustive jaccard join spilling >70 GB
+# locally and never finishing (SCALE.md §6; its bound is 10.0e9 pairs,
+# vs 125e6 at sf1 which completes fine). The error message names the
+# bounded production twin (jaccard_verify_pairs / embedding_lsh_neardup);
+# callers that genuinely want a bigger exhaustive build pass an explicit
+# max_pairs.
+EXHAUSTIVE_PAIR_CAP = 1_000_000_000
 ROUND = 4  # decimals kept when hashing float scores across engines
 
 # English/German/French/Spanish stopword lists for the n-gram-free

@@ -751,6 +751,44 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup chain, clustering stage: connected components
+    over the LSH-VERIFIED pair set (q_jaccard_verified) instead of the
+    exhaustive inverted-index pairs — the feed that completes at sf10
+    where the exhaustive join cannot (SCALE.md §6). Verified pairs are
+    already filtered at DUP_CLUSTER_JACCARD by construction."""
+    return dedup.dup_clusters(
+        verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+_VERIFIED_CLUSTER_CACHE: dict = {}
+
+
+def verified_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached cluster map off the VERIFIED pair artifact — the
+    production counterpart of dup_clusters_cached (bench times it as
+    verified_cluster_build)."""
+    return _session_cached(
+        _VERIFIED_CLUSTER_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.dup_clusters(
+            verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        ).persist(),
+    )
+
+
+def q_dedup_keep_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production survivorship: drop list off the verified-pair cluster
+    map — zero shuffles at serve, and every upstream stage (buckets ->
+    candidates -> verify -> clusters) is bounded at 100 TB."""
+    cl = verified_clusters_cached(spark, sf_dir)
+    return cl.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.col("cluster_id").alias("keep_doc_id")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(
         load_table(spark, sf_dir, "documents"),
@@ -2071,6 +2109,31 @@ _KEEP_SQL = ORACLE["q_dup_clusters"].replace(
 assert "keep_doc_id" in _KEEP_SQL, "q_dup_clusters tail SQL changed"
 ORACLE["q_dedup_keep"] = _KEEP_SQL
 
+# Verified-pair-fed clustering twins (the PRODUCTION dedup chain): the
+# same reachability closure as q_dup_clusters, but over the LSH-verified
+# pair set — pairs come from q_jaccard_verified's oracle verbatim (a
+# nested CTE), so the three stay in lockstep by construction. The
+# exhaustive-fed q_dup_clusters/q_dedup_keep remain as the oracle tier.
+ORACLE["q_dup_clusters_verified"] = f"""
+WITH RECURSIVE vp AS ({ORACLE["q_jaccard_verified"]}),
+edges AS (SELECT doc_a AS v, doc_b AS u FROM vp
+          UNION ALL SELECT doc_b, doc_a FROM vp),
+reach(v, lbl) AS (
+    SELECT DISTINCT v, v FROM edges
+    UNION
+    SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.v
+)
+SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+"""
+_KEEP_V_SQL = ORACLE["q_dup_clusters_verified"].replace(
+    "SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY v",
+    "SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS keep_doc_id "
+    "FROM reach GROUP BY v HAVING v <> min(lbl)",
+)
+assert "keep_doc_id" in _KEEP_V_SQL, "q_dup_clusters_verified tail SQL changed"
+ORACLE["q_dedup_keep_verified"] = _KEEP_V_SQL
+
 ORACLE["q_quality_filter"] = f"""
 WITH base AS (
   SELECT doc_id,
@@ -2313,24 +2376,32 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # Rotation policy (adopted round 6, per the round-5 verdict): every
     # NEW query spends its first round inside the window so it gets an
-    # independent driver verdict before it may rotate to the tail.
-    # Rotation log:
-    #   r06: q_doc_chunks, q_cross_dedup rotated IN (landed r05, never
-    #        driver-verified); q_term_float, q_term_date rotated OUT
-    #        (driver-green r01,r02,r03,r04,r05 — five consecutive
-    #        rounds). q_len_histogram, q_events_props (NEW in r06)
-    #        rotated IN; q_lang_id, q_repetition rotated OUT
-    #        (driver-green r01-r05, pure column expressions).
-    #        q_jaccard_verified (NEW in r06) rotated IN; q_text_stats
-    #        rotated OUT (driver-green r01-r05). ----
-    "q_term_text": q_term_text,
+    # independent driver verdict before it may rotate to the tail, and
+    # only multiply-proven queries (>=3 driver-green rounds, verifiable
+    # against CORRECTNESS_r0*.json) may rotate out.
+    # Rotation log (rounds cite the actual CORRECTNESS_r0*.json greens):
+    #   r06: rotated IN q_doc_chunks, q_cross_dedup (landed r05, never
+    #        driver-verified) and the r06-new q_len_histogram,
+    #        q_events_props, q_jaccard_verified. Rotated OUT
+    #        q_term_date, q_lang_id, q_text_stats (each driver-green
+    #        r01,r02,r03,r04,r05 — five rounds) — and, VIOLATING the
+    #        >=3 bar, q_term_float (green r04,r05 only — two rounds)
+    #        and q_repetition (green r05 only — one round).
+    #   r07: corrective rotation per the round-6 verdict — q_term_float
+    #        and q_repetition rotated BACK IN until they meet the >=3
+    #        bar; q_term_text and q_and rotated OUT (each driver-green
+    #        r01,r02,r03,r04,r05,r06 — six consecutive rounds).
+    #        NEW q_dup_clusters_verified, q_dedup_keep_verified rotated
+    #        IN (first round); q_dedup_exact, q_minhash_sig rotated OUT
+    #        (each driver-green r01-r06 — six consecutive rounds). ----
+    "q_term_float": q_term_float,
+    "q_repetition": q_repetition,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
     "q_len_histogram": q_len_histogram,
     "q_events_props": q_events_props,
     "q_jaccard_verified": q_jaccard_verified,
-    "q_and": q_and,
     "q_or": q_or,
     "q_assign": q_assign,
     "q_mapping": q_mapping,
@@ -2351,11 +2422,11 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof": q_asof,
     "q_range_join": q_range_join,
     "q_skew_agg": q_skew_agg,
-    "q_dedup_exact": q_dedup_exact,
-    "q_minhash_sig": q_minhash_sig,
     "q_lsh_buckets": q_lsh_buckets,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_dup_clusters": q_dup_clusters,
+    "q_dup_clusters_verified": q_dup_clusters_verified,
+    "q_dedup_keep_verified": q_dedup_keep_verified,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
     "q_embedding_neardup": q_embedding_neardup,
@@ -2379,10 +2450,12 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
-    "q_term_float": q_term_float,
+    "q_term_text": q_term_text,
+    "q_and": q_and,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_sig": q_minhash_sig,
     "q_term_date": q_term_date,
     "q_lang_id": q_lang_id,
-    "q_repetition": q_repetition,
     "q_text_stats": q_text_stats,
     "q_pricing_summary": q_pricing_summary,
     "q_top_orders": q_top_orders,

@@ -185,6 +185,45 @@ def test_jaccard_df_cap_drops_boilerplate_shingles(spark):
     assert abs(got[0].jaccard - 3 / 5) < 1e-9
 
 
+def test_exhaustive_jaccard_guard_fires_above_cap(spark):
+    """The exhaustive-tier guard (round-7, per the sf10 probe that
+    measured the over-cap regime spilling >70 GB): jaccard_pairs must
+    raise BEFORE launching the self-join when the candidate-pair bound
+    sum(C(df, 2)) exceeds max_pairs, and the message must name the
+    bounded production path."""
+    import pytest
+
+    # 30 docs sharing one shingle: bound = C(30, 2) = 435 candidates
+    sh = spark.createDataFrame(
+        [(d, "shared") for d in range(30)] + [(d, f"u{d}") for d in range(30)],
+        "doc_id long, shingle string",
+    )
+    with pytest.raises(ValueError, match="jaccard_verify_pairs"):
+        dedup.jaccard_pairs(sh, max_df_frac=1.0, max_pairs=100)
+    # same input under the cap still runs (435 <= 1000)
+    assert (
+        dedup.jaccard_pairs(sh, min_overlap=1, max_df_frac=1.0, max_pairs=1000).count()
+        > 0
+    )
+    # the default params cap is far above bench-scale bounds (sf0.1
+    # measures 1.27e6 candidates vs the 1e9 default) — unguarded here
+    assert dedup.jaccard_pairs(sh, min_overlap=1, max_df_frac=1.0).count() > 0
+
+
+def test_exhaustive_embedding_guard_fires_above_cap(spark):
+    """embedding_neardup_pairs guard: n*(n-1)/2 over max_pairs raises,
+    naming embedding_lsh_neardup."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="embedding_lsh_neardup"):
+        dedup.embedding_neardup_pairs(emb, max_pairs=100)
+    assert dedup.embedding_neardup_pairs(emb, threshold=0.99, max_pairs=10_000).count() >= 0
+
+
 def test_jaccard_df_cap_keeps_borderline_shingles(spark):
     """A shingle at exactly the cap (df == max_df_frac * n_docs) stays:
     the cap is strictly 'more than'."""

@@ -44,6 +44,14 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
+        # r07 corrective rotation: re-windowed until >=3 driver greens
+        # (q_term_float: r04,r05; q_repetition: r05 — see rotation log).
+        "q_term_float",
+        "q_repetition",
+        # r07 NEW: verified-pair-fed clustering twins, first round in.
+        "q_dup_clusters_verified",
+        "q_dedup_keep_verified",
+        # r06 rotations-in, each now with one driver green (r06).
         "q_doc_chunks",
         "q_cross_dedup",
         "q_len_histogram",
