@@ -117,6 +117,19 @@ def _tags_broadcasts(fn):
             if outer and tls.pending:
                 tag_broadcasts(out, *tls.pending)
             return out
+        except BaseException:
+            # broadcasts created BEFORE the failure (e.g. bc_q built,
+            # then a missing-field KeyError) would otherwise leak one
+            # blob per failed request on a long-lived server — exactly
+            # the leak this mechanism exists to prevent. Best-effort
+            # unpersist, then re-raise.
+            if outer:
+                for b in tls.pending:
+                    try:
+                        b.unpersist(blocking=False)
+                    except Exception:  # noqa: BLE001
+                        pass
+            raise
         finally:
             if outer:
                 tls.pending = None
@@ -140,6 +153,10 @@ class Index:
 
         self._bcast_tls = threading.local()
         self._refresh_lock = threading.Lock()
+        # cross-process writer-lock knobs (see _writer_lock); instance
+        # attributes so tests and embedders can tune without globals
+        self.writer_lock_timeout_s = 120.0
+        self.writer_lock_stale_s = 1800.0
 
     def _refresh_meta_if_stale(self) -> None:
         """Cross-process staleness guard for serve paths: another
@@ -148,10 +165,11 @@ class Index:
         `_meta.json` flip is the commit point, so stat'ing that one
         file per serve call detects any such commit; on change the
         meta is reloaded and `_meta_seq` bumped, invalidating the
-        serve-blob cache. Within one process, writes still require a
-        single writer (the server takes a write lock); this guard only
-        makes READERS follow external commits instead of serving a
-        stale snapshot forever."""
+        serve-blob cache. This guard makes READERS follow external
+        commits instead of serving a stale snapshot forever; WRITERS
+        serialize via the `_writer.lock` file (_writer_lock), which
+        re-runs this refresh after acquisition so every commit builds
+        on the latest published meta."""
         cur = self._stat_meta()
         if cur is None:
             return
@@ -187,6 +205,91 @@ class Index:
         if pending is not None:
             pending.append(b)
         return b
+
+    # ---------------- cross-process writer lock ----------------
+
+    def _writer_lock(self):
+        """Mutual exclusion for the commit protocol ACROSS PROCESSES —
+        the reference never faces this (it is an embedded single-process
+        library, its RocksDB handle IS the lock); the Spark rebuild
+        invites a server plus offline-ingest deployment where two
+        processes read-modify-write `_meta.json` and the loser's commit
+        silently vanishes. An `O_EXCL` lockfile held across staging +
+        meta flip turns that into serialization: after acquiring, the
+        in-memory meta is re-synced from disk (_refresh_meta_if_stale),
+        so the commit builds on whatever the previous holder published
+        — concurrent adds from two processes both land.
+
+        Stale takeover: a crashed writer leaves its lockfile behind;
+        a waiter that finds the file older than `writer_lock_stale_s`
+        claims it via atomic rename (only one claimant wins) and
+        deletes it. Waiters past `writer_lock_timeout_s` raise
+        TimeoutError — a loud error, never a lost update."""
+        import contextlib
+        import time as _time
+        import uuid as _uuid
+
+        @contextlib.contextmanager
+        def _ctx():
+            lock = os.path.join(self.path, "_writer.lock")
+            deadline = _time.monotonic() + self.writer_lock_timeout_s
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    try:
+                        os.write(
+                            fd,
+                            json.dumps(
+                                {"pid": os.getpid(), "ts": _time.time()}
+                            ).encode(),
+                        )
+                    finally:
+                        os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        age = _time.time() - os.path.getmtime(lock)
+                    except OSError:
+                        continue  # holder just released; retry now
+                    if age >= self.writer_lock_stale_s:
+                        # atomic claim: of N waiters that all saw a
+                        # stale lock, exactly one rename succeeds and
+                        # unlinks; the rest loop and contend fresh
+                        claim = f"{lock}.stale-{_uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(lock, claim)
+                            os.unlink(claim)
+                        except OSError:
+                            pass
+                        continue
+                    if _time.monotonic() >= deadline:
+                        holder = ""
+                        try:
+                            with open(lock) as f:
+                                holder = f.read(200)
+                        except OSError:
+                            pass
+                        raise TimeoutError(
+                            f"writer lock at {lock} held past "
+                            f"{self.writer_lock_timeout_s}s (holder: {holder!r}); "
+                            "another process is committing — retry, or remove "
+                            "the lockfile if its owner is dead"
+                        )
+                    _time.sleep(0.05)
+            try:
+                # build on the LATEST committed state, not this
+                # process's possibly stale in-memory view — this is
+                # what turns two racing adds into two appended batches
+                # instead of last-writer-wins on _meta.json
+                self._refresh_meta_if_stale()
+                yield
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+
+        return _ctx()
 
     # ---------------- lifecycle (A1-A3, A9) ----------------
 
@@ -251,8 +354,12 @@ class Index:
         RE-TRAIN commit changes these, not just the segment lists;
         scoring new postings against old centroid matrices would
         return garbage or IndexError)."""
-        new_c = dict(self.centroids)
-        new_q = dict(self.quantizers)
+        # rebuilt from SCRATCH each (re)load: an external commit that
+        # deleted or renamed a field's sidecar must drop that field's
+        # trained state here, not leave the reader serving it forever
+        # (merging into copies of the old dicts did exactly that)
+        new_c: dict[str, np.ndarray] = {}
+        new_q: dict[str, object] = {}
         for fld in self.schema.colbert_fields():
             cpath = os.path.join(self.path, "centroids", f"{fld.name}.parquet")
             if os.path.exists(cpath):
@@ -419,7 +526,15 @@ class Index:
         cache = getattr(self, "_read_cache", None)
         if cache is None:
             cache = self._read_cache = {}
-        key = (table, tuple(self._segments(table)), self._version(table))
+        # schema participates in the key: today every table is read
+        # with one fixed schema, but a call site passing a different
+        # one must not silently get the first-cached frame
+        key = (
+            table,
+            tuple(self._segments(table)),
+            self._version(table),
+            None if schema is None else schema.json(),
+        )
         hit = cache.get(key)
         if hit is not None:
             return hit
@@ -592,14 +707,22 @@ class Index:
         # finally (a long-lived server must not leak one pair per
         # ingest — including when UDF construction itself fails
         # between fields, e.g. a missing quantizer sidecar)
-        try:
-            return self._add_encoded(out, ingest_bcs, idempotency_token)
-        finally:
-            for b in ingest_bcs:
-                try:
-                    b.unpersist(blocking=False)
-                except Exception:  # noqa: BLE001 — best-effort
-                    pass
+        with self._writer_lock():
+            # re-check the replay watermark UNDER the lock: the refresh
+            # inside _writer_lock may have pulled a concurrent
+            # process's commit of this very batch
+            if idempotency_token is not None:
+                key, bid = idempotency_token
+                if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
+                    return
+            try:
+                return self._add_encoded(out, ingest_bcs, idempotency_token)
+            finally:
+                for b in ingest_bcs:
+                    try:
+                        b.unpersist(blocking=False)
+                    except Exception:  # noqa: BLE001 — best-effort
+                        pass
 
     def _add_encoded(self, out, ingest_bcs, idempotency_token) -> None:
         for fld in self.schema.colbert_fields():
@@ -719,6 +842,10 @@ class Index:
         consolidated v<N> segment per table, then flip _meta.json once
         for all tables (readers of the old segment lists are
         unaffected; a crash before the flip changes nothing)."""
+        with self._writer_lock():
+            self._rewrite_tables_locked(drop_rows)
+
+    def _rewrite_tables_locked(self, drop_rows) -> None:
         new_segs: dict[str, str] = {}
         docs = drop_rows(self._docs())
         new_v = self._version("docs") + 1
@@ -885,31 +1012,32 @@ class Index:
             oq = other.quantizers.get(name)
             if oq is None or quantizer_to_json(q) != quantizer_to_json(oq):
                 raise ValueError(f"merge requires identical quantizers (field {name})")
-        staged: list[tuple[str, str]] = []
-        seg, p = self._stage_path("docs")
-        other._docs().write.mode("overwrite").partitionBy("tenant").parquet(p)
-        staged.append(("docs", seg))
-        for fld in self.schema.colbert_fields():
-            table = f"postings/{fld.name}"
-            seg, p = self._stage_path(table)
-            (
-                other._postings(fld.name)
-                .repartition("tenant", "centroid_id")  # one file per dir (see add)
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", 5_000_000)
-                .partitionBy("tenant", "centroid_id")
-                .parquet(p)
-            )
-            staged.append((table, seg))
-        for fld in self.schema.analyzed_text_fields():
-            table = f"postings_text/{fld.name}"
-            if other._segments(table):
+        with self._writer_lock():
+            staged: list[tuple[str, str]] = []
+            seg, p = self._stage_path("docs")
+            other._docs().write.mode("overwrite").partitionBy("tenant").parquet(p)
+            staged.append(("docs", seg))
+            for fld in self.schema.colbert_fields():
+                table = f"postings/{fld.name}"
                 seg, p = self._stage_path(table)
-                other._text_postings(fld.name).write.mode("overwrite").partitionBy(
-                    "tenant"
-                ).parquet(p)
+                (
+                    other._postings(fld.name)
+                    .repartition("tenant", "centroid_id")  # one file per dir (see add)
+                    .write.mode("overwrite")
+                    .option("maxRecordsPerFile", 5_000_000)
+                    .partitionBy("tenant", "centroid_id")
+                    .parquet(p)
+                )
                 staged.append((table, seg))
-        self._commit_segments(staged)
+            for fld in self.schema.analyzed_text_fields():
+                table = f"postings_text/{fld.name}"
+                if other._segments(table):
+                    seg, p = self._stage_path(table)
+                    other._text_postings(fld.name).write.mode("overwrite").partitionBy(
+                        "tenant"
+                    ).parquet(p)
+                    staged.append((table, seg))
+            self._commit_segments(staged)
 
     # ---------------- search (C1-C9, D1-D8) ----------------
 

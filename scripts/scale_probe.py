@@ -83,9 +83,10 @@ def generate():
         )
     for tbl, cols in SHIFTS.items():
         parts = []
+        # schema is identical across copies — fetch once, not per copy
+        desc = con.sql(f"DESCRIBE SELECT * FROM '{BASE}/{tbl}.parquet'").fetchall()
         for i in range(COPIES):
             sel = []
-            desc = con.sql(f"DESCRIBE SELECT * FROM '{BASE}/{tbl}.parquet'").fetchall()
             for cname, ctype, *_ in desc:
                 if cname in cols:
                     sel.append(f"{cname} + {i * bases[cols[cname]]} AS {cname}")

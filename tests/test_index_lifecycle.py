@@ -826,3 +826,133 @@ def test_serve_follows_external_retrain(spark, tmp_path):
     got = [r["doc_id"] for r in after.collect()]
     assert got and got[0] == 7  # served with the RELOADED trained state
     assert np.allclose(reader.centroids["colbert"], writer2.centroids["colbert"])
+
+
+# ---------------- cross-process writer lock (round 7) ----------------
+
+
+def _lock_counter_worker(path: str, n: int) -> None:
+    """Spawn-target: increment a shared counter file n times, each
+    read-modify-write under the index writer lock. Lost increments =
+    broken mutual exclusion. Module-level for pickling."""
+    import os
+    import time
+
+    from lintdb_spark.index.index import Index
+
+    idx = Index.__new__(Index)  # lock needs only path + knobs, no Spark
+    idx.path = path
+    idx.writer_lock_timeout_s = 60.0
+    idx.writer_lock_stale_s = 1800.0
+    idx._refresh_lock = __import__("threading").Lock()
+    ctr = os.path.join(path, "counter.txt")
+    for _ in range(n):
+        with idx._writer_lock():
+            v = int(open(ctr).read())
+            time.sleep(0.001)  # widen the race window
+            with open(ctr, "w") as f:
+                f.write(str(v + 1))
+
+
+def test_writer_lock_cross_process_mutual_exclusion(tmp_path):
+    """4 real OS processes hammer a read-modify-write counter under
+    _writer_lock: every increment must survive (the exact lost-update
+    shape two concurrent committers had on _meta.json)."""
+    import multiprocessing as mp
+    import os
+
+    path = str(tmp_path / "lockdir")
+    os.makedirs(path)
+    with open(os.path.join(path, "counter.txt"), "w") as f:
+        f.write("0")
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_lock_counter_worker, args=(path, 15)) for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+    assert all(p.exitcode == 0 for p in procs)
+    assert int(open(os.path.join(path, "counter.txt")).read()) == 60
+    assert not os.path.exists(os.path.join(path, "_writer.lock"))
+
+
+def test_concurrent_writers_both_commit(spark, tmp_path):
+    """Two Index objects on one path (distinct in-memory metas — the
+    two-process deployment shape) adding concurrently: before the
+    writer lock the loser's read-modify-write of _meta.json silently
+    dropped the winner's segments. Now the lock serializes the
+    commits and the under-lock refresh rebases the second writer onto
+    the first's published meta — BOTH batches must be visible."""
+    import threading
+
+    path = str(tmp_path / "idx_2writers")
+    a = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(6))
+    a.train(docs)
+    a.add(docs)
+    b = Index.load(spark, path)
+
+    errs: list = []
+
+    def w(idx, ids):
+        try:
+            idx.add(make_docs(spark, ids))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=w, args=(a, [50, 51]))
+    t2 = threading.Thread(target=w, args=(b, [60, 61]))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert not errs, errs
+    fresh = Index.load(spark, path)
+    ids = {r.doc_id for r in fresh._docs().select("doc_id").collect()}
+    assert {50, 51, 60, 61} <= ids, ids
+    assert set(range(6)) <= ids
+
+
+def test_writer_lock_timeout_is_loud(spark, tmp_path):
+    """A live foreign writer (fresh lockfile) must make a second
+    writer fail LOUDLY after the timeout — never a silent lost
+    update; removing the lock unblocks."""
+    import os
+
+    path = str(tmp_path / "idx_locked")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(4))
+    idx.train(docs)
+    lock = os.path.join(path, "_writer.lock")
+    with open(lock, "w") as f:
+        f.write("{}")
+    idx.writer_lock_timeout_s = 0.3
+    with pytest.raises(TimeoutError, match="_writer.lock"):
+        idx.add(docs)
+    os.unlink(lock)
+    idx.add(docs)
+    got = {r.doc_id for r in idx._docs().select("doc_id").collect()}
+    assert got == set(range(4))
+
+
+def test_writer_lock_stale_takeover(spark, tmp_path):
+    """A crashed writer's lockfile (older than writer_lock_stale_s) is
+    claimed atomically and the add proceeds."""
+    import os
+    import time
+
+    path = str(tmp_path / "idx_stale")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(4))
+    idx.train(docs)
+    lock = os.path.join(path, "_writer.lock")
+    with open(lock, "w") as f:
+        f.write("{}")
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    idx.writer_lock_stale_s = 600.0
+    idx.add(docs)  # takes the stale lock over, no timeout
+    got = {r.doc_id for r in idx._docs().select("doc_id").collect()}
+    assert got == set(range(4))
