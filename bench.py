@@ -213,6 +213,23 @@ def main() -> None:
         timings["batch_search"] = round(dt_batch, 3)
         qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
         qps_cold = BENCH_NQ / dt_batch_cold if dt_batch_cold > 0 else 0.0
+
+        # ---- BENCH-2c: tenant isolation cost (round 7) ----
+        # Add a SECOND tenant with a full disjoint copy of the corpus,
+        # then serve the same batch against it: tenant partitioning is
+        # the reference's structural invariant (KeyBuilder.h:13-14 —
+        # every key is tenant-prefixed), and the Spark translation
+        # claims the same via partition pruning + the per-tenant serve
+        # caches. tenant2_search within noise of batch_search = the
+        # claim measured, not asserted (a plan test already pins the
+        # pruning; this prices it).
+        idx.add(ingest.withColumn("tenant", F.lit(1).cast("long")))
+        dt_t2 = 1e9
+        for _ in range(HEADLINE_REPS):
+            t0 = time.time()
+            idx.search_batch(1, "emb", qmats, k=10, opts=opts).count()
+            dt_t2 = min(dt_t2, time.time() - t0)
+        timings["tenant2_search"] = round(dt_t2, 3)
     except Exception as exc:  # noqa: BLE001 — record, keep benching
         errors["index_build" if "index_build" not in timings else "batch_search"] = repr(exc)
     finally:

@@ -126,12 +126,28 @@ def inrow_minhash(text_col, num_perms: int | None = None):
     # factory, NOT `lambda v, p=p`: pyspark counts lambda parameters,
     # and a two-parameter lambda is called as (element, index) — the
     # default arg would silently become the index column
-    def perm_min(p: int):
+    def perm_min(h, p: int):
         return F.array_min(
-            F.transform(h31, lambda v: perm_hash(F.lit(p).cast("bigint"), v))
+            F.transform(h, lambda v: perm_hash(F.lit(p).cast("bigint"), v))
         )
 
-    return F.array(*[perm_min(p) for p in range(num_perms)])
+    # LET-BINDING via a 1-element-array transform: referencing `h31`
+    # in all num_perms mins would paste the whole tokenize + regexp +
+    # trigram + hash subtree 16x into the expression tree. Codegen'd
+    # plans mostly absorb that through subexpression elimination, but
+    # stateful STREAMING plans evaluate projections interpreted — the
+    # round-7 streaming probe measured the 16x-duplicated form ~70x
+    # slower per row (jstack: all tasks inside interpreted
+    # RegExpReplace). transform evaluates its input array ONCE and the
+    # lambda variable is a true binding, so the heavy subtree runs
+    # once per row on every execution path.
+    return F.element_at(
+        F.transform(
+            F.array(h31),
+            lambda h: F.array(*[perm_min(h, p) for p in range(num_perms)]),
+        ),
+        1,
+    )
 
 
 def signature_digest(text_col, num_perms: int | None = None):

@@ -956,3 +956,27 @@ def test_writer_lock_stale_takeover(spark, tmp_path):
     idx.add(docs)  # takes the stale lock over, no timeout
     got = {r.doc_id for r in idx._docs().select("doc_id").collect()}
     assert got == set(range(4))
+
+
+def test_postings_serve_cache_reuses_and_rekeys_on_commit(spark, tmp_path):
+    """_postings_serve (round 7): repeated serves on an unchanged index
+    reuse ONE persisted postings slice; a commit bumps _meta_seq and
+    the next serve rebuilds (and unpersists the stale frame) — stale
+    candidates would otherwise hide newly added docs."""
+    path = str(tmp_path / "idx_pcache")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(6))
+    idx.train(docs)
+    idx.add(docs)
+
+    a = idx._postings_serve("colbert", 0)
+    b = idx._postings_serve("colbert", 0)
+    assert a is b  # same snapshot -> same persisted frame
+    assert a.storageLevel.useMemory
+
+    idx.add(make_docs(spark, [7]))
+    c = idx._postings_serve("colbert", 0)
+    assert c is not a  # commit re-keyed the slice
+    assert 7 in {r.doc_id for r in c.select("doc_id").distinct().collect()}
+    # stale frame was unpersisted by the replace
+    assert not a.storageLevel.useMemory

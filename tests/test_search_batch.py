@@ -408,3 +408,50 @@ def test_batch_serve_cache_reuses_and_invalidates(spark, tmp_path):
     res = idx.search_batch(0, "colbert", {2: doc_tokens(100)}, k=3, opts=OPTS).collect()
     assert idx._serve_blob_cache is not cache1
     assert res and sorted(res, key=lambda r: r["rank"])[0]["doc_id"] == 100
+
+
+def test_batched_probe_selection_matches_sequential_reference():
+    """_top_centroids_batch (round-7 vectorization) must select exactly
+    what the sequential per-query algorithm selected — including on
+    EXACT score ties (duplicated centroid vectors), where the contract
+    is ascending-centroid_id tie-breaks at both the per-token
+    nomination cut and the final n_probe cut. Pure numpy — no Spark."""
+    import numpy as np
+
+    from lintdb_spark.index.index import Index
+    from lintdb_spark.index import SearchOptions
+
+    rng = np.random.RandomState(7)
+    M, dim = 50, 8
+    C = rng.randn(M, dim).astype(np.float32)
+    C[13] = C[4]  # exact duplicates -> guaranteed rounded-score ties
+    C[37] = C[4]
+    C[22] = C[9]
+
+    idx = Index.__new__(Index)
+    idx.centroids = {"f": C}
+
+    def sequential(qtok, opts):
+        # the pre-round-7 per-query algorithm, verbatim
+        scores = qtok.astype(np.float64) @ C.astype(np.float64).T
+        k_top = min(max(opts.k_top_centroids, 1), C.shape[0])
+        r6 = np.round(scores, 6)
+        order = np.argsort(-r6, axis=1, kind="stable")[:, :k_top]
+        high = np.full(C.shape[0], -np.inf, dtype=np.float64)
+        rows = np.repeat(np.arange(scores.shape[0]), k_top)
+        cols = order.ravel()
+        np.maximum.at(high, cols, scores[rows, cols])
+        cand = np.nonzero(high > 0)[0]
+        ranked = sorted(cand.tolist(), key=lambda c: (-round(float(high[c]), 6), c))
+        return [int(c) for c in ranked[: opts.n_probe]]
+
+    for k_top, n_probe in ((1, 4), (2, 8), (5, 3), (M, M)):
+        opts = SearchOptions(n_probe=n_probe, k_top_centroids=k_top)
+        qmats = {qid: rng.randn(4, dim).astype(np.float32) for qid in range(17)}
+        # make some query tokens EQUAL to centroids so positives + exact
+        # ties are dense
+        qmats[3][0] = C[4]
+        qmats[5][1] = C[9]
+        got = idx._top_centroids_batch("f", qmats, opts)
+        want = [(qid, c) for qid in qmats for c in sequential(qmats[qid], opts)]
+        assert got == want, (k_top, n_probe)
