@@ -158,6 +158,64 @@ def signature_digest(text_col, num_perms: int | None = None):
     return F.md5(F.array_join(inrow_minhash(text_col, num_perms), ","))
 
 
+def signature_digest_arrow(text_col, num_perms: int | None = None):
+    """Arrow-batched twin of ``signature_digest`` over RAW text
+    (analysis included) — the HOT-PATH form. Spark never compiles
+    higher-order lambdas (ArrayTransform always runs interpreted
+    eval), and the pure-expression signature measured ~10 ms/doc at
+    the round-7 streaming probe — ~100 docs/s/core is not an ingest
+    gate. This twin runs the identical pipeline (analyze_standard_py
+    tokens -> word trigrams -> md5-derived 31-bit base hashes -> 16
+    universal-hash mins -> md5 digest) in numpy/hashlib per Arrow
+    batch; hashlib md5 and JVM md5 agree byte-for-byte, so digests
+    are value-identical to the expression form (parity-tested). The
+    expression form remains the oracle-parity reference for the
+    aggregate minhash family."""
+    import hashlib
+
+    from lintdb_spark.functions.text import (
+        MINHASH_A_MULT,
+        MINHASH_B_MULT,
+        MINHASH_PRIME,
+        analyze_standard_py,
+    )
+
+    num_perms = num_perms or params.MINHASH_PERMS
+    pr = np.arange(1, num_perms + 1, dtype=np.int64)
+    a = (MINHASH_A_MULT * pr) % MINHASH_PRIME
+    b = (MINHASH_B_MULT * pr) % MINHASH_PRIME
+
+    @F.pandas_udf("string")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            # JVM parity for NULL text: greatest(size(null)-2, 1)
+            # ignores the null operand and concat_ws of all-null
+            # elements is "", so the expression form signs a null doc
+            # exactly like an empty one — mirror that
+            toks = analyze_standard_py(t or "")
+            # JVM edge parity: split("", " ") = [""], so an all-punct
+            # doc shingles to the single empty gram
+            w = toks if toks else [""]
+            grams = [" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))]
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % MINHASH_PRIME
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            mins = ((a[:, None] * h[None, :] + b[:, None]) % MINHASH_PRIME).min(axis=1)
+            out.append(
+                hashlib.md5(",".join(str(int(x)) for x in mins).encode()).hexdigest()
+            )
+        return pd.Series(out)
+
+    return sig(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
 def minhash_signatures(shingles: DataFrame, num_perms: int | None = None) -> DataFrame:
     """(doc_id, perm, minhash) — signature = min over the doc's
     shingles under num_perms hash 'permutations'. Composition of

@@ -277,18 +277,18 @@ def neardup_stream(
     dropDuplicatesWithinWatermark evicts signature keys older than
     the watermark, so state is bounded by the ingest rate x horizon,
     not corpus size."""
-    from lintdb_spark.functions.text import analyze_standard
-    from lintdb_spark.operators.dedup import signature_digest
+    from lintdb_spark.operators.dedup import signature_digest_arrow
 
     out = _ensure_event_time(stream, event_time)
-    # normalize BEFORE signing: the batch shingle family hashes raw
-    # whitespace tokens (exact trigram parity with its oracle); the
-    # ingest gate instead wants analysis-invariant identity, so the
-    # signature is computed over the analyzed-token reconstruction —
-    # case/punctuation/serialization differences vanish, word order
-    # and content still count
-    norm = F.array_join(analyze_standard(F.col("text")), " ")
-    out = out.withColumn("sig_digest", signature_digest(norm, num_perms))
+    # normalization happens INSIDE the signature (analyzed tokens, so
+    # case/punctuation/serialization differences vanish while word
+    # order and content still count). Arrow-batched twin, not the
+    # column expression: higher-order lambdas always run interpreted
+    # on the JVM and the expression form measured ~10 ms/doc at the
+    # round-7 streaming probe — the gate's rate went ~100 -> >1000
+    # docs/s/core with the numpy/hashlib twin (value-identical,
+    # parity-tested).
+    out = out.withColumn("sig_digest", signature_digest_arrow("text", num_perms))
     # drop the helper key after deduping: the gate passes the input
     # schema through unchanged (downstream strict-schema sinks —
     # stream_ingest's ingest validation — reject extra columns)

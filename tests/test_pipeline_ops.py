@@ -739,3 +739,50 @@ def test_jaccard_verified_is_candidate_subset_with_identical_values(spark):
     assert (1, 2) in verified  # near-identical docs collide
     for k, v in verified.items():
         assert exhaustive[k] == v  # identical values on shared pairs
+
+
+def test_signature_digest_arrow_matches_expression(spark):
+    """The Arrow-batched signature twin (round 7 — the streaming
+    gate's hot path) must produce byte-identical digests to the pure
+    column-expression form, including analyzer edge cases (empty,
+    all-punctuation, <3-word docs, mixed case, null)."""
+    from lintdb_spark.functions.text import analyze_standard
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "Alpha BETA gamma, delta epsilon zeta!",
+        "",
+        "!!! ??? ...",
+        "one",
+        "one two",
+        "The quick brown fox jumps over the lazy dog 123",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    norm = F.array_join(analyze_standard(F.col("text")), " ")
+    got = (
+        df.withColumn("expr_sig", dedup.signature_digest(norm))
+        .withColumn("arrow_sig", dedup.signature_digest_arrow("text"))
+        .select("doc_id", "expr_sig", "arrow_sig")
+        .collect()
+    )
+    for r in got:
+        assert r.expr_sig == r.arrow_sig, (r.doc_id, r.expr_sig, r.arrow_sig)
+
+
+def test_signature_digest_arrow_matches_expression_on_corpus(spark, sf_dir):
+    """Same parity over 200 real synthetic-corpus documents."""
+    from lintdb_spark.functions.text import analyze_standard
+    from lintdb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    norm = F.array_join(analyze_standard(F.col("text")), " ")
+    bad = (
+        docs.withColumn("expr_sig", dedup.signature_digest(norm))
+        .withColumn("arrow_sig", dedup.signature_digest_arrow("text"))
+        .filter(F.col("expr_sig") != F.col("arrow_sig"))
+        .count()
+    )
+    assert bad == 0
