@@ -961,7 +961,13 @@ class Index:
 
         removed: list[str] = []
         for child in os.listdir(self.path):
-            if child.startswith("_meta.json.tmp-"):
+            # _meta.json.tmp-*: orphans of crashed _save_meta flips.
+            # _writer.lock.stale-*: a stale-lock claimant that died
+            # between its atomic rename and the unlink (the one
+            # leftover _writer_lock's takeover protocol can leak).
+            if child.startswith("_meta.json.tmp-") or child.startswith(
+                "_writer.lock.stale-"
+            ):
                 full = os.path.join(self.path, child)
                 try:
                     if now - os.path.getmtime(full) >= min_age_s:
@@ -1157,9 +1163,10 @@ class Index:
                 [np.asarray(qmats[q], dtype=np.float64) for q in chunk_q], axis=0
             )
             scores = Qall @ C.T  # (tok, M)
-            key = (
-                np.rint(np.round(scores, 6) * 1e6).astype(np.int64) * M + cid_tail
-            )
+            # rint(x * 1e6) == rint(round(x, 6) * 1e6): numpy's round
+            # IS scale-rint-unscale, so the integer image is computed
+            # directly without materializing the rounded matrix
+            key = np.rint(scores * 1e6).astype(np.int64) * M + cid_tail
             nom = np.argpartition(-key, k_top - 1, axis=1)[:, :k_top]
             vals = np.take_along_axis(scores, nom, axis=1)
             pos = 0

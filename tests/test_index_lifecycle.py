@@ -980,3 +980,25 @@ def test_postings_serve_cache_reuses_and_rekeys_on_commit(spark, tmp_path):
     assert 7 in {r.doc_id for r in c.select("doc_id").distinct().collect()}
     # stale frame was unpersisted by the replace
     assert not a.storageLevel.useMemory
+
+
+def test_vacuum_sweeps_stale_lock_claims(spark, tmp_path):
+    """A stale-lock claimant that died between rename and unlink
+    leaves _writer.lock.stale-<uuid>; vacuum() collects it past the
+    age guard, and never touches a FRESH one."""
+    import os
+    import time
+
+    path = str(tmp_path / "idx_lockclaims")
+    idx = Index.create(spark, path, make_schema("none"))
+    stale = os.path.join(path, "_writer.lock.stale-deadbeef")
+    fresh = os.path.join(path, "_writer.lock.stale-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 10_000
+    os.utime(stale, (old, old))
+    removed = idx.vacuum(min_age_s=3600)
+    assert "_writer.lock.stale-deadbeef" in removed
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
