@@ -59,6 +59,7 @@ HEADLINE = [
     "q_jaccard_pairs",
     "q_jaccard_verified",
     "q_simhash",
+    "q_simhash_neardup",
     "q_text_stats",
     "q_repetition",
     "q_quality_filter",

@@ -668,6 +668,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_FP_CACHE: dict = {}
+
+
+def simhash_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached simhash fingerprint table — the stored artifact
+    the fingerprint family serves off (same discipline as
+    minhash_wide_cached; bench times the build as simhash_build)."""
+    return _session_cached(
+        _SIMHASH_FP_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.simhash(load_table(spark, sf_dir, "documents")).persist(),
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-side near-dup pairs: banded simhash candidates +
+    exact Hamming verify (<= 3 of 32 bits). Pigeonhole-exact recall —
+    the deterministic complement of the probabilistic MinHash-LSH
+    path (see dedup.simhash_neardup_pairs for the 64-bit scale
+    configuration)."""
+    return dedup.simhash_neardup_pairs(
+        fingerprints=simhash_fp_cached(spark, sf_dir)
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), NEARDUP_THRESHOLD
@@ -2134,6 +2160,22 @@ _KEEP_V_SQL = ORACLE["q_dup_clusters_verified"].replace(
 assert "keep_doc_id" in _KEEP_V_SQL, "q_dup_clusters_verified tail SQL changed"
 ORACLE["q_dedup_keep_verified"] = _KEEP_V_SQL
 
+# SimHash near-dup pairs: banded candidates over the q_simhash oracle
+# (nested CTE — the two stay in lockstep), exact Hamming verify via
+# bit_count(xor(..)) on both engines.
+ORACLE["q_simhash_neardup"] = f"""
+WITH sh AS ({ORACLE["q_simhash"]}),
+bk AS (SELECT doc_id, simhash, b,
+              (simhash // CAST(power(256, b) AS BIGINT)) % 256 AS key
+       FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key
+                            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
 ORACLE["q_quality_filter"] = f"""
 WITH base AS (
   SELECT doc_id,
@@ -2393,7 +2435,10 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        r01,r02,r03,r04,r05,r06 — six consecutive rounds).
     #        NEW q_dup_clusters_verified, q_dedup_keep_verified rotated
     #        IN (first round); q_dedup_exact, q_minhash_sig rotated OUT
-    #        (each driver-green r01-r06 — six consecutive rounds). ----
+    #        (each driver-green r01-r06 — six consecutive rounds).
+    #        NEW q_simhash_neardup rotated IN (first round);
+    #        q_lsh_buckets rotated OUT (driver-green r01-r06 — six
+    #        consecutive rounds). ----
     "q_term_float": q_term_float,
     "q_repetition": q_repetition,
     "q_term_int": q_term_int,
@@ -2422,7 +2467,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof": q_asof,
     "q_range_join": q_range_join,
     "q_skew_agg": q_skew_agg,
-    "q_lsh_buckets": q_lsh_buckets,
+    "q_simhash_neardup": q_simhash_neardup,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_verified": q_dup_clusters_verified,
@@ -2454,6 +2499,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_and": q_and,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_sig": q_minhash_sig,
+    "q_lsh_buckets": q_lsh_buckets,
     "q_term_date": q_term_date,
     "q_lang_id": q_lang_id,
     "q_text_stats": q_text_stats,

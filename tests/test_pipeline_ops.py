@@ -786,3 +786,30 @@ def test_signature_digest_arrow_matches_expression_on_corpus(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_simhash_neardup_pairs_semantics(spark):
+    """Banded simhash near-dup (round 7): known fingerprints — pairs
+    within max_hamming are found (pigeonhole-exact recall), pairs
+    beyond it are dropped even when they collide in a band, and the
+    guard rejects a max_hamming the band count cannot guarantee."""
+    import pytest
+
+    fp = spark.createDataFrame(
+        [
+            (1, 0b0000_0000_0000_0000_0000_0000_0000_0000),
+            (2, 0b0000_0000_0000_0000_0000_0000_0000_0111),  # ham 3 vs 1
+            (3, 0b0000_0000_0000_0000_0000_1111_0000_0000),  # ham 4 vs 1 (band collision on 3 of 4 bands)
+            (4, 0b1111_1111_0000_0000_0000_0000_0000_0000),  # ham 8 vs 1
+        ],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(fingerprints=fp).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert (1, 3) not in got  # verified out despite band collisions
+    assert (1, 4) not in got
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_neardup_pairs(fingerprints=fp, max_hamming=4, bands=4)

@@ -48,9 +48,11 @@ def test_verification_window_holds_current_round_queries():
         # (q_term_float: r04,r05; q_repetition: r05 — see rotation log).
         "q_term_float",
         "q_repetition",
-        # r07 NEW: verified-pair-fed clustering twins, first round in.
+        # r07 NEW: verified-pair-fed clustering twins + simhash
+        # near-dup pairs, first round in.
         "q_dup_clusters_verified",
         "q_dedup_keep_verified",
+        "q_simhash_neardup",
         # r06 rotations-in, each now with one driver green (r06).
         "q_doc_chunks",
         "q_cross_dedup",
