@@ -156,6 +156,13 @@ class Index:
 
         self._bcast_tls = threading.local()
         self._refresh_lock = threading.Lock()
+        # active writer-lock hold for THIS thread: (lockpath, token)
+        # while inside _writer_lock, else None (thread-local so a
+        # server thread's serve path never sees a writer thread's hold)
+        self._wlock_tls = threading.local()
+        # guards the _postings_serve LRU (lookup/insert/evict) against
+        # concurrent server threads
+        self._postings_cache_lock = threading.Lock()
         # cross-process writer-lock knobs (see _writer_lock); instance
         # attributes so tests and embedders can tune without globals
         self.writer_lock_timeout_s = 120.0
@@ -227,7 +234,18 @@ class Index:
         a waiter that finds the file older than `writer_lock_stale_s`
         claims it via atomic rename (only one claimant wins) and
         deletes it. Waiters past `writer_lock_timeout_s` raise
-        TimeoutError — a loud error, never a lost update."""
+        TimeoutError — a loud error, never a lost update.
+
+        Ownership token: each acquisition writes a unique token into
+        the lockfile. Release unlinks ONLY if the file still holds our
+        token — a SLOW-but-alive writer whose lock was stolen by the
+        stale path must not delete the thief's fresh lock (that would
+        let a third writer in and reinstate the lost update). The
+        commit flip (_save_meta) additionally asserts ownership before
+        renaming and touches the lock mtime, so a stolen lock turns
+        into a loud RuntimeError instead of a silent overwrite, and a
+        live writer issuing several flips inside one hold never ages
+        into staleness."""
         import contextlib
         import time as _time
         import uuid as _uuid
@@ -235,6 +253,13 @@ class Index:
         @contextlib.contextmanager
         def _ctx():
             lock = os.path.join(self.path, "_writer.lock")
+            token = _uuid.uuid4().hex
+            if getattr(self._wlock_tls, "state", None) is not None:
+                # re-entrant hold in the same thread (e.g. merge
+                # calling a locked helper): the outer hold already
+                # serializes; O_EXCL would deadlock against ourselves
+                yield
+                return
             deadline = _time.monotonic() + self.writer_lock_timeout_s
             while True:
                 try:
@@ -243,7 +268,11 @@ class Index:
                         os.write(
                             fd,
                             json.dumps(
-                                {"pid": os.getpid(), "ts": _time.time()}
+                                {
+                                    "pid": os.getpid(),
+                                    "ts": _time.time(),
+                                    "token": token,
+                                }
                             ).encode(),
                         )
                     finally:
@@ -279,6 +308,7 @@ class Index:
                             "the lockfile if its owner is dead"
                         )
                     _time.sleep(0.05)
+            self._wlock_tls.state = (lock, token)
             try:
                 # build on the LATEST committed state, not this
                 # process's possibly stale in-memory view — this is
@@ -287,12 +317,49 @@ class Index:
                 self._refresh_meta_if_stale()
                 yield
             finally:
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
+                self._wlock_tls.state = None
+                # unlink ONLY our own lockfile: if the stale path
+                # stole it mid-hold, the current file belongs to the
+                # thief and must survive our release
+                if self._read_lock_token(lock) == token:
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
 
         return _ctx()
+
+    @staticmethod
+    def _read_lock_token(lock: str) -> str | None:
+        try:
+            with open(lock) as f:
+                return json.loads(f.read(4096)).get("token")
+        except (OSError, ValueError):
+            return None
+
+    def _assert_and_touch_writer_lock(self) -> None:
+        """Called by _save_meta when a writer-lock hold is active in
+        this thread: refuse to flip _meta.json on a stolen lock (the
+        thief may have committed meanwhile — our flip would silently
+        drop its segments), and refresh the lock mtime so a hold that
+        spans several flips (merge, _rewrite_tables at sf10) never
+        crosses writer_lock_stale_s between them."""
+        state = getattr(self._wlock_tls, "state", None)
+        if state is None:
+            return
+        lock, token = state
+        if self._read_lock_token(lock) != token:
+            raise RuntimeError(
+                f"writer lock at {lock} was taken over (this commit ran "
+                f"past writer_lock_stale_s={self.writer_lock_stale_s}s and "
+                "another writer claimed it as stale); aborting the meta "
+                "flip to avoid overwriting the new holder's commits — "
+                "raise writer_lock_stale_s for long commits and retry"
+            )
+        try:
+            os.utime(lock)
+        except OSError:
+            pass
 
     # ---------------- lifecycle (A1-A3, A9) ----------------
 
@@ -404,6 +471,7 @@ class Index:
         unlinked on failure — no orphan accumulation."""
         import uuid
 
+        self._assert_and_touch_writer_lock()
         tmp = os.path.join(self.path, f"_meta.json.tmp-{uuid.uuid4().hex[:8]}")
         try:
             with open(tmp, "w") as f:
@@ -613,7 +681,16 @@ class Index:
     def train(self, docs_df: DataFrame, normalize: bool = True) -> None:
         """Per colbert field: k-means centroids over all token
         embeddings, then residual-quantizer training on a sqrt(n)-style
-        driver sample (index.cpp:198-315)."""
+        driver sample (index.cpp:198-315). Commits sidecars + meta, so
+        it serializes via the writer lock like every other mutator — a
+        retrain racing a cross-process add must not lose the add's
+        _meta.json update. The heavy k-means runs OUTSIDE the lock
+        into locals; the lock covers only the install + sidecar
+        commit (lock acquisition re-syncs meta from disk, which can
+        rebuild self.centroids from sidecars — training into locals
+        keeps that refresh from clobbering the new matrices)."""
+        new_c: dict[str, np.ndarray] = {}
+        new_q: dict[str, object] = {}
         for fld in self.schema.colbert_fields():
             k = fld.parameters.num_centroids
             if k <= 0:
@@ -622,7 +699,7 @@ class Index:
             C = coarse.train_centroids(
                 toks, k, max_iter=fld.parameters.num_iterations, normalize=normalize
             )
-            self.centroids[fld.name] = C
+            new_c[fld.name] = C
 
             qkind = fld.parameters.quantization
             n_tokens = toks.count()
@@ -635,9 +712,9 @@ class Index:
             codes = (sample @ C.T).argmax(axis=1)
             residuals = sample - C[codes]
             if qkind == QuantizerType.BINARIZER.value:
-                self.quantizers[fld.name] = Binarizer.train(residuals, fld.parameters.nbits)
+                new_q[fld.name] = Binarizer.train(residuals, fld.parameters.nbits)
             elif qkind == QuantizerType.PRODUCT.value:
-                self.quantizers[fld.name] = ProductQuantizer.train(
+                new_q[fld.name] = ProductQuantizer.train(
                     residuals,
                     fld.parameters.num_subquantizers,
                     nbits=fld.parameters.nbits or 8,
@@ -645,17 +722,22 @@ class Index:
             elif qkind == QuantizerType.FLOAT16.value:
                 from lintdb_spark.index.quantizers import HalfQuantizer
 
-                self.quantizers[fld.name] = HalfQuantizer(fld.parameters.dimensions)
+                new_q[fld.name] = HalfQuantizer(fld.parameters.dimensions)
             else:
-                self.quantizers[fld.name] = IdentityQuantizer(fld.parameters.dimensions)
-        self._meta["trained"] = True
-        self._save_sidecars()
+                new_q[fld.name] = IdentityQuantizer(fld.parameters.dimensions)
+        with self._writer_lock():
+            self.centroids.update(new_c)
+            self.quantizers.update(new_q)
+            self._meta["trained"] = True
+            self._save_sidecars()
 
     def set_coarse_quantizer(self, field: str, centroids: np.ndarray) -> None:
-        """A10: inject externally trained centroids (index.cpp:454-479)."""
-        self.centroids[field] = np.asarray(centroids, dtype=np.float32)
-        self._meta["trained"] = True
-        self._save_sidecars()
+        """A10: inject externally trained centroids (index.cpp:454-479).
+        Lock-serialized for the same reason as train()."""
+        with self._writer_lock():
+            self.centroids[field] = np.asarray(centroids, dtype=np.float32)
+            self._meta["trained"] = True
+            self._save_sidecars()
 
     # ---------------- add / remove / update / merge (A5-A8) ----------------
 
@@ -1070,41 +1152,50 @@ class Index:
         LRU-capped (_POSTINGS_CACHE_MAX slots) so a server fielding
         thousands of tenants doesn't accrete unbounded persisted
         lineage; any commit (local or external via the staleness
-        refresh) bumps _meta_seq and the next serve rebuilds."""
-        cache = getattr(self, "_postings_serve_cache", None)
-        if cache is None:
-            from collections import OrderedDict
+        refresh) bumps _meta_seq and the next serve rebuilds.
 
-            cache = self._postings_serve_cache = OrderedDict()
-        key = (field, int(tenant))
-        seq = getattr(self, "_meta_seq", 0)
-        slot = cache.get(key)
-        if slot is not None and slot[0] == seq:
+        Thread safety: the multi-threaded server shares one Index, so
+        lookup/insert/evict run under a lock — without it two threads
+        missing on the same key both persist a slice and the loser's
+        frame leaks until ContextCleaner GC, and concurrent
+        move_to_end/popitem corrupt the OrderedDict. Building the
+        DataFrame under the lock is cheap: persist() is lazy, no job
+        runs until a caller triggers an action outside the lock."""
+        with self._postings_cache_lock:
+            cache = getattr(self, "_postings_serve_cache", None)
+            if cache is None:
+                from collections import OrderedDict
+
+                cache = self._postings_serve_cache = OrderedDict()
+            key = (field, int(tenant))
+            seq = getattr(self, "_meta_seq", 0)
+            slot = cache.get(key)
+            if slot is not None and slot[0] == seq:
+                cache.move_to_end(key)
+                return slot[1]
+            n_parts = self.spark.sparkContext.defaultParallelism
+            df = (
+                self._postings(field)
+                .filter(F.col("tenant") == int(tenant))
+                .select("centroid_id", "doc_id")
+                .repartition(n_parts, "centroid_id")
+                .sortWithinPartitions("centroid_id")
+                .persist()
+            )
+            if slot is not None:
+                try:
+                    slot[1].unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
+            cache[key] = (seq, df)
             cache.move_to_end(key)
-            return slot[1]
-        n_parts = self.spark.sparkContext.defaultParallelism
-        df = (
-            self._postings(field)
-            .filter(F.col("tenant") == int(tenant))
-            .select("centroid_id", "doc_id")
-            .repartition(n_parts, "centroid_id")
-            .sortWithinPartitions("centroid_id")
-            .persist()
-        )
-        if slot is not None:
-            try:
-                slot[1].unpersist(blocking=False)
-            except Exception:  # noqa: BLE001 — best-effort
-                pass
-        cache[key] = (seq, df)
-        cache.move_to_end(key)
-        while len(cache) > _POSTINGS_CACHE_MAX:
-            _, old = cache.popitem(last=False)
-            try:
-                old[1].unpersist(blocking=False)
-            except Exception:  # noqa: BLE001 — best-effort
-                pass
-        return df
+            while len(cache) > _POSTINGS_CACHE_MAX:
+                _, old = cache.popitem(last=False)
+                try:
+                    old[1].unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
+            return df
 
     def _top_centroids(self, field: str, qtok: np.ndarray, opts: SearchOptions) -> list[int]:
         """C6/C7 KnnNearestCentroids (KnnNearestCentroids.cpp:38-110):

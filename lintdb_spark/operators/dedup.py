@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from lintdb_spark import params
 from lintdb_spark.cache import tag_cached
-from lintdb_spark.functions.text import hash32, word_trigrams, words
+from lintdb_spark.functions.text import hash32, hash60, word_trigrams, words
 from lintdb_spark.functions.vector import dot_product
 
 
@@ -504,14 +504,24 @@ def jaccard_verify_pairs(
 
 
 def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash fingerprint per doc: per-bit majority vote over
-    md5-hashed tokens (with multiplicity). (doc_id, simhash)."""
+    """SimHash fingerprint per doc: per-bit majority vote over
+    md5-hashed tokens (with multiplicity). (doc_id, simhash).
+
+    ``bits`` <= 32 draws per-token bits from the 32-bit md5 prefix
+    (hash32); 33-60 from the 60-bit prefix (hash60) — without the
+    wider base, bits above 31 would be the constant 0 for every doc
+    and wide-band configurations would degenerate to a cross join.
+    bits > 60 is rejected: the fingerprint accumulates in a signed
+    BIGINT and the hash base is 60-bit."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
+    base = hash32 if bits <= 32 else hash60
     toks = (
         documents.repartition(
             documents.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
         )
         .select("doc_id", F.explode(words("text")).alias("tok"))
-        .withColumn("h", hash32(F.col("tok")))
+        .withColumn("h", base(F.col("tok")))
     )
     # per-bit test as (h div 2^b) % 2 — integer ops only, stays exact
     bit = toks.select(
@@ -565,9 +575,10 @@ def simhash_neardup_pairs(
     Scale shape: banding is a projection; the join is bucket-bounded
     by (band, chunk). Bucket population = n / 2^(bits/bands) per
     band, so 32/4 (8-bit chunks, the oracle-parity default here) is a
-    CORRECTNESS-tier configuration — at 100 TB run bits=64, bands=4
-    (16-bit chunks) so buckets stay ~n/65536 and the verify join
-    stays linear; the operator is parameterized for exactly that.
+    CORRECTNESS-tier configuration — at 100 TB run bits=60, bands=4
+    (15-bit chunks) so buckets stay ~n/32768 and the verify join
+    stays linear; the operator is parameterized for exactly that
+    (bits caps at 60, the hash-base/BIGINT width — see simhash()).
 
     ``fingerprints``: optional prebuilt/persisted ``simhash`` frame
     (doc_id, simhash) — the stored-artifact serve form."""
@@ -575,6 +586,14 @@ def simhash_neardup_pairs(
         raise ValueError(
             f"pigeonhole recall guarantee requires max_hamming <= bands - 1 "
             f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into bands ({bands}) — "
+            "a remainder would silently drop the top bits from banding "
+            "and void the pigeonhole recall guarantee"
         )
     fp = fingerprints if fingerprints is not None else simhash(documents, bits)
     width = bits // bands

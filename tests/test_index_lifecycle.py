@@ -845,6 +845,7 @@ def _lock_counter_worker(path: str, n: int) -> None:
     idx.writer_lock_timeout_s = 60.0
     idx.writer_lock_stale_s = 1800.0
     idx._refresh_lock = __import__("threading").Lock()
+    idx._wlock_tls = __import__("threading").local()
     ctr = os.path.join(path, "counter.txt")
     for _ in range(n):
         with idx._writer_lock():
@@ -956,6 +957,74 @@ def test_writer_lock_stale_takeover(spark, tmp_path):
     idx.add(docs)  # takes the stale lock over, no timeout
     got = {r.doc_id for r in idx._docs().select("doc_id").collect()}
     assert got == set(range(4))
+
+
+def test_writer_lock_stolen_release_spares_thief(spark, tmp_path):
+    """Round-8 ADVICE (medium): a slow-but-alive writer whose lock was
+    stolen by the stale path must NOT delete the thief's fresh
+    lockfile on release, and must REFUSE to flip _meta.json — the
+    thief may have committed meanwhile, so an unconditional flip would
+    reinstate the exact lost update the lock exists to prevent."""
+    import json
+    import os
+
+    path = str(tmp_path / "idx_stolen")
+    idx = Index.create(spark, path, make_schema("none"))
+    lock = os.path.join(path, "_writer.lock")
+    thief = json.dumps({"pid": 99999, "ts": 0, "token": "thief-token"})
+    with pytest.raises(RuntimeError, match="taken over"):
+        with idx._writer_lock():
+            # simulate the stale-takeover path firing mid-hold: the
+            # thief replaced our lockfile with its own
+            with open(lock, "w") as f:
+                f.write(thief)
+            idx._save_meta()  # must refuse the flip
+    # release must leave the thief's lockfile untouched
+    assert os.path.exists(lock)
+    assert json.load(open(lock))["token"] == "thief-token"
+    os.unlink(lock)
+
+
+def test_writer_lock_flip_touches_mtime(spark, tmp_path):
+    """A live writer committing several flips inside one hold must
+    never age into staleness: each _save_meta refreshes the lockfile
+    mtime, resetting the stale-takeover clock."""
+    import os
+    import time
+
+    path = str(tmp_path / "idx_touch")
+    idx = Index.create(spark, path, make_schema("none"))
+    lock = os.path.join(path, "_writer.lock")
+    with idx._writer_lock():
+        old = time.time() - 5_000
+        os.utime(lock, (old, old))
+        idx._save_meta()
+        assert time.time() - os.path.getmtime(lock) < 60
+    assert not os.path.exists(lock)
+
+
+def test_train_serializes_via_writer_lock(spark, tmp_path):
+    """Round-8 ADVICE: train()/set_coarse_quantizer() commit sidecars
+    + _meta.json, so they must respect a live foreign writer's lock
+    like every other mutator (before the fix they flipped meta
+    lock-free and could lose a racing add's update)."""
+    import os
+
+    import numpy as np
+
+    path = str(tmp_path / "idx_train_lock")
+    idx = Index.create(spark, path, make_schema("none"))
+    lock = os.path.join(path, "_writer.lock")
+    with open(lock, "w") as f:
+        f.write("{}")
+    idx.writer_lock_timeout_s = 0.3
+    with pytest.raises(TimeoutError, match="_writer.lock"):
+        idx.train(make_docs(spark, range(4)))
+    with pytest.raises(TimeoutError, match="_writer.lock"):
+        idx.set_coarse_quantizer("colbert", np.zeros((8, DIM), dtype=np.float32))
+    os.unlink(lock)
+    idx.train(make_docs(spark, range(4)))
+    assert idx._meta["trained"]
 
 
 def test_postings_serve_cache_reuses_and_rekeys_on_commit(spark, tmp_path):

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lintdb_spark.operators import dedup, sampling
+from lintdb_spark.tables import load_table
 
 
 def _pairs(spark, edges):
@@ -813,3 +814,34 @@ def test_simhash_neardup_pairs_semantics(spark):
     assert (1, 4) not in got
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_neardup_pairs(fingerprints=fp, max_hamming=4, bands=4)
+
+
+def test_simhash_wide_bits_real_entropy(spark, sf_dir):
+    """Round-8 ADVICE fix: bits > 32 must draw from a 60-bit hash base.
+    Before the fix, bits 32+ of every fingerprint were the constant 0
+    (hash32 base), so the documented scale configuration degenerated
+    to a cross join on three of four bands. Assert the high 28 bits
+    actually vary across docs at bits=60, the wide banded path returns
+    verified pairs consistent with its own fingerprints, and the
+    guards reject bits > 60 / non-divisible band splits."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    fp = dedup.simhash(docs, bits=60).persist()
+    distinct_high = fp.select((F.col("simhash") / F.lit(1 << 32)).cast("bigint")).distinct().count()
+    assert distinct_high > 10  # high bits carry real entropy, not constant 0
+
+    pairs = dedup.simhash_neardup_pairs(
+        fingerprints=fp, bits=60, bands=4, max_hamming=3
+    ).collect()
+    fps = {r.doc_id: r.simhash for r in fp.collect()}
+    for r in pairs:
+        assert bin(fps[r.doc_a] ^ fps[r.doc_b]).count("1") == r.hamming <= 3
+    fp.unpersist()
+
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        dedup.simhash(docs, bits=64)
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        dedup.simhash_neardup_pairs(fingerprints=fp, bits=64, bands=4)
+    with pytest.raises(ValueError, match="divide evenly"):
+        dedup.simhash_neardup_pairs(fingerprints=fp, bits=50, bands=4)
