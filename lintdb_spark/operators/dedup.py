@@ -362,6 +362,7 @@ def jaccard_pairs(
     max_df_frac: float | None = None,
     capped: DataFrame | None = None,
     max_pairs: int | None = None,
+    on_overflow: str = "auto",
 ) -> DataFrame:
     """n-gram Jaccard via inverted-index self-join on shingle.
     Returns (doc_a, doc_b, n_common, jaccard) for pairs sharing >=
@@ -388,10 +389,23 @@ def jaccard_pairs(
     then runs just sizes + the inverted-index self-join.
 
     ``max_pairs``: guard ceiling on the candidate-pair bound (default
-    params.EXHAUSTIVE_PAIR_CAP); raises ValueError BEFORE launching the
-    self-join when sum(C(df, 2)) exceeds it — the sf10 probe proved the
-    over-cap regime spills unboundedly (>70 GB at 10e9 pairs) and the
-    bounded production path is jaccard_verify_pairs."""
+    params.EXHAUSTIVE_PAIR_CAP); fires BEFORE launching the self-join
+    when sum(C(df, 2)) exceeds it — the sf10 probe proved the over-cap
+    regime spills unboundedly (>70 GB at 10e9 pairs) and the bounded
+    production path is jaccard_verify_pairs.
+
+    ``on_overflow``: what the guard does past the cap. "auto" (the
+    default) ROUTES to the production tier — minhash the shingles,
+    band into LSH buckets, and return jaccard_verify_pairs(min_jaccard
+    =0.0) so a `dup_clusters(jaccard_pairs(...))` pipeline survives
+    corpus growth without code changes (with a RuntimeWarning, since
+    the result becomes the candidate-restricted LSH subset — standard
+    MinHash-LSH recall instead of exhaustive). "raise" keeps the
+    round-7 loud ValueError for callers that must not silently change
+    semantics. Under-cap behavior is identical in both modes."""
+    if on_overflow not in ("auto", "raise"):
+        raise ValueError(f"on_overflow must be 'auto' or 'raise', got {on_overflow!r}")
+    orig = shingles
     if capped is None:
         # persist the capped frame: sizes and both self-join sides read
         # it (3 references), and each un-persisted reference re-runs
@@ -401,6 +415,23 @@ def jaccard_pairs(
     cap = params.EXHAUSTIVE_PAIR_CAP if max_pairs is None else max_pairs
     bound = exhaustive_pair_bound(shingles)
     if bound > cap:
+        if on_overflow == "auto":
+            import warnings
+
+            warnings.warn(
+                f"exhaustive jaccard_pairs would emit ~{bound:,} candidate "
+                f"pairs (> cap {cap:,}); auto-routing to the bounded "
+                "production tier (jaccard_verify_pairs: LSH candidates + "
+                "exact verify) — pairs are now the LSH candidate subset, "
+                "not exhaustive. Pass on_overflow='raise' to forbid, or a "
+                "larger max_pairs to force the exhaustive join.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            buckets = lsh_buckets_wide(minhash_wide(orig))
+            return jaccard_verify_pairs(
+                capped, buckets, min_jaccard=0.0, min_overlap=min_overlap
+            )
         raise ValueError(
             f"exhaustive jaccard_pairs would emit ~{bound:,} candidate "
             f"pairs (> cap {cap:,}); this tier is for correctness-scale "
@@ -622,16 +653,25 @@ def simhash_neardup_pairs(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.4, max_pairs: int | None = None
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    max_pairs: int | None = None,
+    on_overflow: str = "auto",
 ) -> DataFrame:
     """All-pairs cosine >= threshold (vec_a < vec_b). Quadratic — fine
     for correctness tier; the scale path is LSH-bucketed (knn.ivf_knn
     pattern). Returns (vec_a, vec_b, cosine).
 
     ``max_pairs``: guard ceiling on the n*(n-1)/2 pair count (default
-    params.EXHAUSTIVE_PAIR_CAP); raises ValueError before launching the
-    nested-loop join — the bounded production path is
-    embedding_lsh_neardup (sign-LSH buckets, sf10-measured linear).
+    params.EXHAUSTIVE_PAIR_CAP); fires before launching the nested-loop
+    join — the bounded production path is embedding_lsh_neardup
+    (sign-LSH buckets, sf10-measured linear).
+
+    ``on_overflow``: "auto" (default) routes an over-cap corpus to
+    embedding_lsh_neardup with a RuntimeWarning (same output schema;
+    sign-LSH recall instead of exhaustive), so pipelines survive
+    corpus growth without code changes; "raise" keeps the loud
+    ValueError. Under-cap behavior is identical in both modes.
 
     Perf: vectors are L2-normalized once per ROW (projection before the
     join), so each pair evaluates a single dot product — not dot plus
@@ -639,9 +679,25 @@ def embedding_neardup_pairs(
     by params.ROUND before the threshold filter on both engines."""
     from lintdb_spark.functions.vector import l2_normalize
 
+    if on_overflow not in ("auto", "raise"):
+        raise ValueError(f"on_overflow must be 'auto' or 'raise', got {on_overflow!r}")
     cap = params.EXHAUSTIVE_PAIR_CAP if max_pairs is None else max_pairs
     n = embeddings.count()  # parquet metadata count — no scan
     if n * (n - 1) // 2 > cap:
+        if on_overflow == "auto":
+            import warnings
+
+            warnings.warn(
+                f"exhaustive embedding_neardup_pairs over {n:,} vectors is "
+                f"~{n * (n - 1) // 2:,} pairs (> cap {cap:,}); auto-routing "
+                "to embedding_lsh_neardup (sign-LSH bucketed + exact "
+                "verify) — pairs are now the LSH candidate subset, not "
+                "exhaustive. Pass on_overflow='raise' to forbid, or a "
+                "larger max_pairs to force the exhaustive join.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return embedding_lsh_neardup(embeddings, threshold=threshold)
         raise ValueError(
             f"exhaustive embedding_neardup_pairs over {n:,} vectors is "
             f"~{n * (n - 1) // 2:,} pairs (> cap {cap:,}); use "

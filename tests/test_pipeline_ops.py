@@ -200,7 +200,7 @@ def test_exhaustive_jaccard_guard_fires_above_cap(spark):
         "doc_id long, shingle string",
     )
     with pytest.raises(ValueError, match="jaccard_verify_pairs"):
-        dedup.jaccard_pairs(sh, max_df_frac=1.0, max_pairs=100)
+        dedup.jaccard_pairs(sh, max_df_frac=1.0, max_pairs=100, on_overflow="raise")
     # same input under the cap still runs (435 <= 1000)
     assert (
         dedup.jaccard_pairs(sh, min_overlap=1, max_df_frac=1.0, max_pairs=1000).count()
@@ -209,6 +209,46 @@ def test_exhaustive_jaccard_guard_fires_above_cap(spark):
     # the default params cap is far above bench-scale bounds (sf0.1
     # measures 1.27e6 candidates vs the 1e9 default) — unguarded here
     assert dedup.jaccard_pairs(sh, min_overlap=1, max_df_frac=1.0).count() > 0
+
+
+def test_exhaustive_jaccard_auto_routes_to_verified_tier(spark):
+    """Round-8: on_overflow='auto' (the default) must keep an over-cap
+    dup_clusters(jaccard_pairs(...)) pipeline ALIVE by routing to the
+    LSH-verified production tier — warning, same schema, and every
+    returned pair carries the exact capped-set jaccard (i.e. it is a
+    subset of the exhaustive tier's output with identical values)."""
+    import pytest
+
+    # two genuinely near-dup docs (high shared-shingle fraction) so
+    # the 16-perm minhash banding collides with near-certainty, plus
+    # a pile of one-common-shingle docs to blow past the cap
+    rows = []
+    for s in range(12):
+        rows.append((0, f"dup-{s}"))
+        rows.append((1, f"dup-{s}"))
+    rows.append((0, "only-a"))
+    rows.append((1, "only-b"))
+    rows += [(d, "shared") for d in range(2, 40)]
+    rows += [(d, f"u{d}-{i}") for d in range(2, 40) for i in range(3)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    exhaustive = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup.jaccard_pairs(
+            sh, min_overlap=2, max_df_frac=1.0, max_pairs=10_000
+        ).collect()
+    }
+    with pytest.warns(RuntimeWarning, match="auto-routing"):
+        routed = dedup.jaccard_pairs(
+            sh, min_overlap=2, max_df_frac=1.0, max_pairs=100
+        )
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard) for r in routed.collect()}
+    assert routed.columns == ["doc_a", "doc_b", "n_common", "jaccard"]
+    # LSH-candidate subset of the exhaustive pairs, identical values
+    assert got, "auto route returned no pairs for a near-dup corpus"
+    for pair, vals in got.items():
+        assert exhaustive[pair] == vals
+    assert (0, 1) in got  # the true near-dup pair survives the routing
 
 
 def test_exhaustive_embedding_guard_fires_above_cap(spark):
@@ -221,8 +261,27 @@ def test_exhaustive_embedding_guard_fires_above_cap(spark):
         "vec_id long, embedding array<float>",
     )
     with pytest.raises(ValueError, match="embedding_lsh_neardup"):
-        dedup.embedding_neardup_pairs(emb, max_pairs=100)
+        dedup.embedding_neardup_pairs(emb, max_pairs=100, on_overflow="raise")
     assert dedup.embedding_neardup_pairs(emb, threshold=0.99, max_pairs=10_000).count() >= 0
+
+
+def test_exhaustive_embedding_auto_routes_to_lsh_tier(spark, sf_dir):
+    """Round-8 auto mode for the embedding family: over-cap input
+    routes to embedding_lsh_neardup with a warning; returned pairs are
+    a subset of the exhaustive output with identical cosines."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    exhaustive = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    with pytest.warns(RuntimeWarning, match="auto-routing"):
+        routed = dedup.embedding_neardup_pairs(emb, threshold=0.9, max_pairs=10)
+    got = {(r.vec_a, r.vec_b): r.cosine for r in routed.collect()}
+    assert set(routed.columns) == {"vec_a", "vec_b", "cosine"}
+    for pair, cos in got.items():
+        assert exhaustive[pair] == cos
 
 
 def test_jaccard_df_cap_keeps_borderline_shingles(spark):
