@@ -565,8 +565,14 @@ class Index:
 
         new_meta = copy.deepcopy(self._meta)
         segs = new_meta.setdefault("segments", {})
+        man = new_meta.setdefault("manifests", {})
         for table, seg in staged:
             segs.setdefault(table, []).append(seg)
+            # leaf-file manifest rides in the same atomic flip as the
+            # segment list — readers holding this meta never list
+            man.setdefault(table, {})[seg] = self._segment_manifest(
+                os.path.join(self.path, table, seg)
+            )
         if stream_batch is not None:
             key, bid = stream_batch
             new_meta.setdefault("stream_batches", {})[key] = int(bid)
@@ -578,6 +584,85 @@ class Index:
 
         seg = f"seg-{uuid.uuid4().hex[:12]}"
         return seg, os.path.join(self.path, table, seg)
+
+    # ---------------- commit-time partition manifest ----------------
+
+    @staticmethod
+    def _segment_manifest(root: str) -> list[str]:
+        """Relative paths of a segment's parquet leaf files, walked
+        once at COMMIT time by the process that just wrote them (a
+        local readdir over freshly written dirs — cheap, and on object
+        stores the writer already knows these paths). Stored in
+        _meta.json so readers can open the segment without any
+        partition-discovery listing: at the sf10 probe the postings
+        table's ~6,183 (tenant, centroid) dirs cost a 6,183-task
+        listing job (~15 s) on every cold open; a manifest read costs
+        one footer read + driver-side file stats. Segments are
+        immutable after commit, so the manifest can never go stale for
+        a reader holding the meta that references it."""
+        out = []
+        for wr, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(wr, f), root))
+        out.sort()
+        return out
+
+    def build_manifests(self) -> int:
+        """Migration for indexes committed before the manifest existed:
+        walk every committed segment that lacks a manifest entry and
+        record its leaf files in one meta flip. Safe because committed
+        segments are immutable; idempotent; returns the number of
+        segments manifested. New commits manifest automatically."""
+        import copy
+
+        with self._writer_lock():
+            new_meta = copy.deepcopy(self._meta)
+            man = new_meta.setdefault("manifests", {})
+            added = 0
+            for table in self._all_tables():
+                for seg in new_meta.get("segments", {}).get(table, []):
+                    if seg in man.get(table, {}):
+                        continue
+                    root = os.path.join(self.path, table, seg)
+                    if not os.path.exists(root):
+                        continue
+                    man.setdefault(table, {})[seg] = self._segment_manifest(root)
+                    added += 1
+            if added:
+                self._save_meta(new_meta)
+                self._meta = new_meta
+            return added
+
+    def _read_manifest_files(self, root: str, files: list[str]) -> DataFrame:
+        """Open a segment from its manifest: explicit leaf files with
+        ``basePath`` (hive partition columns still parse from the
+        paths) and schema inferred from ONE footer (mergeSchema=false
+        default) — semantically identical to the directory read, minus
+        the recursive listing. The parallel-discovery threshold is
+        bumped past the file count for the duration of relation
+        resolution so Spark stats the explicit files driver-side
+        instead of scheduling a one-task-per-path job (the exact
+        6,183-task shape the manifest exists to kill); capped so a
+        pathological million-file segment still uses the cluster."""
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        conf = self.spark.conf
+        bump = len(files) < 100_000
+        old = None
+        if bump:
+            try:
+                old = conf.get(key)
+            except Exception:  # noqa: BLE001 — unset conf
+                old = None
+            conf.set(key, str(len(files) + 1))
+        try:
+            return self.spark.read.option("basePath", root).parquet(*files)
+        finally:
+            if bump:
+                if old is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, old)
 
     def _read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         """Open a table's committed segments as one DataFrame.
@@ -617,6 +702,68 @@ class Index:
             del cache[k]
         return out
 
+    def _collect_doc_blobs(self, docs: DataFrame, codes_c, res_c, nt_c) -> dict:
+        """Materialize the serve-blob map {doc_id: (codes, residual
+        bytes, n_tokens)} on the driver. Arrow-batched toPandas when
+        available (the blob table is the largest driver transfer in the
+        serve path — measured 0.6 s vs 3.1 s for the row-at-a-time
+        py4j collect on the sf10 corpus, 50k docs x 8 KB residuals);
+        the conf is flipped only for this transfer and restored, and
+        any Arrow failure (unsupported type change, disabled conf
+        policy) falls back to collect()."""
+        sel = docs.select("doc_id", codes_c, res_c, nt_c)
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        try:
+            old = self.spark.conf.get(key, None)
+            self.spark.conf.set(key, "true")
+            try:
+                pdf = sel.toPandas()
+            finally:
+                if old is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, old)
+            return {
+                int(d): (np.asarray(c, dtype=np.int64), bytes(r), int(n))
+                for d, c, r, n in zip(
+                    pdf["doc_id"], pdf[codes_c], pdf[res_c], pdf[nt_c]
+                )
+            }
+        except Exception:  # noqa: BLE001 — Arrow path is an optimization only
+            return {
+                int(r["doc_id"]): (
+                    np.asarray(r[codes_c], dtype=np.int64),
+                    bytes(r[res_c]),
+                    int(r[nt_c]),
+                )
+                for r in sel.collect()
+            }
+
+    def _write_postings(self, postings: DataFrame, path: str) -> None:
+        """THE vector-postings segment layout, shared by add / rewrite
+        / merge. Directory-partitioned by TENANT only, with rows
+        shuffled on (tenant, centroid_id) and sorted on centroid_id
+        inside each file — so a tenant slice is a bounded number of
+        well-sized files (~shuffle.partitions, re-split by
+        maxRecordsPerFile) whose row groups carry centroid_id min/max
+        stats. Earlier rounds dir-partitioned by (tenant, centroid_id):
+        dir-level centroid pruning looked attractive, but every serve
+        path reads through the _postings_serve tenant-slice cache
+        (which clusters in memory), so the 8,000 centroid dirs bought
+        nothing and cost the classic small-files problem — the sf10
+        probe paid 6,183 file opens (and, pre-manifest, a 6,183-task
+        listing job) on every cold start. One file per (task, tenant)
+        is the 100 TB-correct shape: file count scales with cluster
+        parallelism, not with num_centroids."""
+        (
+            postings.repartition("tenant", "centroid_id")
+            .sortWithinPartitions("tenant", "centroid_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("tenant")
+            .parquet(path)
+        )
+
     def _read_uncached(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         def _has_parquet(p: str) -> bool:
             # a committed-but-footerless dir (empty batch from an old
@@ -627,13 +774,31 @@ class Index:
                     return True
             return False
 
-        paths = [
-            os.path.join(self.path, table, s)
-            for s in self._segments(table)
-            if os.path.exists(os.path.join(self.path, table, s))
-            and _has_parquet(os.path.join(self.path, table, s))
-        ]
-        if not paths:
+        man = self._meta.get("manifests", {}).get(table, {})
+        frames = []
+        for s in self._segments(table):
+            root = os.path.join(self.path, table, s)
+            rel = man.get(s)
+            if rel is not None:
+                # manifested segment: build the scan from the committed
+                # leaf-file list — no recursive listing, no discovery
+                # job (see _segment_manifest). Empty manifest = empty
+                # segment, skip the branch like _has_parquet would.
+                if rel:
+                    try:
+                        frames.append(
+                            self._read_manifest_files(
+                                root, [os.path.join(root, r) for r in rel]
+                            )
+                        )
+                        continue
+                    except Exception:  # noqa: BLE001 — e.g. moved index dir
+                        pass  # fall through to the listing read
+                else:
+                    continue
+            if os.path.exists(root) and _has_parquet(root):
+                frames.append(self.spark.read.parquet(root))
+        if not frames:
             return self.spark.createDataFrame([], schema)
         # one scan per segment, unioned: segment roots each carry their
         # own hive-partition layout, so they can't share a single
@@ -646,7 +811,7 @@ class Index:
         # failing the union — the documented degrade-gracefully contract
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            (self.spark.read.parquet(p) for p in paths),
+            frames,
         )
 
     def _docs(self) -> DataFrame:
@@ -853,21 +1018,7 @@ class Index:
                     .distinct()
                 )
                 seg, p = self._stage_path(table)
-                # align the shuffle with the table's directory
-                # partitioning: without this every input task writes a
-                # file into EVERY (tenant, centroid) dir it touches —
-                # at the sf10 probe (8000 centroids) that made ~200k
-                # tiny files and a 6000-partition scan per serve call
-                # (the classic small-files problem). One shuffle here
-                # buys one file per directory; maxRecordsPerFile
-                # re-splits genuinely large posting lists.
-                (
-                    postings.repartition("tenant", "centroid_id")
-                    .write.mode("overwrite")
-                    .option("maxRecordsPerFile", 5_000_000)
-                    .partitionBy("tenant", "centroid_id")
-                    .parquet(p)
-                )
+                self._write_postings(postings, p)
                 staged.append((table, seg))
 
             # analyzed TEXT fields -> token postings (inverted text
@@ -943,13 +1094,7 @@ class Index:
             table = f"postings/{fld.name}"
             p = drop_rows(self._postings(fld.name))
             new_v = self._version(table) + 1
-            (
-                p.repartition("tenant", "centroid_id")  # one file per dir (see add)
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", 5_000_000)
-                .partitionBy("tenant", "centroid_id")
-                .parquet(self._table_path(table, new_v))
-            )
+            self._write_postings(p, self._table_path(table, new_v))
             new_segs[table] = f"v{new_v}"
         for fld in self.schema.analyzed_text_fields():
             table = f"postings_text/{fld.name}"
@@ -967,9 +1112,15 @@ class Index:
 
         new_meta = copy.deepcopy(self._meta)
         segs = new_meta.setdefault("segments", {})
+        man = new_meta.setdefault("manifests", {})
         for table, seg in new_segs.items():
             new_meta["versions"][table] = int(seg[1:])
             segs[table] = [seg]
+            # rewrite REPLACES the table's segment list, so the
+            # manifest map is rebuilt (superseded entries pruned)
+            man[table] = {
+                seg: self._segment_manifest(os.path.join(self.path, table, seg))
+            }
         self._save_meta(new_meta)
         self._meta = new_meta
 
@@ -1111,14 +1262,7 @@ class Index:
             for fld in self.schema.colbert_fields():
                 table = f"postings/{fld.name}"
                 seg, p = self._stage_path(table)
-                (
-                    other._postings(fld.name)
-                    .repartition("tenant", "centroid_id")  # one file per dir (see add)
-                    .write.mode("overwrite")
-                    .option("maxRecordsPerFile", 5_000_000)
-                    .partitionBy("tenant", "centroid_id")
-                    .parquet(p)
-                )
+                self._write_postings(other._postings(fld.name), p)
                 staged.append((table, seg))
             for fld in self.schema.analyzed_text_fields():
                 table = f"postings_text/{fld.name}"
@@ -2107,15 +2251,7 @@ class Index:
 
         if est_bytes <= bcast_max:
             if bc_docs is None:
-                doc_rows = docs.select("doc_id", codes_c, res_c, nt_c).collect()
-                doc_map = {
-                    int(r["doc_id"]): (
-                        np.asarray(r[codes_c], dtype=np.int64),
-                        bytes(r[res_c]),
-                        int(r[nt_c]),
-                    )
-                    for r in doc_rows
-                }
+                doc_map = self._collect_doc_blobs(docs, codes_c, res_c, nt_c)
                 # filtered maps are per-call (never cached) -> track
                 # for release; unfiltered maps are owned by the serve
                 # cache, freed by its unpersist-on-replace

@@ -1071,3 +1071,68 @@ def test_vacuum_sweeps_stale_lock_claims(spark, tmp_path):
     assert "_writer.lock.stale-deadbeef" in removed
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)
+
+
+def test_commit_manifest_drives_reads(spark, tmp_path):
+    """Round-8: every commit records the segment's leaf-file list in
+    _meta.json, and _read builds the scan FROM that manifest (no
+    partition-discovery listing — the sf10 cold-serve floor). Proof
+    that the manifest is authoritative: an uncommitted stray parquet
+    file dropped into a committed segment dir is invisible to reads
+    (a directory listing would double-count it)."""
+    import glob
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx_manifest")
+    idx = Index.create(spark, path, make_schema("none"))
+    docs = make_docs(spark, range(8))
+    idx.train(docs)
+    idx.add(docs)
+
+    # manifest recorded for every table in the committed meta
+    man = idx._meta["manifests"]
+    for table in idx._all_tables():
+        for seg in idx._segments(table):
+            rel = man[table][seg]
+            assert rel, f"empty manifest for {table}/{seg}"
+            for r in rel:
+                assert os.path.exists(os.path.join(path, table, seg, r))
+
+    n_docs = idx._docs().count()
+    n_postings = idx._postings("colbert").count()
+    assert n_docs == 8
+
+    # drop a stray copy of a real leaf file into the docs segment —
+    # the manifest read must not see it
+    seg = idx._segments("docs")[0]
+    leaf = glob.glob(os.path.join(path, "docs", seg, "**", "*.parquet"), recursive=True)[0]
+    stray = os.path.join(os.path.dirname(leaf), "stray-copy.parquet")
+    shutil.copyfile(leaf, stray)
+    fresh = Index.load(spark, path)
+    assert fresh._docs().count() == n_docs  # listing would over-count
+    os.unlink(stray)
+
+    # rewrites (remove/compact) rebuild the manifest map: superseded
+    # segments pruned, the one consolidated segment manifested
+    idx.remove(0, [0, 1])
+    idx.compact()
+    man = idx._meta["manifests"]
+    for table in idx._all_tables():
+        segs = idx._segments(table)
+        if not segs:
+            continue
+        assert set(man[table]) == set(segs)
+    assert idx._docs().count() == 6
+    assert idx._postings("colbert").count() < n_postings
+
+    # an external commit's manifest reaches a long-lived reader via the
+    # staleness refresh
+    reader = Index.load(spark, path)
+    assert reader._docs().count() == 6
+    writer = Index.load(spark, path)
+    writer.add(make_docs(spark, [100, 101]))
+    reader._refresh_meta_if_stale()
+    seg_new = [s for s in reader._segments("docs") if s in reader._meta["manifests"]["docs"]]
+    assert set(seg_new) == set(reader._segments("docs"))
+    assert reader._docs().count() == 8
