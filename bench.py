@@ -75,6 +75,8 @@ HEADLINE = [
     "q_pack_plan",
     "q_doc_chunks",
     "q_cross_dedup",
+    "q_artifact_verified",
+    "q_artifact_gate",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",
@@ -376,6 +378,8 @@ def main() -> None:
         errors["query_meta_build"] = repr(exc)
 
     from lintdb_spark.queries import (
+        artifact_base_store_cached,
+        artifact_store_cached,
         capped_shingles_cached,
         doc_lengths_cached,
         dup_clusters_cached,
@@ -407,6 +411,9 @@ def main() -> None:
         ("doclen_build", doc_lengths_cached),  # bm25's stored dl statistic
         ("tf_build", text_tf_cached),  # stored tf table (unigram/tfidf)
         ("vocab_build", _vocab_build),  # df/cf vocabulary stats
+        # r08 incremental artifact stores (3-batch / 2-batch commits)
+        ("artifact_build", lambda s, d: artifact_store_cached(s, d).signatures()),
+        ("artifact_gate_build", lambda s, d: artifact_base_store_cached(s, d).signatures()),
     ]:
         try:
             t0 = time.time()
@@ -414,6 +421,32 @@ def main() -> None:
             timings[build_name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             errors[build_name] = repr(exc)
+
+    # ---- artifact_update: the MARGINAL cost of maintaining the
+    # artifact store for one new 500-doc batch (the incremental claim:
+    # update cost ∝ batch, vs artifact_build ∝ corpus). A throwaway
+    # store seeded with half the corpus keeps the shared caches
+    # untouched. ----
+    try:
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+        from lintdb_spark.tables import load_table as _lt
+        from pyspark.sql import functions as SF
+
+        tmp = tempfile.mkdtemp(prefix="bench_artifacts_")
+        st = DedupArtifacts.create(spark, tmp + "/store")
+        docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+        st.update(docs.filter(SF.col("doc_id") % 2 == 0))
+        batch = (
+            docs.filter(SF.col("doc_id") % 2 == 1)
+            .limit(500)
+            .withColumn("doc_id", SF.col("doc_id") + 1_000_000_000)
+        )
+        t0 = time.time()
+        st.update(batch)
+        timings["artifact_update"] = round(time.time() - t0, 3)
+        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["artifact_update"] = repr(exc)
 
     # ---- headline registry queries (each individually crash-guarded).
     # Each query is timed HEADLINE_REPS times and the per-query MIN

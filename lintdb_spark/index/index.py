@@ -71,6 +71,7 @@ from lintdb_spark.index.quantizers import (
     quantizer_to_json,
 )
 from lintdb_spark.index.schema import FieldType, QuantizerType, Schema
+from lintdb_spark.index.store import SegmentStore
 
 
 def _parse_byte_conf(value, default: int) -> int:
@@ -140,10 +141,9 @@ def _tags_broadcasts(fn):
 _POSTINGS_CACHE_MAX = 64  # serve-postings LRU slots (fields x tenants)
 
 
-class Index:
+class Index(SegmentStore):
     def __init__(self, spark: SparkSession, path: str, schema: Schema):
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)  # segment-store core (meta, locks)
         self.schema = schema
         self.centroids: dict[str, np.ndarray] = {}
         self.quantizers: dict[str, object] = {}
@@ -155,54 +155,14 @@ class Index:
         import threading
 
         self._bcast_tls = threading.local()
-        self._refresh_lock = threading.Lock()
-        # active writer-lock hold for THIS thread: (lockpath, token)
-        # while inside _writer_lock, else None (thread-local so a
-        # server thread's serve path never sees a writer thread's hold)
-        self._wlock_tls = threading.local()
         # guards the _postings_serve LRU (lookup/insert/evict) against
         # concurrent server threads
         self._postings_cache_lock = threading.Lock()
-        # cross-process writer-lock knobs (see _writer_lock); instance
-        # attributes so tests and embedders can tune without globals
-        self.writer_lock_timeout_s = 120.0
-        self.writer_lock_stale_s = 1800.0
 
-    def _refresh_meta_if_stale(self) -> None:
-        """Cross-process staleness guard for serve paths: another
-        process (an offline ingest job beside a long-lived IndexServer)
-        may commit segments to the same index path. The atomic
-        `_meta.json` flip is the commit point, so stat'ing that one
-        file per serve call detects any such commit; on change the
-        meta is reloaded and `_meta_seq` bumped, invalidating the
-        serve-blob cache. This guard makes READERS follow external
-        commits instead of serving a stale snapshot forever; WRITERS
-        serialize via the `_writer.lock` file (_writer_lock), which
-        re-runs this refresh after acquisition so every commit builds
-        on the latest published meta."""
-        cur = self._stat_meta()
-        if cur is None:
-            return
-        if cur == getattr(self, "_meta_stat", None):
-            return
-        with self._refresh_lock:  # one refresher at a time
-            cur = self._stat_meta()
-            if cur == getattr(self, "_meta_stat", None):
-                return
-            try:
-                with open(os.path.join(self.path, "_meta.json")) as f:
-                    self._meta = json.load(f)
-                self._normalize_meta()
-                # an external commit may have RE-TRAINED (new centroid
-                # matrices / quantizer params), not just added
-                # segments. Any read failure (mid-replace race) leaves
-                # _meta_stat UNCHANGED so the next call retries the
-                # whole refresh instead of pinning a torn state.
-                self._load_trained_sidecars()
-            except Exception:  # noqa: BLE001 — retry on next serve call
-                return
-            self._meta_stat = cur
-            self._meta_seq = getattr(self, "_meta_seq", 0) + 1
+    def _on_meta_reloaded(self) -> None:
+        # an external commit may have RE-TRAINED (new centroid
+        # matrices / quantizer params), not just added segments
+        self._load_trained_sidecars()
 
     def _bc(self, obj):
         """Broadcast ``obj``, registering the handle with the current
@@ -215,151 +175,6 @@ class Index:
         if pending is not None:
             pending.append(b)
         return b
-
-    # ---------------- cross-process writer lock ----------------
-
-    def _writer_lock(self):
-        """Mutual exclusion for the commit protocol ACROSS PROCESSES —
-        the reference never faces this (it is an embedded single-process
-        library, its RocksDB handle IS the lock); the Spark rebuild
-        invites a server plus offline-ingest deployment where two
-        processes read-modify-write `_meta.json` and the loser's commit
-        silently vanishes. An `O_EXCL` lockfile held across staging +
-        meta flip turns that into serialization: after acquiring, the
-        in-memory meta is re-synced from disk (_refresh_meta_if_stale),
-        so the commit builds on whatever the previous holder published
-        — concurrent adds from two processes both land.
-
-        Stale takeover: a crashed writer leaves its lockfile behind;
-        a waiter that finds the file older than `writer_lock_stale_s`
-        claims it via atomic rename (only one claimant wins) and
-        deletes it. Waiters past `writer_lock_timeout_s` raise
-        TimeoutError — a loud error, never a lost update.
-
-        Ownership token: each acquisition writes a unique token into
-        the lockfile. Release unlinks ONLY if the file still holds our
-        token — a SLOW-but-alive writer whose lock was stolen by the
-        stale path must not delete the thief's fresh lock (that would
-        let a third writer in and reinstate the lost update). The
-        commit flip (_save_meta) additionally asserts ownership before
-        renaming and touches the lock mtime, so a stolen lock turns
-        into a loud RuntimeError instead of a silent overwrite, and a
-        live writer issuing several flips inside one hold never ages
-        into staleness."""
-        import contextlib
-        import time as _time
-        import uuid as _uuid
-
-        @contextlib.contextmanager
-        def _ctx():
-            lock = os.path.join(self.path, "_writer.lock")
-            token = _uuid.uuid4().hex
-            if getattr(self._wlock_tls, "state", None) is not None:
-                # re-entrant hold in the same thread (e.g. merge
-                # calling a locked helper): the outer hold already
-                # serializes; O_EXCL would deadlock against ourselves
-                yield
-                return
-            deadline = _time.monotonic() + self.writer_lock_timeout_s
-            while True:
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    try:
-                        os.write(
-                            fd,
-                            json.dumps(
-                                {
-                                    "pid": os.getpid(),
-                                    "ts": _time.time(),
-                                    "token": token,
-                                }
-                            ).encode(),
-                        )
-                    finally:
-                        os.close(fd)
-                    break
-                except FileExistsError:
-                    try:
-                        age = _time.time() - os.path.getmtime(lock)
-                    except OSError:
-                        continue  # holder just released; retry now
-                    if age >= self.writer_lock_stale_s:
-                        # atomic claim: of N waiters that all saw a
-                        # stale lock, exactly one rename succeeds and
-                        # unlinks; the rest loop and contend fresh
-                        claim = f"{lock}.stale-{_uuid.uuid4().hex[:8]}"
-                        try:
-                            os.rename(lock, claim)
-                            os.unlink(claim)
-                        except OSError:
-                            pass
-                        continue
-                    if _time.monotonic() >= deadline:
-                        holder = ""
-                        try:
-                            with open(lock) as f:
-                                holder = f.read(200)
-                        except OSError:
-                            pass
-                        raise TimeoutError(
-                            f"writer lock at {lock} held past "
-                            f"{self.writer_lock_timeout_s}s (holder: {holder!r}); "
-                            "another process is committing — retry, or remove "
-                            "the lockfile if its owner is dead"
-                        )
-                    _time.sleep(0.05)
-            self._wlock_tls.state = (lock, token)
-            try:
-                # build on the LATEST committed state, not this
-                # process's possibly stale in-memory view — this is
-                # what turns two racing adds into two appended batches
-                # instead of last-writer-wins on _meta.json
-                self._refresh_meta_if_stale()
-                yield
-            finally:
-                self._wlock_tls.state = None
-                # unlink ONLY our own lockfile: if the stale path
-                # stole it mid-hold, the current file belongs to the
-                # thief and must survive our release
-                if self._read_lock_token(lock) == token:
-                    try:
-                        os.unlink(lock)
-                    except OSError:
-                        pass
-
-        return _ctx()
-
-    @staticmethod
-    def _read_lock_token(lock: str) -> str | None:
-        try:
-            with open(lock) as f:
-                return json.loads(f.read(4096)).get("token")
-        except (OSError, ValueError):
-            return None
-
-    def _assert_and_touch_writer_lock(self) -> None:
-        """Called by _save_meta when a writer-lock hold is active in
-        this thread: refuse to flip _meta.json on a stolen lock (the
-        thief may have committed meanwhile — our flip would silently
-        drop its segments), and refresh the lock mtime so a hold that
-        spans several flips (merge, _rewrite_tables at sf10) never
-        crosses writer_lock_stale_s between them."""
-        state = getattr(self._wlock_tls, "state", None)
-        if state is None:
-            return
-        lock, token = state
-        if self._read_lock_token(lock) != token:
-            raise RuntimeError(
-                f"writer lock at {lock} was taken over (this commit ran "
-                f"past writer_lock_stale_s={self.writer_lock_stale_s}s and "
-                "another writer claimed it as stale); aborting the meta "
-                "flip to avoid overwriting the new holder's commits — "
-                "raise writer_lock_stale_s for long commits and retry"
-            )
-        try:
-            os.utime(lock)
-        except OSError:
-            pass
 
     # ---------------- lifecycle (A1-A3, A9) ----------------
 
@@ -384,18 +199,6 @@ class Index:
         idx._normalize_meta()
         idx._load_trained_sidecars()
         return idx
-
-    def _stat_meta(self):
-        """(mtime_ns, size, inode) identity of the committed
-        _meta.json. The inode matters: os.replace swaps the inode on
-        every commit, so two commits inside one mtime quantum with
-        same-length payloads (coarse-granularity network mounts) are
-        still distinguishable."""
-        try:
-            st = os.stat(os.path.join(self.path, "_meta.json"))
-            return (st.st_mtime_ns, st.st_size, st.st_ino)
-        except OSError:
-            return None
 
     def _normalize_meta(self) -> None:
         # normalize once per (re)load: _version()/_rewrite_tables()
@@ -459,37 +262,6 @@ class Index:
         idx._save_sidecars()
         return idx
 
-    def _save_meta(self, meta: dict | None = None) -> None:
-        """Atomic _meta.json flip: write a temp file, fsync, then
-        os.replace — rename is atomic on POSIX, so a crash at ANY
-        point leaves either the old or the new meta, never a torn
-        write. This is the only file the commit protocol's atomicity
-        rests on, so it is the one write that must not be in-place.
-        Pass ``meta`` to durably write a CANDIDATE dict before
-        adopting it in memory (commit paths do this so a failed flip
-        leaves self._meta consistent with disk). The temp file is
-        unlinked on failure — no orphan accumulation."""
-        import uuid
-
-        self._assert_and_touch_writer_lock()
-        tmp = os.path.join(self.path, f"_meta.json.tmp-{uuid.uuid4().hex[:8]}")
-        try:
-            with open(tmp, "w") as f:
-                json.dump(self._meta if meta is None else meta, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(self.path, "_meta.json"))
-            # mutation counter for in-process serve caches (e.g.
-            # search_batch's doc-blob broadcast): every committed state
-            # change bumps it, so caches key on it and never serve stale
-            self._meta_seq = getattr(self, "_meta_seq", 0) + 1
-            # snapshot the committed file's identity so
-            # _refresh_meta_if_stale recognizes our own commit
-            self._meta_stat = self._stat_meta()
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-
     def _save_sidecars(self) -> None:
         """A9 save(): schema + meta + centroids + quantizer params
         (index.cpp:317-357). Heavy (rewrites centroid matrices) — used
@@ -533,174 +305,6 @@ class Index:
             + [f"postings/{f.name}" for f in sch.colbert_fields()]
             + [f"postings_text/{f.name}" for f in sch.analyzed_text_fields()]
         )
-
-    def _version(self, table: str) -> int:
-        return self._meta["versions"].get(table, 0)
-
-    def _table_path(self, table: str, version: int | None = None) -> str:
-        v = self._version(table) if version is None else version
-        return os.path.join(self.path, table, f"v{v}")
-
-    def _segments(self, table: str) -> list[str]:
-        return self._meta.setdefault("segments", {}).get(table, [])
-
-    def _commit_segments(
-        self,
-        staged: list[tuple[str, str]],
-        stream_batch: tuple[str, int] | None = None,
-    ) -> None:
-        """THE commit point for multi-table appends: extend every
-        table's segment list and flip _meta.json once. Everything
-        before this call is invisible staging.
-
-        The new meta is built on a COPY and adopted only after the
-        durable flip succeeds: a failed flip (ENOSPC, fsync error)
-        leaves self._meta equal to disk, so a retry cannot double-
-        commit the failed batch's segments; and in-process readers see
-        the old or the new dict via one atomic assignment, never a
-        per-table partial view. ``stream_batch`` (add's idempotency
-        token) rides in the same flip — segments and replay watermark
-        commit together or not at all."""
-        import copy
-
-        new_meta = copy.deepcopy(self._meta)
-        segs = new_meta.setdefault("segments", {})
-        man = new_meta.setdefault("manifests", {})
-        for table, seg in staged:
-            segs.setdefault(table, []).append(seg)
-            # leaf-file manifest rides in the same atomic flip as the
-            # segment list — readers holding this meta never list
-            man.setdefault(table, {})[seg] = self._segment_manifest(
-                os.path.join(self.path, table, seg)
-            )
-        if stream_batch is not None:
-            key, bid = stream_batch
-            new_meta.setdefault("stream_batches", {})[key] = int(bid)
-        self._save_meta(new_meta)
-        self._meta = new_meta
-
-    def _stage_path(self, table: str) -> tuple[str, str]:
-        import uuid
-
-        seg = f"seg-{uuid.uuid4().hex[:12]}"
-        return seg, os.path.join(self.path, table, seg)
-
-    # ---------------- commit-time partition manifest ----------------
-
-    @staticmethod
-    def _segment_manifest(root: str) -> list[str]:
-        """Relative paths of a segment's parquet leaf files, walked
-        once at COMMIT time by the process that just wrote them (a
-        local readdir over freshly written dirs — cheap, and on object
-        stores the writer already knows these paths). Stored in
-        _meta.json so readers can open the segment without any
-        partition-discovery listing: at the sf10 probe the postings
-        table's ~6,183 (tenant, centroid) dirs cost a 6,183-task
-        listing job (~15 s) on every cold open; a manifest read costs
-        one footer read + driver-side file stats. Segments are
-        immutable after commit, so the manifest can never go stale for
-        a reader holding the meta that references it."""
-        out = []
-        for wr, _dirs, files in os.walk(root):
-            for f in files:
-                if f.endswith(".parquet"):
-                    out.append(os.path.relpath(os.path.join(wr, f), root))
-        out.sort()
-        return out
-
-    def build_manifests(self) -> int:
-        """Migration for indexes committed before the manifest existed:
-        walk every committed segment that lacks a manifest entry and
-        record its leaf files in one meta flip. Safe because committed
-        segments are immutable; idempotent; returns the number of
-        segments manifested. New commits manifest automatically."""
-        import copy
-
-        with self._writer_lock():
-            new_meta = copy.deepcopy(self._meta)
-            man = new_meta.setdefault("manifests", {})
-            added = 0
-            for table in self._all_tables():
-                for seg in new_meta.get("segments", {}).get(table, []):
-                    if seg in man.get(table, {}):
-                        continue
-                    root = os.path.join(self.path, table, seg)
-                    if not os.path.exists(root):
-                        continue
-                    man.setdefault(table, {})[seg] = self._segment_manifest(root)
-                    added += 1
-            if added:
-                self._save_meta(new_meta)
-                self._meta = new_meta
-            return added
-
-    def _read_manifest_files(self, root: str, files: list[str]) -> DataFrame:
-        """Open a segment from its manifest: explicit leaf files with
-        ``basePath`` (hive partition columns still parse from the
-        paths) and schema inferred from ONE footer (mergeSchema=false
-        default) — semantically identical to the directory read, minus
-        the recursive listing. The parallel-discovery threshold is
-        bumped past the file count for the duration of relation
-        resolution so Spark stats the explicit files driver-side
-        instead of scheduling a one-task-per-path job (the exact
-        6,183-task shape the manifest exists to kill); capped so a
-        pathological million-file segment still uses the cluster."""
-        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-        conf = self.spark.conf
-        bump = len(files) < 100_000
-        old = None
-        if bump:
-            try:
-                old = conf.get(key)
-            except Exception:  # noqa: BLE001 — unset conf
-                old = None
-            conf.set(key, str(len(files) + 1))
-        try:
-            return self.spark.read.option("basePath", root).parquet(*files)
-        finally:
-            if bump:
-                if old is None:
-                    conf.unset(key)
-                else:
-                    conf.set(key, old)
-
-    def _read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        """Open a table's committed segments as one DataFrame.
-
-        The OPENED frame is memoized per (table, segment list): file
-        listing for a heavily partitioned table is a Spark job with
-        one task per directory (parallelPartitionDiscovery — measured
-        6183 tasks / ~15 s per call on the sf10 probe's 8000-centroid
-        postings), and spark.read re-lists on every call. Re-using the
-        relation makes listing a once-per-snapshot cost — the Spark
-        analogue of the reference keeping its index open in RAM
-        (index.cpp:40-58 opens RocksDB once, not per query). Any
-        commit changes the segment list (or bumps versions), which
-        changes the key; _refresh_meta_if_stale reloads meta, so
-        external commits re-key too. Entries are plain lazy frames —
-        no persisted data, just the resolved file index."""
-        cache = getattr(self, "_read_cache", None)
-        if cache is None:
-            cache = self._read_cache = {}
-        # schema participates in the key: today every table is read
-        # with one fixed schema, but a call site passing a different
-        # one must not silently get the first-cached frame
-        key = (
-            table,
-            tuple(self._segments(table)),
-            self._version(table),
-            None if schema is None else schema.json(),
-        )
-        hit = cache.get(key)
-        if hit is not None:
-            return hit
-        out = self._read_uncached(table, schema)
-        cache[key] = out
-        # drop superseded snapshots of the same table (old segment
-        # lists can never be served again)
-        for k in [k for k in cache if k[0] == table and k != key]:
-            del cache[k]
-        return out
 
     def _collect_doc_blobs(self, docs: DataFrame, codes_c, res_c, nt_c) -> dict:
         """Materialize the serve-blob map {doc_id: (codes, residual
@@ -762,56 +366,6 @@ class Index:
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("tenant")
             .parquet(path)
-        )
-
-    def _read_uncached(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        def _has_parquet(p: str) -> bool:
-            # a committed-but-footerless dir (empty batch from an old
-            # build, or crash remnant) would fail schema inference for
-            # the whole union; zero rows to read means skip the branch
-            for walk_root, _dirs, files in os.walk(p):
-                if any(f.endswith(".parquet") for f in files):
-                    return True
-            return False
-
-        man = self._meta.get("manifests", {}).get(table, {})
-        frames = []
-        for s in self._segments(table):
-            root = os.path.join(self.path, table, s)
-            rel = man.get(s)
-            if rel is not None:
-                # manifested segment: build the scan from the committed
-                # leaf-file list — no recursive listing, no discovery
-                # job (see _segment_manifest). Empty manifest = empty
-                # segment, skip the branch like _has_parquet would.
-                if rel:
-                    try:
-                        frames.append(
-                            self._read_manifest_files(
-                                root, [os.path.join(root, r) for r in rel]
-                            )
-                        )
-                        continue
-                    except Exception:  # noqa: BLE001 — e.g. moved index dir
-                        pass  # fall through to the listing read
-                else:
-                    continue
-            if os.path.exists(root) and _has_parquet(root):
-                frames.append(self.spark.read.parquet(root))
-        if not frames:
-            return self.spark.createDataFrame([], schema)
-        # one scan per segment, unioned: segment roots each carry their
-        # own hive-partition layout, so they can't share a single
-        # read.parquet(*paths) base. Partition pruning still applies
-        # per branch; remove/update compact back to one segment.
-        from functools import reduce
-
-        # allowMissingColumns: segments written before a column was
-        # added (e.g. text-posting `tf`) read as NULL for it instead of
-        # failing the union — the documented degrade-gracefully contract
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            frames,
         )
 
     def _docs(self) -> DataFrame:

@@ -467,9 +467,10 @@ def jaccard_pairs(
 
 def jaccard_verify_pairs(
     shingles: DataFrame,
-    buckets: DataFrame,
+    buckets: DataFrame | None,
     min_jaccard: float = 0.5,
     min_overlap: int = 2,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Production near-dup pair path: LSH candidate generation + exact
     Jaccard VERIFICATION — the shape a 100 TB dedup pipeline actually
@@ -500,8 +501,16 @@ def jaccard_verify_pairs(
     cand |x| shingles(doc_a) (fan-out = candidate count x avg doc
     shingle count) hash-joined to shingles on (doc_b, shingle); sizes
     is a doc-keyed aggregate. Everything is linear in
-    |candidates| x |doc shingles|."""
-    cand = lsh_candidate_pairs(buckets)
+    |candidates| x |doc shingles|.
+
+    ``candidates``: optional prebuilt (doc_a, doc_b) candidate frame —
+    the incrementally-maintained artifact path (DedupArtifacts stores
+    band collisions as they are discovered per ingest batch); when
+    given, ``buckets`` is unused and may be None. Band collision is a
+    pure function of two signatures, so a stored candidate set is
+    exactly the set this function would derive from the full bucket
+    table."""
+    cand = candidates if candidates is not None else lsh_candidate_pairs(buckets)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a_sh = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")

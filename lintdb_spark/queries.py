@@ -1207,6 +1207,79 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_STORE_CACHE: dict = {}
+_ARTIFACT_BASE_CACHE: dict = {}
+
+
+def artifact_store_cached(spark: SparkSession, sf_dir: str):
+    """Session-cached DedupArtifacts store over the FULL corpus, built
+    INCREMENTALLY in three uneven batches (round 8): per-batch signing
+    and banding with one atomic commit each — the persisted,
+    point-updatable successor of the per-session minhash/bucket/pair
+    builds (bench times the build as artifact_build and the marginal
+    batch as artifact_update)."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for pred in (
+            F.col("doc_id") % 5 < 2,
+            F.col("doc_id") % 5 == 2,
+            F.col("doc_id") % 5 > 2,
+        ):
+            st.update(docs.filter(pred))
+        return st
+
+    return _session_cached(_ARTIFACT_STORE_CACHE, spark, sf_dir, build)
+
+
+def artifact_base_store_cached(spark: SparkSession, sf_dir: str):
+    """Even-doc_id half of the corpus as a maintained store (two
+    batches) — the 'existing corpus' side of the incremental-crawl
+    gate query."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_base_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        st.update(even.filter(F.col("doc_id") % 4 == 0))
+        st.update(even.filter(F.col("doc_id") % 4 != 0))
+        return st
+
+    return _session_cached(_ARTIFACT_BASE_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs served from the incrementally-built
+    artifact store: stored band-collision candidates + read-time
+    Jaccard verify against the current capped shingle sets — must
+    equal the from-scratch q_jaccard_verified (same oracle SQL)."""
+    return artifact_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
+def q_artifact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup gate served from a MAINTAINED store:
+    the odd half of the corpus arrives as a crawl and is banded
+    against the even-half store's signature table — must equal the
+    from-scratch q_cross_dedup (same oracle SQL)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return artifact_base_store_cached(spark, sf_dir).dedup_gate(
+        docs.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2315,6 +2388,13 @@ SELECT DISTINCT doc_id FROM nb
 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
+# The incremental artifact store is EXACT vs a from-scratch build
+# (tests/test_artifacts.py proves byte-equality of every artifact), so
+# its serve queries share the from-scratch oracles verbatim — the
+# independent DuckDB derivation is the whole point of the check.
+ORACLE["q_artifact_verified"] = ORACLE["q_jaccard_verified"]
+ORACLE["q_artifact_gate"] = ORACLE["q_cross_dedup"]
+
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 c AS (SELECT doc_id, w,
@@ -2438,7 +2518,15 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        (each driver-green r01-r06 — six consecutive rounds).
     #        NEW q_simhash_neardup rotated IN (first round);
     #        q_lsh_buckets rotated OUT (driver-green r01-r06 — six
-    #        consecutive rounds). ----
+    #        consecutive rounds).
+    #   r08: NEW q_artifact_verified, q_artifact_gate rotated IN
+    #        (first round — the incremental artifact store's serve
+    #        queries). Rotated OUT q_embedding_neardup (driver-green
+    #        r01-r07 — seven consecutive rounds) and q_text_match
+    #        (driver-green r01-r07 — seven consecutive rounds).
+    #        q_repetition stays (greens r05, r07 — needs its third);
+    #        q_term_float stays one more round (greens r04, r05, r07 —
+    #        met the >=3 bar this round, eligible to rotate r09). ----
     "q_term_float": q_term_float,
     "q_repetition": q_repetition,
     "q_term_int": q_term_int,
@@ -2468,17 +2556,17 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join": q_range_join,
     "q_skew_agg": q_skew_agg,
     "q_simhash_neardup": q_simhash_neardup,
+    "q_artifact_verified": q_artifact_verified,
+    "q_artifact_gate": q_artifact_gate,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_verified": q_dup_clusters_verified,
     "q_dedup_keep_verified": q_dedup_keep_verified,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
     "q_dedup_keep": q_dedup_keep,
     "q_bm25": q_bm25,
-    "q_text_match": q_text_match,
     "q_quality_filter": q_quality_filter,
     "q_domain_mix": q_domain_mix,
     "q_unigram_loglik": q_unigram_loglik,
@@ -2497,6 +2585,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
     "q_term_text": q_term_text,
     "q_and": q_and,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_text_match": q_text_match,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_sig": q_minhash_sig,
     "q_lsh_buckets": q_lsh_buckets,

@@ -44,16 +44,20 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r07 corrective rotation: re-windowed until >=3 driver greens
-        # (q_term_float: r04,r05; q_repetition: r05 — see rotation log).
+        # r08 NEW: incremental artifact-store serve queries, first
+        # round in.
+        "q_artifact_verified",
+        "q_artifact_gate",
+        # still short of >=3 driver greens (q_repetition: r05, r07;
+        # q_term_float met the bar r07 — eligible to rotate r09).
         "q_term_float",
         "q_repetition",
         # r07 NEW: verified-pair-fed clustering twins + simhash
-        # near-dup pairs, first round in.
+        # near-dup pairs, each now with one driver green (r07).
         "q_dup_clusters_verified",
         "q_dedup_keep_verified",
         "q_simhash_neardup",
-        # r06 rotations-in, each now with one driver green (r06).
+        # r06 rotations-in, each with driver greens r06, r07.
         "q_doc_chunks",
         "q_cross_dedup",
         "q_len_histogram",
