@@ -315,14 +315,34 @@ class DedupArtifacts(SegmentStore):
         """(doc_a, doc_b, n_common, jaccard) — the production near-dup
         pair set, verified at read time against the CURRENT capped
         shingle sets (so results always match a from-scratch
-        jaccard_verify_pairs over the full corpus)."""
-        return dedup.jaccard_verify_pairs(
+        jaccard_verify_pairs over the full corpus).
+
+        The verify join is a once-per-SNAPSHOT cost (measured 141 s
+        at the sf10 probe's 500k docs), so the result is persisted and
+        keyed on (_meta_seq, knobs): repeated serves off an unchanged
+        store are cache hits, and any committed update invalidates.
+        This is the exactness trade made explicit — verify-at-write
+        would be cheaper per snapshot but drifts as the df stop-set
+        moves with corpus growth (module docstring)."""
+        self._refresh_meta_if_stale()
+        key = (getattr(self, "_meta_seq", 0), float(min_jaccard), int(min_overlap))
+        cached = getattr(self, "_verified_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        df = dedup.jaccard_verify_pairs(
             self.capped_shingles(),
             None,
             min_jaccard=min_jaccard,
             min_overlap=min_overlap,
             candidates=self.candidate_pairs(),
-        )
+        ).persist()
+        if cached is not None:
+            try:
+                cached[1].unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
+        self._verified_cache = (key, df)
+        return df
 
     def cluster_map(
         self, min_jaccard: float = 0.5, min_overlap: int = 2
