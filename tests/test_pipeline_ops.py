@@ -7,6 +7,8 @@ construction."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lintdb_spark.operators import dedup, sampling
@@ -904,3 +906,45 @@ def test_simhash_wide_bits_real_entropy(spark, sf_dir):
         dedup.simhash_neardup_pairs(fingerprints=fp, bits=64, bands=4)
     with pytest.raises(ValueError, match="divide evenly"):
         dedup.simhash_neardup_pairs(fingerprints=fp, bits=50, bands=4)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.1/documents.parquet"),
+    reason="sf0.1 corpus not present",
+)
+def test_lsh_default_config_recall_floor(spark):
+    """Round-8 recall pin (scripts/recall_probe.py records the full
+    sweep): at the DEFAULT knobs (16 perms, 4 bands) the LSH-verified
+    tier must recover >= 0.95 of the exhaustive tier's jaccard >= 0.5
+    pairs on the sf0.1 corpus (measured 0.9805; bands=2 degrades to
+    0.926, bands=8 buys 0.996 for ~3x the candidates — the knob works
+    in both directions and the default sits above the gate)."""
+    sf = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sh = dedup.doc_shingles(docs).persist()
+    capped = dedup.df_capped_shingles(sh).persist()
+    try:
+        truth = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_pairs(sh, capped=capped, on_overflow="raise")
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.jaccard_verify_pairs(
+                capped,
+                dedup.lsh_buckets_wide(dedup.minhash_wide(sh)),
+                min_jaccard=0.5,
+            )
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert truth, "sf0.1 corpus must contain near-dup pairs"
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.95, f"default-config LSH recall {recall:.4f} < 0.95"
+        assert got <= truth  # verify step admits no false positives
+    finally:
+        sh.unpersist()
+        capped.unpersist()
