@@ -713,71 +713,6 @@ class Index(SegmentStore):
         guard permitting) to reclaim the superseded segment dirs."""
         self._rewrite_tables(lambda df: df)
 
-    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
-        """Delete unreferenced segment directories (the leftovers of
-        crashed, uncommitted adds) plus orphaned _meta temp files.
-        Returns the removed relative paths.
-
-        ``min_age_s`` guards the one race vacuum has: a CONCURRENT
-        add() that has staged segments but not yet flipped the meta
-        would look like an orphan — so only dirs whose ENTIRE TREE is
-        untouched for min_age_s are collected. The age is the newest
-        mtime anywhere under the dir, not the dir's own mtime: a Spark
-        parquet job writes under seg-X/_temporary/ for its whole
-        duration and only bumps leaf mtimes, so a staged write longer
-        than min_age_s would look stale by root mtime alone. Any path
-        that vanishes mid-scan (a racing writer committed or a racing
-        vacuum won) is treated as just-touched, never as old. Pass 0
-        only when no writer can be active."""
-        import shutil
-        import time as _time
-
-        now = _time.time()
-
-        def _tree_age(p: str) -> float:
-            try:
-                newest = os.path.getmtime(p)
-                for walk_root, dirs, files in os.walk(p):
-                    for name in dirs + files:
-                        newest = max(
-                            newest, os.path.getmtime(os.path.join(walk_root, name))
-                        )
-            except FileNotFoundError:
-                return 0.0  # racing writer/remover: not an orphan
-            return now - newest
-
-        removed: list[str] = []
-        for child in os.listdir(self.path):
-            # _meta.json.tmp-*: orphans of crashed _save_meta flips.
-            # _writer.lock.stale-*: a stale-lock claimant that died
-            # between its atomic rename and the unlink (the one
-            # leftover _writer_lock's takeover protocol can leak).
-            if child.startswith("_meta.json.tmp-") or child.startswith(
-                "_writer.lock.stale-"
-            ):
-                full = os.path.join(self.path, child)
-                try:
-                    if now - os.path.getmtime(full) >= min_age_s:
-                        os.unlink(full)
-                        removed.append(child)
-                except FileNotFoundError:
-                    continue  # a concurrent _save_meta just renamed it
-        for table in self._all_tables():
-            root = os.path.join(self.path, table)
-            if not os.path.isdir(root):
-                continue
-            live = set(self._segments(table))
-            for child in os.listdir(root):
-                full = os.path.join(root, child)
-                if (
-                    child not in live
-                    and os.path.isdir(full)
-                    and _tree_age(full) >= min_age_s
-                ):
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed.append(f"{table}/{child}")
-        return removed
-
     def get_mapping(self, tenant: int, doc_id: int, field: str | None = None) -> list[int]:
         """C10 doc->centroid mapping lookup (RocksdbInvertedList.cpp:
         98-118): sorted distinct centroid ids of the doc's tokens,

@@ -253,6 +253,43 @@ class DedupArtifacts(SegmentStore):
         finally:
             docs.unpersist()
 
+    def compact(self) -> None:
+        """Consolidate every table's per-batch segments into ONE
+        v<N> segment — a long-running stream appends one segment per
+        micro-batch and every read unions one scan per segment, so
+        periodic compaction (stream_artifacts' compact_every) keeps
+        read cost flat. Semantics-preserving AND size-reducing: the
+        df table pre-aggregates to one row per shingle (reads sum df
+        segments anyway — vocab-sized after compaction instead of
+        batches x vocab) and cand_pairs dedups. Same stage-then-flip
+        protocol as Index.compact: readers of the old list are
+        untouched, a crash before the flip changes nothing; run
+        vacuum() afterwards to reclaim superseded dirs."""
+        import copy
+
+        with self._writer_lock():
+            writers = {
+                "shingles": self.shingles(),
+                "signatures": self.signatures(),
+                "df": self.shingle_df(),
+                "cand_pairs": self.candidate_pairs(),
+            }
+            new_meta = copy.deepcopy(self._meta)
+            segs = new_meta.setdefault("segments", {})
+            man = new_meta.setdefault("manifests", {})
+            for table, df in writers.items():
+                if not self._segments(table):
+                    continue
+                new_v = self._version(table) + 1
+                dst = self._table_path(table, new_v)
+                df.write.mode("overwrite").parquet(dst)
+                seg = f"v{new_v}"
+                new_meta["versions"][table] = new_v
+                segs[table] = [seg]
+                man[table] = {seg: self._segment_manifest(dst)}
+            self._save_meta(new_meta)
+            self._meta = new_meta
+
     # ---------------- read side (exact vs from-scratch) ----------------
 
     def shingles(self) -> DataFrame:

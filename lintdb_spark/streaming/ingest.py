@@ -105,6 +105,7 @@ def stream_artifacts(
     doc_stream: DataFrame,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Maintain a DedupArtifacts store from a document stream
     (doc_id, text): each micro-batch signs/bands only its own docs and
@@ -116,10 +117,19 @@ def stream_artifacts(
 
     Exactly-once end to end, same shape as stream_ingest: the
     (checkpoint_dir, batch_id) idempotency token commits in the same
-    meta flip as the segments, so a replayed batch is a no-op."""
+    meta flip as the segments, so a replayed batch is a no-op.
+    ``compact_every=N`` bounds segment accretion like stream_ingest's
+    knob: every N batches the store consolidates to one v<N> segment
+    per table (crash mid-compact re-runs the batch, whose update is a
+    token no-op, then compaction runs again)."""
+    n_batches = 0
 
     def _upd(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
         store.update(batch_df, idempotency_token=(checkpoint_dir, batch_id))
+        n_batches += 1
+        if compact_every and n_batches % compact_every == 0:
+            store.compact()
 
     writer = (
         doc_stream.writeStream.outputMode("append")

@@ -162,3 +162,51 @@ def test_stream_artifacts_maintains_store(spark, corpus, tmp_path):
     assert _rows(st.signatures(), wide_all.columns) == _rows(
         wide_all, wide_all.columns
     )
+
+
+def test_compact_preserves_artifacts_and_prunes_segments(spark, corpus, tmp_path):
+    """compact(): per-batch segments collapse to one v<N> per table
+    (df pre-aggregated to vocab size, pairs deduped), reads unchanged,
+    vacuum reclaims the superseded dirs, and further updates append to
+    the compacted base correctly."""
+    import os
+
+    path = str(tmp_path / "store_compact")
+    st = DedupArtifacts.create(spark, path)
+    b1 = corpus.filter(F.col("doc_id") % 3 == 0)
+    b2 = corpus.filter(F.col("doc_id") % 3 == 1)
+    b3 = corpus.filter(F.col("doc_id") % 3 == 2)
+    st.update(b1)
+    st.update(b2)
+    before = {
+        "sig": _rows(st.signatures(), ["doc_id", "m0", "m15"]),
+        "capped": _rows(st.capped_shingles(), ["doc_id", "shingle"]),
+        "cand": _rows(st.candidate_pairs(), ["doc_a", "doc_b"]),
+    }
+    assert len(st._segments("signatures")) == 2
+    st.compact()
+    assert all(len(st._segments(t)) == 1 for t in st.TABLES)
+    removed = st.vacuum(min_age_s=0)
+    assert any(r.startswith("signatures/seg-") for r in removed)
+    assert before == {
+        "sig": _rows(st.signatures(), ["doc_id", "m0", "m15"]),
+        "capped": _rows(st.capped_shingles(), ["doc_id", "shingle"]),
+        "cand": _rows(st.candidate_pairs(), ["doc_a", "doc_b"]),
+    }
+    # df table is now vocab-sized (one row per shingle)
+    df_tbl = st._read("df", None)
+    assert df_tbl.count() == df_tbl.select("shingle").distinct().count()
+
+    # post-compaction update still accumulates exactly
+    st.update(b3)
+    wide_all = dedup.minhash_wide(dedup.doc_shingles(corpus))
+    assert _rows(st.signatures(), ["doc_id", "m0", "m15"]) == _rows(
+        wide_all, ["doc_id", "m0", "m15"]
+    )
+    scratch_cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_buckets_wide(wide_all)
+    )
+    assert _rows(st.candidate_pairs(), ["doc_a", "doc_b"]) == _rows(
+        scratch_cand, ["doc_a", "doc_b"]
+    )
+    assert os.path.exists(os.path.join(path, "signatures", "v1"))
