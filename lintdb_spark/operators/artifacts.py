@@ -67,6 +67,12 @@ _PAIR_SCHEMA = T.StructType(
         T.StructField("doc_b", T.LongType()),
     ]
 )
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
 
 
 class DedupArtifacts(SegmentStore):
@@ -77,20 +83,30 @@ class DedupArtifacts(SegmentStore):
       signatures  (doc_id, m0..m{p-1})   minhash wide rows
       df          (shingle, df)          per-batch document frequencies
       cand_pairs  (doc_a, doc_b)         LSH band collisions, a < b
+      simhash     (doc_id, simhash)      SimHash fingerprints (the
+                                         second near-dup family, also
+                                         a pure per-doc function)
 
     Meta carries `n_docs` (docs ingested) and `nd_shingled` (docs with
     >= 1 shingle — the df-cap denominator, matching
     df_capped_shingles' count_distinct semantics)."""
 
-    TABLES = ["shingles", "signatures", "df", "cand_pairs"]
+    TABLES = ["shingles", "signatures", "df", "cand_pairs", "simhash"]
 
-    def __init__(self, spark: SparkSession, path: str, num_perms: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_perms: int | None = None,
+        simhash_bits: int = 32,
+    ):
         super().__init__(spark, path)
         self._meta = {
             "versions": {},
             "n_docs": 0,
             "nd_shingled": 0,
             "num_perms": int(num_perms or params.MINHASH_PERMS),
+            "simhash_bits": int(simhash_bits),
         }
 
     # ---------------- lifecycle ----------------
@@ -123,10 +139,15 @@ class DedupArtifacts(SegmentStore):
         self._meta.setdefault("n_docs", 0)
         self._meta.setdefault("nd_shingled", 0)
         self._meta.setdefault("num_perms", params.MINHASH_PERMS)
+        self._meta.setdefault("simhash_bits", 32)
 
     @property
     def num_perms(self) -> int:
         return int(self._meta["num_perms"])
+
+    @property
+    def simhash_bits(self) -> int:
+        return int(self._meta["simhash_bits"])
 
     # ---------------- write side ----------------
 
@@ -197,6 +218,12 @@ class DedupArtifacts(SegmentStore):
                     .parquet(p)
                 )
                 staged.append(("df", seg))
+
+                seg, p = self._stage_path("simhash")
+                dedup.simhash(docs, bits=self.simhash_bits).write.mode(
+                    "overwrite"
+                ).parquet(p)
+                staged.append(("simhash", seg))
 
                 # new x (old ∪ new) band collisions. The batch side is
                 # small — broadcast it so the stored-bucket projection
@@ -273,6 +300,7 @@ class DedupArtifacts(SegmentStore):
                 "signatures": self.signatures(),
                 "df": self.shingle_df(),
                 "cand_pairs": self.candidate_pairs(),
+                "simhash": self.fingerprints(),
             }
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
@@ -337,6 +365,26 @@ class DedupArtifacts(SegmentStore):
         )
         stop = self.shingle_df().filter(F.col("df") > cap).select("shingle")
         return self.shingles().join(stop, "shingle", "left_anti")
+
+    def fingerprints(self) -> DataFrame:
+        """(doc_id, simhash) — the stored SimHash fingerprint table
+        (pure per-doc, so per-batch segments union to the full-corpus
+        simhash() exactly)."""
+        self._refresh_meta_if_stale()
+        return self._read("simhash", _SIMHASH_SCHEMA)
+
+    def simhash_neardup(
+        self, max_hamming: int = 3, bands: int = 4
+    ) -> DataFrame:
+        """(doc_a, doc_b, hamming) banded-Hamming near-dup pairs off
+        the STORED fingerprints — pigeonhole-exact recall for
+        max_hamming <= bands-1 (dedup.simhash_neardup_pairs)."""
+        return dedup.simhash_neardup_pairs(
+            fingerprints=self.fingerprints(),
+            bits=self.simhash_bits,
+            bands=bands,
+            max_hamming=max_hamming,
+        )
 
     def candidate_pairs(self) -> DataFrame:
         """(doc_a, doc_b) accumulated band collisions — exactly
