@@ -23,9 +23,15 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# serializes the parallel-discovery-threshold bump in
+# _read_manifest_files across ALL stores in the process — the conf is
+# session-global, so the lock must be too
+_DISCOVERY_CONF_LOCK = threading.Lock()
 
 
 class SegmentStore:
@@ -387,21 +393,29 @@ class SegmentStore:
         resolution so Spark stats the explicit files driver-side
         instead of scheduling a one-task-per-path job (the exact
         6,183-task shape the manifest exists to kill); capped so a
-        pathological million-file segment still uses the cluster."""
+        pathological million-file segment still uses the cluster.
+
+        The set/read/restore triple mutates SESSION conf, so it is
+        serialized under a process-wide lock: two threads opening
+        manifested segments concurrently (the multi-threaded server)
+        could otherwise interleave and leave the threshold permanently
+        pinned to one reader's file count. Relation resolution (the
+        part the threshold affects) happens eagerly inside
+        spark.read.parquet, so the lock scope covers it fully."""
         key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
         conf = self.spark.conf
         bump = len(files) < 100_000
-        old = None
-        if bump:
+        if not bump:
+            return self.spark.read.option("basePath", root).parquet(*files)
+        with _DISCOVERY_CONF_LOCK:
             try:
                 old = conf.get(key)
             except Exception:  # noqa: BLE001 — unset conf
                 old = None
             conf.set(key, str(len(files) + 1))
-        try:
-            return self.spark.read.option("basePath", root).parquet(*files)
-        finally:
-            if bump:
+            try:
+                return self.spark.read.option("basePath", root).parquet(*files)
+            finally:
                 if old is None:
                     conf.unset(key)
                 else:
@@ -513,6 +527,14 @@ class SegmentStore:
         only when no writer can be active."""
         import shutil
         import time as _time
+
+        # sync with the LATEST committed meta before computing the live
+        # set: in the cross-process deployment this module supports
+        # (server + offline ingest on one path) a long-lived process
+        # whose in-memory meta predates another process's commit would
+        # otherwise classify the newly committed segments as orphans
+        # and delete live data once they age past min_age_s
+        self._refresh_meta_if_stale()
 
         now = _time.time()
 

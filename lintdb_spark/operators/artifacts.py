@@ -1,45 +1,70 @@
 """Incrementally-maintained dedup artifact store.
 
 The expensive artifacts of a near-dup pipeline — per-doc shingle sets,
-minhash signatures, document-frequency statistics, and LSH candidate
-pairs — were session-scoped builds in earlier rounds (rebuilt from the
-full corpus every run: 237 s at the sf10 probe). At 100 TB the artifact
-build IS the pipeline cost, and the reference's own design is
-incremental point updates on a live index (lintdb/index.cpp:481-510,
-A5-A7). This store gives those artifacts the same build/serve + commit
-discipline as the search Index: immutable per-batch segments published
-by one atomic `_meta.json` flip (SegmentStore), updated per ingest
-batch at a cost proportional to the NEW documents, not the corpus.
+minhash signatures, document-frequency statistics, LSH buckets, and
+candidate pairs — were session-scoped builds in earlier rounds
+(rebuilt from the full corpus every run: 237 s at the sf10 probe). At
+100 TB the artifact build IS the pipeline cost, and the reference's
+own design is incremental point updates on a live index
+(lintdb/index.cpp:481-510, A5-A7). This store gives those artifacts
+the same build/serve + commit discipline as the search Index:
+immutable per-batch segments published by one atomic `_meta.json`
+flip (SegmentStore), updated per ingest batch at a cost proportional
+to the NEW documents, not the corpus.
 
 Exactness contract (why reads equal a from-scratch rebuild):
 
-- signatures / shingles are pure per-document functions — a batch's
-  rows never change, so per-batch segments union to exactly the
-  full-corpus build.
+- doc_ids / signatures / shingles / simhash / buckets are pure
+  per-document functions — a batch's rows never change, so per-batch
+  segments union to exactly the full-corpus build. (Buckets are a
+  pure in-row banding of the signature, so the stored bucket table
+  always equals lsh_buckets_wide(signatures).)
 - document frequencies are ADDITIVE: doc_shingles emits distinct
-  (doc_id, shingle) and doc_ids never repeat across batches, so the
-  per-batch df aggregates sum to the global df. The df CAP is applied
-  at READ time with the current totals, so `capped_shingles()` is
-  byte-equal to `df_capped_shingles()` over the full corpus no matter
-  how ingestion was batched.
+  (doc_id, shingle) and doc_ids never repeat across batches (enforced
+  by the doc_ids registry anti-join), so the per-batch df aggregates
+  sum to the global df. The df CAP is applied at READ time with the
+  current totals, so `capped_shingles()` is byte-equal to
+  `df_capped_shingles()` over the full corpus no matter how ingestion
+  was batched.
 - candidate pairs: band collision is a pure function of two
   signatures, so committing each batch's new x (old ∪ new) collisions
   accumulates exactly the full bucket table's collision set — old x
-  old pairs were committed by earlier batches. Jaccard VERIFICATION
-  happens at read time against the current capped shingle sets (the
-  df stop-set moves as the corpus grows, so verify-at-write would
-  drift); `verified_pairs()` therefore equals `jaccard_verify_pairs`
-  over the full corpus by construction.
+  old pairs were committed by earlier batches.
+- verified pairs: Jaccard stats ARE cap-dependent (the df stop-set
+  moves as the corpus grows), so naive verify-at-write would drift.
+  The pair_stats artifact solves it incrementally: each commit
+  verifies its NEW pairs against the post-commit capped sets AND
+  re-verifies exactly the stored pairs whose docs contain a shingle
+  whose capped-status flipped this commit (tombstoning pairs that no
+  longer overlap). By induction the max-seq row per pair equals a
+  from-scratch `jaccard_verify_pairs` at every snapshot — at
+  batch-proportional cost instead of the round-8 full re-verify per
+  snapshot (141 s at the sf10 probe). See _stage_pair_stats.
 
-Scale shape per update(): sign + band the BATCH (map-only over new
-docs), one bucket join of the batch's buckets against the stored
-bucket projection (bucket-bounded, never all-pairs), one vocab-sized
-df aggregate of the batch. Nothing reprocesses old documents.
+Scale shape per update() (schema_rev >= 2): sign + band the BATCH
+(map-only over new docs), one collision join of the batch's buckets
+against the STORED bucket table pruned to the batch's bpart
+partitions (bpart = pmod(xxhash64(bucket), bucket_parts) is a hive
+partition column, so the prune is static partition pruning — the old
+side scans only dirs that can hold the batch's keys, and within each
+file rows are SORTED by bucket with a parquet bloom filter on the
+column for row-group skipping on point updates), and one vocab-sized
+df aggregate of the batch. The known-doc anti-join prunes the same
+way on the doc_ids registry (dpart partitions). Old documents are
+never re-read outside the pruned partitions; nothing is re-BANDED.
+
+Tenancy (round 9): every table carries a leading `tenant` partition
+column (default 0). Dedup is tenant-local — the collision join, the
+df statistics, and every read are keyed/filtered per tenant, so two
+tenants never produce a cross pair (the Index is tenant-first for the
+same reason, KeyBuilder.h:13-14). Single-tenant callers never pass
+the argument and see the exact single-corpus behavior.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,28 +74,59 @@ from lintdb_spark import params
 from lintdb_spark.index.store import SegmentStore
 from lintdb_spark.operators import dedup
 
+_DOCID_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("dpart", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
 _SHINGLE_SCHEMA = T.StructType(
     [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("dpart", T.IntegerType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("shingle", T.StringType()),
     ]
 )
 _DF_SCHEMA = T.StructType(
     [
+        T.StructField("tenant", T.IntegerType()),
         T.StructField("shingle", T.StringType()),
         T.StructField("df", T.LongType()),
     ]
 )
 _PAIR_SCHEMA = T.StructType(
     [
+        T.StructField("tenant", T.IntegerType()),
         T.StructField("doc_a", T.LongType()),
         T.StructField("doc_b", T.LongType()),
     ]
 )
 _SIMHASH_SCHEMA = T.StructType(
     [
+        T.StructField("tenant", T.IntegerType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("simhash", T.LongType()),
+    ]
+)
+_PAIRSTAT_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("n_common", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("bpart", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
     ]
 )
 
@@ -78,20 +134,43 @@ _SIMHASH_SCHEMA = T.StructType(
 class DedupArtifacts(SegmentStore):
     """Persisted dedup artifacts with point-incremental maintenance.
 
-    Tables (each a list of immutable per-batch segments):
-      shingles    (doc_id, shingle)      raw distinct word-trigram sets
+    Tables (each a list of immutable per-batch segments, all carrying
+    a leading `tenant` hive-partition column):
+      doc_ids     (dpart, doc_id)        registry of EVERY ingested
+                                         doc — the already-present
+                                         guard (covers docs too short
+                                         to shingle or tokenize)
+      shingles    (dpart, doc_id, shingle) raw distinct word-trigram
+                                         sets, doc-keyed partitions
       signatures  (doc_id, m0..m{p-1})   minhash wide rows
       df          (shingle, df)          per-batch document frequencies
       cand_pairs  (doc_a, doc_b)         LSH band collisions, a < b
-      simhash     (doc_id, simhash)      SimHash fingerprints (the
-                                         second near-dup family, also
-                                         a pure per-doc function)
+      simhash     (doc_id, simhash)      SimHash fingerprints
+      buckets     (bpart, band, bucket, doc_id) the LSH bucket table,
+                                         partitioned on
+                                         bpart = pmod(xxhash64(bucket),
+                                         bucket_parts) and sorted by
+                                         bucket within files — the
+                                         index the incremental
+                                         collision join prunes on
 
-    Meta carries `n_docs` (docs ingested) and `nd_shingled` (docs with
-    >= 1 shingle — the df-cap denominator, matching
-    df_capped_shingles' count_distinct semantics)."""
+    Meta carries per-tenant and global `n_docs` (docs ingested) and
+    `nd_shingled` (docs with >= 1 shingle — the df-cap denominator,
+    matching df_capped_shingles' count_distinct semantics), plus the
+    frozen layout knobs (num_perms, lsh_bands, bucket_parts,
+    doc_parts) and `schema_rev` (1 = round-8 layout without
+    doc_ids/buckets; 2 = this layout — see migrate_layout)."""
 
-    TABLES = ["shingles", "signatures", "df", "cand_pairs", "simhash"]
+    TABLES = [
+        "doc_ids",
+        "shingles",
+        "signatures",
+        "df",
+        "cand_pairs",
+        "simhash",
+        "buckets",
+        "pair_stats",
+    ]
 
     def __init__(
         self,
@@ -105,9 +184,17 @@ class DedupArtifacts(SegmentStore):
             "versions": {},
             "n_docs": 0,
             "nd_shingled": 0,
+            "tenants": {},
             "num_perms": int(num_perms or params.MINHASH_PERMS),
             "simhash_bits": int(simhash_bits),
+            "lsh_bands": int(params.LSH_BANDS),
+            "bucket_parts": int(params.ARTIFACT_BUCKET_PARTS),
+            "doc_parts": int(params.ARTIFACT_DOC_PARTS),
+            "schema_rev": 2,
+            "pair_seq": 0,
+            "pair_stats_live": True,
         }
+        self._verified_lock = threading.Lock()
 
     # ---------------- lifecycle ----------------
 
@@ -138,8 +225,20 @@ class DedupArtifacts(SegmentStore):
         self._meta.setdefault("versions", {})
         self._meta.setdefault("n_docs", 0)
         self._meta.setdefault("nd_shingled", 0)
+        self._meta.setdefault("tenants", {})
         self._meta.setdefault("num_perms", params.MINHASH_PERMS)
         self._meta.setdefault("simhash_bits", 32)
+        self._meta.setdefault("lsh_bands", params.LSH_BANDS)
+        self._meta.setdefault("bucket_parts", params.ARTIFACT_BUCKET_PARTS)
+        self._meta.setdefault("doc_parts", params.ARTIFACT_DOC_PARTS)
+        # a meta written before this field existed is the round-8
+        # layout: no doc_ids registry, no stored bucket table
+        self._meta.setdefault("schema_rev", 1)
+        self._meta.setdefault("pair_seq", 0)
+        # legacy stores have no maintained pair_stats table; their
+        # verified_pairs() serves the read-time full verify until
+        # migrate_layout backfills
+        self._meta.setdefault("pair_stats_live", False)
 
     @property
     def num_perms(self) -> int:
@@ -149,24 +248,101 @@ class DedupArtifacts(SegmentStore):
     def simhash_bits(self) -> int:
         return int(self._meta["simhash_bits"])
 
+    @property
+    def lsh_bands(self) -> int:
+        return int(self._meta["lsh_bands"])
+
+    @property
+    def schema_rev(self) -> int:
+        return int(self._meta["schema_rev"])
+
+    # ---------------- layout expressions ----------------
+
+    def _bpart_col(self, bucket_col):
+        return F.pmod(
+            F.xxhash64(bucket_col), F.lit(int(self._meta["bucket_parts"]))
+        ).cast("int")
+
+    def _dpart_col(self, doc_col):
+        return F.pmod(
+            F.xxhash64(doc_col), F.lit(int(self._meta["doc_parts"]))
+        ).cast("int")
+
+    def _write_segment(self, table: str, df: DataFrame, path: str) -> None:
+        """Stage one segment with the table's physical layout. The
+        bucket table gets the full point-lookup treatment: hive
+        partitions on (tenant, bpart), rows sorted by bucket inside
+        each file, and a parquet bloom filter on the bucket column so
+        a small update's pushed-down key filter skips row groups even
+        inside a touched partition. Doc-keyed tables partition on
+        (tenant, dpart); the rest on tenant alone."""
+        if table == "buckets":
+            (
+                df.repartition("tenant", "bpart")
+                .sortWithinPartitions("tenant", "bpart", "bucket")
+                .write.mode("overwrite")
+                .option("parquet.bloom.filter.enabled#bucket", "true")
+                .partitionBy("tenant", "bpart")
+                .parquet(path)
+            )
+        elif table in ("doc_ids", "shingles"):
+            (
+                df.repartition("tenant", "dpart")
+                .sortWithinPartitions("tenant", "dpart", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("tenant", "dpart")
+                .parquet(path)
+            )
+        else:
+            df.write.mode("overwrite").partitionBy("tenant").parquet(path)
+
+    def _read_t(
+        self, table: str, schema: T.StructType, tenant: int | None = None
+    ) -> DataFrame:
+        """_read with the tenant dimension handled: the tenant filter
+        is applied on the RAW partition column (so it stays a
+        partition filter and prunes tenant directories — a filter on
+        the normalized coalesce() would not push down), then the
+        column is normalized: segments written before the tenant
+        dimension existed read as NULL via allowMissingColumns and
+        belong to tenant 0, the implicit tenant of every pre-tenancy
+        store."""
+        out = self._read(table, schema)
+        if "tenant" not in out.columns:
+            return out.withColumn("tenant", F.lit(0))
+        if tenant is not None:
+            t = int(tenant)
+            pred = F.col("tenant") == t
+            if t == 0:
+                # legacy (pre-tenancy) segments surface tenant as NULL
+                pred = pred | F.col("tenant").isNull()
+            out = out.filter(pred)
+        return out.withColumn(
+            "tenant", F.coalesce(F.col("tenant").cast("int"), F.lit(0))
+        )
+
     # ---------------- write side ----------------
 
     def update(
         self,
         documents: DataFrame,
         idempotency_token: tuple[str, int] | None = None,
+        tenant: int = 0,
     ) -> dict:
-        """Ingest one batch of NEW documents (doc_id, text): sign,
-        band, and join against the stored corpus — cost proportional
-        to the batch. One writer-locked commit publishes all four
-        tables' new segments atomically; ``idempotency_token`` =
-        (source_key, batch_id) rides in the same flip, so a streaming
-        replay of a committed batch is a no-op (same contract as
-        Index.add).
+        """Ingest one batch of NEW documents (doc_id, text) for one
+        tenant: sign, band, and collision-join against the stored
+        corpus — cost proportional to the batch (the old side is read
+        only through the bucket-table partitions the batch's keys hash
+        to). One writer-locked commit publishes all tables' new
+        segments atomically; ``idempotency_token`` = (source_key,
+        batch_id) rides in the same flip, so a streaming replay of a
+        committed batch is a no-op (same contract as Index.add).
 
-        doc_ids already present in the store are dropped (anti-join
-        against stored signatures) — re-ingesting a batch is safe even
-        without a token. Returns {"docs": n, "pairs": n}."""
+        doc_ids already present in the store (for this tenant) are
+        dropped — the guard anti-joins the doc_ids REGISTRY, which
+        covers every ingested doc including ones too short to shingle
+        or tokenize, so re-ingesting any batch is safe even without a
+        token. Returns {"docs": n, "pairs": n}."""
         if idempotency_token is not None:
             key, bid = idempotency_token
             if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
@@ -178,16 +354,55 @@ class DedupArtifacts(SegmentStore):
                 key, bid = idempotency_token
                 if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
                     return {"docs": 0, "pairs": 0, "replayed": True}
-            return self._update_locked(documents, idempotency_token)
+            return self._update_locked(documents, idempotency_token, int(tenant))
 
-    def _update_locked(self, documents: DataFrame, idempotency_token) -> dict:
-        docs = documents.select("doc_id", "text")
+    def _known_doc_ids(self, tenant: int, dparts: list[int] | None) -> DataFrame | None:
+        """The already-present registry for the anti-join guard. On the
+        current layout this is the doc_ids table pruned to the batch's
+        dpart partitions; on a rev-1 (round-8) store it falls back to
+        signatures ∪ simhash doc_ids — the best available cover there
+        (a rev-1 doc with neither shingles nor tokens is untracked;
+        migrate_layout documents the caveat)."""
+        if self.schema_rev >= 2:
+            if not self._segments("doc_ids"):
+                return None
+            out = self._read_t("doc_ids", _DOCID_SCHEMA, tenant)
+            if dparts is not None:
+                out = out.filter(F.col("dpart").isin([int(d) for d in dparts]))
+            return out.select("doc_id")
+        frames = []
         if self._segments("signatures"):
-            docs = docs.join(
-                self.signatures().select("doc_id"), "doc_id", "left_anti"
-            )
-        docs = docs.persist()
+            frames.append(self.signatures(tenant=tenant).select("doc_id"))
+        if self._segments("simhash"):
+            frames.append(self.fingerprints(tenant=tenant).select("doc_id"))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _update_locked(
+        self, documents: DataFrame, idempotency_token, tenant: int
+    ) -> dict:
+        raw = documents.select("doc_id", "text").persist()
         try:
+            # the batch's doc-partition keys, collected driver-side
+            # (bounded by doc_parts) — they prune the known-doc
+            # anti-join to the registry partitions that could hold them
+            dparts = [
+                r["dpart"]
+                for r in raw.select(
+                    self._dpart_col(F.col("doc_id")).alias("dpart")
+                )
+                .distinct()
+                .collect()
+            ]
+            known = self._known_doc_ids(tenant, dparts)
+            docs = raw
+            if known is not None:
+                docs = docs.join(known, "doc_id", "left_anti")
+            docs = docs.persist()
             n_new = docs.count()
             if n_new == 0:
                 # still commit the replay token: an empty batch must
@@ -195,90 +410,451 @@ class DedupArtifacts(SegmentStore):
                 if idempotency_token is not None:
                     self._commit_segments([], stream_batch=idempotency_token)
                 return {"docs": 0, "pairs": 0}
-
-            sh = dedup.doc_shingles(docs).persist()
-            wide = dedup.minhash_wide(sh, self.num_perms).persist()
             try:
-                nd_batch = sh.select("doc_id").distinct().count()
-                staged: list[tuple[str, str]] = []
-
-                seg, p = self._stage_path("shingles")
-                sh.write.mode("overwrite").parquet(p)
-                staged.append(("shingles", seg))
-
-                seg, p = self._stage_path("signatures")
-                wide.write.mode("overwrite").parquet(p)
-                staged.append(("signatures", seg))
-
-                seg, p = self._stage_path("df")
-                (
-                    sh.groupBy("shingle")
-                    .agg(F.count("*").cast("bigint").alias("df"))
-                    .write.mode("overwrite")
-                    .parquet(p)
+                return self._stage_and_commit_batch(
+                    docs, n_new, idempotency_token, tenant
                 )
-                staged.append(("df", seg))
-
-                seg, p = self._stage_path("simhash")
-                dedup.simhash(docs, bits=self.simhash_bits).write.mode(
-                    "overwrite"
-                ).parquet(p)
-                staged.append(("simhash", seg))
-
-                # new x (old ∪ new) band collisions. The batch side is
-                # small — broadcast it so the stored-bucket projection
-                # never shuffles (the whole-corpus side is a pure
-                # in-row banding of the stored signature segments).
-                new_b = dedup.lsh_buckets_wide(wide, num_perms=self.num_perms)
-                all_b = new_b
-                if self._segments("signatures"):
-                    all_b = dedup.lsh_buckets_wide(
-                        self.signatures(), num_perms=self.num_perms
-                    ).unionByName(new_b)
-                cand = (
-                    all_b.withColumnRenamed("doc_id", "da")
-                    .join(
-                        F.broadcast(
-                            new_b.withColumnRenamed("doc_id", "db")
-                        ),
-                        ["band", "bucket"],
-                    )
-                    .filter(F.col("da") != F.col("db"))
-                    .select(
-                        F.least("da", "db").alias("doc_a"),
-                        F.greatest("da", "db").alias("doc_b"),
-                    )
-                    .distinct()
-                    .persist()
-                )
-                try:
-                    n_pairs = cand.count()
-                    seg, p = self._stage_path("cand_pairs")
-                    cand.write.mode("overwrite").parquet(p)
-                    staged.append(("cand_pairs", seg))
-                finally:
-                    cand.unpersist()
-
-                new_meta_extra = {
-                    "n_docs": int(self._meta["n_docs"]) + n_new,
-                    "nd_shingled": int(self._meta["nd_shingled"]) + nd_batch,
-                }
-                # ride the counters in the same atomic flip as the
-                # segments: _commit_segments deep-copies self._meta, so
-                # mutate first and restore on failure
-                old_vals = {k: self._meta[k] for k in new_meta_extra}
-                self._meta.update(new_meta_extra)
-                try:
-                    self._commit_segments(staged, stream_batch=idempotency_token)
-                except BaseException:
-                    self._meta.update(old_vals)
-                    raise
-                return {"docs": n_new, "pairs": n_pairs}
             finally:
-                sh.unpersist()
-                wide.unpersist()
+                docs.unpersist()
         finally:
-            docs.unpersist()
+            raw.unpersist()
+
+    def _stage_and_commit_batch(
+        self, docs: DataFrame, n_new: int, idempotency_token, tenant: int
+    ) -> dict:
+        t_lit = F.lit(int(tenant))
+        sh = dedup.doc_shingles(docs).persist()
+        wide = dedup.minhash_wide(sh, self.num_perms).persist()
+        new_b = (
+            dedup.lsh_buckets_wide(
+                wide, bands=self.lsh_bands, num_perms=self.num_perms
+            )
+            .withColumn("bpart", self._bpart_col(F.col("bucket")))
+            .persist()
+        )
+        try:
+            nd_batch = sh.select("doc_id").distinct().count()
+            staged: list[tuple[str, str]] = []
+
+            def stage(table: str, df: DataFrame) -> None:
+                seg, p = self._stage_path(table)
+                self._write_segment(table, df, p)
+                staged.append((table, seg))
+
+            # rev-1 stores don't get the new tables piecemeal: their
+            # backfill happens wholesale in migrate_layout (a partial
+            # doc_ids/buckets table would duplicate rows when the
+            # migration bands the full signature table)
+            if self.schema_rev >= 2:
+                stage(
+                    "doc_ids",
+                    docs.select(
+                        t_lit.alias("tenant"),
+                        self._dpart_col(F.col("doc_id")).alias("dpart"),
+                        "doc_id",
+                    ),
+                )
+            stage(
+                "shingles",
+                sh.select(
+                    t_lit.alias("tenant"),
+                    self._dpart_col(F.col("doc_id")).alias("dpart"),
+                    "doc_id",
+                    "shingle",
+                ),
+            )
+            stage("signatures", wide.select(t_lit.alias("tenant"), *wide.columns))
+            bdf = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").cast("bigint").alias("df"))
+                .persist()
+            )
+            stage("df", bdf.select(t_lit.alias("tenant"), "shingle", "df"))
+            stage(
+                "simhash",
+                dedup.simhash(docs, bits=self.simhash_bits).select(
+                    t_lit.alias("tenant"), "doc_id", "simhash"
+                ),
+            )
+            if self.schema_rev >= 2:
+                stage(
+                    "buckets",
+                    new_b.select(
+                        t_lit.alias("tenant"), "bpart", "band", "bucket", "doc_id"
+                    ),
+                )
+
+            # new x (old ∪ new) band collisions, tenant-local. The old
+            # side is the STORED bucket table pruned to the batch's
+            # bpart partitions (static partition pruning — bounded by
+            # the batch's key set, not the corpus); a rev-1 store falls
+            # back to banding its signature table. The batch side is
+            # broadcast only when provably small.
+            bparts = [
+                r["bpart"] for r in new_b.select("bpart").distinct().collect()
+            ]
+            old_b = None
+            if self.schema_rev >= 2:
+                if self._segments("buckets"):
+                    old_b = (
+                        self._read_t("buckets", _BUCKET_SCHEMA, tenant)
+                        .filter(F.col("bpart").isin([int(b) for b in bparts]))
+                        .select("band", "bucket", "doc_id")
+                    )
+            elif self._segments("signatures"):
+                old_b = dedup.lsh_buckets_wide(
+                    self.signatures(tenant=tenant),
+                    bands=self.lsh_bands,
+                    num_perms=self.num_perms,
+                )
+            left = new_b.select("band", "bucket", "doc_id")
+            if old_b is not None:
+                left = old_b.unionByName(left)
+            right = new_b.select(
+                "band", "bucket", F.col("doc_id").alias("db")
+            )
+            if n_new * self.lsh_bands <= params.ARTIFACT_BROADCAST_ROWS:
+                right = F.broadcast(right)
+            cand = (
+                left.withColumnRenamed("doc_id", "da")
+                .join(right, ["band", "bucket"])
+                .filter(F.col("da") != F.col("db"))
+                .select(
+                    F.least("da", "db").alias("doc_a"),
+                    F.greatest("da", "db").alias("doc_b"),
+                )
+                .distinct()
+                .persist()
+            )
+            try:
+                n_pairs = cand.count()
+                stage(
+                    "cand_pairs",
+                    cand.select(t_lit.alias("tenant"), "doc_a", "doc_b"),
+                )
+                new_seq = None
+                if self._meta.get("pair_stats_live"):
+                    new_seq = self._stage_pair_stats(
+                        sh, bdf, cand, tenant, nd_batch, stage, t_lit
+                    )
+            finally:
+                cand.unpersist()
+                bdf.unpersist()
+
+            tkey = str(int(tenant))
+            tstats = dict(self._meta["tenants"].get(tkey, {"n_docs": 0, "nd_shingled": 0}))
+            new_meta_extra = {
+                "n_docs": int(self._meta["n_docs"]) + n_new,
+                "nd_shingled": int(self._meta["nd_shingled"]) + nd_batch,
+                "tenants": {
+                    **self._meta["tenants"],
+                    tkey: {
+                        "n_docs": int(tstats["n_docs"]) + n_new,
+                        "nd_shingled": int(tstats["nd_shingled"]) + nd_batch,
+                    },
+                },
+            }
+            if new_seq is not None:
+                new_meta_extra["pair_seq"] = new_seq
+            # ride the counters in the same atomic flip as the
+            # segments: _commit_segments deep-copies self._meta, so
+            # mutate first and restore on failure
+            old_vals = {k: self._meta[k] for k in new_meta_extra}
+            self._meta.update(new_meta_extra)
+            try:
+                self._commit_segments(staged, stream_batch=idempotency_token)
+            except BaseException:
+                self._meta.update(old_vals)
+                raise
+            return {"docs": n_new, "pairs": n_pairs}
+        finally:
+            sh.unpersist()
+            wide.unpersist()
+            new_b.unpersist()
+
+    def _stage_pair_stats(
+        self, sh, bdf, cand, tenant: int, nd_batch: int, stage, t_lit
+    ) -> int:
+        """Incremental maintenance of the verified-pair artifact: one
+        pair_stats segment per commit holding the exact Jaccard stats
+        (n_common, jaccard over the POST-commit capped shingle sets,
+        min_overlap=1 / min_jaccard=0 semantics — read-time knobs
+        filter) for
+
+          (a) this batch's NEW candidate pairs, and
+          (b) every STORED pair touched by df-drift: a shingle whose
+              capped-status flips with this commit (its df crossed the
+              cap, or the cap itself moved past its df) changes the
+              capped sets — and hence sizes/intersections — of exactly
+              the docs containing it, so precisely the stored pairs
+              touching those docs are re-verified; ones that no longer
+              overlap get a TOMBSTONE row (n_common=0).
+
+        Rows carry a commit sequence number; reads take the max-seq
+        row per pair. Induction gives exactness: a pair not
+        re-verified this commit has both docs' capped sets unchanged,
+        so its stored stats still equal a from-scratch verify.
+
+        Cost shape: the verify is ∝ (new pairs + drift-touched pairs)
+        x doc shingle size — doc-keyed lookups prune to the involved
+        docs' dpart partitions. The stop-set/crossing computation is a
+        vocab-sized df aggregate (narrow, map-side-combined — the same
+        cost class as the df segment itself); the shingle→doc lookup
+        for crossing shingles scans the shingle table map-only and
+        runs ONLY on commits where some shingle actually flips."""
+        frac = params.JACCARD_MAX_DF_FRAC
+        nd_old = self._nd_shingled(tenant)
+        cap_old = self._df_cap(nd_old, frac)
+        cap_new = self._df_cap(nd_old + nd_batch, frac)
+        stored_df = self.shingle_df(tenant=tenant)
+        df_new_all = (
+            stored_df.unionByName(bdf)
+            .groupBy("shingle")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+        )
+        stop_new = df_new_all.filter(F.col("df") > cap_new).select("shingle")
+
+        # shingles whose capped-status flips with this commit. When
+        # the cap is unchanged (pinned at DF_CEIL — the steady state
+        # at scale) only BATCH shingles can flip (df only grows), so
+        # the join stays batch-vocab-sized; a moving cap can flip any
+        # shingle with df in the swept window, which needs the full
+        # (still vocab-bounded) outer join.
+        how = "left" if cap_new == cap_old else "full_outer"
+        j = (
+            bdf.withColumnRenamed("df", "d_add")
+            .join(stored_df.withColumnRenamed("df", "df_old"), "shingle", how)
+            .select(
+                "shingle",
+                F.coalesce("df_old", F.lit(0)).alias("df_old"),
+                (
+                    F.coalesce("df_old", F.lit(0)) + F.coalesce("d_add", F.lit(0))
+                ).alias("df_new"),
+            )
+        )
+        crossing = j.filter(
+            (F.col("df_old") > F.lit(float(cap_old)))
+            != (F.col("df_new") > F.lit(float(cap_new)))
+        ).select("shingle")
+
+        stale = None
+        if self._segments("pair_stats") and not crossing.isEmpty():
+            aff = (
+                self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+                .join(crossing, "shingle", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            latest = self._pair_latest(tenant).filter(F.col("n_common") >= 1)
+            stale = (
+                latest.join(
+                    aff.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+                )
+                .select("doc_a", "doc_b")
+                .unionByName(
+                    latest.join(
+                        aff.withColumnRenamed("doc_id", "doc_b"),
+                        "doc_b",
+                        "left_semi",
+                    ).select("doc_a", "doc_b")
+                )
+                .distinct()
+                .persist()
+            )
+        pairs_all = cand.select("doc_a", "doc_b")
+        if stale is not None:
+            pairs_all = pairs_all.unionByName(stale).distinct()
+        pairs_all = pairs_all.persist()
+        docs_involved = (
+            pairs_all.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs_all.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .persist()
+        )
+        ver = None
+        try:
+            dparts = [
+                r["dpart"]
+                for r in docs_involved.select(
+                    self._dpart_col(F.col("doc_id")).alias("dpart")
+                )
+                .distinct()
+                .collect()
+            ]
+            # stored shingle sets of the involved OLD docs, pruned to
+            # their dpart partitions (the isNull arm keeps pre-layout
+            # segments of a migrated store readable — unpruned there)
+            old_sh = (
+                self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+                .filter(
+                    F.col("dpart").isin([int(d) for d in dparts])
+                    | F.col("dpart").isNull()
+                )
+                .join(docs_involved, "doc_id", "left_semi")
+                .select("doc_id", "shingle")
+            )
+            new_sh = sh.join(docs_involved, "doc_id", "left_semi").select(
+                "doc_id", "shingle"
+            )
+            capped_vf = new_sh.unionByName(old_sh).join(
+                stop_new, "shingle", "left_anti"
+            )
+            ver = dedup.jaccard_verify_pairs(
+                capped_vf,
+                None,
+                min_jaccard=0.0,
+                min_overlap=1,
+                candidates=pairs_all,
+            ).persist()
+            new_seq = int(self._meta.get("pair_seq", 0)) + 1
+            seq_lit = F.lit(new_seq).cast("bigint")
+            rows = ver.select(
+                t_lit.alias("tenant"),
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "jaccard",
+                seq_lit.alias("seq"),
+            )
+            if stale is not None:
+                tomb = (
+                    stale.join(
+                        ver.select("doc_a", "doc_b"),
+                        ["doc_a", "doc_b"],
+                        "left_anti",
+                    ).select(
+                        t_lit.alias("tenant"),
+                        "doc_a",
+                        "doc_b",
+                        F.lit(0).cast("bigint").alias("n_common"),
+                        F.lit(0.0).alias("jaccard"),
+                        seq_lit.alias("seq"),
+                    )
+                )
+                rows = rows.unionByName(tomb)
+            stage("pair_stats", rows)
+            return new_seq
+        finally:
+            pairs_all.unpersist()
+            docs_involved.unpersist()
+            if stale is not None:
+                stale.unpersist()
+            if ver is not None:
+                ver.unpersist()
+
+    def _pair_latest(self, tenant: int | None) -> DataFrame:
+        """Current value per pair: the max-seq pair_stats row (later
+        re-verifications and tombstones supersede earlier rows)."""
+        ps = self._read_t("pair_stats", _PAIRSTAT_SCHEMA, tenant)
+        return (
+            ps.groupBy("tenant", "doc_a", "doc_b")
+            .agg(F.max_by(F.struct("n_common", "jaccard"), "seq").alias("s"))
+            .select(
+                "tenant",
+                "doc_a",
+                "doc_b",
+                F.col("s.n_common").alias("n_common"),
+                F.col("s.jaccard").alias("jaccard"),
+            )
+        )
+
+    def migrate_layout(self) -> None:
+        """Upgrade a round-8 (rev-1) store to the current layout:
+        backfill the doc_ids registry (from signatures ∪ simhash —
+        docs with neither shingles nor tokens are unrecoverable on
+        rev 1 and stay untracked; their n_docs count is preserved) and
+        the stored bucket table (banded from the signature table,
+        partitioned/sorted for pruned incremental joins), then bump
+        schema_rev in the same atomic flip. Idempotent; further
+        updates use the batch-proportional path."""
+        import copy
+
+        with self._writer_lock():
+            if self.schema_rev >= 2:
+                return
+            staged: list[tuple[str, str]] = []
+            ids = None
+            if self._segments("signatures") or self._segments("simhash"):
+                sig_ids = (
+                    self._read_t("signatures", self._sig_schema())
+                    if self._segments("signatures")
+                    else None
+                )
+                frames = []
+                if sig_ids is not None:
+                    frames.append(sig_ids.select("tenant", "doc_id"))
+                if self._segments("simhash"):
+                    frames.append(
+                        self._read_t("simhash", _SIMHASH_SCHEMA).select(
+                            "tenant", "doc_id"
+                        )
+                    )
+                ids = frames[0]
+                for fdf in frames[1:]:
+                    ids = ids.unionByName(fdf)
+                ids = ids.distinct().select(
+                    "tenant",
+                    self._dpart_col(F.col("doc_id")).alias("dpart"),
+                    "doc_id",
+                )
+                seg, p = self._stage_path("doc_ids")
+                self._write_segment("doc_ids", ids, p)
+                staged.append(("doc_ids", seg))
+            if self._segments("signatures"):
+                sig = self._read_t("signatures", self._sig_schema())
+                b = dedup.lsh_buckets_wide(
+                    sig.drop("tenant"),
+                    bands=self.lsh_bands,
+                    num_perms=self.num_perms,
+                ).join(sig.select("tenant", "doc_id"), "doc_id")
+                b = b.select(
+                    "tenant",
+                    self._bpart_col(F.col("bucket")).alias("bpart"),
+                    "band",
+                    "bucket",
+                    "doc_id",
+                )
+                seg, p = self._stage_path("buckets")
+                self._write_segment("buckets", b, p)
+                staged.append(("buckets", seg))
+            # pair_stats backfill: ONE full verify at the migration
+            # snapshot (the cost the incremental path then never pays
+            # again); legacy stores are single-tenant — everything is
+            # tenant 0 by definition
+            pair_seq = int(self._meta.get("pair_seq", 0))
+            if self._segments("cand_pairs"):
+                pair_seq += 1
+                ver = dedup.jaccard_verify_pairs(
+                    self.capped_shingles(),
+                    None,
+                    min_jaccard=0.0,
+                    min_overlap=1,
+                    candidates=self.candidate_pairs(),
+                )
+                rows = ver.select(
+                    F.lit(0).alias("tenant"),
+                    "doc_a",
+                    "doc_b",
+                    "n_common",
+                    "jaccard",
+                    F.lit(pair_seq).cast("bigint").alias("seq"),
+                )
+                seg, p = self._stage_path("pair_stats")
+                self._write_segment("pair_stats", rows, p)
+                staged.append(("pair_stats", seg))
+            new_meta = copy.deepcopy(self._meta)
+            segs = new_meta.setdefault("segments", {})
+            man = new_meta.setdefault("manifests", {})
+            for table, seg in staged:
+                segs.setdefault(table, []).append(seg)
+                man.setdefault(table, {})[seg] = self._segment_manifest(
+                    os.path.join(self.path, table, seg)
+                )
+            new_meta["schema_rev"] = 2
+            new_meta["pair_seq"] = pair_seq
+            new_meta["pair_stats_live"] = True
+            self._save_meta(new_meta)
+            self._meta = new_meta
 
     def compact(self) -> None:
         """Consolidate every table's per-batch segments into ONE
@@ -286,21 +862,65 @@ class DedupArtifacts(SegmentStore):
         micro-batch and every read unions one scan per segment, so
         periodic compaction (stream_artifacts' compact_every) keeps
         read cost flat. Semantics-preserving AND size-reducing: the
-        df table pre-aggregates to one row per shingle (reads sum df
-        segments anyway — vocab-sized after compaction instead of
-        batches x vocab) and cand_pairs dedups. Same stage-then-flip
-        protocol as Index.compact: readers of the old list are
-        untouched, a crash before the flip changes nothing; run
-        vacuum() afterwards to reclaim superseded dirs."""
+        df table pre-aggregates to one row per (tenant, shingle)
+        (reads sum df segments anyway — vocab-sized after compaction
+        instead of batches x vocab), cand_pairs dedups, and the
+        bucket / doc-keyed tables are rewritten in their pruned
+        physical layout (partition dirs re-consolidated, sort order
+        and bloom filters restored — compaction heals layout drift).
+        Same stage-then-flip protocol as Index.compact: readers of the
+        old list are untouched, a crash before the flip changes
+        nothing; run vacuum() afterwards to reclaim superseded dirs."""
         import copy
 
         with self._writer_lock():
             writers = {
-                "shingles": self.shingles(),
-                "signatures": self.signatures(),
-                "df": self.shingle_df(),
-                "cand_pairs": self.candidate_pairs(),
-                "simhash": self.fingerprints(),
+                "doc_ids": self._read_t("doc_ids", _DOCID_SCHEMA).select(
+                    "tenant",
+                    self._dpart_col(F.col("doc_id")).alias("dpart"),
+                    "doc_id",
+                ),
+                "shingles": self._read_t("shingles", _SHINGLE_SCHEMA).select(
+                    "tenant",
+                    self._dpart_col(F.col("doc_id")).alias("dpart"),
+                    "doc_id",
+                    "shingle",
+                ),
+                "signatures": self._read_t("signatures", self._sig_schema()),
+                "df": self._read_t("df", _DF_SCHEMA)
+                .groupBy("tenant", "shingle")
+                .agg(F.sum("df").cast("bigint").alias("df")),
+                "cand_pairs": self._read_t("cand_pairs", _PAIR_SCHEMA)
+                .select("tenant", "doc_a", "doc_b")
+                .distinct(),
+                "simhash": self._read_t("simhash", _SIMHASH_SCHEMA).select(
+                    "tenant", "doc_id", "simhash"
+                ),
+                "buckets": self._read_t("buckets", _BUCKET_SCHEMA).select(
+                    "tenant",
+                    self._bpart_col(F.col("bucket")).alias("bpart"),
+                    "band",
+                    "bucket",
+                    "doc_id",
+                ),
+                # pair_stats: keep only the max-seq row per pair and
+                # drop tombstones outright (a tombstone only
+                # suppresses older rows, all of which are dropped here)
+                "pair_stats": self._read_t("pair_stats", _PAIRSTAT_SCHEMA)
+                .groupBy("tenant", "doc_a", "doc_b")
+                .agg(
+                    F.max_by(F.struct("n_common", "jaccard"), "seq").alias("s"),
+                    F.max("seq").alias("seq"),
+                )
+                .select(
+                    "tenant",
+                    "doc_a",
+                    "doc_b",
+                    F.col("s.n_common").alias("n_common"),
+                    F.col("s.jaccard").alias("jaccard"),
+                    "seq",
+                )
+                .filter(F.col("n_common") >= 1),
             }
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
@@ -310,7 +930,7 @@ class DedupArtifacts(SegmentStore):
                     continue
                 new_v = self._version(table) + 1
                 dst = self._table_path(table, new_v)
-                df.write.mode("overwrite").parquet(dst)
+                self._write_segment(table, df, dst)
                 seg = f"v{new_v}"
                 new_meta["versions"][table] = new_v
                 segs[table] = [seg]
@@ -320,36 +940,75 @@ class DedupArtifacts(SegmentStore):
 
     # ---------------- read side (exact vs from-scratch) ----------------
 
-    def shingles(self) -> DataFrame:
-        self._refresh_meta_if_stale()  # follow external commits
-        return self._read("shingles", _SHINGLE_SCHEMA)
+    def doc_ids(self, tenant: int | None = None) -> DataFrame:
+        """(doc_id) every ingested document (this tenant's, or all)."""
+        self._refresh_meta_if_stale()
+        return self._read_t("doc_ids", _DOCID_SCHEMA, tenant).select("doc_id")
 
-    def signatures(self) -> DataFrame:
+    def shingles(self, tenant: int | None = None) -> DataFrame:
+        self._refresh_meta_if_stale()  # follow external commits
+        return self._read_t("shingles", _SHINGLE_SCHEMA, tenant).select("doc_id", "shingle")
+
+    def _sig_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("tenant", T.IntegerType()),
+                T.StructField("doc_id", T.LongType()),
+            ]
+            + [
+                T.StructField(f"m{i}", T.LongType())
+                for i in range(self.num_perms)
+            ]
+        )
+
+    def signatures(self, tenant: int | None = None) -> DataFrame:
         self._refresh_meta_if_stale()
         p = self.num_perms
-        schema = T.StructType(
-            [T.StructField("doc_id", T.LongType())]
-            + [T.StructField(f"m{i}", T.LongType()) for i in range(p)]
-        )
-        return self._read("signatures", schema)
+        return self._read_t("signatures", self._sig_schema(), tenant).select("doc_id", *[f"m{i}" for i in range(p)])
 
-    def buckets(self, bands: int | None = None) -> DataFrame:
-        """(doc_id, band, bucket) — pure in-row banding of the stored
-        signature table; zero shuffle."""
+    def buckets(
+        self, bands: int | None = None, tenant: int | None = None
+    ) -> DataFrame:
+        """(doc_id, band, bucket). For the store's own banding config
+        this serves the STORED bucket table (equal to in-row banding of
+        the signatures by construction — buckets are a pure per-doc
+        function); a caller asking for a different band count gets the
+        on-the-fly banding of the signature table."""
+        self._refresh_meta_if_stale()
+        if (
+            (bands is None or int(bands) == self.lsh_bands)
+            and self.schema_rev >= 2
+            and self._segments("buckets")
+        ):
+            return self._read_t("buckets", _BUCKET_SCHEMA, tenant).select("doc_id", "band", "bucket")
         return dedup.lsh_buckets_wide(
-            self.signatures(), bands=bands, num_perms=self.num_perms
+            self.signatures(tenant=tenant),
+            bands=bands or self.lsh_bands,
+            num_perms=self.num_perms,
         )
 
-    def shingle_df(self) -> DataFrame:
-        """(shingle, df) global document frequencies — sum of the
-        per-batch aggregates (additive; see module docstring)."""
+    def shingle_df(self, tenant: int | None = None) -> DataFrame:
+        """(shingle, df) per-tenant document frequencies — sum of the
+        per-batch aggregates (additive; see module docstring). With
+        tenant=None (single-tenant stores) this is the global table."""
         return (
-            self._read("df", _DF_SCHEMA)
+            self._read_t("df", _DF_SCHEMA, tenant)
             .groupBy("shingle")
             .agg(F.sum("df").cast("bigint").alias("df"))
         )
 
-    def capped_shingles(self, max_df_frac: float | None = None) -> DataFrame:
+    def _nd_shingled(self, tenant: int | None) -> int:
+        if tenant is None:
+            return int(self._meta["nd_shingled"])
+        t = self._meta.get("tenants", {}).get(str(int(tenant)))
+        if t is None:
+            # legacy single-tenant store: its whole corpus is tenant 0
+            return int(self._meta["nd_shingled"]) if int(tenant) == 0 else 0
+        return int(t["nd_shingled"])
+
+    def capped_shingles(
+        self, max_df_frac: float | None = None, tenant: int | None = None
+    ) -> DataFrame:
         """Df-capped shingle table, equal to
         dedup.df_capped_shingles(self.shingles()) with the cap
         evaluated on the maintained statistics — the stop set costs a
@@ -358,79 +1017,113 @@ class DedupArtifacts(SegmentStore):
             params.JACCARD_MAX_DF_FRAC if max_df_frac is None else max_df_frac
         )
         self._refresh_meta_if_stale()
-        nd = int(self._meta["nd_shingled"])
-        cap = min(
+        cap = self._df_cap(self._nd_shingled(tenant), max_df_frac)
+        stop = (
+            self.shingle_df(tenant=tenant)
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        return self.shingles(tenant=tenant).join(stop, "shingle", "left_anti")
+
+    @staticmethod
+    def _df_cap(nd: int, max_df_frac: float) -> float:
+        return min(
             max(nd * max_df_frac, float(params.JACCARD_DF_FLOOR)),
             float(params.JACCARD_DF_CEIL),
         )
-        stop = self.shingle_df().filter(F.col("df") > cap).select("shingle")
-        return self.shingles().join(stop, "shingle", "left_anti")
 
-    def fingerprints(self) -> DataFrame:
+    def fingerprints(self, tenant: int | None = None) -> DataFrame:
         """(doc_id, simhash) — the stored SimHash fingerprint table
         (pure per-doc, so per-batch segments union to the full-corpus
         simhash() exactly)."""
         self._refresh_meta_if_stale()
-        return self._read("simhash", _SIMHASH_SCHEMA)
+        return self._read_t("simhash", _SIMHASH_SCHEMA, tenant).select("doc_id", "simhash")
 
     def simhash_neardup(
-        self, max_hamming: int = 3, bands: int = 4
+        self, max_hamming: int = 3, bands: int = 4, tenant: int | None = None
     ) -> DataFrame:
         """(doc_a, doc_b, hamming) banded-Hamming near-dup pairs off
         the STORED fingerprints — pigeonhole-exact recall for
         max_hamming <= bands-1 (dedup.simhash_neardup_pairs)."""
         return dedup.simhash_neardup_pairs(
-            fingerprints=self.fingerprints(),
+            fingerprints=self.fingerprints(tenant=tenant),
             bits=self.simhash_bits,
             bands=bands,
             max_hamming=max_hamming,
         )
 
-    def candidate_pairs(self) -> DataFrame:
+    def candidate_pairs(self, tenant: int | None = None) -> DataFrame:
         """(doc_a, doc_b) accumulated band collisions — exactly
         lsh_candidate_pairs(self.buckets()) (segments may overlap on a
         pair rediscovered by a later batch only if doc_ids repeated,
         which update() forbids — but distinct() anyway for safety)."""
         self._refresh_meta_if_stale()
-        return self._read("cand_pairs", _PAIR_SCHEMA).distinct()
+        return (
+            self._read_t("cand_pairs", _PAIR_SCHEMA, tenant)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
 
     def verified_pairs(
-        self, min_jaccard: float = 0.5, min_overlap: int = 2
+        self,
+        min_jaccard: float = 0.5,
+        min_overlap: int = 2,
+        tenant: int | None = None,
     ) -> DataFrame:
         """(doc_a, doc_b, n_common, jaccard) — the production near-dup
-        pair set, verified at read time against the CURRENT capped
-        shingle sets (so results always match a from-scratch
-        jaccard_verify_pairs over the full corpus).
+        pair set, always equal to a from-scratch jaccard_verify_pairs
+        over the full corpus.
 
-        The verify join is a once-per-SNAPSHOT cost (measured 141 s
-        at the sf10 probe's 500k docs), so the result is persisted and
-        keyed on (_meta_seq, knobs): repeated serves off an unchanged
-        store are cache hits, and any committed update invalidates.
-        This is the exactness trade made explicit — verify-at-write
-        would be cheaper per snapshot but drifts as the df stop-set
-        moves with corpus growth (module docstring)."""
+        On a maintained store (pair_stats_live) this is a cheap READ:
+        the max-seq row per pair of the incrementally-maintained
+        pair_stats artifact, filtered by the knobs — update() already
+        verified each pair against the then-current capped sets and
+        re-verified the ones df-drift touched, so the stored stats ARE
+        the from-scratch answer (see _stage_pair_stats). The round-8
+        behavior — a full verify per snapshot (141 s at the sf10
+        probe's 500k docs), memoized under a lock keyed on
+        (_meta_seq, knobs) — remains as the fallback for legacy stores
+        that have not run migrate_layout."""
         self._refresh_meta_if_stale()
-        key = (getattr(self, "_meta_seq", 0), float(min_jaccard), int(min_overlap))
-        cached = getattr(self, "_verified_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        df = dedup.jaccard_verify_pairs(
-            self.capped_shingles(),
-            None,
-            min_jaccard=min_jaccard,
-            min_overlap=min_overlap,
-            candidates=self.candidate_pairs(),
-        ).persist()
-        if cached is not None:
-            try:
-                cached[1].unpersist(blocking=False)
-            except Exception:  # noqa: BLE001 — best-effort
-                pass
-        self._verified_cache = (key, df)
-        return df
+        if self._meta.get("pair_stats_live"):
+            return (
+                self._pair_latest(tenant)
+                .filter(
+                    (F.col("n_common") >= int(max(1, min_overlap)))
+                    & (F.col("jaccard") >= float(min_jaccard))
+                )
+                .select("doc_a", "doc_b", "n_common", "jaccard")
+            )
+        key = (
+            getattr(self, "_meta_seq", 0),
+            float(min_jaccard),
+            int(min_overlap),
+            tenant,
+        )
+        with self._verified_lock:
+            cached = getattr(self, "_verified_cache", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+            df = dedup.jaccard_verify_pairs(
+                self.capped_shingles(tenant=tenant),
+                None,
+                min_jaccard=min_jaccard,
+                min_overlap=min_overlap,
+                candidates=self.candidate_pairs(tenant=tenant),
+            ).persist()
+            if cached is not None:
+                try:
+                    cached[1].unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
+            self._verified_cache = (key, df)
+            return df
 
     def cluster_map(
-        self, min_jaccard: float = 0.5, min_overlap: int = 2
+        self,
+        min_jaccard: float = 0.5,
+        min_overlap: int = 2,
+        tenant: int | None = None,
     ) -> DataFrame:
         """(doc_id, cluster_id) connected components over the verified
         pairs — pair maintenance is incremental; cluster formation
@@ -438,17 +1131,24 @@ class DedupArtifacts(SegmentStore):
         global property a true incremental union would have to
         propagate anyway)."""
         return dedup.dup_clusters(
-            self.verified_pairs(min_jaccard=min_jaccard, min_overlap=min_overlap)
+            self.verified_pairs(
+                min_jaccard=min_jaccard, min_overlap=min_overlap, tenant=tenant
+            )
         )
 
-    def dedup_gate(self, documents: DataFrame) -> DataFrame:
+    def dedup_gate(
+        self, documents: DataFrame, tenant: int | None = None
+    ) -> DataFrame:
         """Surviving doc_ids of an INCOMING batch after LSH collision
         against the stored corpus (cross-corpus dedup read path —
-        dedup.cross_corpus_dedup off the maintained signatures)."""
+        dedup.cross_corpus_dedup off the maintained bucket table)."""
         new_wide = dedup.minhash_wide(
-            dedup.doc_shingles(documents.select("doc_id", "text")), self.num_perms
+            dedup.doc_shingles(documents.select("doc_id", "text")),
+            self.num_perms,
         )
         return dedup.cross_corpus_dedup(
-            dedup.lsh_buckets_wide(new_wide, num_perms=self.num_perms),
-            self.buckets(),
+            dedup.lsh_buckets_wide(
+                new_wide, bands=self.lsh_bands, num_perms=self.num_perms
+            ),
+            self.buckets(tenant=tenant),
         )

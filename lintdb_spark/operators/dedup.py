@@ -429,8 +429,14 @@ def jaccard_pairs(
                 stacklevel=2,
             )
             buckets = lsh_buckets_wide(minhash_wide(orig))
-            return jaccard_verify_pairs(
-                capped, buckets, min_jaccard=0.0, min_overlap=min_overlap
+            # tag the persisted capped frame on the routed result too —
+            # without it the auto path's persist outlives the call
+            # (release() frees it on the normal path)
+            return tag_cached(
+                jaccard_verify_pairs(
+                    capped, buckets, min_jaccard=0.0, min_overlap=min_overlap
+                ),
+                capped,
             )
         raise ValueError(
             f"exhaustive jaccard_pairs would emit ~{bound:,} candidate "

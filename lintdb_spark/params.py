@@ -83,6 +83,25 @@ JACCARD_DF_CEIL = 1_000
 EXHAUSTIVE_PAIR_CAP = 1_000_000_000
 ROUND = 4  # decimals kept when hashing float scores across engines
 
+# DedupArtifacts physical layout (round 9). The stored bucket table is
+# hive-partitioned on bpart = pmod(xxhash64(bucket), BUCKET_PARTS) so
+# an incremental update's new x old collision join PRUNES to the
+# partitions holding the batch's bucket keys instead of re-banding (or
+# even re-reading) the whole corpus — the Spark analogue of the
+# reference's point-gets on the new doc's keys
+# (lintdb/invlists/IndexWriter.cpp:22-58). Same idea for doc-keyed
+# lookups (known-doc anti-join, incremental pair verify) via
+# dpart = pmod(xxhash64(doc_id), DOC_PARTS). Values are captured into
+# store meta at create() so the layout stays stable even if these
+# defaults change.
+ARTIFACT_BUCKET_PARTS = 64
+ARTIFACT_DOC_PARTS = 32
+# update() broadcasts the batch's LSH bucket frame only below this row
+# count ((docs with shingles) x bands); bigger batches fall back to a
+# shuffle join — a forced broadcast of an arbitrarily large batch is a
+# driver OOM at scale (the failure mode df_capped_shingles documents).
+ARTIFACT_BROADCAST_ROWS = 2_000_000
+
 # English/German/French/Spanish stopword lists for the n-gram-free
 # language-ID heuristic (tiny, deterministic; good enough for synthetic
 # text). Kept lowercase.
