@@ -77,6 +77,7 @@ HEADLINE = [
     "q_cross_dedup",
     "q_artifact_verified",
     "q_artifact_gate",
+    "q_artifact_tenant",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",
@@ -380,6 +381,7 @@ def main() -> None:
     from lintdb_spark.queries import (
         artifact_base_store_cached,
         artifact_store_cached,
+        artifact_tenant_store_cached,
         capped_shingles_cached,
         doc_lengths_cached,
         dup_clusters_cached,
@@ -414,6 +416,8 @@ def main() -> None:
         # r08 incremental artifact stores (3-batch / 2-batch commits)
         ("artifact_build", lambda s, d: artifact_store_cached(s, d).signatures()),
         ("artifact_gate_build", lambda s, d: artifact_base_store_cached(s, d).signatures()),
+        # r09 two-tenant store (4 tenant-local commits)
+        ("artifact_tenant_build", lambda s, d: artifact_tenant_store_cached(s, d).signatures(tenant=1)),
     ]:
         try:
             t0 = time.time()

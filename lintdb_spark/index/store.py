@@ -54,6 +54,32 @@ class SegmentStore:
     def _all_tables(self) -> list[str]:
         raise NotImplementedError
 
+    # ---- path-layer seam (object-store readiness) -------------------
+    # The MANIFEST machinery needs exactly two filesystem primitives:
+    # recursive listing of a freshly written segment (commit time) and
+    # an existence probe (read fallback). They are isolated here so a
+    # deployment on an object store (s3://, abfs://) can override them
+    # with fsspec's AbstractFileSystem equivalents (walk/exists) and
+    # keep the manifests' promised O(1)-LIST read path — the reader
+    # never lists at all; only the WRITER walks the segment it just
+    # wrote (paths it already knows on an object store).
+    #
+    # Deliberately NOT abstracted (documented local-FS constraints):
+    # - _save_meta relies on rename-atomicity (os.replace); an object
+    #   store needs a conditional put (If-Match) for the meta flip.
+    # - _writer_lock relies on O_EXCL create; use a lock service.
+    # - vacuum() is mtime-based maintenance; object stores would use
+    #   listing + upload timestamps.
+    # The Spark scans themselves take URIs, so once these seams and
+    # the two protocol primitives are provided, segments can live on
+    # any Hadoop-supported filesystem.
+
+    def _fs_walk(self, root: str):
+        return os.walk(root)
+
+    def _fs_exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
     def _normalize_meta(self) -> None:
         """Hook: normalize a freshly (re)loaded meta dict in place."""
         self._meta.setdefault("versions", {})
@@ -336,8 +362,7 @@ class SegmentStore:
         seg = f"seg-{uuid.uuid4().hex[:12]}"
         return seg, os.path.join(self.path, table, seg)
 
-    @staticmethod
-    def _segment_manifest(root: str) -> list[str]:
+    def _segment_manifest(self, root: str) -> list[str]:
         """Relative paths of a segment's parquet leaf files, walked
         once at COMMIT time by the process that just wrote them (a
         local readdir over freshly written dirs — cheap, and on object
@@ -350,7 +375,7 @@ class SegmentStore:
         immutable after commit, so the manifest can never go stale for
         a reader holding the meta that references it."""
         out = []
-        for wr, _dirs, files in os.walk(root):
+        for wr, _dirs, files in self._fs_walk(root):
             for f in files:
                 if f.endswith(".parquet"):
                     out.append(os.path.relpath(os.path.join(wr, f), root))
@@ -464,7 +489,7 @@ class SegmentStore:
             # a committed-but-footerless dir (empty batch from an old
             # build, or crash remnant) would fail schema inference for
             # the whole union; zero rows to read means skip the branch
-            for walk_root, _dirs, files in os.walk(p):
+            for walk_root, _dirs, files in self._fs_walk(p):
                 if any(f.endswith(".parquet") for f in files):
                     return True
             return False
@@ -491,7 +516,7 @@ class SegmentStore:
                         pass  # fall through to the listing read
                 else:
                     continue
-            if os.path.exists(root) and _has_parquet(root):
+            if self._fs_exists(root) and _has_parquet(root):
                 frames.append(self.spark.read.parquet(root))
         if not frames:
             return self.spark.createDataFrame([], schema)

@@ -47,8 +47,8 @@ against the STORED bucket table pruned to the batch's bpart
 partitions (bpart = pmod(xxhash64(bucket), bucket_parts) is a hive
 partition column, so the prune is static partition pruning — the old
 side scans only dirs that can hold the batch's keys, and within each
-file rows are SORTED by bucket with a parquet bloom filter on the
-column for row-group skipping on point updates), and one vocab-sized
+file rows are SORTED by bucket for row-group min/max locality), and
+one vocab-sized
 df aggregate of the batch. The known-doc anti-join prunes the same
 way on the doc_ids registry (dpart partitions). Old documents are
 never re-read outside the pruned partitions; nothing is re-BANDED.
@@ -74,6 +74,12 @@ from lintdb_spark import params
 from lintdb_spark.index.store import SegmentStore
 from lintdb_spark.operators import dedup
 
+# files per coarse (per-batch) segment write: batch-sized data in a
+# handful of well-formed files beats one file per shuffle partition —
+# the parquet commit protocol and the downstream segment-union scans
+# both pay per file
+_COARSE_FILES = 8
+
 _DOCID_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.IntegerType()),
@@ -92,6 +98,7 @@ _SHINGLE_SCHEMA = T.StructType(
 _DF_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.IntegerType()),
+        T.StructField("spart", T.IntegerType()),
         T.StructField("shingle", T.StringType()),
         T.StructField("df", T.LongType()),
     ]
@@ -190,6 +197,7 @@ class DedupArtifacts(SegmentStore):
             "lsh_bands": int(params.LSH_BANDS),
             "bucket_parts": int(params.ARTIFACT_BUCKET_PARTS),
             "doc_parts": int(params.ARTIFACT_DOC_PARTS),
+            "shingle_parts": int(params.ARTIFACT_SHINGLE_PARTS),
             "schema_rev": 2,
             "pair_seq": 0,
             "pair_stats_live": True,
@@ -200,10 +208,36 @@ class DedupArtifacts(SegmentStore):
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, num_perms: int | None = None
+        cls,
+        spark: SparkSession,
+        path: str,
+        num_perms: int | None = None,
+        bucket_parts: int | None = None,
+        doc_parts: int | None = None,
+        maintain_pairs: bool = True,
     ) -> "DedupArtifacts":
+        """``bucket_parts`` / ``doc_parts`` size the pruning layout for
+        the deployment (frozen into meta): more partitions = finer
+        point-update pruning but more files per segment — a 1B-doc
+        store wants thousands; the defaults suit bench scale.
+        Compaction bounds the small-file cost either way.
+
+        ``maintain_pairs`` picks which side of the write/read trade
+        pays for pair VERIFICATION: True (default) verifies
+        incrementally at update time (update costs ~3-4x more per
+        batch; verified_pairs() is a sub-second read at any corpus
+        size); False keeps updates minimal and pays one full verify
+        per served snapshot (memoized — 141 s at the sf10 probe's
+        500k docs). Ingest-latency-bound pipelines that rarely serve
+        pairs want False; anything serving dedup decisions
+        continuously wants True."""
         os.makedirs(path, exist_ok=False)
         store = cls(spark, path, num_perms)
+        if bucket_parts is not None:
+            store._meta["bucket_parts"] = int(bucket_parts)
+        if doc_parts is not None:
+            store._meta["doc_parts"] = int(doc_parts)
+        store._meta["pair_stats_live"] = bool(maintain_pairs)
         store._save_meta()
         return store
 
@@ -231,6 +265,7 @@ class DedupArtifacts(SegmentStore):
         self._meta.setdefault("lsh_bands", params.LSH_BANDS)
         self._meta.setdefault("bucket_parts", params.ARTIFACT_BUCKET_PARTS)
         self._meta.setdefault("doc_parts", params.ARTIFACT_DOC_PARTS)
+        self._meta.setdefault("shingle_parts", params.ARTIFACT_SHINGLE_PARTS)
         # a meta written before this field existed is the round-8
         # layout: no doc_ids registry, no stored bucket table
         self._meta.setdefault("schema_rev", 1)
@@ -268,33 +303,69 @@ class DedupArtifacts(SegmentStore):
             F.xxhash64(doc_col), F.lit(int(self._meta["doc_parts"]))
         ).cast("int")
 
-    def _write_segment(self, table: str, df: DataFrame, path: str) -> None:
-        """Stage one segment with the table's physical layout. The
-        bucket table gets the full point-lookup treatment: hive
-        partitions on (tenant, bpart), rows sorted by bucket inside
-        each file, and a parquet bloom filter on the bucket column so
-        a small update's pushed-down key filter skips row groups even
-        inside a touched partition. Doc-keyed tables partition on
-        (tenant, dpart); the rest on tenant alone."""
+    def _spart_col(self, shingle_col):
+        return F.pmod(
+            F.xxhash64(shingle_col), F.lit(int(self._meta["shingle_parts"]))
+        ).cast("int")
+
+    def _write_segment(
+        self, table: str, df: DataFrame, path: str, fine: bool = False
+    ) -> None:
+        """Stage one segment with the table's physical layout — the
+        LSM trade: per-BATCH segments (fine=False) are batch-sized, so
+        they write coarse (tenant dirs only, bpart/dpart as plain
+        sorted columns — a full scan of a batch-sized segment is
+        cheaper than opening hundreds of per-partition files, and the
+        measured cost of fine-partitioning every micro-batch was 10x
+        on update latency); COMPACTED segments (fine=True) hold the
+        accumulated corpus state, so they get the full point-lookup
+        treatment: hive partitions on (tenant, bpart) for the bucket
+        table / (tenant, dpart) for doc-keyed tables, rows sorted by
+        the lookup key inside each file (row-group min/max locality).
+        Pruned reads filter on
+        bpart/dpart either way — partition pruning on the big
+        compacted segments, a cheap batch-sized scan on the rest."""
         if table == "buckets":
-            (
+            # no parquet bloom filter on `bucket`: it was measured to
+            # inflate a fine-partitioned segment ~700x (parquet-mr
+            # sizes blooms for a default 1M NDV — ~1.2 MB per file —
+            # while a partition dir holds a few KB of rows), and Spark
+            # only pushes small IN lists anyway; partition pruning on
+            # bpart plus the in-file sort (row-group min/max) carry
+            # the point-lookup path.
+            w = (
                 df.repartition("tenant", "bpart")
                 .sortWithinPartitions("tenant", "bpart", "bucket")
-                .write.mode("overwrite")
-                .option("parquet.bloom.filter.enabled#bucket", "true")
-                .partitionBy("tenant", "bpart")
-                .parquet(path)
+                if fine
+                else df.coalesce(_COARSE_FILES).sortWithinPartitions("bucket")
+            ).write.mode("overwrite")
+            w.partitionBy(*(("tenant", "bpart") if fine else ("tenant",))).parquet(
+                path
             )
         elif table in ("doc_ids", "shingles"):
-            (
+            w = (
                 df.repartition("tenant", "dpart")
                 .sortWithinPartitions("tenant", "dpart", "doc_id")
-                .write.mode("overwrite")
-                .partitionBy("tenant", "dpart")
-                .parquet(path)
+                if fine
+                else df.coalesce(_COARSE_FILES).sortWithinPartitions("doc_id")
+            ).write.mode("overwrite")
+            w.partitionBy(*(("tenant", "dpart") if fine else ("tenant",))).parquet(
+                path
+            )
+        elif table == "df":
+            w = (
+                df.repartition("tenant", "spart")
+                .sortWithinPartitions("tenant", "spart", "shingle")
+                if fine
+                else df.coalesce(_COARSE_FILES).sortWithinPartitions("shingle")
+            ).write.mode("overwrite")
+            w.partitionBy(*(("tenant", "spart") if fine else ("tenant",))).parquet(
+                path
             )
         else:
-            df.write.mode("overwrite").partitionBy("tenant").parquet(path)
+            df.coalesce(_COARSE_FILES).write.mode("overwrite").partitionBy(
+                "tenant"
+            ).parquet(path)
 
     def _read_t(
         self, table: str, schema: T.StructType, tenant: int | None = None
@@ -469,7 +540,15 @@ class DedupArtifacts(SegmentStore):
                 .agg(F.count("*").cast("bigint").alias("df"))
                 .persist()
             )
-            stage("df", bdf.select(t_lit.alias("tenant"), "shingle", "df"))
+            stage(
+                "df",
+                bdf.select(
+                    t_lit.alias("tenant"),
+                    self._spart_col(F.col("shingle")).alias("spart"),
+                    "shingle",
+                    "df",
+                ),
+            )
             stage(
                 "simhash",
                 dedup.simhash(docs, bits=self.simhash_bits).select(
@@ -606,31 +685,57 @@ class DedupArtifacts(SegmentStore):
         nd_old = self._nd_shingled(tenant)
         cap_old = self._df_cap(nd_old, frac)
         cap_new = self._df_cap(nd_old + nd_batch, frac)
-        stored_df = self.shingle_df(tenant=tenant)
-        df_new_all = (
-            stored_df.unionByName(bdf)
-            .groupBy("shingle")
-            .agg(F.sum("df").cast("bigint").alias("df"))
-        )
-        stop_new = df_new_all.filter(F.col("df") > cap_new).select("shingle")
+
+        def _stored_df(sparts: list[int] | None) -> DataFrame:
+            """Global per-shingle df totals, optionally PRUNED to the
+            spart partitions that can hold a given shingle set (spart
+            is a pure function of the shingle, so every row of a
+            shingle lives in its one partition — the prune is exact).
+            The isNull arm keeps pre-spart coarse segments readable
+            (unpruned there)."""
+            out = self._read_t("df", _DF_SCHEMA, tenant)
+            if sparts is not None:
+                out = out.filter(
+                    F.col("spart").isin([int(x) for x in sparts])
+                    | F.col("spart").isNull()
+                )
+            return out.groupBy("shingle").agg(
+                F.sum("df").cast("bigint").alias("df")
+            )
 
         # shingles whose capped-status flips with this commit. When
         # the cap is unchanged (pinned at DF_CEIL — the steady state
         # at scale) only BATCH shingles can flip (df only grows), so
-        # the join stays batch-vocab-sized; a moving cap can flip any
-        # shingle with df in the swept window, which needs the full
-        # (still vocab-bounded) outer join.
-        how = "left" if cap_new == cap_old else "full_outer"
-        j = (
-            bdf.withColumnRenamed("df", "d_add")
-            .join(stored_df.withColumnRenamed("df", "df_old"), "shingle", how)
-            .select(
+        # the lookup prunes to the batch shingles' spart partitions;
+        # a moving cap can flip any shingle with df in the swept
+        # window, which needs the full (still vocab-bounded) outer
+        # join — a shrinking, seed-phase-only cost.
+        if cap_new == cap_old:
+            b_sparts = [
+                r["spart"]
+                for r in bdf.select(
+                    self._spart_col(F.col("shingle")).alias("spart")
+                )
+                .distinct()
+                .collect()
+            ]
+            j = bdf.withColumnRenamed("df", "d_add").join(
+                _stored_df(b_sparts).withColumnRenamed("df", "df_old"),
                 "shingle",
-                F.coalesce("df_old", F.lit(0)).alias("df_old"),
-                (
-                    F.coalesce("df_old", F.lit(0)) + F.coalesce("d_add", F.lit(0))
-                ).alias("df_new"),
+                "left",
             )
+        else:
+            j = bdf.withColumnRenamed("df", "d_add").join(
+                _stored_df(None).withColumnRenamed("df", "df_old"),
+                "shingle",
+                "full_outer",
+            )
+        j = j.select(
+            "shingle",
+            F.coalesce("df_old", F.lit(0)).alias("df_old"),
+            (
+                F.coalesce("df_old", F.lit(0)) + F.coalesce("d_add", F.lit(0))
+            ).alias("df_new"),
         )
         crossing = j.filter(
             (F.col("df_old") > F.lit(float(cap_old)))
@@ -672,6 +777,7 @@ class DedupArtifacts(SegmentStore):
             .persist()
         )
         ver = None
+        all_sh = None
         try:
             dparts = [
                 r["dpart"]
@@ -696,9 +802,30 @@ class DedupArtifacts(SegmentStore):
             new_sh = sh.join(docs_involved, "doc_id", "left_semi").select(
                 "doc_id", "shingle"
             )
-            capped_vf = new_sh.unionByName(old_sh).join(
-                stop_new, "shingle", "left_anti"
+            all_sh = new_sh.unionByName(old_sh).persist()
+            # cap the involved docs' sets WITHOUT building the global
+            # stop set: only shingles PRESENT in the involved sets
+            # matter, and their global df totals live in the spart
+            # partitions those shingles hash to — a pruned lookup, not
+            # a vocab scan (exactly equal to the global anti-join
+            # restricted to these rows)
+            i_sparts = [
+                r["spart"]
+                for r in all_sh.select(
+                    self._spart_col(F.col("shingle")).alias("spart")
+                )
+                .distinct()
+                .collect()
+            ]
+            keep = (
+                _stored_df(i_sparts)
+                .unionByName(bdf)
+                .groupBy("shingle")
+                .agg(F.sum("df").cast("bigint").alias("df"))
+                .filter(F.col("df") <= F.lit(float(cap_new)))
+                .select("shingle")
             )
+            capped_vf = all_sh.join(keep, "shingle", "left_semi")
             ver = dedup.jaccard_verify_pairs(
                 capped_vf,
                 None,
@@ -737,6 +864,8 @@ class DedupArtifacts(SegmentStore):
         finally:
             pairs_all.unpersist()
             docs_involved.unpersist()
+            if all_sh is not None:
+                all_sh.unpersist()
             if stale is not None:
                 stale.unpersist()
             if ver is not None:
@@ -798,7 +927,7 @@ class DedupArtifacts(SegmentStore):
                     "doc_id",
                 )
                 seg, p = self._stage_path("doc_ids")
-                self._write_segment("doc_ids", ids, p)
+                self._write_segment("doc_ids", ids, p, fine=True)
                 staged.append(("doc_ids", seg))
             if self._segments("signatures"):
                 sig = self._read_t("signatures", self._sig_schema())
@@ -815,7 +944,7 @@ class DedupArtifacts(SegmentStore):
                     "doc_id",
                 )
                 seg, p = self._stage_path("buckets")
-                self._write_segment("buckets", b, p)
+                self._write_segment("buckets", b, p, fine=True)
                 staged.append(("buckets", seg))
             # pair_stats backfill: ONE full verify at the migration
             # snapshot (the cost the incremental path then never pays
@@ -889,7 +1018,13 @@ class DedupArtifacts(SegmentStore):
                 "signatures": self._read_t("signatures", self._sig_schema()),
                 "df": self._read_t("df", _DF_SCHEMA)
                 .groupBy("tenant", "shingle")
-                .agg(F.sum("df").cast("bigint").alias("df")),
+                .agg(F.sum("df").cast("bigint").alias("df"))
+                .select(
+                    "tenant",
+                    self._spart_col(F.col("shingle")).alias("spart"),
+                    "shingle",
+                    "df",
+                ),
                 "cand_pairs": self._read_t("cand_pairs", _PAIR_SCHEMA)
                 .select("tenant", "doc_a", "doc_b")
                 .distinct(),
@@ -930,7 +1065,7 @@ class DedupArtifacts(SegmentStore):
                     continue
                 new_v = self._version(table) + 1
                 dst = self._table_path(table, new_v)
-                self._write_segment(table, df, dst)
+                self._write_segment(table, df, dst, fine=True)
                 seg = f"v{new_v}"
                 new_meta["versions"][table] = new_v
                 segs[table] = [seg]

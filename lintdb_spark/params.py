@@ -96,6 +96,7 @@ ROUND = 4  # decimals kept when hashing float scores across engines
 # defaults change.
 ARTIFACT_BUCKET_PARTS = 64
 ARTIFACT_DOC_PARTS = 32
+ARTIFACT_SHINGLE_PARTS = 64
 # update() broadcasts the batch's LSH bucket frame only below this row
 # count ((docs with shingles) x bands); bigger batches fall back to a
 # shuffle join — a forced broadcast of an arbitrarily large batch is a

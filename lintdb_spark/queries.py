@@ -1280,6 +1280,47 @@ def q_artifact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_TENANT_CACHE: dict = {}
+
+
+def artifact_tenant_store_cached(spark: SparkSession, sf_dir: str):
+    """TWO-tenant DedupArtifacts store (round 9): tenant 0 holds the
+    even doc_ids, tenant 1 the odd, each fed in two batches. Every
+    table partitions on tenant and all maintenance (collision join,
+    df statistics, pair verification) is tenant-local."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_tenant_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        st.update(even.filter(F.col("doc_id") % 4 == 0), tenant=0)
+        st.update(even.filter(F.col("doc_id") % 4 != 0), tenant=0)
+        st.update(odd.filter(F.col("doc_id") % 4 == 1), tenant=1)
+        st.update(odd.filter(F.col("doc_id") % 4 != 1), tenant=1)
+        return st
+
+    return _session_cached(_ARTIFACT_TENANT_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant-local verified near-dup pairs from a MULTI-tenant
+    artifact store (tenant 0 = even doc_ids, tenant 1 = odd): the
+    serve reads only tenant 1's partitions and must equal a
+    from-scratch jaccard_verify_pairs over the odd half ALONE — no
+    cross-tenant pair, sizes, or df statistics may leak (the
+    reference's index is tenant-first for the same isolation
+    contract, lintdb/schema/KeyBuilder.h:13-14)."""
+    return artifact_tenant_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD, tenant=1
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2394,6 +2435,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 # independent DuckDB derivation is the whole point of the check.
 ORACLE["q_artifact_verified"] = ORACLE["q_jaccard_verified"]
 ORACLE["q_artifact_gate"] = ORACLE["q_cross_dedup"]
+# tenant-local serve: the SAME verified-pair oracle evaluated over the
+# odd-doc_id half alone (tenant 1's corpus) — caps/df/nd all recompute
+# on the subset, exactly what tenant isolation promises
+assert ORACLE["q_jaccard_verified"].count("FROM documents") == 1
+ORACLE["q_artifact_tenant"] = ORACLE["q_jaccard_verified"].replace(
+    "FROM documents", "FROM documents WHERE doc_id % 2 = 1"
+)
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2526,8 +2574,15 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        (driver-green r01-r07 — seven consecutive rounds).
     #        q_repetition stays (greens r05, r07 — needs its third);
     #        q_term_float stays one more round (greens r04, r05, r07 —
-    #        met the >=3 bar this round, eligible to rotate r09). ----
-    "q_term_float": q_term_float,
+    #        met the >=3 bar this round, eligible to rotate r09).
+    #   r09: NEW q_artifact_tenant rotated IN (first round — the
+    #        multi-tenant artifact store's isolation serve). Rotated
+    #        OUT q_term_float (driver-green r04, r05, r07, r08 — four
+    #        rounds, met the >=3 bar). q_repetition stays for its
+    #        post-third-green round (greens r05, r07, r08);
+    #        q_artifact_verified / q_artifact_gate stay (greens r08 —
+    #        need >=3). ----
+    "q_artifact_tenant": q_artifact_tenant,
     "q_repetition": q_repetition,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
@@ -2583,6 +2638,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_term_float": q_term_float,
     "q_term_text": q_term_text,
     "q_and": q_and,
     "q_embedding_neardup": q_embedding_neardup,

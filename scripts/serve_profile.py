@@ -22,9 +22,20 @@ IDX = os.path.join(REPO, ".scale_probe", "idx10", "idx")
 SF = os.path.join(REPO, ".scale_probe", "sf10")
 NQ = int(os.environ.get("PROBE_NQ", "1000"))
 
+PREWARM = os.environ.get("PROBE_PREWARM", "0") == "1"
+
 spark = get_spark("serve_profile")
 spark.sparkContext.setLogLevel("ERROR")
+t = time.time()
 idx = Index.load(spark, IDX)
+print(f"load: {time.time()-t:.2f}s")
+if PREWARM:
+    # the server-startup step (round 9): builds postings persist +
+    # doc-blob broadcast + centroid state through the real serve path,
+    # so the first user batch below lands warm
+    t = time.time()
+    idx.prewarm(0, "emb")
+    print(f"prewarm: {time.time()-t:.2f}s")
 print("docs:", idx._docs().count(), "centroids:", idx.centroids["emb"].shape)
 
 qrows = model.batch_queries(spark, SF, NQ).collect()

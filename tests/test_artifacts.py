@@ -243,6 +243,9 @@ def test_update_prunes_to_batch_partitions(spark, corpus, tmp_path):
     st._meta["doc_parts"] = 4
     st._save_meta()
     st.update(corpus.limit(60))
+    # the fine (hive-partitioned) layout is the COMPACTED segments'
+    # job — per-batch segments stage coarse (batch-sized scans)
+    st.compact()
     one = corpus.filter(F.col("doc_id") == 61).limit(1)
     # the pruned old-side read: resolve it the way update() does and
     # check the plan's partition filters carry the batch's bparts

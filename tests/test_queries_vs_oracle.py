@@ -44,13 +44,15 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r08 NEW: incremental artifact-store serve queries, first
-        # round in.
+        # r09 NEW: multi-tenant artifact isolation serve, first round
+        # in.
+        "q_artifact_tenant",
+        # r08 NEW: incremental artifact-store serve queries (greens
+        # r08 — need >=3).
         "q_artifact_verified",
         "q_artifact_gate",
-        # still short of >=3 driver greens (q_repetition: r05, r07;
-        # q_term_float met the bar r07 — eligible to rotate r09).
-        "q_term_float",
+        # q_repetition: greens r05, r07, r08 — staying for its
+        # post-third-green round, rotates r10.
         "q_repetition",
         # r07 NEW: verified-pair-fed clustering twins + simhash
         # near-dup pairs, each now with one driver green (r07).
