@@ -71,6 +71,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lintdb_spark import params
+from lintdb_spark.functions import hashing
 from lintdb_spark.index.store import SegmentStore
 from lintdb_spark.operators import dedup
 
@@ -504,7 +505,6 @@ class DedupArtifacts(SegmentStore):
             .persist()
         )
         try:
-            nd_batch = sh.select("doc_id").distinct().count()
             staged: list[tuple[str, str]] = []
 
             def stage(table: str, df: DataFrame) -> None:
@@ -534,6 +534,10 @@ class DedupArtifacts(SegmentStore):
                     "shingle",
                 ),
             )
+            # counted AFTER the shingles write materialized sh's cache
+            # — the distinct then reads cached rows instead of paying
+            # the shingling lineage a second time
+            nd_batch = sh.select("doc_id").distinct().count()
             stage("signatures", wide.select(t_lit.alias("tenant"), *wide.columns))
             bdf = (
                 sh.groupBy("shingle")
@@ -606,11 +610,13 @@ class DedupArtifacts(SegmentStore):
                 .persist()
             )
             try:
-                n_pairs = cand.count()
                 stage(
                     "cand_pairs",
                     cand.select(t_lit.alias("tenant"), "doc_a", "doc_b"),
                 )
+                # the write above materialized cand's cache — this
+                # count is a cached scan, not a second collision join
+                n_pairs = cand.count()
                 new_seq = None
                 if self._meta.get("pair_stats_live"):
                     new_seq = self._stage_pair_stats(
@@ -651,6 +657,202 @@ class DedupArtifacts(SegmentStore):
             wide.unpersist()
             new_b.unpersist()
 
+    def _df_totals(
+        self,
+        tenant: int,
+        sparts: list[int] | None,
+        keys: DataFrame | None = None,
+    ) -> DataFrame:
+        """Global per-shingle df totals, optionally PRUNED to the
+        spart partitions that can hold a given shingle set (spart is a
+        pure function of the shingle, so every row of a shingle lives
+        in its one partition — the prune is exact). The isNull arm
+        keeps pre-spart coarse segments readable (unpruned there).
+
+        ``keys`` (a 1-column `shingle` frame, only passed when
+        provably broadcast-small) restricts the AGGREGATE to the
+        shingles a consumer will actually read — the broadcast
+        semi-join runs map-side against the scan, so the shuffle into
+        the groupBy carries a keyset-sized row set instead of the
+        table's full vocab. Exact for any consumer that only joins on
+        those keys (totals for unrequested shingles are simply
+        absent). ``keys`` MUST be a plan LEAF (LocalRelation), never a
+        lazy frame: consumers reference this lookup O(joins) deep, and
+        nesting a lazy keyset's whole lineage at each reference grew
+        Catalyst's plan tree past the 8 GB driver heap at the sf1
+        probe (OOM inside TreeNode.treeString while persist() built
+        its cachedName)."""
+        out = self._read_t("df", _DF_SCHEMA, tenant)
+        if sparts is not None:
+            out = out.filter(
+                F.col("spart").isin([int(x) for x in sparts])
+                | F.col("spart").isNull()
+            )
+        if keys is not None:
+            out = out.join(F.broadcast(keys), "shingle", "left_semi")
+        return out.groupBy("shingle").agg(
+            F.sum("df").cast("bigint").alias("df")
+        )
+
+    @staticmethod
+    def _local_shingles(spark: SparkSession, vals) -> DataFrame:
+        return spark.createDataFrame(
+            [(v,) for v in vals],
+            T.StructType([T.StructField("shingle", T.StringType())]),
+        )
+
+    def _stage_pair_stats_point(
+        self, sh, bdf, cand, tenant: int, cap: float, stage, t_lit
+    ) -> int | None:
+        """Minimal-job pair_stats maintenance for the streaming hot
+        path: cap pinned (cap_old == cap_new) and a gate-bounded
+        batch. All control decisions (df-cap crossing, over-cap stop
+        set) are made DRIVER-SIDE from two bounded collects, and every
+        frame the verify joins is a LocalRelation leaf or a persisted
+        scan — so the whole commit costs one shingle-table scan, one
+        df-table lookup, and the verify write, each pruned to the
+        batch's keys. Measured at the sf1 probe (51k-doc store,
+        16-doc batch): this path cut the pair_stats stage from ~37 s
+        to under 5 s — entirely Spark job-count and Catalyst
+        plan-size, not data volume.
+
+        Returns the new pair seq, the UNCHANGED seq when there is
+        nothing to verify, or None to fall back to the general path:
+        pair set over ARTIFACT_PREFILTER_PAIRS, involved docs over
+        ARTIFACT_PREFILTER_DOCS, or df-cap drift against an existing
+        pair_stats table (the stale re-verify + tombstones only the
+        general path implements)."""
+        max_pairs = params.ARTIFACT_PREFILTER_PAIRS
+        prows = cand.select("doc_a", "doc_b").limit(max_pairs + 1).collect()
+        if len(prows) > max_pairs:
+            return None
+        ids = sorted(
+            {r["doc_a"] for r in prows} | {r["doc_b"] for r in prows}
+        )
+        if len(ids) > params.ARTIFACT_PREFILTER_DOCS:
+            return None
+        brows = bdf.select(
+            self._spart_col(F.col("shingle")).alias("spart"), "shingle", "df"
+        ).collect()
+        d_add = {r["shingle"]: r["df"] for r in brows}
+
+        all_sh = None
+        try:
+            irows = []
+            if ids:
+                docs_local = self.spark.createDataFrame(
+                    [(i,) for i in ids],
+                    T.StructType([T.StructField("doc_id", T.LongType())]),
+                )
+                # driver-side twin of _dpart_col — parity pinned by
+                # test_xxhash64_parity; saves a whole Spark job here
+                parts = int(self._meta["doc_parts"])
+                dparts = sorted(
+                    {hashing.pmod_xxhash64_long(i, parts) for i in ids}
+                )
+                # stored shingle sets of the involved OLD docs, pruned
+                # to their dpart partitions (the isNull arm keeps
+                # pre-layout segments of a migrated store readable)
+                old_sh = (
+                    self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+                    .filter(
+                        F.col("dpart").isin([int(d) for d in dparts])
+                        | F.col("dpart").isNull()
+                    )
+                    .join(F.broadcast(docs_local), "doc_id", "left_semi")
+                    .select("doc_id", "shingle")
+                )
+                new_sh = sh.join(
+                    F.broadcast(docs_local), "doc_id", "left_semi"
+                ).select("doc_id", "shingle")
+                all_sh = new_sh.unionByName(old_sh).persist()
+                irows = (
+                    all_sh.select(
+                        self._spart_col(F.col("shingle")).alias("spart"),
+                        "shingle",
+                    )
+                    .distinct()
+                    .collect()
+                )
+            # ONE df lookup serves both decisions: the batch keys
+            # (crossing detection) and the involved keys (over-cap
+            # stop set). spart rides along each collect because it is
+            # a pure function of the shingle.
+            ukeys = set(d_add) | {r["shingle"] for r in irows}
+            u_sparts = sorted(
+                {r["spart"] for r in brows} | {r["spart"] for r in irows}
+            )
+            stored = (
+                {
+                    r["shingle"]: r["df"]
+                    for r in self._df_totals(
+                        tenant,
+                        u_sparts,
+                        keys=self._local_shingles(self.spark, ukeys),
+                    ).collect()
+                }
+                if ukeys
+                else {}
+            )
+            # df-cap crossing: with the cap pinned and df append-only,
+            # only BATCH shingles can flip capped status this commit.
+            # A flip against an existing pair table requires the stale
+            # re-verify — general path's job.
+            crossing = any(
+                (stored.get(s, 0) > cap) != (stored.get(s, 0) + d > cap)
+                for s, d in d_add.items()
+            )
+            if crossing and self._segments("pair_stats"):
+                return None
+            if not prows:
+                # nothing new to verify and no stored pair touched:
+                # the existing max-seq rows stay exact, no segment
+                return int(self._meta.get("pair_seq", 0))
+            over = [
+                r["shingle"]
+                for r in irows
+                if stored.get(r["shingle"], 0)
+                + d_add.get(r["shingle"], 0)
+                > cap
+            ]
+            capped_vf = all_sh.join(
+                F.broadcast(self._local_shingles(self.spark, over)),
+                "shingle",
+                "left_anti",
+            )
+            pairs_local = self.spark.createDataFrame(
+                [(r["doc_a"], r["doc_b"]) for r in prows],
+                T.StructType(
+                    [
+                        T.StructField("doc_a", T.LongType()),
+                        T.StructField("doc_b", T.LongType()),
+                    ]
+                ),
+            )
+            ver = dedup.jaccard_verify_pairs(
+                capped_vf,
+                None,
+                min_jaccard=0.0,
+                min_overlap=1,
+                candidates=pairs_local,
+            )
+            new_seq = int(self._meta.get("pair_seq", 0)) + 1
+            stage(
+                "pair_stats",
+                ver.select(
+                    t_lit.alias("tenant"),
+                    "doc_a",
+                    "doc_b",
+                    "n_common",
+                    "jaccard",
+                    F.lit(new_seq).cast("bigint").alias("seq"),
+                ),
+            )
+            return new_seq
+        finally:
+            if all_sh is not None:
+                all_sh.unpersist()
+
     def _stage_pair_stats(
         self, sh, bdf, cand, tenant: int, nd_batch: int, stage, t_lit
     ) -> int:
@@ -676,32 +878,27 @@ class DedupArtifacts(SegmentStore):
 
         Cost shape: the verify is ∝ (new pairs + drift-touched pairs)
         x doc shingle size — doc-keyed lookups prune to the involved
-        docs' dpart partitions. The stop-set/crossing computation is a
-        vocab-sized df aggregate (narrow, map-side-combined — the same
-        cost class as the df segment itself); the shingle→doc lookup
-        for crossing shingles scans the shingle table map-only and
-        runs ONLY on commits where some shingle actually flips."""
+        docs' dpart partitions. Gate-bounded batches into a pinned-cap
+        store take _stage_pair_stats_point (driver-side decisions,
+        minimal job count); this general path serves corpus-scale
+        batches, moving caps (seed phase), and drift commits. The
+        stop-set/crossing computation here is a vocab-sized df
+        aggregate (narrow, map-side-combined — the same cost class as
+        the df segment itself); the shingle→doc lookup for crossing
+        shingles scans the shingle table map-only and runs ONLY on
+        commits where some shingle actually flips."""
         frac = params.JACCARD_MAX_DF_FRAC
         nd_old = self._nd_shingled(tenant)
         cap_old = self._df_cap(nd_old, frac)
         cap_new = self._df_cap(nd_old + nd_batch, frac)
+        pre_batch = nd_batch <= params.ARTIFACT_PREFILTER_DOCS
 
-        def _stored_df(sparts: list[int] | None) -> DataFrame:
-            """Global per-shingle df totals, optionally PRUNED to the
-            spart partitions that can hold a given shingle set (spart
-            is a pure function of the shingle, so every row of a
-            shingle lives in its one partition — the prune is exact).
-            The isNull arm keeps pre-spart coarse segments readable
-            (unpruned there)."""
-            out = self._read_t("df", _DF_SCHEMA, tenant)
-            if sparts is not None:
-                out = out.filter(
-                    F.col("spart").isin([int(x) for x in sparts])
-                    | F.col("spart").isNull()
-                )
-            return out.groupBy("shingle").agg(
-                F.sum("df").cast("bigint").alias("df")
+        if pre_batch and cap_new == cap_old:
+            seq = self._stage_pair_stats_point(
+                sh, bdf, cand, tenant, cap_new, stage, t_lit
             )
+            if seq is not None:
+                return seq
 
         # shingles whose capped-status flips with this commit. When
         # the cap is unchanged (pinned at DF_CEIL — the steady state
@@ -720,13 +917,17 @@ class DedupArtifacts(SegmentStore):
                 .collect()
             ]
             j = bdf.withColumnRenamed("df", "d_add").join(
-                _stored_df(b_sparts).withColumnRenamed("df", "df_old"),
+                self._df_totals(tenant, b_sparts).withColumnRenamed(
+                    "df", "df_old"
+                ),
                 "shingle",
                 "left",
             )
         else:
             j = bdf.withColumnRenamed("df", "d_add").join(
-                _stored_df(None).withColumnRenamed("df", "df_old"),
+                self._df_totals(tenant, None).withColumnRenamed(
+                    "df", "df_old"
+                ),
                 "shingle",
                 "full_outer",
             )
@@ -737,13 +938,21 @@ class DedupArtifacts(SegmentStore):
                 F.coalesce("df_old", F.lit(0)) + F.coalesce("d_add", F.lit(0))
             ).alias("df_new"),
         )
-        crossing = j.filter(
-            (F.col("df_old") > F.lit(float(cap_old)))
-            != (F.col("df_new") > F.lit(float(cap_new)))
-        ).select("shingle")
+        # persisted: consumed once for the emptiness decision and once
+        # by the drift join — without the persist the (df-scan)
+        # lineage re-executes per consumer
+        crossing = (
+            j.filter(
+                (F.col("df_old") > F.lit(float(cap_old)))
+                != (F.col("df_new") > F.lit(float(cap_new)))
+            )
+            .select("shingle")
+            .persist()
+        )
+        n_crossing = crossing.count()
 
         stale = None
-        if self._segments("pair_stats") and not crossing.isEmpty():
+        if self._segments("pair_stats") and n_crossing:
             aff = (
                 self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
                 .join(crossing, "shingle", "left_semi")
@@ -770,12 +979,45 @@ class DedupArtifacts(SegmentStore):
         if stale is not None:
             pairs_all = pairs_all.unionByName(stale).distinct()
         pairs_all = pairs_all.persist()
-        docs_involved = (
-            pairs_all.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(pairs_all.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-            .persist()
+        # PLAN-SIZE control: the verify below stacks joins over frames
+        # whose lineages reference each other 2-3x per level — left
+        # lazy, Catalyst re-plans that DAG path-by-path, and driver
+        # planning time (not execution) was ~6 s PER ACTION at the sf1
+        # probe (and, one level worse, OOM'd the driver stringifying
+        # the tree). When the pair set is gate-bounded, collect it
+        # once and rebuild pairs + the involved-doc set as
+        # LocalRelation LEAVES — every downstream plan then bottoms
+        # out in leaves instead of nested lineage.
+        n_pairs_all = pairs_all.count()
+        pairs_local = (
+            pre_batch and n_pairs_all <= params.ARTIFACT_PREFILTER_PAIRS
         )
+        if pairs_local:
+            _prows = pairs_all.collect()
+            pairs_all.unpersist()
+            pairs_all = self.spark.createDataFrame(
+                [(r["doc_a"], r["doc_b"]) for r in _prows],
+                T.StructType(
+                    [
+                        T.StructField("doc_a", T.LongType()),
+                        T.StructField("doc_b", T.LongType()),
+                    ]
+                ),
+            )
+            _ids = sorted(
+                {r["doc_a"] for r in _prows} | {r["doc_b"] for r in _prows}
+            )
+            docs_involved = self.spark.createDataFrame(
+                [(i,) for i in _ids],
+                T.StructType([T.StructField("doc_id", T.LongType())]),
+            ).persist()
+        else:
+            docs_involved = (
+                pairs_all.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(pairs_all.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+                .persist()
+            )
         ver = None
         all_sh = None
         try:
@@ -818,7 +1060,7 @@ class DedupArtifacts(SegmentStore):
                 .collect()
             ]
             keep = (
-                _stored_df(i_sparts)
+                self._df_totals(tenant, i_sparts)
                 .unionByName(bdf)
                 .groupBy("shingle")
                 .agg(F.sum("df").cast("bigint").alias("df"))
@@ -862,6 +1104,7 @@ class DedupArtifacts(SegmentStore):
             stage("pair_stats", rows)
             return new_seq
         finally:
+            crossing.unpersist()
             pairs_all.unpersist()
             docs_involved.unpersist()
             if all_sh is not None:

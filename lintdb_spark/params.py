@@ -102,6 +102,19 @@ ARTIFACT_SHINGLE_PARTS = 64
 # shuffle join — a forced broadcast of an arbitrarily large batch is a
 # driver OOM at scale (the failure mode df_capped_shingles documents).
 ARTIFACT_BROADCAST_ROWS = 2_000_000
+# pair-verification df lookups restrict their aggregates to the
+# requesting shingle set via a BROADCAST semi-join only while the
+# requesting doc count stays under this gate (docs x shingles/doc
+# bounds the broadcast payload — 5k docs ~ a few-hundred-k strings,
+# tens of MB). Bigger (corpus-scale) batches fall back to the
+# partition-pruned full aggregate, whose cost is proportional to the
+# batch itself.
+ARTIFACT_PREFILTER_DOCS = 5_000
+# ... and the candidate-pair set is rebuilt as a LocalRelation leaf
+# (plan-size control — see _stage_pair_stats) only while it stays
+# under this many pairs: 200k (long, long) rows is a few MB on the
+# driver. Bigger pair sets keep the distributed frame.
+ARTIFACT_PREFILTER_PAIRS = 200_000
 
 # English/German/French/Spanish stopword lists for the n-gram-free
 # language-ID heuristic (tiny, deterministic; good enough for synthetic

@@ -492,3 +492,77 @@ def test_pair_stats_df_drift_reverifies(spark, tmp_path):
     assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == before
     ps = st._read_t("pair_stats", _PAIRSTAT_SCHEMA)
     assert ps.filter(F.col("n_common") == 0).count() == 0
+
+
+def test_xxhash64_parity(spark):
+    """The driver-side XXH64 twin must be bit-exact with Spark's
+    xxhash64 for BIGINT columns — the point-update path derives
+    partition-prune keys from it, and a mismatch would silently drop
+    rows from pruned reads (e.g. re-ingesting a known doc)."""
+    import random
+
+    from lintdb_spark.functions.hashing import (
+        pmod_xxhash64_long,
+        xxhash64_long,
+    )
+
+    rng = random.Random(0xA11CE)
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 8, 256, 9_000_000_000] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(500)
+    ]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select(
+            "v",
+            F.xxhash64("v").alias("h"),
+            F.pmod(F.xxhash64("v"), F.lit(256)).alias("p"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert xxhash64_long(r["v"]) == r["h"], r["v"]
+        assert pmod_xxhash64_long(r["v"], 256) == r["p"], r["v"]
+
+
+def test_point_path_runs_and_matches_scratch(spark, tmp_path, monkeypatch):
+    """The minimal-job point path must (a) actually engage for a
+    gate-bounded pinned-cap batch and (b) produce byte-equal
+    verified_pairs vs a from-scratch verify of the union corpus."""
+    path = str(tmp_path / "store_point")
+    st = DedupArtifacts.create(spark, path)
+    calls = []
+    orig = DedupArtifacts._stage_pair_stats_point
+
+    def spy(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(DedupArtifacts, "_stage_pair_stats_point", spy)
+    base = [
+        (i, f"w{i} " * 2 + "quick brown fox jumps over the lazy dog "
+         f"pack my box with five dozen liquor jugs t{i}")
+        for i in range(4)
+    ]
+    st.update(spark.createDataFrame(base, "doc_id long, text string"))
+    # batch 2: one exact clone -> one near-dup pair, no shingle df
+    # crosses the floor cap of 8
+    clones = [(100 + i, t) for i, t in [(0, base[0][1]), (1, base[1][1])]]
+    st.update(spark.createDataFrame(clones, "doc_id long, text string"))
+    assert len(calls) == 2 and all(c is not None for c in calls), (
+        "point path must engage (non-None) on both pinned-cap commits"
+    )
+    union = spark.createDataFrame(base + clones, "doc_id long, text string")
+    sh_all = dedup.doc_shingles(union).persist()
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    try:
+        scratch = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh_all),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh_all)),
+            min_jaccard=0.0,
+            min_overlap=1,
+        )
+        got = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
+        assert got and got == _rows(scratch, cols)
+    finally:
+        sh_all.unpersist()
