@@ -1020,6 +1020,7 @@ class DedupArtifacts(SegmentStore):
             )
         ver = None
         all_sh = None
+        capped_vf = None
         try:
             dparts = [
                 r["dpart"]
@@ -1067,7 +1068,11 @@ class DedupArtifacts(SegmentStore):
                 .filter(F.col("df") <= F.lit(float(cap_new)))
                 .select("shingle")
             )
-            capped_vf = all_sh.join(keep, "shingle", "left_semi")
+            # persisted: the verify references this frame THREE times
+            # (sizes, doc_a side, doc_b side) — unpersisted, each
+            # reference re-executes the vocab-scale keep aggregate,
+            # which dominated the sf10 general-path profile
+            capped_vf = all_sh.join(keep, "shingle", "left_semi").persist()
             ver = dedup.jaccard_verify_pairs(
                 capped_vf,
                 None,
@@ -1109,6 +1114,8 @@ class DedupArtifacts(SegmentStore):
             docs_involved.unpersist()
             if all_sh is not None:
                 all_sh.unpersist()
+            if capped_vf is not None:
+                capped_vf.unpersist()
             if stale is not None:
                 stale.unpersist()
             if ver is not None:
