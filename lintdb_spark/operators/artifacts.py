@@ -124,8 +124,28 @@ _PAIRSTAT_SCHEMA = T.StructType(
         T.StructField("doc_a", T.LongType()),
         T.StructField("doc_b", T.LongType()),
         T.StructField("n_common", T.LongType()),
+        # capped-set sizes AT VERIFY TIME (pair_rev >= 3): with them a
+        # df-cap flip adjusts stored stats arithmetically instead of
+        # re-reading shingle sets. Null on rev-2 rows (those stores
+        # never write flip_docs, so nulls are never adjusted).
+        T.StructField("na", T.LongType()),
+        T.StructField("nb", T.LongType()),
         T.StructField("jaccard", T.DoubleType()),
         T.StructField("seq", T.LongType()),
+    ]
+)
+# one row per (flipped shingle, containing doc): the LSM-style drift
+# delta. delta = -1 when the shingle LEFT every capped set this commit
+# (its df crossed above the cap — the only direction once the cap pins
+# at DF_CEIL), +1 when a moving cap re-admitted it. Reads apply flips
+# with seq > the pair row's verify seq; compaction folds them away.
+_FLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("shingle", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("delta", T.IntegerType()),
     ]
 )
 _BUCKET_SCHEMA = T.StructType(
@@ -178,6 +198,7 @@ class DedupArtifacts(SegmentStore):
         "simhash",
         "buckets",
         "pair_stats",
+        "flip_docs",
     ]
 
     def __init__(
@@ -200,6 +221,9 @@ class DedupArtifacts(SegmentStore):
             "doc_parts": int(params.ARTIFACT_DOC_PARTS),
             "shingle_parts": int(params.ARTIFACT_SHINGLE_PARTS),
             "schema_rev": 2,
+            # 3 = pair rows carry sizes and df-drift is maintained as
+            # flip_docs deltas; 2 = legacy drift-time re-verification
+            "pair_rev": 3,
             "pair_seq": 0,
             "pair_stats_live": True,
         }
@@ -270,6 +294,9 @@ class DedupArtifacts(SegmentStore):
         # a meta written before this field existed is the round-8
         # layout: no doc_ids registry, no stored bucket table
         self._meta.setdefault("schema_rev", 1)
+        # stores written before flip-delta maintenance keep the rev-2
+        # drift path (their pair rows lack sizes)
+        self._meta.setdefault("pair_rev", 2)
         self._meta.setdefault("pair_seq", 0)
         # legacy stores have no maintained pair_stats table; their
         # verified_pairs() serves the read-time full verify until
@@ -716,12 +743,18 @@ class DedupArtifacts(SegmentStore):
         to under 5 s — entirely Spark job-count and Catalyst
         plan-size, not data volume.
 
+        df-cap drift is handled natively on pair_rev >= 3 stores: the
+        crossing shingles (known driver-side, down-flips only under a
+        pinned cap) emit flip_docs delta rows — one per containing doc
+        — and reads adjust stored pair stats arithmetically (see
+        _pair_current). Cost ∝ docs-per-flipped-shingle (~the cap),
+        never ∝ touched pairs.
+
         Returns the new pair seq, the UNCHANGED seq when there is
-        nothing to verify, or None to fall back to the general path:
-        pair set over ARTIFACT_PREFILTER_PAIRS, involved docs over
-        ARTIFACT_PREFILTER_DOCS, or df-cap drift against an existing
-        pair_stats table (the stale re-verify + tombstones only the
-        general path implements)."""
+        nothing to verify or flip, or None to fall back to the general
+        path: pair set over ARTIFACT_PREFILTER_PAIRS, involved docs
+        over ARTIFACT_PREFILTER_DOCS, or drift on a legacy (pair_rev
+        2) store whose rows lack sizes (those re-verify)."""
         max_pairs = params.ARTIFACT_PREFILTER_PAIRS
         prows = cand.select("doc_a", "doc_b").limit(max_pairs + 1).collect()
         if len(prows) > max_pairs:
@@ -795,16 +828,41 @@ class DedupArtifacts(SegmentStore):
                 else {}
             )
             # df-cap crossing: with the cap pinned and df append-only,
-            # only BATCH shingles can flip capped status this commit.
-            # A flip against an existing pair table requires the stale
-            # re-verify — general path's job.
-            crossing = any(
-                (stored.get(s, 0) > cap) != (stored.get(s, 0) + d > cap)
+            # only BATCH shingles can flip capped status this commit
+            # (always downward — df only grows past the pinned cap).
+            crossing = sorted(
+                s
                 for s, d in d_add.items()
+                if (stored.get(s, 0) > cap) != (stored.get(s, 0) + d > cap)
             )
+            rev3 = int(self._meta.get("pair_rev", 2)) >= 3
+            if crossing and self._segments("pair_stats") and not rev3:
+                return None  # legacy store: drift needs the re-verify
+            new_seq = int(self._meta.get("pair_seq", 0)) + 1
+            flips = None
             if crossing and self._segments("pair_stats"):
-                return None
-            if not prows:
+                # flip-delta rows: every doc containing a flipped
+                # shingle (stored docs via the spart... no — shingle-
+                # keyed lookup is a scan of the doc-keyed table, so
+                # prune by a broadcast semi-join; batch docs via sh).
+                # Cost ∝ docs-per-flipped-shingle (~df ≈ cap rows per
+                # flip), the truly batch-proportional drift shape.
+                cross_local = F.broadcast(
+                    self._local_shingles(self.spark, crossing)
+                )
+                doc_sh = (
+                    self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+                    .select("doc_id", "shingle")
+                    .unionByName(sh.select("doc_id", "shingle"))
+                )
+                flips = doc_sh.join(cross_local, "shingle").select(
+                    t_lit.alias("tenant"),
+                    F.lit(new_seq).cast("bigint").alias("seq"),
+                    "shingle",
+                    "doc_id",
+                    F.lit(-1).cast("int").alias("delta"),
+                )
+            if not prows and flips is None:
                 # nothing new to verify and no stored pair touched:
                 # the existing max-seq rows stay exact, no segment
                 return int(self._meta.get("pair_seq", 0))
@@ -819,35 +877,41 @@ class DedupArtifacts(SegmentStore):
                 F.broadcast(self._local_shingles(self.spark, over)),
                 "shingle",
                 "left_anti",
-            )
-            pairs_local = self.spark.createDataFrame(
-                [(r["doc_a"], r["doc_b"]) for r in prows],
-                T.StructType(
-                    [
-                        T.StructField("doc_a", T.LongType()),
-                        T.StructField("doc_b", T.LongType()),
-                    ]
-                ),
-            )
-            ver = dedup.jaccard_verify_pairs(
-                capped_vf,
-                None,
-                min_jaccard=0.0,
-                min_overlap=1,
-                candidates=pairs_local,
-            )
-            new_seq = int(self._meta.get("pair_seq", 0)) + 1
-            stage(
-                "pair_stats",
-                ver.select(
-                    t_lit.alias("tenant"),
-                    "doc_a",
-                    "doc_b",
-                    "n_common",
-                    "jaccard",
-                    F.lit(new_seq).cast("bigint").alias("seq"),
-                ),
-            )
+            ) if all_sh is not None else None
+            null_sz = F.lit(None).cast("bigint")
+            if prows:
+                pairs_local = self.spark.createDataFrame(
+                    [(r["doc_a"], r["doc_b"]) for r in prows],
+                    T.StructType(
+                        [
+                            T.StructField("doc_a", T.LongType()),
+                            T.StructField("doc_b", T.LongType()),
+                        ]
+                    ),
+                )
+                ver = dedup.jaccard_verify_pairs(
+                    capped_vf,
+                    None,
+                    min_jaccard=0.0,
+                    min_overlap=1,
+                    candidates=pairs_local,
+                    with_sizes=rev3,
+                )
+                stage(
+                    "pair_stats",
+                    ver.select(
+                        t_lit.alias("tenant"),
+                        "doc_a",
+                        "doc_b",
+                        "n_common",
+                        (F.col("na") if rev3 else null_sz).alias("na"),
+                        (F.col("nb") if rev3 else null_sz).alias("nb"),
+                        "jaccard",
+                        F.lit(new_seq).cast("bigint").alias("seq"),
+                    ),
+                )
+            if flips is not None:
+                stage("flip_docs", flips)
             return new_seq
         finally:
             if all_sh is not None:
@@ -862,19 +926,29 @@ class DedupArtifacts(SegmentStore):
         min_overlap=1 / min_jaccard=0 semantics — read-time knobs
         filter) for
 
-          (a) this batch's NEW candidate pairs, and
-          (b) every STORED pair touched by df-drift: a shingle whose
-              capped-status flips with this commit (its df crossed the
-              cap, or the cap itself moved past its df) changes the
-              capped sets — and hence sizes/intersections — of exactly
-              the docs containing it, so precisely the stored pairs
-              touching those docs are re-verified; ones that no longer
-              overlap get a TOMBSTONE row (n_common=0).
+          (a) this batch's NEW candidate pairs (with capped-set sizes
+              na/nb on pair_rev >= 3), and
+          (b) df-drift, as FLIP-DELTA rows (pair_rev >= 3): a shingle
+              whose capped-status flips with this commit (its df
+              crossed the cap, or the cap itself moved past its df)
+              changes the capped sets of exactly the docs containing
+              it — one flip_docs row per (shingle, containing doc)
+              records that, and _pair_current adjusts stored stats
+              arithmetically at read (compaction folds the deltas
+              in). Cost ∝ docs-per-flipped-shingle, NOT ∝ touched
+              pairs — at the sf10 probe a 1k batch flipped 323
+              shingles touching ~10M stored pairs; the flip rows are
+              ~300k and the legacy re-verify of all 10M is gone.
+              Legacy pair_rev-2 stores (rows without sizes) keep the
+              old behavior: touched pairs re-verified, vanished
+              overlaps tombstoned (n_common=0).
 
         Rows carry a commit sequence number; reads take the max-seq
-        row per pair. Induction gives exactness: a pair not
-        re-verified this commit has both docs' capped sets unchanged,
-        so its stored stats still equal a from-scratch verify.
+        row per pair and apply strictly-newer flips. Induction gives
+        exactness: a pair not touched this commit has both docs'
+        capped sets unchanged, and a touched one differs from the
+        stored row by exactly the flipped shingles' contributions —
+        which is what the deltas encode (see _pair_current).
 
         Cost shape: the verify is ∝ (new pairs + drift-touched pairs)
         x doc shingle size — doc-keyed lookups prune to the involved
@@ -940,41 +1014,77 @@ class DedupArtifacts(SegmentStore):
         )
         # persisted: consumed once for the emptiness decision and once
         # by the drift join — without the persist the (df-scan)
-        # lineage re-executes per consumer
+        # lineage re-executes per consumer. `delta` rides along: -1 =
+        # the shingle left every capped set this commit, +1 = a moving
+        # cap re-admitted it.
         crossing = (
             j.filter(
                 (F.col("df_old") > F.lit(float(cap_old)))
                 != (F.col("df_new") > F.lit(float(cap_new)))
             )
-            .select("shingle")
+            .select(
+                "shingle",
+                F.when(
+                    F.col("df_new") > F.lit(float(cap_new)), F.lit(-1)
+                )
+                .otherwise(F.lit(1))
+                .cast("int")
+                .alias("delta"),
+            )
             .persist()
         )
         n_crossing = crossing.count()
+        new_seq = int(self._meta.get("pair_seq", 0)) + 1
 
         stale = None
+        flips = None
         if self._segments("pair_stats") and n_crossing:
-            aff = (
-                self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
-                .join(crossing, "shingle", "left_semi")
-                .select("doc_id")
-                .distinct()
-            )
-            latest = self._pair_latest(tenant).filter(F.col("n_common") >= 1)
-            stale = (
-                latest.join(
-                    aff.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+            if int(self._meta.get("pair_rev", 2)) >= 3:
+                # LSM-style drift delta: ONE row per (flipped shingle,
+                # containing doc) — cost ∝ docs-per-flipped-shingle,
+                # NOT ∝ touched pairs (at the sf10 probe a 1k batch
+                # flipped 323 shingles touching 10M stored pairs; the
+                # rev-2 re-verify paid all 10M, this writes ~300k flip
+                # rows and reads adjust arithmetically).
+                doc_sh = (
+                    self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+                    .select("doc_id", "shingle")
+                    .unionByName(sh.select("doc_id", "shingle"))
                 )
-                .select("doc_a", "doc_b")
-                .unionByName(
+                flips = doc_sh.join(crossing, "shingle").select(
+                    t_lit.alias("tenant"),
+                    F.lit(new_seq).cast("bigint").alias("seq"),
+                    "shingle",
+                    "doc_id",
+                    "delta",
+                )
+            else:
+                aff = (
+                    self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+                    .join(crossing.select("shingle"), "shingle", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                latest = self._pair_latest(tenant).filter(
+                    F.col("n_common") >= 1
+                )
+                stale = (
                     latest.join(
-                        aff.withColumnRenamed("doc_id", "doc_b"),
-                        "doc_b",
+                        aff.withColumnRenamed("doc_id", "doc_a"),
+                        "doc_a",
                         "left_semi",
-                    ).select("doc_a", "doc_b")
+                    )
+                    .select("doc_a", "doc_b")
+                    .unionByName(
+                        latest.join(
+                            aff.withColumnRenamed("doc_id", "doc_b"),
+                            "doc_b",
+                            "left_semi",
+                        ).select("doc_a", "doc_b")
+                    )
+                    .distinct()
+                    .persist()
                 )
-                .distinct()
-                .persist()
-            )
         pairs_all = cand.select("doc_a", "doc_b")
         if stale is not None:
             pairs_all = pairs_all.unionByName(stale).distinct()
@@ -1073,20 +1183,24 @@ class DedupArtifacts(SegmentStore):
             # reference re-executes the vocab-scale keep aggregate,
             # which dominated the sf10 general-path profile
             capped_vf = all_sh.join(keep, "shingle", "left_semi").persist()
+            rev3 = int(self._meta.get("pair_rev", 2)) >= 3
             ver = dedup.jaccard_verify_pairs(
                 capped_vf,
                 None,
                 min_jaccard=0.0,
                 min_overlap=1,
                 candidates=pairs_all,
+                with_sizes=rev3,
             ).persist()
-            new_seq = int(self._meta.get("pair_seq", 0)) + 1
             seq_lit = F.lit(new_seq).cast("bigint")
+            null_sz = F.lit(None).cast("bigint")
             rows = ver.select(
                 t_lit.alias("tenant"),
                 "doc_a",
                 "doc_b",
                 "n_common",
+                (F.col("na") if rev3 else null_sz).alias("na"),
+                (F.col("nb") if rev3 else null_sz).alias("nb"),
                 "jaccard",
                 seq_lit.alias("seq"),
             )
@@ -1101,12 +1215,16 @@ class DedupArtifacts(SegmentStore):
                         "doc_a",
                         "doc_b",
                         F.lit(0).cast("bigint").alias("n_common"),
+                        null_sz.alias("na"),
+                        null_sz.alias("nb"),
                         F.lit(0.0).alias("jaccard"),
                         seq_lit.alias("seq"),
                     )
                 )
                 rows = rows.unionByName(tomb)
             stage("pair_stats", rows)
+            if flips is not None:
+                stage("flip_docs", flips)
             return new_seq
         finally:
             crossing.unpersist()
@@ -1122,19 +1240,132 @@ class DedupArtifacts(SegmentStore):
                 ver.unpersist()
 
     def _pair_latest(self, tenant: int | None) -> DataFrame:
-        """Current value per pair: the max-seq pair_stats row (later
-        re-verifications and tombstones supersede earlier rows)."""
+        """(tenant, doc_a, doc_b, n_common, jaccard) — current value
+        per pair; see _pair_current."""
+        return self._pair_current(tenant).select(
+            "tenant", "doc_a", "doc_b", "n_common", "jaccard"
+        )
+
+    def _pair_current(self, tenant: int | None) -> DataFrame:
+        """Current FULL stats per pair (tenant, doc_a, doc_b,
+        n_common, na, nb, jaccard, seq): the max-seq pair_stats row
+        (later rows — legacy re-verifications and tombstones, or
+        compaction folds — supersede earlier ones), with any NEWER
+        flip-delta rows applied arithmetically.
+
+        A pair row verified at seq v records (n_common, na, nb) over
+        the capped sets as of v. A flip row (s, k, doc, ±1) with k > v
+        says shingle s left (-1) or re-entered (+1) every capped set
+        at commit k. Exactness by induction: s's capped status is
+        uniform across docs containing it (it is a function of the
+        GLOBAL df vs the cap), so for each pair the adjusted
+          n_common' = n_common + Σ flips where BOTH docs contain s
+          na'/nb'   = na/nb   + Σ flips where that doc contains s
+        equal a from-scratch count over the post-flip capped sets, and
+        jaccard' = n_common'/(na'+nb'-n_common') recomputed on the
+        same rounding grid as jaccard_verify_pairs. Flips never apply
+        to rows with seq >= k (strict inequality): those were verified
+        against post-flip sets already. Legacy (pair_rev 2) stores
+        never write flip rows, so their null na/nb rows pass through
+        untouched."""
         ps = self._read_t("pair_stats", _PAIRSTAT_SCHEMA, tenant)
-        return (
+        cur = (
             ps.groupBy("tenant", "doc_a", "doc_b")
-            .agg(F.max_by(F.struct("n_common", "jaccard"), "seq").alias("s"))
+            .agg(
+                F.max_by(
+                    F.struct("n_common", "na", "nb", "jaccard"), "seq"
+                ).alias("s"),
+                F.max("seq").alias("seq"),
+            )
             .select(
                 "tenant",
                 "doc_a",
                 "doc_b",
                 F.col("s.n_common").alias("n_common"),
+                F.col("s.na").alias("na"),
+                F.col("s.nb").alias("nb"),
                 F.col("s.jaccard").alias("jaccard"),
+                "seq",
             )
+        )
+        if not self._segments("flip_docs"):
+            return cur
+        fl = self._read_t("flip_docs", _FLIP_SCHEMA, tenant)
+        fa = fl.select(
+            F.col("tenant").alias("t_f"),
+            F.col("doc_id").alias("d_f"),
+            F.col("shingle").alias("s_f"),
+            F.col("seq").alias("k_f"),
+            F.col("delta").alias("x_f"),
+        )
+
+        def _adj(side: str) -> DataFrame:
+            j = cur.join(
+                fa,
+                (cur["tenant"] == fa["t_f"])
+                & (cur[side] == fa["d_f"])
+                & (fa["k_f"] > cur["seq"]),
+                "inner",
+            )
+            return j.groupBy("tenant", "doc_a", "doc_b").agg(
+                F.sum("x_f").cast("bigint").alias(f"adj_{side[-1]}")
+            )
+
+        fb = fa.select(
+            F.col("t_f").alias("t_g"),
+            F.col("d_f").alias("d_g"),
+            F.col("s_f").alias("s_g"),
+            F.col("k_f").alias("k_g"),
+        )
+        both = (
+            cur.join(
+                fa,
+                (cur["tenant"] == fa["t_f"])
+                & (cur["doc_a"] == fa["d_f"])
+                & (fa["k_f"] > cur["seq"]),
+                "inner",
+            )
+            .join(
+                fb,
+                (cur["tenant"] == fb["t_g"])
+                & (cur["doc_b"] == fb["d_g"])
+                & (fa["s_f"] == fb["s_g"])
+                & (fa["k_f"] == fb["k_g"]),
+                "inner",
+            )
+            .groupBy("tenant", "doc_a", "doc_b")
+            .agg(F.sum("x_f").cast("bigint").alias("adj_c"))
+        )
+        key = ["tenant", "doc_a", "doc_b"]
+        out = (
+            cur.join(_adj("doc_a"), key, "left")
+            .join(_adj("doc_b"), key, "left")
+            .join(both, key, "left")
+        )
+        z = F.lit(0).cast("bigint")
+        n2 = F.col("n_common") + F.coalesce("adj_c", z)
+        na2 = F.col("na") + F.coalesce("adj_a", z)
+        nb2 = F.col("nb") + F.coalesce("adj_b", z)
+        touched = (
+            (F.coalesce("adj_a", z) != z)
+            | (F.coalesce("adj_b", z) != z)
+            | (F.coalesce("adj_c", z) != z)
+        )
+        return out.select(
+            "tenant",
+            "doc_a",
+            "doc_b",
+            F.when(touched, n2).otherwise(F.col("n_common")).alias("n_common"),
+            F.when(touched, na2).otherwise(F.col("na")).alias("na"),
+            F.when(touched, nb2).otherwise(F.col("nb")).alias("nb"),
+            F.when(
+                touched & (n2 > z),
+                F.round(n2 / (na2 + nb2 - n2), params.ROUND),
+            )
+            .when(touched, F.lit(0.0))
+            .otherwise(F.col("jaccard"))
+            .alias("jaccard"),
+            "seq",
         )
 
     def migrate_layout(self) -> None:
@@ -1201,6 +1432,10 @@ class DedupArtifacts(SegmentStore):
             # again); legacy stores are single-tenant — everything is
             # tenant 0 by definition
             pair_seq = int(self._meta.get("pair_seq", 0))
+            # the backfill below is a full re-verify carrying sizes
+            # (and a rev-1 store has no prior pair rows either way),
+            # so the migrated store gets flip-delta drift from here on
+            pair_rev = 3
             if self._segments("cand_pairs"):
                 pair_seq += 1
                 ver = dedup.jaccard_verify_pairs(
@@ -1209,12 +1444,15 @@ class DedupArtifacts(SegmentStore):
                     min_jaccard=0.0,
                     min_overlap=1,
                     candidates=self.candidate_pairs(),
+                    with_sizes=True,
                 )
                 rows = ver.select(
                     F.lit(0).alias("tenant"),
                     "doc_a",
                     "doc_b",
                     "n_common",
+                    "na",
+                    "nb",
                     "jaccard",
                     F.lit(pair_seq).cast("bigint").alias("seq"),
                 )
@@ -1230,6 +1468,7 @@ class DedupArtifacts(SegmentStore):
                     os.path.join(self.path, table, seg)
                 )
             new_meta["schema_rev"] = 2
+            new_meta["pair_rev"] = pair_rev
             new_meta["pair_seq"] = pair_seq
             new_meta["pair_stats_live"] = True
             self._save_meta(new_meta)
@@ -1288,24 +1527,33 @@ class DedupArtifacts(SegmentStore):
                     "bucket",
                     "doc_id",
                 ),
-                # pair_stats: keep only the max-seq row per pair and
-                # drop tombstones outright (a tombstone only
-                # suppresses older rows, all of which are dropped here)
-                "pair_stats": self._read_t("pair_stats", _PAIRSTAT_SCHEMA)
-                .groupBy("tenant", "doc_a", "doc_b")
-                .agg(
-                    F.max_by(F.struct("n_common", "jaccard"), "seq").alias("s"),
-                    F.max("seq").alias("seq"),
-                )
-                .select(
-                    "tenant",
-                    "doc_a",
-                    "doc_b",
-                    F.col("s.n_common").alias("n_common"),
-                    F.col("s.jaccard").alias("jaccard"),
-                    "seq",
-                )
-                .filter(F.col("n_common") >= 1),
+                # pair_stats: FOLD — one row per pair carrying the
+                # current (flip-adjusted) stats at the current seq, so
+                # every outstanding flip_docs delta is absorbed and the
+                # flip table restarts empty. Zeroed pairs are KEPT on
+                # rev-3 stores: a later moving-cap up-flip must find
+                # the row to revive it (exactness under arbitrary
+                # compaction points); legacy rev-2 keeps its old
+                # drop-tombstones behavior (its drift path re-verifies,
+                # never adjusts).
+                "pair_stats": (
+                    self._pair_current(None).select(
+                        "tenant",
+                        "doc_a",
+                        "doc_b",
+                        "n_common",
+                        "na",
+                        "nb",
+                        "jaccard",
+                        F.lit(int(self._meta.get("pair_seq", 0)))
+                        .cast("bigint")
+                        .alias("seq"),
+                    )
+                    if int(self._meta.get("pair_rev", 2)) >= 3
+                    else self._pair_current(None).filter(
+                        F.col("n_common") >= 1
+                    )
+                ),
             }
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
@@ -1320,6 +1568,12 @@ class DedupArtifacts(SegmentStore):
                 new_meta["versions"][table] = new_v
                 segs[table] = [seg]
                 man[table] = {seg: self._segment_manifest(dst)}
+            # the pair fold above absorbed every outstanding flip
+            # delta — drop the flip segments in the same flip (their
+            # dirs become vacuum-collectable orphans)
+            if self._segments("flip_docs"):
+                segs["flip_docs"] = []
+                man.pop("flip_docs", None)
             self._save_meta(new_meta)
             self._meta = new_meta
 

@@ -477,6 +477,7 @@ def jaccard_verify_pairs(
     min_jaccard: float = 0.5,
     min_overlap: int = 2,
     candidates: DataFrame | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Production near-dup pair path: LSH candidate generation + exact
     Jaccard VERIFICATION — the shape a 100 TB dedup pipeline actually
@@ -515,9 +516,15 @@ def jaccard_verify_pairs(
     given, ``buckets`` is unused and may be None. Band collision is a
     pure function of two signatures, so a stored candidate set is
     exactly the set this function would derive from the full bucket
-    table."""
+    table.
+
+    ``with_sizes``: append the two docs' capped-set sizes (na, nb) —
+    the incremental pair-stats artifact stores them so later df-flip
+    deltas can adjust jaccard without re-reading shingle sets."""
     cand = candidates if candidates is not None else lsh_candidate_pairs(buckets)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
     a_sh = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -526,6 +533,9 @@ def jaccard_verify_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .filter(F.col("n_common") >= min_overlap)
+    )
+    cols = ["doc_a", "doc_b", "n_common"] + (
+        ["na", "nb"] if with_sizes else []
     )
     return (
         inter.join(
@@ -537,9 +547,7 @@ def jaccard_verify_pairs(
             "doc_b",
         )
         .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
+            *cols,
             F.round(
                 F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
                 params.ROUND,

@@ -185,7 +185,12 @@ def test_compact_preserves_artifacts_and_prunes_segments(spark, corpus, tmp_path
     }
     assert len(st._segments("signatures")) == 2
     st.compact()
-    assert all(len(st._segments(t)) == 1 for t in st.TABLES)
+    # flip_docs folds to ZERO segments (its deltas are absorbed into
+    # the pair rows); every other table consolidates to one
+    assert len(st._segments("flip_docs")) == 0
+    assert all(
+        len(st._segments(t)) == 1 for t in st.TABLES if t != "flip_docs"
+    )
     removed = st.vacuum(min_age_s=0)
     assert any(r.startswith("signatures/seg-") for r in removed)
     assert before == {
@@ -429,11 +434,15 @@ def test_verified_pairs_memo_is_thread_safe(spark, corpus, tmp_path, monkeypatch
 def test_pair_stats_df_drift_reverifies(spark, tmp_path):
     """The exactness keystone of incremental pair verification: a
     second batch pushes a shared phrase's trigram df across the cap,
-    evicting it from every doc's capped set — the commit must
-    re-verify the touched STORED pairs (new seq rows), and
-    verified_pairs must still equal a from-scratch
-    jaccard_verify_pairs over the union corpus."""
-    from lintdb_spark.operators.artifacts import DedupArtifacts, _PAIRSTAT_SCHEMA
+    evicting it from every doc's capped set — the commit must record
+    that as flip-delta rows (one per flipped shingle x containing
+    doc), reads must apply them, and verified_pairs must still equal
+    a from-scratch jaccard_verify_pairs over the union corpus."""
+    from lintdb_spark.operators.artifacts import (
+        DedupArtifacts,
+        _FLIP_SCHEMA,
+        _PAIRSTAT_SCHEMA,
+    )
 
     path = str(tmp_path / "store_drift")
     st = DedupArtifacts.create(spark, path)
@@ -467,11 +476,18 @@ def test_pair_stats_df_drift_reverifies(spark, tmp_path):
         "doc_id long, text string",
     )
     st.update(b2)
+    # drift is recorded as flip-delta rows at commit 2 — one per
+    # (flipped trigram, containing doc), all down-flips — NOT as pair
+    # re-verification (no seq-2 row for a batch-1-only pair)
+    flips = st._read_t("flip_docs", _FLIP_SCHEMA)
+    assert flips.count() > 0
+    assert flips.filter(F.col("delta") != -1).count() == 0
+    assert flips.filter(F.col("seq") != 2).count() == 0
     rows2 = st._read_t("pair_stats", _PAIRSTAT_SCHEMA).filter(F.col("seq") == 2)
-    # batch-1-only pairs were re-verified in commit 2 (both docs < 100):
-    # their capped sets shrank to the suffix trigrams
-    reverified = rows2.filter((F.col("doc_a") < 100) & (F.col("doc_b") < 100))
-    assert reverified.count() > 0
+    assert (
+        rows2.filter((F.col("doc_a") < 100) & (F.col("doc_b") < 100)).count()
+        == 0
+    )
     union = b1.unionByName(b2)
     sh_all = dedup.doc_shingles(union).persist()
     cols = ["doc_a", "doc_b", "n_common", "jaccard"]
@@ -486,12 +502,35 @@ def test_pair_stats_df_drift_reverifies(spark, tmp_path):
         assert got and got == _rows(scratch, cols)
     finally:
         sh_all.unpersist()
-    # compaction folds to max-seq rows, drops tombstones, reads equal
+    # compaction FOLDS the outstanding flips into the pair rows (the
+    # flip table restarts empty) and reads stay byte-equal
     before = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
     st.compact()
     assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == before
-    ps = st._read_t("pair_stats", _PAIRSTAT_SCHEMA)
-    assert ps.filter(F.col("n_common") == 0).count() == 0
+    assert st._read_t("flip_docs", _FLIP_SCHEMA).count() == 0
+    # ... and a post-fold commit that flips MORE shingles still reads
+    # exactly (flips now adjust the folded rows)
+    b3 = spark.createDataFrame(
+        [
+            (200 + i, f"{common} {sfx[0]} z{i % 7} y{i % 7} x{i % 7}")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    st.update(b3)
+    union3 = b1.unionByName(b2).unionByName(b3)
+    sh3 = dedup.doc_shingles(union3).persist()
+    try:
+        scratch3 = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh3),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh3)),
+            min_jaccard=0.0,
+            min_overlap=1,
+        )
+        got3 = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
+        assert got3 and got3 == _rows(scratch3, cols)
+    finally:
+        sh3.unpersist()
 
 
 def test_xxhash64_parity(spark):
