@@ -78,6 +78,7 @@ HEADLINE = [
     "q_artifact_verified",
     "q_artifact_gate",
     "q_artifact_tenant",
+    "q_artifact_drift",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

@@ -1321,6 +1321,67 @@ def q_artifact_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_DRIFT_CACHE: dict = {}
+_DRIFT_PHRASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _drift_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24 derived docs in 3 exact-duplicate groups: a 10-word shared
+    phrase (its trigrams reach df 24 — crossing the floor-pinned cap
+    of 8 when the second batch lands) plus a 4-word per-group suffix
+    (df 8 — stays under the cap). Deterministic from doc_id so the
+    DuckDB oracle derives the identical corpus."""
+    g = (F.col("doc_id") % 3).cast("string")
+    text = F.concat(
+        F.lit(_DRIFT_PHRASE + " s"),
+        g,
+        F.lit(" t"),
+        g,
+        F.lit(" u"),
+        g,
+        F.lit(" v"),
+        g,
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id", text.alias("text"))
+    )
+
+
+def artifact_drift_store_cached(spark: SparkSession, sf_dir: str):
+    """Store fed the drift corpus in two batches chosen so the shared
+    phrase's trigrams sit AT the cap after batch 1 (df 8 <= 8) and
+    cross it with batch 2 (df 24 > 8) — the commit records flip-delta
+    rows and the serve read must adjust batch-1's stored pair stats
+    (see operators/artifacts._pair_current)."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_drift_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.update(docs.filter(F.col("doc_id") >= 8))
+        return st
+
+    return _session_cached(_ARTIFACT_DRIFT_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs under df-cap DRIFT (round 9): batch 2 pushes the
+    shared phrase's trigrams across the pinned cap, so batch-1 pairs
+    — verified when those trigrams still counted — must be served
+    flip-adjusted (n_common and sizes shrink to the suffix trigrams).
+    Must equal a from-scratch capped verify over the union corpus."""
+    return artifact_drift_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2442,6 +2503,18 @@ assert ORACLE["q_jaccard_verified"].count("FROM documents") == 1
 ORACLE["q_artifact_tenant"] = ORACLE["q_jaccard_verified"].replace(
     "FROM documents", "FROM documents WHERE doc_id % 2 = 1"
 )
+# df-cap drift serve: the SAME verified-pair oracle over the DERIVED
+# 24-doc drift corpus (deterministic from doc_id — see _drift_corpus);
+# the from-scratch answer the flip-adjusted read must reproduce
+ORACLE["q_artifact_drift"] = ORACLE["q_jaccard_verified"].replace(
+    "FROM documents",
+    f"""FROM (SELECT doc_id,
+        '{_DRIFT_PHRASE} s' || CAST(doc_id % 3 AS VARCHAR)
+        || ' t' || CAST(doc_id % 3 AS VARCHAR)
+        || ' u' || CAST(doc_id % 3 AS VARCHAR)
+        || ' v' || CAST(doc_id % 3 AS VARCHAR) AS text
+        FROM documents WHERE doc_id < 24)""",
+)
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2581,7 +2654,11 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        rounds, met the >=3 bar). q_repetition stays for its
     #        post-third-green round (greens r05, r07, r08);
     #        q_artifact_verified / q_artifact_gate stay (greens r08 —
-    #        need >=3). ----
+    #        need >=3). NEW q_artifact_drift rotated IN (first round —
+    #        the flip-delta drift serve, this round's centerpiece);
+    #        q_pack_plan rotated OUT to make room (driver-green r05,
+    #        r06, r07, r08 — four rounds, met the >=3 bar). ----
+    "q_artifact_drift": q_artifact_drift,
     "q_artifact_tenant": q_artifact_tenant,
     "q_repetition": q_repetition,
     "q_term_int": q_term_int,
@@ -2631,13 +2708,13 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_clusters": q_embedding_clusters,
     "q_media_features": q_media_features,
     "q_media_frames": q_media_frames,
-    "q_pack_plan": q_pack_plan,
     # ---- tail entries (positions 51+, outside the driver's window):
     # multiply-proven queries only — each green in >=3 prior driver
     # rounds, deterministic scalar aggregates / pure-map
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_pack_plan": q_pack_plan,
     "q_term_float": q_term_float,
     "q_term_text": q_term_text,
     "q_and": q_and,
