@@ -79,6 +79,7 @@ HEADLINE = [
     "q_artifact_gate",
     "q_artifact_tenant",
     "q_artifact_drift",
+    "q_artifact_remove",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

@@ -199,6 +199,7 @@ class DedupArtifacts(SegmentStore):
         "buckets",
         "pair_stats",
         "flip_docs",
+        "removed_ids",
     ]
 
     def __init__(
@@ -1239,6 +1240,253 @@ class DedupArtifacts(SegmentStore):
             if ver is not None:
                 ver.unpersist()
 
+    def remove(self, doc_ids, tenant: int = 0) -> dict:
+        """Delete documents from the store (retention / right-to-be-
+        forgotten): every read afterwards equals a from-scratch build
+        over the SURVIVING corpus. Deletion is LSM-style — immutable
+        segments stay put; the commit appends
+
+          - `removed_ids` tombstones (reads anti-join them),
+          - NEGATIVE df rows for the removed docs' shingles (df reads
+            SUM segments, so surviving frequencies fall out), and
+          - `flip_docs` deltas for every shingle whose capped status
+            flips: removal moves df DOWN (up-flips: a boilerplate
+            shingle can drop back under the cap and re-enter every
+            surviving doc's capped set) and can move the CAP itself
+            (nd shrinks) — both directions the flip algebra already
+            handles (_pair_current); stored pair stats adjust at read.
+
+        compact() later purges removed rows physically and clears the
+        tombstones. Re-ingesting a removed doc_id is a no-op until
+        then (the known-doc guard treats tombstoned ids as known);
+        after compaction the id is genuinely new again.
+
+        Cost ∝ removed docs' rows (+ one vocab-bounded df aggregate
+        when the cap itself moves), never ∝ corpus or touched pairs.
+        ``doc_ids`` is an iterable of ids (admin-sized; collected
+        driver-side). Returns {"docs": n_actually_removed}.
+
+        Requires pair_rev >= 3 when pair stats exist: rev-2 rows lack
+        the sizes the flip adjustment needs (compact() + a rebuild, or
+        migrate_layout on a rev-1 store, upgrades)."""
+        ids = sorted({int(x) for x in doc_ids})
+        with self._writer_lock():
+            if (
+                self._segments("pair_stats")
+                and int(self._meta.get("pair_rev", 2)) < 3
+            ):
+                raise ValueError(
+                    "remove() needs pair_rev >= 3 pair stats (sizes); "
+                    "this store's rows predate flip-delta maintenance"
+                )
+            return self._remove_locked(ids, int(tenant))
+
+    def _remove_locked(self, ids: list[int], tenant: int) -> dict:
+        if not ids:
+            return {"docs": 0}
+        t_lit = F.lit(tenant)
+        parts = int(self._meta["doc_parts"])
+        dparts = sorted({hashing.pmod_xxhash64_long(i, parts) for i in ids})
+        ids_local = self.spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([T.StructField("doc_id", T.LongType())]),
+        )
+        reg = self._read_t("doc_ids", _DOCID_SCHEMA, tenant)
+        if self.schema_rev >= 2:
+            reg = reg.filter(
+                F.col("dpart").isin([int(d) for d in dparts])
+                | F.col("dpart").isNull()
+            )
+        present = reg.join(F.broadcast(ids_local), "doc_id", "left_semi")
+        if self._segments("removed_ids"):
+            already = self._read_t("removed_ids", _DOCID_SCHEMA, tenant)
+            present = present.join(
+                already.select("doc_id"), "doc_id", "left_anti"
+            )
+        pids = sorted(r["doc_id"] for r in present.select("doc_id").collect())
+        if not pids:
+            return {"docs": 0}
+        pl = self.spark.createDataFrame(
+            [(i,) for i in pids],
+            T.StructType([T.StructField("doc_id", T.LongType())]),
+        )
+        rem_sh = (
+            self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
+            .filter(
+                F.col("dpart").isin(
+                    [hashing.pmod_xxhash64_long(i, parts) for i in pids]
+                )
+                | F.col("dpart").isNull()
+            )
+            .join(F.broadcast(pl), "doc_id", "left_semi")
+            .select("doc_id", "shingle")
+            .persist()
+        )
+        d_sub = None
+        crossing = None
+        try:
+            nd_rem = rem_sh.select("doc_id").distinct().count()
+            nd_old = self._nd_shingled(tenant)
+            frac = params.JACCARD_MAX_DF_FRAC
+            cap_old = self._df_cap(nd_old, frac)
+            cap_new = self._df_cap(nd_old - nd_rem, frac)
+            d_sub = (
+                rem_sh.groupBy("shingle")
+                .agg(F.count("*").cast("bigint").alias("d_sub"))
+                .persist()
+            )
+            # capped-status crossings under a df DECREASE. Pinned cap:
+            # only the removed docs' shingles can flip; a moving cap
+            # sweeps the vocab (full-outer, admin-op-rare).
+            if cap_new == cap_old:
+                sparts = [
+                    r["spart"]
+                    for r in d_sub.select(
+                        self._spart_col(F.col("shingle")).alias("spart")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                j = d_sub.join(
+                    self._df_totals(tenant, sparts).withColumnRenamed(
+                        "df", "df_old"
+                    ),
+                    "shingle",
+                    "left",
+                )
+            else:
+                j = d_sub.join(
+                    self._df_totals(tenant, None).withColumnRenamed(
+                        "df", "df_old"
+                    ),
+                    "shingle",
+                    "full_outer",
+                )
+            j = j.select(
+                "shingle",
+                F.coalesce("df_old", F.lit(0)).alias("df_old"),
+                (
+                    F.coalesce("df_old", F.lit(0))
+                    - F.coalesce("d_sub", F.lit(0))
+                ).alias("df_new"),
+            )
+            crossing = (
+                j.filter(
+                    (F.col("df_old") > F.lit(float(cap_old)))
+                    != (F.col("df_new") > F.lit(float(cap_new)))
+                )
+                .select(
+                    "shingle",
+                    F.when(
+                        F.col("df_new") > F.lit(float(cap_new)), F.lit(-1)
+                    )
+                    .otherwise(F.lit(1))
+                    .cast("int")
+                    .alias("delta"),
+                )
+                .persist()
+            )
+            n_crossing = crossing.count()
+
+            staged: list[tuple[str, str]] = []
+
+            def stage(table: str, df: DataFrame) -> None:
+                seg, p = self._stage_path(table)
+                self._write_segment(table, df, p)
+                staged.append((table, seg))
+
+            stage(
+                "removed_ids",
+                pl.select(
+                    t_lit.alias("tenant"),
+                    self._dpart_col(F.col("doc_id")).alias("dpart"),
+                    "doc_id",
+                ),
+            )
+            stage(
+                "df",
+                d_sub.select(
+                    t_lit.alias("tenant"),
+                    self._spart_col(F.col("shingle")).alias("spart"),
+                    "shingle",
+                    (-F.col("d_sub")).cast("bigint").alias("df"),
+                ),
+            )
+            new_seq = None
+            if n_crossing and self._segments("pair_stats"):
+                new_seq = int(self._meta.get("pair_seq", 0)) + 1
+                doc_sh = self._read_t(
+                    "shingles", _SHINGLE_SCHEMA, tenant
+                ).select("doc_id", "shingle")
+                stage(
+                    "flip_docs",
+                    doc_sh.join(crossing, "shingle").select(
+                        t_lit.alias("tenant"),
+                        F.lit(new_seq).cast("bigint").alias("seq"),
+                        "shingle",
+                        "doc_id",
+                        "delta",
+                    ),
+                )
+
+            n_rm = len(pids)
+            tkey = str(int(tenant))
+            tstats = dict(
+                self._meta["tenants"].get(
+                    tkey, {"n_docs": 0, "nd_shingled": 0}
+                )
+            )
+            new_meta_extra = {
+                "n_docs": int(self._meta["n_docs"]) - n_rm,
+                "nd_shingled": int(self._meta["nd_shingled"]) - nd_rem,
+                "tenants": {
+                    **self._meta["tenants"],
+                    tkey: {
+                        "n_docs": int(tstats["n_docs"]) - n_rm,
+                        "nd_shingled": int(tstats["nd_shingled"]) - nd_rem,
+                    },
+                },
+            }
+            if new_seq is not None:
+                new_meta_extra["pair_seq"] = new_seq
+            old_vals = {k: self._meta[k] for k in new_meta_extra}
+            self._meta.update(new_meta_extra)
+            try:
+                self._commit_segments(staged)
+            except BaseException:
+                self._meta.update(old_vals)
+                raise
+            return {"docs": n_rm}
+        finally:
+            rem_sh.unpersist()
+            if d_sub is not None:
+                d_sub.unpersist()
+            if crossing is not None:
+                crossing.unpersist()
+
+    def _minus_removed(
+        self, df: DataFrame, tenant: int | None, cols=("doc_id",)
+    ) -> DataFrame:
+        """Anti-join away tombstoned docs on each given id column —
+        the read-side half of remove() (compaction purges physically
+        and clears the tombstones). Tenant-scoped: a pruned read
+        (tenant given) matches ids within that tenant; an all-tenant
+        frame carrying a `tenant` column matches on (tenant, id) so a
+        removal in one tenant never suppresses another's doc."""
+        if not self._segments("removed_ids"):
+            return df
+        rem = self._read_t("removed_ids", _DOCID_SCHEMA, tenant)
+        with_tenant = tenant is None and "tenant" in df.columns
+        for c in cols:
+            r = rem.select(
+                *(("tenant",) if with_tenant else ()),
+                F.col("doc_id").alias(c),
+            )
+            df = df.join(
+                r, ["tenant", c] if with_tenant else [c], "left_anti"
+            )
+        return df
+
     def _pair_latest(self, tenant: int | None) -> DataFrame:
         """(tenant, doc_a, doc_b, n_common, jaccard) — current value
         per pair; see _pair_current."""
@@ -1492,35 +1740,54 @@ class DedupArtifacts(SegmentStore):
         import copy
 
         with self._writer_lock():
+            # physical purge of remove()'s tombstoned docs rides the
+            # same rewrite: doc-keyed rows anti-join the tombstones,
+            # the df re-aggregate absorbs the negative rows (zeroed
+            # shingles dropped), pair rows with a dead endpoint fold
+            # away, and the tombstone table restarts empty
+            rm = self._minus_removed
             writers = {
-                "doc_ids": self._read_t("doc_ids", _DOCID_SCHEMA).select(
+                "doc_ids": rm(
+                    self._read_t("doc_ids", _DOCID_SCHEMA), None
+                ).select(
                     "tenant",
                     self._dpart_col(F.col("doc_id")).alias("dpart"),
                     "doc_id",
                 ),
-                "shingles": self._read_t("shingles", _SHINGLE_SCHEMA).select(
+                "shingles": rm(
+                    self._read_t("shingles", _SHINGLE_SCHEMA), None
+                ).select(
                     "tenant",
                     self._dpart_col(F.col("doc_id")).alias("dpart"),
                     "doc_id",
                     "shingle",
                 ),
-                "signatures": self._read_t("signatures", self._sig_schema()),
+                "signatures": rm(
+                    self._read_t("signatures", self._sig_schema()), None
+                ),
                 "df": self._read_t("df", _DF_SCHEMA)
                 .groupBy("tenant", "shingle")
                 .agg(F.sum("df").cast("bigint").alias("df"))
+                .filter(F.col("df") > 0)
                 .select(
                     "tenant",
                     self._spart_col(F.col("shingle")).alias("spart"),
                     "shingle",
                     "df",
                 ),
-                "cand_pairs": self._read_t("cand_pairs", _PAIR_SCHEMA)
+                "cand_pairs": rm(
+                    self._read_t("cand_pairs", _PAIR_SCHEMA),
+                    None,
+                    cols=("doc_a", "doc_b"),
+                )
                 .select("tenant", "doc_a", "doc_b")
                 .distinct(),
-                "simhash": self._read_t("simhash", _SIMHASH_SCHEMA).select(
-                    "tenant", "doc_id", "simhash"
-                ),
-                "buckets": self._read_t("buckets", _BUCKET_SCHEMA).select(
+                "simhash": rm(
+                    self._read_t("simhash", _SIMHASH_SCHEMA), None
+                ).select("tenant", "doc_id", "simhash"),
+                "buckets": rm(
+                    self._read_t("buckets", _BUCKET_SCHEMA), None
+                ).select(
                     "tenant",
                     self._bpart_col(F.col("bucket")).alias("bpart"),
                     "band",
@@ -1537,7 +1804,11 @@ class DedupArtifacts(SegmentStore):
                 # drop-tombstones behavior (its drift path re-verifies,
                 # never adjusts).
                 "pair_stats": (
-                    self._pair_current(None).select(
+                    rm(
+                        self._pair_current(None),
+                        None,
+                        cols=("doc_a", "doc_b"),
+                    ).select(
                         "tenant",
                         "doc_a",
                         "doc_b",
@@ -1569,24 +1840,35 @@ class DedupArtifacts(SegmentStore):
                 segs[table] = [seg]
                 man[table] = {seg: self._segment_manifest(dst)}
             # the pair fold above absorbed every outstanding flip
-            # delta — drop the flip segments in the same flip (their
+            # delta, and the rewrites purged tombstoned docs — drop
+            # both auxiliary tables' segments in the same flip (their
             # dirs become vacuum-collectable orphans)
-            if self._segments("flip_docs"):
-                segs["flip_docs"] = []
-                man.pop("flip_docs", None)
+            for aux in ("flip_docs", "removed_ids"):
+                if self._segments(aux):
+                    segs[aux] = []
+                    man.pop(aux, None)
             self._save_meta(new_meta)
             self._meta = new_meta
 
     # ---------------- read side (exact vs from-scratch) ----------------
 
     def doc_ids(self, tenant: int | None = None) -> DataFrame:
-        """(doc_id) every ingested document (this tenant's, or all)."""
+        """(doc_id) every LIVE ingested document (this tenant's, or
+        all) — remove()'s tombstones are excluded."""
         self._refresh_meta_if_stale()
-        return self._read_t("doc_ids", _DOCID_SCHEMA, tenant).select("doc_id")
+        return self._minus_removed(
+            self._read_t("doc_ids", _DOCID_SCHEMA, tenant).select("doc_id"),
+            tenant,
+        )
 
     def shingles(self, tenant: int | None = None) -> DataFrame:
         self._refresh_meta_if_stale()  # follow external commits
-        return self._read_t("shingles", _SHINGLE_SCHEMA, tenant).select("doc_id", "shingle")
+        return self._minus_removed(
+            self._read_t("shingles", _SHINGLE_SCHEMA, tenant).select(
+                "doc_id", "shingle"
+            ),
+            tenant,
+        )
 
     def _sig_schema(self) -> T.StructType:
         return T.StructType(
@@ -1603,7 +1885,12 @@ class DedupArtifacts(SegmentStore):
     def signatures(self, tenant: int | None = None) -> DataFrame:
         self._refresh_meta_if_stale()
         p = self.num_perms
-        return self._read_t("signatures", self._sig_schema(), tenant).select("doc_id", *[f"m{i}" for i in range(p)])
+        return self._minus_removed(
+            self._read_t("signatures", self._sig_schema(), tenant).select(
+                "doc_id", *[f"m{i}" for i in range(p)]
+            ),
+            tenant,
+        )
 
     def buckets(
         self, bands: int | None = None, tenant: int | None = None
@@ -1619,7 +1906,12 @@ class DedupArtifacts(SegmentStore):
             and self.schema_rev >= 2
             and self._segments("buckets")
         ):
-            return self._read_t("buckets", _BUCKET_SCHEMA, tenant).select("doc_id", "band", "bucket")
+            return self._minus_removed(
+                self._read_t("buckets", _BUCKET_SCHEMA, tenant).select(
+                    "doc_id", "band", "bucket"
+                ),
+                tenant,
+            )
         return dedup.lsh_buckets_wide(
             self.signatures(tenant=tenant),
             bands=bands or self.lsh_bands,
@@ -1676,7 +1968,12 @@ class DedupArtifacts(SegmentStore):
         (pure per-doc, so per-batch segments union to the full-corpus
         simhash() exactly)."""
         self._refresh_meta_if_stale()
-        return self._read_t("simhash", _SIMHASH_SCHEMA, tenant).select("doc_id", "simhash")
+        return self._minus_removed(
+            self._read_t("simhash", _SIMHASH_SCHEMA, tenant).select(
+                "doc_id", "simhash"
+            ),
+            tenant,
+        )
 
     def simhash_neardup(
         self, max_hamming: int = 3, bands: int = 4, tenant: int | None = None
@@ -1697,10 +1994,12 @@ class DedupArtifacts(SegmentStore):
         pair rediscovered by a later batch only if doc_ids repeated,
         which update() forbids — but distinct() anyway for safety)."""
         self._refresh_meta_if_stale()
-        return (
+        return self._minus_removed(
             self._read_t("cand_pairs", _PAIR_SCHEMA, tenant)
             .select("doc_a", "doc_b")
-            .distinct()
+            .distinct(),
+            tenant,
+            cols=("doc_a", "doc_b"),
         )
 
     def verified_pairs(
@@ -1725,13 +2024,15 @@ class DedupArtifacts(SegmentStore):
         that have not run migrate_layout."""
         self._refresh_meta_if_stale()
         if self._meta.get("pair_stats_live"):
-            return (
+            return self._minus_removed(
                 self._pair_latest(tenant)
                 .filter(
                     (F.col("n_common") >= int(max(1, min_overlap)))
                     & (F.col("jaccard") >= float(min_jaccard))
                 )
-                .select("doc_a", "doc_b", "n_common", "jaccard")
+                .select("doc_a", "doc_b", "n_common", "jaccard"),
+                tenant,
+                cols=("doc_a", "doc_b"),
             )
         key = (
             getattr(self, "_meta_seq", 0),

@@ -1382,6 +1382,48 @@ def q_artifact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_REMOVE_CACHE: dict = {}
+
+
+def artifact_remove_store_cached(spark: SparkSession, sf_dir: str):
+    """The drift corpus ingested in two batches, then every doc
+    OUTSIDE one exact-duplicate group removed (retention deletion).
+    Removal drops the shared phrase's trigram df from 24 back to 7 —
+    UNDER the floor cap of 8 — so the phrase re-enters every
+    survivor's capped set: the earlier down-flips telescope with the
+    removal's up-flips, and the serve must equal a from-scratch build
+    over the survivors alone."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_rm_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.update(docs.filter(F.col("doc_id") >= 8))
+        st.remove(
+            [d for d in range(24) if d % 3 != 0 or d == 21]
+        )
+        return st
+
+    return _session_cached(_ARTIFACT_REMOVE_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs after remove() (round 9): tombstoned docs are
+    suppressed, negative df rows restore the survivors' frequencies,
+    and up-flip deltas re-admit the phrase trigrams into the stored
+    pair stats — must equal a from-scratch capped verify over the
+    SURVIVING corpus (the reference's remove-then-search contract,
+    lintdb/index.cpp remove path, applied to the dedup artifacts)."""
+    return artifact_remove_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2515,6 +2557,12 @@ ORACLE["q_artifact_drift"] = ORACLE["q_jaccard_verified"].replace(
         || ' v' || CAST(doc_id % 3 AS VARCHAR) AS text
         FROM documents WHERE doc_id < 24)""",
 )
+# remove() serve: the SAME oracle over the SURVIVING corpus alone
+# (caps/df/nd recompute on the survivors — what deletion promises)
+ORACLE["q_artifact_remove"] = ORACLE["q_artifact_drift"].replace(
+    "WHERE doc_id < 24",
+    "WHERE doc_id < 21 AND doc_id % 3 = 0",
+)
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2657,8 +2705,13 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        need >=3). NEW q_artifact_drift rotated IN (first round —
     #        the flip-delta drift serve, this round's centerpiece);
     #        q_pack_plan rotated OUT to make room (driver-green r05,
-    #        r06, r07, r08 — four rounds, met the >=3 bar). ----
+    #        r06, r07, r08 — four rounds, met the >=3 bar).
+    #        NEW q_artifact_remove rotated IN (first round — retention
+    #        deletion with up-flip adjustment); q_knn_cosine rotated
+    #        OUT to make room (driver-green r01-r08 — eight
+    #        consecutive rounds). ----
     "q_artifact_drift": q_artifact_drift,
+    "q_artifact_remove": q_artifact_remove,
     "q_artifact_tenant": q_artifact_tenant,
     "q_repetition": q_repetition,
     "q_term_int": q_term_int,
@@ -2703,7 +2756,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_domain_mix": q_domain_mix,
     "q_unigram_loglik": q_unigram_loglik,
     "q_tfidf_keywords": q_tfidf_keywords,
-    "q_knn_cosine": q_knn_cosine,
     "q_ivf_knn": q_ivf_knn,
     "q_embedding_clusters": q_embedding_clusters,
     "q_media_features": q_media_features,
@@ -2714,6 +2766,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_knn_cosine": q_knn_cosine,
     "q_pack_plan": q_pack_plan,
     "q_term_float": q_term_float,
     "q_term_text": q_term_text,

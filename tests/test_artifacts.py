@@ -185,12 +185,12 @@ def test_compact_preserves_artifacts_and_prunes_segments(spark, corpus, tmp_path
     }
     assert len(st._segments("signatures")) == 2
     st.compact()
-    # flip_docs folds to ZERO segments (its deltas are absorbed into
-    # the pair rows); every other table consolidates to one
-    assert len(st._segments("flip_docs")) == 0
-    assert all(
-        len(st._segments(t)) == 1 for t in st.TABLES if t != "flip_docs"
-    )
+    # the aux tables fold to ZERO segments (flip deltas absorbed into
+    # the pair rows, tombstones purged); every other table
+    # consolidates to one
+    aux = ("flip_docs", "removed_ids")
+    assert all(len(st._segments(t)) == 0 for t in aux)
+    assert all(len(st._segments(t)) == 1 for t in st.TABLES if t not in aux)
     removed = st.vacuum(min_age_s=0)
     assert any(r.startswith("signatures/seg-") for r in removed)
     assert before == {
@@ -605,3 +605,78 @@ def test_point_path_runs_and_matches_scratch(spark, tmp_path, monkeypatch):
         assert got and got == _rows(scratch, cols)
     finally:
         sh_all.unpersist()
+
+
+def test_remove_docs_equals_scratch_and_compacts(spark, tmp_path):
+    """remove(): reads equal a from-scratch build over the SURVIVING
+    corpus — including UP-flips (removal drops a boilerplate phrase's
+    df back under the cap, so it re-enters every survivor's capped set
+    and stored pair stats must adjust UP, telescoping with the earlier
+    down-flip); compaction purges physically and clears tombstones."""
+    from lintdb_spark.operators.artifacts import (
+        DedupArtifacts,
+        _DOCID_SCHEMA,
+        _FLIP_SCHEMA,
+        _SHINGLE_SCHEMA,
+    )
+
+    phrase = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    rows = [
+        (d, f"{phrase} s{d % 3} t{d % 3} u{d % 3} v{d % 3}")
+        for d in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "store_rm")
+    st = DedupArtifacts.create(spark, path)
+    # batch 1 leaves phrase trigrams AT the cap (df 8 <= 8); batch 2
+    # crosses it (df 24 > 8) -> down-flips recorded
+    st.update(docs.filter(F.col("doc_id") < 8))
+    st.update(docs.filter(F.col("doc_id") >= 8))
+    survivors = [0, 3, 6, 9, 12, 15, 18]  # one exact-dup group
+    gone = [d for d in range(24) if d not in survivors]
+    r = st.remove(gone)
+    assert r == {"docs": 17}
+    # phrase df fell 24 -> 7 (<= cap 8): UP-flips recorded
+    fl = st._read_t("flip_docs", _FLIP_SCHEMA)
+    assert fl.filter(F.col("delta") == 1).count() > 0
+    # re-removing and removing unknown ids are no-ops
+    assert st.remove([gone[0], 999_999]) == {"docs": 0}
+    # re-ingesting a tombstoned id is a no-op until compaction
+    assert st.update(docs.filter(F.col("doc_id") == gone[0]))["docs"] == 0
+    assert int(st._meta["n_docs"]) == 7
+
+    surv = docs.filter(F.col("doc_id").isin(survivors))
+    sh_s = dedup.doc_shingles(surv).persist()
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    try:
+        scratch = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh_s),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh_s)),
+            min_jaccard=0.0,
+            min_overlap=1,
+        )
+        want = _rows(scratch, cols)
+        assert want and all(t[2] == 12 for t in want)  # phrase re-admitted
+        got = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
+        assert got == want
+        assert _rows(st.capped_shingles(), ["doc_id", "shingle"]) == _rows(
+            dedup.df_capped_shingles(sh_s), ["doc_id", "shingle"]
+        )
+        assert sorted(r_["doc_id"] for r_ in st.doc_ids().collect()) == survivors
+        # compaction: physical purge, tombstones + flips cleared,
+        # reads unchanged
+        st.compact()
+        assert len(st._segments("removed_ids")) == 0
+        assert len(st._segments("flip_docs")) == 0
+        raw_sh = st._read_t("shingles", _SHINGLE_SCHEMA)
+        assert raw_sh.select("doc_id").distinct().count() == 7
+        assert st._read_t("doc_ids", _DOCID_SCHEMA).count() == 7
+        assert _rows(
+            st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+        ) == want
+        # ...and the id is genuinely new again post-purge
+        assert st.update(docs.filter(F.col("doc_id") == gone[0]))["docs"] == 1
+    finally:
+        sh_s.unpersist()
