@@ -33,13 +33,22 @@ Exactness contract (why reads equal a from-scratch rebuild):
 - verified pairs: Jaccard stats ARE cap-dependent (the df stop-set
   moves as the corpus grows), so naive verify-at-write would drift.
   The pair_stats artifact solves it incrementally: each commit
-  verifies its NEW pairs against the post-commit capped sets AND
-  re-verifies exactly the stored pairs whose docs contain a shingle
-  whose capped-status flipped this commit (tombstoning pairs that no
-  longer overlap). By induction the max-seq row per pair equals a
-  from-scratch `jaccard_verify_pairs` at every snapshot — at
-  batch-proportional cost instead of the round-8 full re-verify per
-  snapshot (141 s at the sf10 probe). See _stage_pair_stats.
+  verifies its NEW pairs against the post-commit capped sets (rows
+  carry the capped-set sizes na/nb), and a shingle whose
+  capped-status flips emits `flip_docs` DELTA rows — one per
+  containing doc, ±1 — that reads apply arithmetically to
+  strictly-older pair rows (_pair_current) and compaction folds in.
+  By induction the adjusted max-seq row per pair equals a
+  from-scratch `jaccard_verify_pairs` at every snapshot — at a cost
+  ∝ batch + docs-per-flipped-shingle, instead of the round-8 full
+  re-verify per snapshot (141 s at the sf10 probe) or the first
+  flip-free incremental design's re-verify of every TOUCHED pair
+  (10M pairs for a 1k batch at sf10). See _stage_pair_stats.
+- removal: remove() appends `removed_ids` tombstones (reads
+  anti-join), NEGATIVE df rows (the additive df sums absorb them),
+  and flip deltas for the shingles whose status flips back — reads
+  then equal a from-scratch build over the SURVIVING corpus, and
+  compact() purges physically. See remove().
 
 Scale shape per update() (schema_rev >= 2): sign + band the BATCH
 (map-only over new docs), one collision join of the batch's buckets
