@@ -1098,23 +1098,25 @@ class DedupArtifacts(SegmentStore):
         pairs_all = cand.select("doc_a", "doc_b")
         if stale is not None:
             pairs_all = pairs_all.unionByName(stale).distinct()
-        pairs_all = pairs_all.persist()
         # PLAN-SIZE control: the verify below stacks joins over frames
         # whose lineages reference each other 2-3x per level — left
         # lazy, Catalyst re-plans that DAG path-by-path, and driver
         # planning time (not execution) was ~6 s PER ACTION at the sf1
         # probe (and, one level worse, OOM'd the driver stringifying
-        # the tree). When the pair set is gate-bounded, collect it
-        # once and rebuild pairs + the involved-doc set as
-        # LocalRelation LEAVES — every downstream plan then bottoms
-        # out in leaves instead of nested lineage.
+        # the tree — first 8 GB at sf1, then 32 GB at streaming batch
+        # 44 of the sf10 cadence probe once the pair set outgrew the
+        # collect gate). The pair set is therefore ALWAYS turned into
+        # a plan leaf: a LocalRelation when gate-bounded (collect),
+        # else a localCheckpoint (one materialization, plan truncates
+        # to a LogicalRDD leaf — the block cost is the pair set we
+        # were about to shuffle repeatedly anyway).
+        pairs_all = pairs_all.localCheckpoint()
         n_pairs_all = pairs_all.count()
         pairs_local = (
             pre_batch and n_pairs_all <= params.ARTIFACT_PREFILTER_PAIRS
         )
         if pairs_local:
             _prows = pairs_all.collect()
-            pairs_all.unpersist()
             pairs_all = self.spark.createDataFrame(
                 [(r["doc_a"], r["doc_b"]) for r in _prows],
                 T.StructType(
