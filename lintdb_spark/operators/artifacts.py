@@ -774,9 +774,22 @@ class DedupArtifacts(SegmentStore):
         )
         if len(ids) > params.ARTIFACT_PREFILTER_DOCS:
             return None
-        brows = bdf.select(
-            self._spart_col(F.col("shingle")).alias("spart"), "shingle", "df"
-        ).collect()
+        # bounded probe before committing to the driver-side collect:
+        # the doc gate alone doesn't bound the batch's VOCAB (5k long
+        # docs can carry millions of distinct shingles); over-gate
+        # batches take the distributed general path
+        max_sh = params.ARTIFACT_PREFILTER_SHINGLES
+        brows = (
+            bdf.select(
+                self._spart_col(F.col("shingle")).alias("spart"),
+                "shingle",
+                "df",
+            )
+            .limit(max_sh + 1)
+            .collect()
+        )
+        if len(brows) > max_sh:
+            return None
         d_add = {r["shingle"]: r["df"] for r in brows}
 
         all_sh = None
@@ -809,14 +822,19 @@ class DedupArtifacts(SegmentStore):
                     F.broadcast(docs_local), "doc_id", "left_semi"
                 ).select("doc_id", "shingle")
                 all_sh = new_sh.unionByName(old_sh).persist()
+                # same bounded-probe guard as the batch vocab above:
+                # 5k involved docs can still carry an over-gate vocab
                 irows = (
                     all_sh.select(
                         self._spart_col(F.col("shingle")).alias("spart"),
                         "shingle",
                     )
                     .distinct()
+                    .limit(max_sh + 1)
                     .collect()
                 )
+                if len(irows) > max_sh:
+                    return None
             # ONE df lookup serves both decisions: the batch keys
             # (crossing detection) and the involved keys (over-cap
             # stop set). spart rides along each collect because it is
@@ -899,6 +917,9 @@ class DedupArtifacts(SegmentStore):
                         ]
                     ),
                 )
+                # all_candidates on rev >= 3: zero-overlap pairs still
+                # get a (0, na, nb) row for up-flip revival — see
+                # _stage_pair_stats
                 ver = dedup.jaccard_verify_pairs(
                     capped_vf,
                     None,
@@ -906,6 +927,7 @@ class DedupArtifacts(SegmentStore):
                     min_overlap=1,
                     candidates=pairs_local,
                     with_sizes=rev3,
+                    all_candidates=rev3,
                 )
                 stage(
                     "pair_stats",
@@ -1196,6 +1218,13 @@ class DedupArtifacts(SegmentStore):
             # which dominated the sf10 general-path profile
             capped_vf = all_sh.join(keep, "shingle", "left_semi").persist()
             rev3 = int(self._meta.get("pair_rev", 2)) >= 3
+            # all_candidates on rev >= 3: even a pair with ZERO common
+            # capped shingles right now gets a stored (0, na, nb) row —
+            # without it a later up-flip re-admitting a shared shingle
+            # (moving cap, or remove() dropping df back under it) would
+            # find no row to adjust and the pair would be lost to the
+            # flip algebra forever (a from-scratch verify over the
+            # post-flip corpus WOULD emit it).
             ver = dedup.jaccard_verify_pairs(
                 capped_vf,
                 None,
@@ -1203,6 +1232,7 @@ class DedupArtifacts(SegmentStore):
                 min_overlap=1,
                 candidates=pairs_all,
                 with_sizes=rev3,
+                all_candidates=rev3,
             ).persist()
             seq_lit = F.lit(new_seq).cast("bigint")
             null_sz = F.lit(None).cast("bigint")
@@ -1282,6 +1312,15 @@ class DedupArtifacts(SegmentStore):
         migrate_layout on a rev-1 store, upgrades)."""
         ids = sorted({int(x) for x in doc_ids})
         with self._writer_lock():
+            if self.schema_rev < 2:
+                # a rev-1 store has no doc_ids registry: `present`
+                # would always be empty and the call a silent no-op —
+                # unacceptable for a retention API, so refuse loudly
+                # (mirrors the pair_rev guard below)
+                raise ValueError(
+                    "remove() needs schema_rev >= 2 (the doc_ids "
+                    "registry); run migrate_layout() on this store first"
+                )
             if (
                 self._segments("pair_stats")
                 and int(self._meta.get("pair_rev", 2)) < 3
@@ -1863,10 +1902,33 @@ class DedupArtifacts(SegmentStore):
 
     # ---------------- read side (exact vs from-scratch) ----------------
 
+    def _require_single_tenant(self, tenant: int | None, what: str) -> None:
+        """tenant=None read contract: on a store holding MORE THAN ONE
+        tenant, every public read that returns doc-keyed rows without a
+        tenant column raises — doc ids are only unique per tenant, the
+        df statistics and caps are tenant-local, and remove()'s
+        tombstone anti-join matches on doc_id alone once the tenant
+        column is projected away (a removal in one tenant would
+        silently suppress another tenant's same-id rows). Callers pass
+        an explicit tenant and get the exact single-corpus behavior;
+        single-tenant stores (the default) never notice this guard."""
+        if tenant is not None:
+            return
+        tenants = self._meta.get("tenants", {})
+        if len(tenants) > 1:
+            raise ValueError(
+                f"{what}(tenant=None) is undefined on a multi-tenant "
+                f"store (tenants {sorted(tenants)}): doc ids are only "
+                "unique per tenant and dedup statistics are "
+                "tenant-local — pass an explicit tenant"
+            )
+
     def doc_ids(self, tenant: int | None = None) -> DataFrame:
-        """(doc_id) every LIVE ingested document (this tenant's, or
-        all) — remove()'s tombstones are excluded."""
+        """(doc_id) every LIVE ingested document of one tenant —
+        remove()'s tombstones are excluded. tenant=None is only
+        defined on single-tenant stores (_require_single_tenant)."""
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "doc_ids")
         return self._minus_removed(
             self._read_t("doc_ids", _DOCID_SCHEMA, tenant).select("doc_id"),
             tenant,
@@ -1874,6 +1936,7 @@ class DedupArtifacts(SegmentStore):
 
     def shingles(self, tenant: int | None = None) -> DataFrame:
         self._refresh_meta_if_stale()  # follow external commits
+        self._require_single_tenant(tenant, "shingles")
         return self._minus_removed(
             self._read_t("shingles", _SHINGLE_SCHEMA, tenant).select(
                 "doc_id", "shingle"
@@ -1895,6 +1958,7 @@ class DedupArtifacts(SegmentStore):
 
     def signatures(self, tenant: int | None = None) -> DataFrame:
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "signatures")
         p = self.num_perms
         return self._minus_removed(
             self._read_t("signatures", self._sig_schema(), tenant).select(
@@ -1912,6 +1976,7 @@ class DedupArtifacts(SegmentStore):
         function); a caller asking for a different band count gets the
         on-the-fly banding of the signature table."""
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "buckets")
         if (
             (bands is None or int(bands) == self.lsh_bands)
             and self.schema_rev >= 2
@@ -1932,7 +1997,10 @@ class DedupArtifacts(SegmentStore):
     def shingle_df(self, tenant: int | None = None) -> DataFrame:
         """(shingle, df) per-tenant document frequencies — sum of the
         per-batch aggregates (additive; see module docstring). With
-        tenant=None (single-tenant stores) this is the global table."""
+        tenant=None (single-tenant stores) this is the global table;
+        on a multi-tenant store a tenant is required (a cross-tenant
+        df sum is no input to any defined cap)."""
+        self._require_single_tenant(tenant, "shingle_df")
         return (
             self._read_t("df", _DF_SCHEMA, tenant)
             .groupBy("shingle")
@@ -1959,6 +2027,7 @@ class DedupArtifacts(SegmentStore):
             params.JACCARD_MAX_DF_FRAC if max_df_frac is None else max_df_frac
         )
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "capped_shingles")
         cap = self._df_cap(self._nd_shingled(tenant), max_df_frac)
         stop = (
             self.shingle_df(tenant=tenant)
@@ -1979,6 +2048,7 @@ class DedupArtifacts(SegmentStore):
         (pure per-doc, so per-batch segments union to the full-corpus
         simhash() exactly)."""
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "fingerprints")
         return self._minus_removed(
             self._read_t("simhash", _SIMHASH_SCHEMA, tenant).select(
                 "doc_id", "simhash"
@@ -2005,6 +2075,7 @@ class DedupArtifacts(SegmentStore):
         pair rediscovered by a later batch only if doc_ids repeated,
         which update() forbids — but distinct() anyway for safety)."""
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "candidate_pairs")
         return self._minus_removed(
             self._read_t("cand_pairs", _PAIR_SCHEMA, tenant)
             .select("doc_a", "doc_b")
@@ -2034,6 +2105,7 @@ class DedupArtifacts(SegmentStore):
         (_meta_seq, knobs) — remains as the fallback for legacy stores
         that have not run migrate_layout."""
         self._refresh_meta_if_stale()
+        self._require_single_tenant(tenant, "verified_pairs")
         if self._meta.get("pair_stats_live"):
             return self._minus_removed(
                 self._pair_latest(tenant)

@@ -478,6 +478,7 @@ def jaccard_verify_pairs(
     min_overlap: int = 2,
     candidates: DataFrame | None = None,
     with_sizes: bool = False,
+    all_candidates: bool = False,
 ) -> DataFrame:
     """Production near-dup pair path: LSH candidate generation + exact
     Jaccard VERIFICATION — the shape a 100 TB dedup pipeline actually
@@ -520,8 +521,21 @@ def jaccard_verify_pairs(
 
     ``with_sizes``: append the two docs' capped-set sizes (na, nb) —
     the incremental pair-stats artifact stores them so later df-flip
-    deltas can adjust jaccard without re-reading shingle sets."""
+    deltas can adjust jaccard without re-reading shingle sets.
+
+    ``all_candidates``: emit a row for EVERY candidate pair, even ones
+    with zero common capped shingles (n_common=0, jaccard=0.0, sizes
+    coalesced to 0 for docs whose capped set is empty), ignoring
+    min_overlap/min_jaccard — the caller filters. The incremental
+    pair-stats artifact needs this: a pair whose shared shingles are
+    ALL over-cap at verify time must still get a stored row carrying
+    (0, na, nb), otherwise a later up-flip (the df cap re-admitting a
+    shared shingle — a moving cap, or remove() shrinking df) has no
+    row to adjust and the pair is permanently lost to the flip
+    algebra. Requires ``candidates``."""
     cand = candidates if candidates is not None else lsh_candidate_pairs(buckets)
+    if all_candidates and candidates is None:
+        raise ValueError("all_candidates requires an explicit candidates frame")
     sizes = shingles.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n")
     )
@@ -532,21 +546,58 @@ def jaccard_verify_pairs(
         .join(b_sh, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
-        .filter(F.col("n_common") >= min_overlap)
     )
+    z = F.lit(0).cast("bigint")
+    if all_candidates:
+        inter = cand.select("doc_a", "doc_b").join(
+            inter, ["doc_a", "doc_b"], "left"
+        ).select(
+            "doc_a", "doc_b", F.coalesce("n_common", z).alias("n_common")
+        )
+        size_join = "left"
+    else:
+        inter = inter.filter(F.col("n_common") >= min_overlap)
+        size_join = "inner"
     cols = ["doc_a", "doc_b", "n_common"] + (
         ["na", "nb"] if with_sizes else []
     )
-    return (
+    out = (
         inter.join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
             "doc_a",
+            size_join,
         )
         .join(
             sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
             "doc_b",
+            size_join,
         )
-        .select(
+    )
+    if all_candidates:
+        # a doc with an EMPTY capped set has no sizes row — its size
+        # is genuinely 0, and jaccard over empty sets is defined 0.0
+        out = out.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.coalesce("na", z).alias("na"),
+            F.coalesce("nb", z).alias("nb"),
+        )
+        return out.select(
+            *cols,
+            F.when(
+                F.col("n_common") > z,
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    params.ROUND,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    return (
+        out.select(
             *cols,
             F.round(
                 F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),

@@ -115,6 +115,12 @@ ARTIFACT_PREFILTER_DOCS = 5_000
 # under this many pairs: 200k (long, long) rows is a few MB on the
 # driver. Bigger pair sets keep the distributed frame.
 ARTIFACT_PREFILTER_PAIRS = 200_000
+# ... and the point path's driver-side df-delta collect is additionally
+# gated on the batch's DISTINCT-SHINGLE count (a bounded limit(N+1)
+# probe): the doc gate alone doesn't bound it — 5k LONG documents can
+# carry millions of distinct shingles, a driver-memory risk. Over-gate
+# batches fall back to the distributed general path.
+ARTIFACT_PREFILTER_SHINGLES = 500_000
 
 # English/German/French/Spanish stopword lists for the n-gram-free
 # language-ID heuristic (tiny, deterministic; good enough for synthetic

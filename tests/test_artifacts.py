@@ -680,3 +680,122 @@ def test_remove_docs_equals_scratch_and_compacts(spark, tmp_path):
         assert st.update(docs.filter(F.col("doc_id") == gone[0]))["docs"] == 1
     finally:
         sh_s.unpersist()
+
+def test_zero_overlap_candidate_revives_on_upflip(spark, tmp_path):
+    """Round-10 exactness fix: a candidate pair whose common shingles
+    are ALL over-cap at verify time must still get a stored pair_stats
+    row (n_common=0 with sizes) — otherwise a later up-flip (remove()
+    dropping the shared phrase's df back under the cap) has no row to
+    adjust and verified_pairs() permanently misses a pair that a
+    from-scratch verify over the surviving corpus WOULD emit."""
+    from lintdb_spark.operators.artifacts import (
+        DedupArtifacts,
+        _PAIRSTAT_SCHEMA,
+    )
+
+    phrase = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    path = str(tmp_path / "store_revive")
+    st = DedupArtifacts.create(spark, path)
+    # batch 1: 10 filler docs push the phrase trigrams' df to 10 > the
+    # floor cap of 8 — the phrase is over-cap from here on
+    fillers = spark.createDataFrame(
+        [(d, f"{phrase} a{d} b{d} c{d} e{d}") for d in range(10)],
+        "doc_id long, text string",
+    )
+    st.update(fillers)
+    # batch 2: two exact duplicates consisting ONLY of the phrase —
+    # they LSH-collide (identical signatures) but their capped sets
+    # are EMPTY at verify time (every shared trigram over-cap), so the
+    # pair's exact overlap is zero right now
+    dups = spark.createDataFrame(
+        [(100, phrase), (101, phrase)], "doc_id long, text string"
+    )
+    st.update(dups)
+    # the fix under test: the zero-overlap candidate still gets a row
+    ps = st._read_t("pair_stats", _PAIRSTAT_SCHEMA)
+    row = ps.filter((F.col("doc_a") == 100) & (F.col("doc_b") == 101)).collect()
+    assert len(row) == 1 and row[0]["n_common"] == 0
+    assert row[0]["na"] == 0 and row[0]["nb"] == 0
+    assert st.verified_pairs(min_jaccard=0.0, min_overlap=1).filter(
+        (F.col("doc_a") == 100) & (F.col("doc_b") == 101)
+    ).count() == 0
+    # remove every filler: phrase df falls 12 -> 2 <= cap 8, an
+    # up-flip re-admitting it to the duplicates' capped sets — the
+    # stored zero row must revive to a full-overlap pair
+    st.remove(range(10))
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    sh_s = dedup.doc_shingles(dups).persist()
+    try:
+        scratch = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh_s),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh_s)),
+            min_jaccard=0.0,
+            min_overlap=1,
+        )
+        want = _rows(scratch, cols)
+        assert want == [(100, 101, 8, 1.0)]
+        got = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
+        assert got == want
+        # compaction keeps the revived row exact (folds the flips)
+        st.compact()
+        assert _rows(
+            st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+        ) == want
+    finally:
+        sh_s.unpersist()
+
+
+def test_remove_on_rev1_store_raises(spark, corpus, tmp_path):
+    """remove() on a schema_rev-1 store (no doc_ids registry) must
+    raise instead of silently deleting nothing — a silent no-op is
+    unacceptable for a retention/right-to-be-forgotten API."""
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    path = str(tmp_path / "store_rev1_rm")
+    st = DedupArtifacts.create(spark, path)
+    st._meta["schema_rev"] = 1
+    st._save_meta()
+    st.update(corpus.limit(10))
+    with pytest.raises(ValueError, match="migrate_layout"):
+        st.remove([0, 1])
+
+
+def test_multi_tenant_reads_require_tenant(spark, corpus, tmp_path):
+    """tenant=None read contract (round 10): on a store holding more
+    than one tenant, public reads raise — doc ids are only unique per
+    tenant, so a tenant-less doc-keyed result is undefined (and the
+    tombstone anti-join would cross-suppress same-id docs). Explicit
+    tenants keep working; single-tenant stores never see the guard."""
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    path = str(tmp_path / "store_mt_guard")
+    st = DedupArtifacts.create(spark, path)
+    docs = corpus.limit(20)
+    st.update(docs, tenant=0)
+    # still single-tenant: default reads fine
+    assert st.doc_ids().count() == 20
+    st.update(docs.limit(10), tenant=1)
+    for read in (
+        st.doc_ids,
+        st.shingles,
+        st.signatures,
+        st.buckets,
+        st.shingle_df,
+        st.capped_shingles,
+        st.fingerprints,
+        st.candidate_pairs,
+        st.verified_pairs,
+        st.cluster_map,
+    ):
+        with pytest.raises(ValueError, match="multi-tenant"):
+            read()
+    # explicit tenants unaffected
+    assert st.doc_ids(tenant=0).count() == 20
+    assert st.doc_ids(tenant=1).count() == 10
+    # the removal that motivated the contract: removing an id in
+    # tenant 1 must not suppress tenant 0's same-id doc
+    st.remove([docs.first()["doc_id"]], tenant=1)
+    assert st.doc_ids(tenant=0).count() == 20
+    assert st.doc_ids(tenant=1).count() == 9
