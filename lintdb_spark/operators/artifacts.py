@@ -62,6 +62,15 @@ df aggregate of the batch. The known-doc anti-join prunes the same
 way on the doc_ids registry (dpart partitions). Old documents are
 never re-read outside the pruned partitions; nothing is re-BANDED.
 
+Compaction is SELF-TRIGGERING (round 10): update() compacts + vacuums
+inline once segments-per-table or outstanding flip-delta rows cross
+the params.ARTIFACT_AUTOCOMPACT_* thresholds, so the measured
+no-compaction serve cliff (30x at 407 segments, SCALE.md §9) cannot
+happen silently — the reference's RocksDB compacts itself for the
+same reason. `auto_compact = False` opts out for explicitly-managed
+stores (a tuned compact_every stream, or a bulk load that compacts
+once at the end).
+
 Tenancy (round 9): every table carries a leading `tenant` partition
 column (default 0). Dedup is tenant-local — the collision join, the
 df statistics, and every read are keyed/filtered per tenant, so two
@@ -236,8 +245,22 @@ class DedupArtifacts(SegmentStore):
             "pair_rev": 3,
             "pair_seq": 0,
             "pair_stats_live": True,
+            # outstanding (un-folded) flip-delta rows — reads pay a
+            # 3-way join over these until compact() folds them, so
+            # update() watches the counter for the auto-compact trigger
+            "flip_rows_live": 0,
         }
         self._verified_lock = threading.Lock()
+        # self-triggering compaction (round 10): update() compacts +
+        # vacuums inline once segments-per-table or outstanding flip
+        # rows cross the params.ARTIFACT_AUTOCOMPACT_* thresholds — the
+        # measured no-compaction cliff (30x serve at 407 segments,
+        # SCALE.md §9) must not depend on every caller configuring a
+        # cadence (the reference's RocksDB compacts itself). Set False
+        # to manage compaction explicitly (e.g. a tuned compact_every
+        # stream or an ingest-bound bulk load that compacts once at
+        # the end).
+        self.auto_compact = True
 
     # ---------------- lifecycle ----------------
 
@@ -312,6 +335,10 @@ class DedupArtifacts(SegmentStore):
         # verified_pairs() serves the read-time full verify until
         # migrate_layout backfills
         self._meta.setdefault("pair_stats_live", False)
+        # pre-round-10 metas never counted outstanding flips; 0 means
+        # the segment-count trigger alone guards them until their next
+        # compaction starts the count fresh
+        self._meta.setdefault("flip_rows_live", 0)
 
     @property
     def num_perms(self) -> int:
@@ -463,7 +490,48 @@ class DedupArtifacts(SegmentStore):
                 key, bid = idempotency_token
                 if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
                     return {"docs": 0, "pairs": 0, "replayed": True}
-            return self._update_locked(documents, idempotency_token, int(tenant))
+            out = self._update_locked(documents, idempotency_token, int(tenant))
+            # self-triggering compaction: still under the writer lock
+            # (compact's own acquire is re-entrant), so no concurrent
+            # stager exists and vacuum(0) is safe — every DedupArtifacts
+            # write stages inside this lock
+            if self._should_autocompact():
+                self.compact()
+                self.vacuum(min_age_s=0.0)
+                out["compacted"] = True
+            return out
+
+    def _should_autocompact(self) -> bool:
+        """Backstop trigger for the measured no-compaction serve cliff
+        (SCALE.md §9: 407 segments -> 87 s serves, 30x): compact when
+        any table's segment list or the outstanding flip-row count
+        crosses its params.ARTIFACT_AUTOCOMPACT_* threshold. Both
+        inputs live in meta — the check costs no Spark job."""
+        if not getattr(self, "auto_compact", True):
+            return False
+        segs = max(
+            (len(self._segments(t)) for t in self.TABLES), default=0
+        )
+        if segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS):
+            return True
+        return int(self._meta.get("flip_rows_live", 0)) >= int(
+            params.ARTIFACT_AUTOCOMPACT_FLIP_ROWS
+        )
+
+    def _staged_rows(self, root: str) -> int:
+        """Row count of a freshly staged segment from its parquet
+        footers — driver-side metadata reads over files this process
+        just wrote, no Spark job."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for wr, _dirs, files in self._fs_walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(wr, f)
+                    ).metadata.num_rows
+        return total
 
     def _known_doc_ids(self, tenant: int, dparts: list[int] | None) -> DataFrame | None:
         """The already-present registry for the anti-join guard. On the
@@ -665,6 +733,7 @@ class DedupArtifacts(SegmentStore):
 
             tkey = str(int(tenant))
             tstats = dict(self._meta["tenants"].get(tkey, {"n_docs": 0, "nd_shingled": 0}))
+            self._meta.setdefault("flip_rows_live", 0)
             new_meta_extra = {
                 "n_docs": int(self._meta["n_docs"]) + n_new,
                 "nd_shingled": int(self._meta["nd_shingled"]) + nd_batch,
@@ -675,6 +744,15 @@ class DedupArtifacts(SegmentStore):
                         "nd_shingled": int(tstats["nd_shingled"]) + nd_batch,
                     },
                 },
+                # outstanding-flip accounting for the auto-compact
+                # trigger: footer counts of the staged flip segments
+                # (driver-side metadata, no job); compact() resets it
+                "flip_rows_live": int(self._meta["flip_rows_live"])
+                + sum(
+                    self._staged_rows(os.path.join(self.path, t, s))
+                    for t, s in staged
+                    if t == "flip_docs"
+                ),
             }
             if new_seq is not None:
                 new_meta_extra["pair_seq"] = new_seq
@@ -1486,6 +1564,7 @@ class DedupArtifacts(SegmentStore):
                     tkey, {"n_docs": 0, "nd_shingled": 0}
                 )
             )
+            self._meta.setdefault("flip_rows_live", 0)
             new_meta_extra = {
                 "n_docs": int(self._meta["n_docs"]) - n_rm,
                 "nd_shingled": int(self._meta["nd_shingled"]) - nd_rem,
@@ -1496,6 +1575,12 @@ class DedupArtifacts(SegmentStore):
                         "nd_shingled": int(tstats["nd_shingled"]) - nd_rem,
                     },
                 },
+                "flip_rows_live": int(self._meta["flip_rows_live"])
+                + sum(
+                    self._staged_rows(os.path.join(self.path, t, s))
+                    for t, s in staged
+                    if t == "flip_docs"
+                ),
             }
             if new_seq is not None:
                 new_meta_extra["pair_seq"] = new_seq
@@ -1897,6 +1982,8 @@ class DedupArtifacts(SegmentStore):
                 if self._segments(aux):
                     segs[aux] = []
                     man.pop(aux, None)
+            # every outstanding flip was folded into the pair rows
+            new_meta["flip_rows_live"] = 0
             self._save_meta(new_meta)
             self._meta = new_meta
 

@@ -115,6 +115,19 @@ ARTIFACT_PREFILTER_DOCS = 5_000
 # under this many pairs: 200k (long, long) rows is a few MB on the
 # driver. Bigger pair sets keep the distributed frame.
 ARTIFACT_PREFILTER_PAIRS = 200_000
+# self-triggering compaction (round 10): update() compacts the store
+# inline when any table's segment list reaches this length — without a
+# backstop, a stream whose caller never configured a cadence accretes
+# one segment per table per micro-batch and serve degrades ~linearly
+# (measured 30x / 87 s at 407 segments, SCALE.md §9). 16 keeps the
+# amortized trigger rate near the tuned compact_every=10 cadence while
+# staying out of the way of explicitly-managed stores.
+ARTIFACT_AUTOCOMPACT_SEGMENTS = 16
+# ... and when the OUTSTANDING flip-delta rows (not yet folded into
+# pair rows) cross this bound: reads pay a 3-way join over the live
+# flip set until compaction folds it (measured 11-14 s vs 1-3 s at
+# sf10), so a drift-heavy stream must not accumulate flips unboundedly.
+ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 2_000_000
 # ... and the point path's driver-side df-delta collect is additionally
 # gated on the batch's DISTINCT-SHINGLE count (a bounded limit(N+1)
 # probe): the doc gate alone doesn't bound it — 5k LONG documents can

@@ -799,3 +799,76 @@ def test_multi_tenant_reads_require_tenant(spark, corpus, tmp_path):
     st.remove([docs.first()["doc_id"]], tenant=1)
     assert st.doc_ids(tenant=0).count() == 20
     assert st.doc_ids(tenant=1).count() == 9
+
+def test_auto_compaction_triggers_and_preserves_reads(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Round-10: compaction is SELF-TRIGGERING — a stream whose caller
+    never configured a cadence must not walk into the measured
+    30x/87 s no-compaction serve cliff (SCALE.md §9). update()
+    compacts inline when segments-per-table or outstanding flip rows
+    cross the thresholds; reads stay byte-equal; auto_compact=False
+    opts out."""
+    from lintdb_spark import params as P
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 4)
+    path = str(tmp_path / "store_auto")
+    st = DedupArtifacts.create(spark, path)
+    docs = corpus.limit(60).collect()
+    compacted_at = []
+    for i in range(5):
+        b = spark.createDataFrame(docs[i * 12 : (i + 1) * 12])
+        r = st.update(b)
+        if r.get("compacted"):
+            compacted_at.append(i)
+        assert max(len(st._segments(t)) for t in st.TABLES) < 4 + 1
+    assert compacted_at, "segment threshold never fired"
+    # reads equal a from-scratch build over everything ingested
+    union = spark.createDataFrame(docs)
+    sh_all = dedup.doc_shingles(union.select("doc_id", "text")).persist()
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    try:
+        scratch = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh_all),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh_all)),
+            min_jaccard=0.2,
+        )
+        assert _rows(
+            st.verified_pairs(min_jaccard=0.2), cols
+        ) == _rows(scratch, cols)
+    finally:
+        sh_all.unpersist()
+
+    # flip-row trigger: a drift-heavy commit crosses a tiny flip bound
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 10_000)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 1)
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    path2 = str(tmp_path / "store_auto_flip")
+    st2 = DedupArtifacts.create(spark, path2)
+    st2.update(
+        spark.createDataFrame(
+            [(d, f"{phrase} a{d} b{d} c{d} e{d}") for d in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    # pushes phrase df 6 -> 12 across the floor cap of 8: down-flips
+    r = st2.update(
+        spark.createDataFrame(
+            [(100 + d, f"{phrase} x{d} y{d} z{d} w{d}") for d in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    assert r.get("compacted") is True
+    assert int(st2._meta["flip_rows_live"]) == 0
+    assert not st2._segments("flip_docs")
+
+    # opt-out: explicit cadence management, no inline compaction
+    path3 = str(tmp_path / "store_auto_off")
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 2)
+    st3 = DedupArtifacts.create(spark, path3)
+    st3.auto_compact = False
+    for i in range(3):
+        b = spark.createDataFrame(docs[i * 12 : (i + 1) * 12])
+        assert "compacted" not in st3.update(b)
+    assert max(len(st3._segments(t)) for t in st3.TABLES) == 3
