@@ -1,0 +1,463 @@
+"""Filesystem layer for the segment store (object-store readiness).
+
+SegmentStore's commit protocol needs a dozen small filesystem
+primitives (atomic meta flip, O_EXCL lockfile, walk/exists/stat,
+vacuum's listing + delete) plus a bridge for Spark's parquet I/O.
+Round 8 isolated the two read-side primitives (_fs_walk/_fs_exists);
+this module completes the seam: every python-side touch goes through a
+``StoreFS`` implementation chosen by the store path's scheme
+(``filesystem_for``), so the protocol runs unchanged against a
+non-local filesystem.
+
+Implementations:
+
+- ``LocalFS`` — the default; plain ``os`` calls, Spark reads/writes
+  the same paths directly (identity bridge).
+- ``MemoryFS`` — a process-global in-memory byte store serving the
+  ``mem://`` scheme: the non-local test double (no extra deps). Pure
+  metadata + bytes; object-store semantics (files only, directories
+  implied) with the three protocol primitives the local backend gets
+  from POSIX implemented under one lock: ``write_atomic`` (the meta
+  flip — an object store uses a conditional put), ``create_exclusive``
+  (the writer lock — a real deployment uses a lock service or
+  If-None-Match put), and per-path version counters for ``stat_id``
+  (commit detection without inodes).
+- ``StagedFS`` — pairs a remote byte store with a local staging/cache
+  directory for the Spark side: writers stage parquet locally and
+  ``publish`` uploads the segment's files; readers ``spark_read_path``
+  a segment root, which downloads its files once (segments are
+  immutable after commit, so the cache never goes stale) and returns
+  the local mirror for Spark to scan. This is the local-cache-tier
+  pattern; a production deployment on a Hadoop-supported scheme
+  (s3a://, abfs://, gs://) would instead let Spark read and write the
+  object store DIRECTLY and use only the protocol primitives here —
+  the data plane needs no staging when the JVM has a connector. The
+  staged bridge exists for schemes Spark cannot reach (mem://,
+  fsspec-only filesystems) and for exercising the full lifecycle in
+  tests.
+- ``FsspecRemote`` — adapts any ``fsspec`` AbstractFileSystem as the
+  remote side of ``StagedFS`` (import-gated; fsspec is optional).
+
+Scale note: protocol files are KB-sized and per-commit, so these
+python-side primitives are never on the data path; the 100 TB data
+plane is Spark's own parquet I/O.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import shutil
+import tempfile
+import threading
+import time
+
+
+class LocalFS:
+    """Default backend: the local filesystem, identity Spark bridge."""
+
+    # ---- metadata / protocol ----
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def walk(self, root: str):
+        return os.walk(root)
+
+    def makedirs(self, path: str, exist_ok: bool = False) -> None:
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def open_read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """tmp + fsync + rename — rename-atomicity is what the commit
+        protocol rests on locally (an object store uses a conditional
+        put instead)."""
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """O_EXCL create — raises FileExistsError if present."""
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+
+    def unlink(self, path: str) -> None:
+        os.unlink(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def getmtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def utime(self, path: str) -> None:
+        os.utime(path)
+
+    def stat_id(self, path: str):
+        """Commit-identity triple of a file, or None if missing. The
+        inode matters locally: os.replace swaps it every commit, so
+        two commits inside one mtime quantum stay distinguishable."""
+        try:
+            st = os.stat(path)
+            return (st.st_mtime_ns, st.st_size, st.st_ino)
+        except OSError:
+            return None
+
+    # ---- Spark bridge (identity) ----
+    def spark_write_path(self, logical: str) -> str:
+        return logical
+
+    def publish(self, logical: str) -> None:
+        pass
+
+    def spark_read_path(self, logical: str) -> str:
+        return logical
+
+
+class MemoryFS:
+    """Process-global in-memory byte store for the ``mem://`` scheme.
+
+    Object-store semantics: only files exist; directories are implied
+    by prefixes (plus explicit markers so makedirs(exist_ok=False) can
+    refuse a second create() on the same store path). All mutation is
+    under one lock, which IS the atomicity the protocol primitives
+    need. Per-path monotonic version counters stand in for inodes in
+    ``stat_id``."""
+
+    _instance: "MemoryFS | None" = None
+    _instance_lock = threading.Lock()
+
+    @classmethod
+    def instance(cls) -> "MemoryFS":
+        with cls._instance_lock:
+            if cls._instance is None:
+                cls._instance = cls()
+            return cls._instance
+
+    def __init__(self) -> None:
+        self._lock = threading.RLock()
+        # path -> (bytes, mtime, version)
+        self._files: dict[str, tuple[bytes, float, int]] = {}
+        self._dirs: set[str] = set()
+        self._ver = 0
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        return path.rstrip("/")
+
+    def _children(self, path: str) -> set[str]:
+        p = self._norm(path) + "/"
+        out = set()
+        for f in list(self._files) + list(self._dirs):
+            if f.startswith(p):
+                out.add(f[len(p):].split("/", 1)[0])
+        return out
+
+    # ---- metadata / protocol ----
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            p = self._norm(path)
+            return p in self._files or p in self._dirs or bool(self._children(p))
+
+    def isdir(self, path: str) -> bool:
+        with self._lock:
+            p = self._norm(path)
+            return p in self._dirs or bool(self._children(p))
+
+    def listdir(self, path: str) -> list[str]:
+        with self._lock:
+            return sorted(self._children(path))
+
+    def walk(self, root: str):
+        with self._lock:
+            r = self._norm(root)
+            # a missing root walks as nothing, like os.walk
+            if r not in self._dirs and not self._children(r):
+                return
+            stack = [r]
+            out = []
+            while stack:
+                d = stack.pop()
+                kids = sorted(self._children(d))
+                dirs = [k for k in kids if posixpath.join(d, k) not in self._files]
+                files = [k for k in kids if posixpath.join(d, k) in self._files]
+                out.append((d, dirs, files))
+                stack.extend(posixpath.join(d, k) for k in reversed(dirs))
+        yield from out
+
+    def makedirs(self, path: str, exist_ok: bool = False) -> None:
+        with self._lock:
+            p = self._norm(path)
+            if not exist_ok and self.exists(p):
+                raise FileExistsError(p)
+            self._dirs.add(p)
+
+    def open_read(self, path: str) -> bytes:
+        with self._lock:
+            ent = self._files.get(self._norm(path))
+            if ent is None:
+                raise FileNotFoundError(path)
+            return ent[0]
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._ver += 1
+            self._files[self._norm(path)] = (data, time.time(), self._ver)
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        with self._lock:
+            p = self._norm(path)
+            if p in self._files:
+                raise FileExistsError(path)
+            self._ver += 1
+            self._files[p] = (data, time.time(), self._ver)
+
+    def unlink(self, path: str) -> None:
+        with self._lock:
+            p = self._norm(path)
+            if p not in self._files:
+                raise FileNotFoundError(path)
+            del self._files[p]
+
+    def rename(self, src: str, dst: str) -> None:
+        with self._lock:
+            s = self._norm(src)
+            if s not in self._files:
+                raise FileNotFoundError(src)
+            self._files[self._norm(dst)] = self._files.pop(s)
+
+    def rmtree(self, path: str) -> None:
+        with self._lock:
+            p = self._norm(path)
+            pref = p + "/"
+            for f in [f for f in self._files if f == p or f.startswith(pref)]:
+                del self._files[f]
+            self._dirs -= {d for d in self._dirs if d == p or d.startswith(pref)}
+
+    def getmtime(self, path: str) -> float:
+        with self._lock:
+            p = self._norm(path)
+            ent = self._files.get(p)
+            if ent is not None:
+                return ent[1]
+            if p in self._dirs or self._children(p):
+                return 0.0
+            raise OSError(f"no such path: {path}")
+
+    def utime(self, path: str) -> None:
+        with self._lock:
+            p = self._norm(path)
+            ent = self._files.get(p)
+            if ent is None:
+                raise OSError(f"no such file: {path}")
+            self._files[p] = (ent[0], time.time(), ent[2])
+
+    def stat_id(self, path: str):
+        with self._lock:
+            ent = self._files.get(self._norm(path))
+            if ent is None:
+                return None
+            data, mtime, ver = ent
+            return (int(mtime * 1e9), len(data), ver)
+
+
+class StagedFS:
+    """Spark bridge over a remote byte store: parquet is staged in (and
+    served from) a local cache directory; ``publish`` uploads a staged
+    segment's files, ``spark_read_path`` downloads a committed
+    segment's files once. Every protocol primitive delegates to the
+    remote — the remote is the source of truth, the cache is disposable
+    (segments are immutable after commit, so cached files never go
+    stale; the one mutable file, _meta.json, never passes through the
+    cache)."""
+
+    def __init__(self, remote, cache_root: str | None = None) -> None:
+        self.remote = remote
+        self.cache_root = cache_root or tempfile.mkdtemp(
+            prefix="lintdb_spark_fscache_"
+        )
+        # segment roots already uploaded by this process — segments are
+        # immutable, so a second publish of the same root (e.g. the
+        # writer's stage + the commit's manifest point) can no-op
+        self._published: set[str] = set()
+
+    # ---- delegation ----
+    def __getattr__(self, name):
+        # protocol primitives fall through to the remote byte store
+        return getattr(self.remote, name)
+
+    def rmtree(self, path: str) -> None:
+        # vacuum deletes a segment: drop the remote subtree AND its
+        # local cache mirror (disposable, but don't leak disk)
+        self.remote.rmtree(path)
+        local = self._local(path)
+        if os.path.isdir(local):
+            shutil.rmtree(local, ignore_errors=True)
+
+    # ---- Spark bridge ----
+    def _local(self, logical: str) -> str:
+        rel = logical.replace("://", "/").lstrip("/")
+        return os.path.join(self.cache_root, rel)
+
+    def spark_write_path(self, logical: str) -> str:
+        local = self._local(logical)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        return local
+
+    def publish(self, logical: str) -> None:
+        """Upload every file staged locally for ``logical``. Idempotent
+        and no-op when nothing is staged (so callers can publish at
+        every manifest point, including re-manifests of already-remote
+        segments)."""
+        if logical in self._published:
+            return
+        local = self._local(logical)
+        if not os.path.isdir(local):
+            return
+        for wr, _dirs, files in os.walk(local):
+            for f in files:
+                src = os.path.join(wr, f)
+                rel = os.path.relpath(src, local)
+                with open(src, "rb") as fh:
+                    self.remote.write_atomic(
+                        posixpath.join(logical, rel), fh.read()
+                    )
+        self._published.add(logical)
+
+    def spark_read_path(self, logical: str) -> str:
+        local = self._local(logical)
+        for wr, _dirs, files in self.remote.walk(logical):
+            rel_dir = posixpath.relpath(wr, logical) if wr != logical else ""
+            for f in files:
+                dst = os.path.join(local, rel_dir, f) if rel_dir else os.path.join(local, f)
+                if os.path.exists(dst):
+                    continue  # immutable segments: cache hit
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                with open(dst, "wb") as fh:
+                    fh.write(self.remote.open_read(posixpath.join(wr, f)))
+        return local
+
+
+class FsspecRemote:
+    """Adapt an fsspec AbstractFileSystem as a StagedFS remote. Only
+    constructed when fsspec is importable (filesystem_for)."""
+
+    def __init__(self, fs, strip_scheme: bool = False) -> None:
+        self.fs = fs
+        self.strip = strip_scheme
+
+    def _p(self, path: str) -> str:
+        return path.split("://", 1)[1] if self.strip and "://" in path else path
+
+    def exists(self, path):
+        return self.fs.exists(self._p(path))
+
+    def isdir(self, path):
+        return self.fs.isdir(self._p(path))
+
+    def listdir(self, path):
+        return [posixpath.basename(p.rstrip("/")) for p in self.fs.ls(self._p(path))]
+
+    def walk(self, root):
+        for wr, dirs, files in self.fs.walk(self._p(root)):
+            yield wr, dirs, files
+
+    def makedirs(self, path, exist_ok=False):
+        self.fs.makedirs(self._p(path), exist_ok=exist_ok)
+
+    def open_read(self, path):
+        with self.fs.open(self._p(path), "rb") as f:
+            return f.read()
+
+    def write_atomic(self, path, data):
+        # fsspec writes are whole-object puts — atomic per object on
+        # real object stores (readers see old or new, never torn)
+        with self.fs.open(self._p(path), "wb") as f:
+            f.write(data)
+
+    def create_exclusive(self, path, data):
+        # best-effort: object stores need a conditional put / lock
+        # service for true exclusivity; single-writer deployments are
+        # unaffected (documented limitation of the lockfile protocol
+        # off POSIX)
+        if self.fs.exists(self._p(path)):
+            raise FileExistsError(path)
+        self.write_atomic(path, data)
+
+    def unlink(self, path):
+        self.fs.rm_file(self._p(path))
+
+    def rename(self, src, dst):
+        self.fs.mv(self._p(src), self._p(dst))
+
+    def rmtree(self, path):
+        try:
+            self.fs.rm(self._p(path), recursive=True)
+        except FileNotFoundError:
+            pass
+
+    def getmtime(self, path):
+        info = self.fs.info(self._p(path))
+        m = info.get("mtime") or info.get("LastModified")
+        if m is None:
+            return 0.0
+        return m.timestamp() if hasattr(m, "timestamp") else float(m)
+
+    def utime(self, path):
+        # touch by rewrite — only used to refresh the writer lock
+        self.write_atomic(path, self.open_read(path))
+
+    def stat_id(self, path):
+        try:
+            info = self.fs.info(self._p(path))
+        except FileNotFoundError:
+            return None
+        m = self.getmtime(path)
+        return (int(m * 1e9), int(info.get("size", 0)), info.get("ETag", 0))
+
+
+def filesystem_for(path: str):
+    """Pick the StoreFS for a store path by scheme: plain paths (and
+    file://) get LocalFS; mem:// gets the in-memory test double behind
+    a staging bridge; any other scheme needs fsspec installed and gets
+    its filesystem behind the same bridge. Hadoop-supported schemes on
+    a real cluster should prefer direct Spark I/O — see module
+    docstring."""
+    if "://" not in path:
+        return LocalFS()
+    scheme = path.split("://", 1)[0]
+    if scheme == "file":
+        return LocalFS()
+    if scheme == "mem":
+        return StagedFS(MemoryFS.instance())
+    try:
+        import fsspec
+    except ImportError as exc:  # pragma: no cover - env without fsspec
+        raise ValueError(
+            f"store path scheme {scheme!r} needs the optional fsspec "
+            "package (pip install fsspec) or a mem:// / local path"
+        ) from exc
+    return StagedFS(FsspecRemote(fsspec.filesystem(scheme)))

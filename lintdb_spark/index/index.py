@@ -182,19 +182,23 @@ class Index(SegmentStore):
     def create(cls, spark: SparkSession, path: str, schema: Schema) -> "Index":
         """A1: fresh index — directory + schema sidecar, untrained
         quantizers (lintdb/index.cpp:60-74)."""
-        os.makedirs(path, exist_ok=False)
         idx = cls(spark, path, schema)
+        idx.fs.makedirs(path, exist_ok=False)
         idx._save_sidecars()
         return idx
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Index":
         """A2: open existing index from sidecars (index.cpp:40-58)."""
-        with open(os.path.join(path, "_schema.json")) as f:
-            schema = Schema.from_json(f.read())
+        from lintdb_spark.index.fs import filesystem_for
+
+        fs = filesystem_for(path)
+        schema = Schema.from_json(
+            fs.open_read(os.path.join(path, "_schema.json")).decode()
+        )
         idx = cls(spark, path, schema)
-        with open(os.path.join(path, "_meta.json")) as f:
-            idx._meta = json.load(f)
+        idx._storefs = fs  # reuse (shares the staged-FS cache dir)
+        idx._meta = json.loads(fs.open_read(os.path.join(path, "_meta.json")))
         idx._meta_stat = idx._stat_meta()
         idx._normalize_meta()
         idx._load_trained_sidecars()
@@ -218,7 +222,9 @@ class Index(SegmentStore):
             self._meta["segments"] = {
                 t: [f"v{versions.get(t, 0)}"]
                 for t in tables
-                if os.path.isdir(os.path.join(self.path, t, f"v{versions.get(t, 0)}"))
+                if self.fs.isdir(
+                    os.path.join(self.path, t, f"v{versions.get(t, 0)}")
+                )
             }
 
     def _load_trained_sidecars(self) -> None:
@@ -231,17 +237,22 @@ class Index(SegmentStore):
         # deleted or renamed a field's sidecar must drop that field's
         # trained state here, not leave the reader serving it forever
         # (merging into copies of the old dicts did exactly that)
+        import io
+
         new_c: dict[str, np.ndarray] = {}
         new_q: dict[str, object] = {}
         for fld in self.schema.colbert_fields():
             cpath = os.path.join(self.path, "centroids", f"{fld.name}.parquet")
-            if os.path.exists(cpath):
-                pdf = pd.read_parquet(cpath).sort_values("centroid_id")
+            if self.fs.exists(cpath):
+                pdf = pd.read_parquet(
+                    io.BytesIO(self.fs.open_read(cpath))
+                ).sort_values("centroid_id")
                 new_c[fld.name] = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
             qpath = os.path.join(self.path, "quantizers", f"{fld.name}.json")
-            if os.path.exists(qpath):
-                with open(qpath) as f:
-                    new_q[fld.name] = quantizer_from_json(f.read())
+            if self.fs.exists(qpath):
+                new_q[fld.name] = quantizer_from_json(
+                    self.fs.open_read(qpath).decode()
+                )
         # swap via two reference assignments AFTER every file read
         # succeeded: a concurrent search sees either the old dicts or
         # the new ones, never a half-reloaded dict (a search reading
@@ -267,29 +278,34 @@ class Index(SegmentStore):
         (index.cpp:317-357). Heavy (rewrites centroid matrices) — used
         at create/train/set-quantizer time; the segment-commit hot path
         uses the meta-only _save_meta."""
-        with open(os.path.join(self.path, "_schema.json"), "w") as f:
-            f.write(self.schema.to_json())
-        os.makedirs(os.path.join(self.path, "centroids"), exist_ok=True)
-        os.makedirs(os.path.join(self.path, "quantizers"), exist_ok=True)
-        # sidecars first, each atomically (tmp + rename), THEN the
-        # _meta.json flip: the meta flip is the one commit point a
-        # cross-process reader keys its staleness refresh on, so every
-        # byte the refresh will reload must already be on disk when
-        # the flip lands (flipping first let a racing reader load OLD
-        # or torn centroid files and pin them until the next commit)
+        import io
+
+        self.fs.write_atomic(
+            os.path.join(self.path, "_schema.json"),
+            self.schema.to_json().encode(),
+        )
+        self.fs.makedirs(os.path.join(self.path, "centroids"), exist_ok=True)
+        self.fs.makedirs(os.path.join(self.path, "quantizers"), exist_ok=True)
+        # sidecars first, each atomically, THEN the _meta.json flip:
+        # the meta flip is the one commit point a cross-process reader
+        # keys its staleness refresh on, so every byte the refresh will
+        # reload must already be durable when the flip lands (flipping
+        # first let a racing reader load OLD or torn centroid files and
+        # pin them until the next commit)
         for name, C in self.centroids.items():
-            dst = os.path.join(self.path, "centroids", f"{name}.parquet")
-            tmp = dst + ".tmp"
+            buf = io.BytesIO()
             pd.DataFrame(
                 {"centroid_id": np.arange(len(C)), "vec": list(C)}
-            ).to_parquet(tmp)
-            os.replace(tmp, dst)
+            ).to_parquet(buf)
+            self.fs.write_atomic(
+                os.path.join(self.path, "centroids", f"{name}.parquet"),
+                buf.getvalue(),
+            )
         for name, q in self.quantizers.items():
-            dst = os.path.join(self.path, "quantizers", f"{name}.json")
-            tmp = dst + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(quantizer_to_json(q))
-            os.replace(tmp, dst)
+            self.fs.write_atomic(
+                os.path.join(self.path, "quantizers", f"{name}.json"),
+                quantizer_to_json(q).encode(),
+            )
         self._save_meta()
 
     # ---------------- table paths / segments ----------------
@@ -365,8 +381,9 @@ class Index(SegmentStore):
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("tenant")
-            .parquet(path)
+            .parquet(self.fs.spark_write_path(path))
         )
+        self.fs.publish(path)
 
     def _docs(self) -> DataFrame:
         return self._read("docs", self.schema.doc_spark_schema())
@@ -558,7 +575,9 @@ class Index(SegmentStore):
         try:
             doc_cols = [f.name for f in self.schema.doc_spark_schema().fields]
             seg, p = self._stage_path("docs")
-            out.select(*doc_cols).write.mode("overwrite").partitionBy("tenant").parquet(p)
+            out.select(*doc_cols).write.mode("overwrite").partitionBy(
+                "tenant"
+            ).parquet(self.fs.spark_write_path(p))
             staged.append(("docs", seg))
 
             for fld in self.schema.colbert_fields():
@@ -595,7 +614,9 @@ class Index(SegmentStore):
                     .agg(F.count("*").cast("bigint").alias("tf"))
                 )
                 seg, p = self._stage_path(table)
-                tp.write.mode("overwrite").partitionBy("tenant").parquet(p)
+                tp.write.mode("overwrite").partitionBy("tenant").parquet(
+                    self.fs.spark_write_path(p)
+                )
                 staged.append((table, seg))
         finally:
             out.unpersist()
@@ -639,9 +660,11 @@ class Index(SegmentStore):
         new_segs: dict[str, str] = {}
         docs = drop_rows(self._docs())
         new_v = self._version("docs") + 1
+        _docs_path = self._table_path("docs", new_v)
         docs.write.mode("overwrite").partitionBy("tenant").parquet(
-            self._table_path("docs", new_v)
+            self.fs.spark_write_path(_docs_path)
         )
+        self.fs.publish(_docs_path)
         new_segs["docs"] = f"v{new_v}"
 
         for fld in self.schema.colbert_fields():
@@ -655,9 +678,11 @@ class Index(SegmentStore):
             if self._segments(table):
                 p = drop_rows(self._text_postings(fld.name))
                 new_v = self._version(table) + 1
+                _tp_path = self._table_path(table, new_v)
                 p.write.mode("overwrite").partitionBy("tenant").parquet(
-                    self._table_path(table, new_v)
+                    self.fs.spark_write_path(_tp_path)
                 )
+                self.fs.publish(_tp_path)
                 new_segs[table] = f"v{new_v}"
         # single commit point for every table — candidate meta built on
         # a copy, adopted only after the durable flip (see
@@ -746,7 +771,9 @@ class Index(SegmentStore):
         with self._writer_lock():
             staged: list[tuple[str, str]] = []
             seg, p = self._stage_path("docs")
-            other._docs().write.mode("overwrite").partitionBy("tenant").parquet(p)
+            other._docs().write.mode("overwrite").partitionBy("tenant").parquet(
+                self.fs.spark_write_path(p)
+            )
             staged.append(("docs", seg))
             for fld in self.schema.colbert_fields():
                 table = f"postings/{fld.name}"
@@ -759,7 +786,7 @@ class Index(SegmentStore):
                     seg, p = self._stage_path(table)
                     other._text_postings(fld.name).write.mode("overwrite").partitionBy(
                         "tenant"
-                    ).parquet(p)
+                    ).parquet(self.fs.spark_write_path(p))
                     staged.append((table, seg))
             self._commit_segments(staged)
 

@@ -28,6 +28,8 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from lintdb_spark.index.fs import filesystem_for
+
 # serializes the parallel-discovery-threshold bump in
 # _read_manifest_files across ALL stores in the process — the conf is
 # session-global, so the lock must be too
@@ -54,31 +56,36 @@ class SegmentStore:
     def _all_tables(self) -> list[str]:
         raise NotImplementedError
 
-    # ---- path-layer seam (object-store readiness) -------------------
-    # The MANIFEST machinery needs exactly two filesystem primitives:
-    # recursive listing of a freshly written segment (commit time) and
-    # an existence probe (read fallback). They are isolated here so a
-    # deployment on an object store (s3://, abfs://) can override them
-    # with fsspec's AbstractFileSystem equivalents (walk/exists) and
-    # keep the manifests' promised O(1)-LIST read path — the reader
-    # never lists at all; only the WRITER walks the segment it just
-    # wrote (paths it already knows on an object store).
-    #
-    # Deliberately NOT abstracted (documented local-FS constraints):
-    # - _save_meta relies on rename-atomicity (os.replace); an object
-    #   store needs a conditional put (If-Match) for the meta flip.
-    # - _writer_lock relies on O_EXCL create; use a lock service.
-    # - vacuum() is mtime-based maintenance; object stores would use
-    #   listing + upload timestamps.
-    # The Spark scans themselves take URIs, so once these seams and
-    # the two protocol primitives are provided, segments can live on
-    # any Hadoop-supported filesystem.
+    # ---- filesystem layer (object-store readiness) -------------------
+    # Round 8 isolated the two manifest primitives (_fs_walk/
+    # _fs_exists); round 10 completes the seam: EVERY python-side
+    # filesystem touch — the atomic meta flip, the O_EXCL writer lock,
+    # stat-based commit detection, vacuum's listing + delete, sidecar
+    # reads/writes — routes through a StoreFS implementation picked by
+    # the store path's scheme (lintdb_spark.index.fs.filesystem_for):
+    # LocalFS for plain paths, an in-memory byte store for mem://
+    # (the non-local test double), any fsspec filesystem when the
+    # optional package is installed. Spark's own parquet I/O is
+    # bridged by fs.spark_write_path / publish / spark_read_path —
+    # identity on local paths, a staging/cache directory for schemes
+    # the JVM cannot reach (real object-store deployments on
+    # s3a://abfs://gs:// let Spark hit the store directly and use only
+    # the protocol primitives here; see fs.py's module docstring).
+    # _fs_walk/_fs_exists stay as the subclass-overridable seam the
+    # round-8 tests pin; they default to the chosen StoreFS.
+
+    @property
+    def fs(self):
+        f = getattr(self, "_storefs", None)
+        if f is None:
+            f = self._storefs = filesystem_for(self.path)
+        return f
 
     def _fs_walk(self, root: str):
-        return os.walk(root)
+        return self.fs.walk(root)
 
     def _fs_exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return self.fs.exists(path)
 
     def _normalize_meta(self) -> None:
         """Hook: normalize a freshly (re)loaded meta dict in place."""
@@ -95,11 +102,7 @@ class SegmentStore:
         every commit, so two commits inside one mtime quantum with
         same-length payloads (coarse-granularity network mounts) are
         still distinguishable."""
-        try:
-            st = os.stat(os.path.join(self.path, "_meta.json"))
-            return (st.st_mtime_ns, st.st_size, st.st_ino)
-        except OSError:
-            return None
+        return self.fs.stat_id(os.path.join(self.path, "_meta.json"))
 
     def _refresh_meta_if_stale(self) -> None:
         """Cross-process staleness guard for serve paths: another
@@ -123,8 +126,9 @@ class SegmentStore:
             if cur == getattr(self, "_meta_stat", None):
                 return
             try:
-                with open(os.path.join(self.path, "_meta.json")) as f:
-                    self._meta = json.load(f)
+                self._meta = json.loads(
+                    self.fs.open_read(os.path.join(self.path, "_meta.json"))
+                )
                 self._normalize_meta()
                 # an external commit may have RE-TRAINED (new centroid
                 # matrices / quantizer params), not just added
@@ -182,24 +186,20 @@ class SegmentStore:
             deadline = _time.monotonic() + self.writer_lock_timeout_s
             while True:
                 try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    try:
-                        os.write(
-                            fd,
-                            json.dumps(
-                                {
-                                    "pid": os.getpid(),
-                                    "ts": _time.time(),
-                                    "token": token,
-                                }
-                            ).encode(),
-                        )
-                    finally:
-                        os.close(fd)
+                    self.fs.create_exclusive(
+                        lock,
+                        json.dumps(
+                            {
+                                "pid": os.getpid(),
+                                "ts": _time.time(),
+                                "token": token,
+                            }
+                        ).encode(),
+                    )
                     break
                 except FileExistsError:
                     try:
-                        age = _time.time() - os.path.getmtime(lock)
+                        age = _time.time() - self.fs.getmtime(lock)
                     except OSError:
                         continue  # holder just released; retry now
                     if age >= self.writer_lock_stale_s:
@@ -208,16 +208,17 @@ class SegmentStore:
                         # unlinks; the rest loop and contend fresh
                         claim = f"{lock}.stale-{_uuid.uuid4().hex[:8]}"
                         try:
-                            os.rename(lock, claim)
-                            os.unlink(claim)
+                            self.fs.rename(lock, claim)
+                            self.fs.unlink(claim)
                         except OSError:
                             pass
                         continue
                     if _time.monotonic() >= deadline:
                         holder = ""
                         try:
-                            with open(lock) as f:
-                                holder = f.read(200)
+                            holder = self.fs.open_read(lock)[:200].decode(
+                                errors="replace"
+                            )
                         except OSError:
                             pass
                         raise TimeoutError(
@@ -242,17 +243,15 @@ class SegmentStore:
                 # thief and must survive our release
                 if self._read_lock_token(lock) == token:
                     try:
-                        os.unlink(lock)
+                        self.fs.unlink(lock)
                     except OSError:
                         pass
 
         return _ctx()
 
-    @staticmethod
-    def _read_lock_token(lock: str) -> str | None:
+    def _read_lock_token(self, lock: str) -> str | None:
         try:
-            with open(lock) as f:
-                return json.loads(f.read(4096)).get("token")
+            return json.loads(self.fs.open_read(lock)[:4096]).get("token")
         except (OSError, ValueError):
             return None
 
@@ -276,40 +275,32 @@ class SegmentStore:
                 "raise writer_lock_stale_s for long commits and retry"
             )
         try:
-            os.utime(lock)
+            self.fs.utime(lock)
         except OSError:
             pass
 
     def _save_meta(self, meta: dict | None = None) -> None:
-        """Atomic _meta.json flip: write a temp file, fsync, then
-        os.replace — rename is atomic on POSIX, so a crash at ANY
-        point leaves either the old or the new meta, never a torn
+        """Atomic _meta.json flip via fs.write_atomic (locally: temp
+        file + fsync + os.replace — rename is atomic on POSIX; on an
+        object store: a whole-object conditional put), so a crash at
+        ANY point leaves either the old or the new meta, never a torn
         write. This is the only file the commit protocol's atomicity
         rests on, so it is the one write that must not be in-place.
         Pass ``meta`` to durably write a CANDIDATE dict before
         adopting it in memory (commit paths do this so a failed flip
-        leaves self._meta consistent with disk). The temp file is
-        unlinked on failure — no orphan accumulation."""
-        import uuid
-
+        leaves self._meta consistent with disk)."""
         self._assert_and_touch_writer_lock()
-        tmp = os.path.join(self.path, f"_meta.json.tmp-{uuid.uuid4().hex[:8]}")
-        try:
-            with open(tmp, "w") as f:
-                json.dump(self._meta if meta is None else meta, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(self.path, "_meta.json"))
-            # mutation counter for in-process serve caches (e.g.
-            # search_batch's doc-blob broadcast): every committed state
-            # change bumps it, so caches key on it and never serve stale
-            self._meta_seq = getattr(self, "_meta_seq", 0) + 1
-            # snapshot the committed file's identity so
-            # _refresh_meta_if_stale recognizes our own commit
-            self._meta_stat = self._stat_meta()
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self.fs.write_atomic(
+            os.path.join(self.path, "_meta.json"),
+            json.dumps(self._meta if meta is None else meta).encode(),
+        )
+        # mutation counter for in-process serve caches (e.g.
+        # search_batch's doc-blob broadcast): every committed state
+        # change bumps it, so caches key on it and never serve stale
+        self._meta_seq = getattr(self, "_meta_seq", 0) + 1
+        # snapshot the committed file's identity so
+        # _refresh_meta_if_stale recognizes our own commit
+        self._meta_stat = self._stat_meta()
 
     def _version(self, table: str) -> int:
         return self._meta["versions"].get(table, 0)
@@ -347,9 +338,11 @@ class SegmentStore:
             segs.setdefault(table, []).append(seg)
             # leaf-file manifest rides in the same atomic flip as the
             # segment list — readers holding this meta never list
-            man.setdefault(table, {})[seg] = self._segment_manifest(
-                os.path.join(self.path, table, seg)
-            )
+            root = os.path.join(self.path, table, seg)
+            # staged-FS bridge: upload locally staged parquet before
+            # walking (no-op on LocalFS and for already-remote files)
+            self.fs.publish(root)
+            man.setdefault(table, {})[seg] = self._segment_manifest(root)
         if stream_batch is not None:
             key, bid = stream_batch
             new_meta.setdefault("stream_batches", {})[key] = int(bid)
@@ -399,7 +392,7 @@ class SegmentStore:
                     if seg in man.get(table, {}):
                         continue
                     root = os.path.join(self.path, table, seg)
-                    if not os.path.exists(root):
+                    if not self._fs_exists(root):
                         continue
                     man.setdefault(table, {})[seg] = self._segment_manifest(root)
                     added += 1
@@ -504,11 +497,15 @@ class SegmentStore:
                 # leaf-file list — no recursive listing, no discovery
                 # job (see _segment_manifest). Empty manifest = empty
                 # segment, skip the branch like _has_parquet would.
+                # spark_read_path maps a non-local segment to its local
+                # cache copy (downloaded once — segments are immutable);
+                # identity on local stores.
                 if rel:
                     try:
+                        lroot = self.fs.spark_read_path(root)
                         frames.append(
                             self._read_manifest_files(
-                                root, [os.path.join(root, r) for r in rel]
+                                lroot, [os.path.join(lroot, r) for r in rel]
                             )
                         )
                         continue
@@ -517,7 +514,9 @@ class SegmentStore:
                 else:
                     continue
             if self._fs_exists(root) and _has_parquet(root):
-                frames.append(self.spark.read.parquet(root))
+                frames.append(
+                    self.spark.read.parquet(self.fs.spark_read_path(root))
+                )
         if not frames:
             return self.spark.createDataFrame([], schema)
         # one scan per segment, unioned: segment roots each carry their
@@ -550,7 +549,6 @@ class SegmentStore:
         that vanishes mid-scan (a racing writer committed or a racing
         vacuum won) is treated as just-touched, never as old. Pass 0
         only when no writer can be active."""
-        import shutil
         import time as _time
 
         # sync with the LATEST committed meta before computing the live
@@ -565,18 +563,19 @@ class SegmentStore:
 
         def _tree_age(p: str) -> float:
             try:
-                newest = os.path.getmtime(p)
-                for walk_root, dirs, files in os.walk(p):
+                newest = self.fs.getmtime(p)
+                for walk_root, dirs, files in self._fs_walk(p):
                     for name in dirs + files:
                         newest = max(
-                            newest, os.path.getmtime(os.path.join(walk_root, name))
+                            newest,
+                            self.fs.getmtime(os.path.join(walk_root, name)),
                         )
-            except FileNotFoundError:
+            except OSError:
                 return 0.0  # racing writer/remover: not an orphan
             return now - newest
 
         removed: list[str] = []
-        for child in os.listdir(self.path):
+        for child in self.fs.listdir(self.path):
             # _meta.json.tmp-*: orphans of crashed _save_meta flips.
             # _writer.lock.stale-*: a stale-lock claimant that died
             # between its atomic rename and the unlink (the one
@@ -586,23 +585,23 @@ class SegmentStore:
             ):
                 full = os.path.join(self.path, child)
                 try:
-                    if now - os.path.getmtime(full) >= min_age_s:
-                        os.unlink(full)
+                    if now - self.fs.getmtime(full) >= min_age_s:
+                        self.fs.unlink(full)
                         removed.append(child)
-                except FileNotFoundError:
+                except OSError:
                     continue  # a concurrent _save_meta just renamed it
         for table in self._all_tables():
             root = os.path.join(self.path, table)
-            if not os.path.isdir(root):
+            if not self.fs.isdir(root):
                 continue
             live = set(self._segments(table))
-            for child in os.listdir(root):
+            for child in self.fs.listdir(root):
                 full = os.path.join(root, child)
                 if (
                     child not in live
-                    and os.path.isdir(full)
+                    and self.fs.isdir(full)
                     and _tree_age(full) >= min_age_s
                 ):
-                    shutil.rmtree(full, ignore_errors=True)
+                    self.fs.rmtree(full)
                     removed.append(f"{table}/{child}")
         return removed

@@ -289,8 +289,8 @@ class DedupArtifacts(SegmentStore):
         500k docs). Ingest-latency-bound pipelines that rarely serve
         pairs want False; anything serving dedup decisions
         continuously wants True."""
-        os.makedirs(path, exist_ok=False)
         store = cls(spark, path, num_perms)
+        store.fs.makedirs(path, exist_ok=False)
         if bucket_parts is not None:
             store._meta["bucket_parts"] = int(bucket_parts)
         if doc_parts is not None:
@@ -304,8 +304,9 @@ class DedupArtifacts(SegmentStore):
         import json
 
         store = cls(spark, path)
-        with open(os.path.join(path, "_meta.json")) as f:
-            store._meta = json.load(f)
+        store._meta = json.loads(
+            store.fs.open_read(os.path.join(path, "_meta.json"))
+        )
         store._meta_stat = store._stat_meta()
         store._normalize_meta()
         return store
@@ -389,7 +390,15 @@ class DedupArtifacts(SegmentStore):
         the lookup key inside each file (row-group min/max locality).
         Pruned reads filter on
         bpart/dpart either way — partition pruning on the big
-        compacted segments, a cheap batch-sized scan on the rest."""
+        compacted segments, a cheap batch-sized scan on the rest.
+
+        ``path`` is the LOGICAL segment root; Spark writes through
+        fs.spark_write_path (identity locally, a staging dir for
+        non-local schemes) and fs.publish uploads staged files —
+        _commit_segments / compact() then manifest the published
+        segment."""
+        logical = path
+        path = self.fs.spark_write_path(path)
         if table == "buckets":
             # no parquet bloom filter on `bucket`: it was measured to
             # inflate a fine-partitioned segment ~700x (parquet-mr
@@ -431,6 +440,7 @@ class DedupArtifacts(SegmentStore):
             df.coalesce(_COARSE_FILES).write.mode("overwrite").partitionBy(
                 "tenant"
             ).parquet(path)
+        self.fs.publish(logical)
 
     def _read_t(
         self, table: str, schema: T.StructType, tenant: int | None = None
@@ -520,12 +530,13 @@ class DedupArtifacts(SegmentStore):
 
     def _staged_rows(self, root: str) -> int:
         """Row count of a freshly staged segment from its parquet
-        footers — driver-side metadata reads over files this process
-        just wrote, no Spark job."""
+        footers — driver-side metadata reads over the LOCAL bytes this
+        process just wrote (the staging copy on non-local schemes), no
+        Spark job."""
         import pyarrow.parquet as pq
 
         total = 0
-        for wr, _dirs, files in self._fs_walk(root):
+        for wr, _dirs, files in os.walk(self.fs.spark_write_path(root)):
             for f in files:
                 if f.endswith(".parquet"):
                     total += pq.ParquetFile(

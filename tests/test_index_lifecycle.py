@@ -270,8 +270,10 @@ def test_add_atomic_across_tables(spark, tmp_path, monkeypatch):
 def test_meta_write_is_crash_atomic(spark, tmp_path, monkeypatch):
     """A crash INSIDE the _meta.json write (not just between table
     writes) must leave the old meta intact — the flip is tmp-file +
-    os.replace, so a torn in-place write is impossible."""
-    import json as _json
+    fsync + os.replace (LocalFS.write_atomic), so a torn in-place
+    write is impossible. The crash is injected at the fsync, AFTER
+    partial bytes hit the temp file but BEFORE the atomic rename."""
+    import os as _os
 
     idx = Index.create(spark, str(tmp_path / "metaatomic"), make_schema("none"))
     docs = make_docs(spark, range(6))
@@ -279,16 +281,13 @@ def test_meta_write_is_crash_atomic(spark, tmp_path, monkeypatch):
     idx.add(docs)
     n_docs = idx._docs().count()
 
-    real_dump = _json.dump
-
-    def crash_mid_dump(obj, f, **kw):
-        f.write('{"torn":')  # partial bytes land in the TEMP file only
+    def crash_fsync(fd):
         raise RuntimeError("injected crash inside meta write")
 
-    monkeypatch.setattr(_json, "dump", crash_mid_dump)
+    monkeypatch.setattr(_os, "fsync", crash_fsync)
     with pytest.raises(RuntimeError, match="inside meta write"):
         idx.add(make_docs(spark, range(50, 53)))
-    monkeypatch.setattr(_json, "dump", real_dump)
+    monkeypatch.undo()
 
     # reload from disk: old meta intact, index fully readable
     idx2 = Index.load(spark, idx.path)

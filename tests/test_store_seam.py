@@ -84,3 +84,134 @@ def test_read_fallback_probes_through_seam():
     kinds = [c[0] for c in st.calls]
     assert "exists" in kinds
     assert ("walk", root) in st.calls or not st.tree[root]
+
+
+# ---------------------------------------------------------------------------
+# Round 10: FULL lifecycle on a non-local scheme. The round-8 seam
+# proved the manifest bookkeeping; these tests run the real stores —
+# segment write (staged + published), manifest read, atomic meta flip,
+# writer lock, compaction, vacuum — against the in-memory mem://
+# backend (lintdb_spark.index.fs.MemoryFS), with Spark I/O bridged
+# through the StagedFS local cache. Protocol files never touch the
+# local filesystem.
+# ---------------------------------------------------------------------------
+
+
+def _mem_path(tag: str) -> str:
+    import uuid
+
+    return f"mem://bucket/{tag}-{uuid.uuid4().hex[:8]}"
+
+
+def test_dedup_artifacts_lifecycle_on_memory_scheme(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.index.fs import MemoryFS
+    from lintdb_spark.operators import dedup
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+    from lintdb_spark.tables import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _mem_path("artifacts")
+    st = DedupArtifacts.create(spark, path)
+    mem = MemoryFS.instance()
+    # the protocol files live in the remote byte store, not on disk
+    assert mem.exists(path + "/_meta.json")
+    assert not os.path.exists(path)
+
+    b1 = corpus.filter(F.col("doc_id") % 2 == 0).limit(40)
+    b2 = corpus.filter(F.col("doc_id") % 2 == 1).limit(40)
+    st.update(b1)
+    st.update(b2)
+    # segment write published parquet bytes into the remote
+    assert any(
+        f.endswith(".parquet")
+        for wr, _d, fs_ in mem.walk(path + "/shingles")
+        for f in fs_
+    )
+    union = b1.unionByName(b2)
+    sh_all = dedup.doc_shingles(union).persist()
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    try:
+        scratch = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh_all),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh_all)),
+            min_jaccard=0.2,
+        )
+        want = sorted(
+            tuple(r[c] for c in cols) for r in scratch.collect()
+        )
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in st.verified_pairs(min_jaccard=0.2).collect()
+        )
+        assert want and got == want
+
+        # compact + vacuum run against the remote; reads unchanged
+        st.compact()
+        st.vacuum(min_age_s=0.0)
+        got2 = sorted(
+            tuple(r[c] for c in cols)
+            for r in st.verified_pairs(min_jaccard=0.2).collect()
+        )
+        assert got2 == want
+
+        # a FRESH process-like load (new StagedFS cache) reads the
+        # manifests from the remote and serves identical artifacts
+        st2 = DedupArtifacts.load(spark, path)
+        got3 = sorted(
+            tuple(r[c] for c in cols)
+            for r in st2.verified_pairs(min_jaccard=0.2).collect()
+        )
+        assert got3 == want
+        assert st2.doc_ids().count() == union.count()
+    finally:
+        sh_all.unpersist()
+
+    # vacuum collects a remote orphan (a crashed writer's leftover)
+    orphan = path + "/shingles/seg-deadbeef/part-0.parquet"
+    mem.write_atomic(orphan, b"not really parquet")
+    mem._files[orphan] = (b"x", 0.0, mem._files[orphan][2])  # age it
+    removed = st.vacuum(min_age_s=0.0)
+    assert any("seg-deadbeef" in r for r in removed)
+    assert not mem.exists(orphan)
+
+
+def test_index_lifecycle_on_memory_scheme(spark):
+    from lintdb_spark.index import Index
+    from lintdb_spark.index.fs import MemoryFS
+    from tests.test_index_lifecycle import make_docs, make_schema
+
+    path = _mem_path("idx")
+    idx = Index.create(spark, path, make_schema("none"))
+    mem = MemoryFS.instance()
+    assert mem.exists(path + "/_schema.json")
+    assert not os.path.exists(path)
+
+    docs = make_docs(spark, range(8))
+    idx.train(docs)
+    idx.add(docs)
+    assert idx._docs().count() == 8
+
+    from lintdb_spark.index.query import VectorQuery
+    from tests.test_index_lifecycle import doc_tokens
+
+    q = VectorQuery("colbert", doc_tokens(3))
+    top = idx.search(0, q, k=3).collect()
+    assert top and top[0]["doc_id"] == 3
+
+    # remove triggers the version-bumped rewrite path (fine segments)
+    idx.remove(0, [7])
+    assert idx._docs().count() == 7
+
+    # reload from the remote (fresh cache): sidecars + manifests +
+    # segments all round-trip; search still works
+    idx2 = Index.load(spark, path)
+    assert idx2._docs().count() == 7
+    top2 = idx2.search(0, q, k=3).collect()
+    assert top2 and top2[0]["doc_id"] == 3
+
+    # vacuum reclaims the superseded pre-rewrite segments remotely
+    removed = idx2.vacuum(min_age_s=0.0)
+    assert removed
+    assert idx2._docs().count() == 7
