@@ -249,6 +249,10 @@ class DedupArtifacts(SegmentStore):
             # 3-way join over these until compact() folds them, so
             # update() watches the counter for the auto-compact trigger
             "flip_rows_live": 0,
+            # deferred pair verification: verify every Nth batch (see
+            # create()); cand_pairs segments pending a flush, per tenant
+            "verify_every": 1,
+            "pair_unverified": {},
         }
         self._verified_lock = threading.Lock()
         # self-triggering compaction (round 10): update() compacts +
@@ -273,6 +277,7 @@ class DedupArtifacts(SegmentStore):
         bucket_parts: int | None = None,
         doc_parts: int | None = None,
         maintain_pairs: bool = True,
+        verify_every: int = 1,
     ) -> "DedupArtifacts":
         """``bucket_parts`` / ``doc_parts`` size the pruning layout for
         the deployment (frozen into meta): more partitions = finer
@@ -288,7 +293,20 @@ class DedupArtifacts(SegmentStore):
         per served snapshot (memoized — 141 s at the sf10 probe's
         500k docs). Ingest-latency-bound pipelines that rarely serve
         pairs want False; anything serving dedup decisions
-        continuously wants True."""
+        continuously wants True.
+
+        ``verify_every`` widens the same trade between those poles for
+        drift-heavy streams (the write-side cost of live verification
+        measured 3.2-3.6x on store builds): with N > 1, pair
+        VERIFICATION runs every Nth batch over all pairs discovered
+        since the last one, while candidates and df-cap flip deltas
+        are still committed per batch — so the deferred verify needs
+        no history replay and lands exactly (rows verified at the
+        flush seq; strictly-older flips never apply to them).
+        Between flushes, verified_pairs() serves the last flushed
+        snapshot: pairs from the pending batches are not yet visible
+        (bounded staleness of < N batches); flush_pairs() forces
+        exactness on demand, and compact() flushes first."""
         store = cls(spark, path, num_perms)
         store.fs.makedirs(path, exist_ok=False)
         if bucket_parts is not None:
@@ -296,6 +314,7 @@ class DedupArtifacts(SegmentStore):
         if doc_parts is not None:
             store._meta["doc_parts"] = int(doc_parts)
         store._meta["pair_stats_live"] = bool(maintain_pairs)
+        store._meta["verify_every"] = max(1, int(verify_every))
         store._save_meta()
         return store
 
@@ -340,6 +359,10 @@ class DedupArtifacts(SegmentStore):
         # the segment-count trigger alone guards them until their next
         # compaction starts the count fresh
         self._meta.setdefault("flip_rows_live", 0)
+        # deferred pair verification (round 10): batches-per-verify and
+        # the per-tenant cand_pairs segments awaiting their flush
+        self._meta.setdefault("verify_every", 1)
+        self._meta.setdefault("pair_unverified", {})
 
     @property
     def num_perms(self) -> int:
@@ -441,6 +464,101 @@ class DedupArtifacts(SegmentStore):
                 "tenant"
             ).parquet(path)
         self.fs.publish(logical)
+
+    def _read_table_segments(
+        self, table: str, segs: list[str], schema: T.StructType
+    ) -> DataFrame:
+        """Open a SUBSET of a table's committed segments (the deferred
+        verify reads only the cand_pairs segments pending a flush) —
+        same manifest-first, no-listing read as _read_uncached."""
+        man = self._meta.get("manifests", {}).get(table, {})
+        frames = []
+        for s in segs:
+            root = os.path.join(self.path, table, s)
+            rel = man.get(s)
+            if rel:
+                lroot = self.fs.spark_read_path(root)
+                frames.append(
+                    self._read_manifest_files(
+                        lroot, [os.path.join(lroot, r) for r in rel]
+                    )
+                )
+            elif rel is None and self._fs_exists(root):
+                frames.append(
+                    self.spark.read.parquet(self.fs.spark_read_path(root))
+                )
+        if not frames:
+            return self.spark.createDataFrame([], schema)
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
+    def flush_pairs(self, tenant: int | None = None) -> int:
+        """Run the DEFERRED pair verification now (verify_every > 1):
+        verify every pending candidate pair against the current capped
+        sets and commit, making verified_pairs() exact again. Returns
+        the number of tenants flushed. compact() calls this first —
+        the pending list references segment names a compaction rewrite
+        would retire."""
+        flushed = 0
+        with self._writer_lock():
+            pend_map = self._meta.get("pair_unverified", {})
+            tkeys = (
+                [str(int(tenant))]
+                if tenant is not None
+                else sorted(pend_map)
+            )
+            for tkey in tkeys:
+                pending = list(pend_map.get(tkey, []))
+                if not pending:
+                    continue
+                t = int(tkey)
+                t_lit = F.lit(t)
+                cand_v = (
+                    self._read_table_segments(
+                        "cand_pairs", pending, _PAIR_SCHEMA
+                    )
+                    .select("doc_a", "doc_b")
+                    .distinct()
+                    .persist()
+                )
+                empty_sh = self.spark.createDataFrame(
+                    [], "doc_id long, shingle string"
+                )
+                empty_bdf = self.spark.createDataFrame(
+                    [], "shingle string, df long"
+                )
+                staged: list[tuple[str, str]] = []
+
+                def stage(table: str, df: DataFrame) -> None:
+                    seg, p = self._stage_path(table)
+                    self._write_segment(table, df, p)
+                    staged.append((table, seg))
+
+                try:
+                    new_seq = self._stage_pair_stats(
+                        empty_sh, empty_bdf, cand_v, t, 0, stage, t_lit
+                    )
+                finally:
+                    cand_v.unpersist()
+                new_meta_extra = {
+                    "pair_seq": new_seq,
+                    "pair_unverified": {
+                        **self._meta.get("pair_unverified", {}),
+                        tkey: [],
+                    },
+                }
+                old_vals = {k: self._meta[k] for k in new_meta_extra}
+                self._meta.update(new_meta_extra)
+                try:
+                    self._commit_segments(staged)
+                except BaseException:
+                    self._meta.update(old_vals)
+                    raise
+                flushed += 1
+        return flushed
 
     def _read_t(
         self, table: str, schema: T.StructType, tenant: int | None = None
@@ -725,19 +843,60 @@ class DedupArtifacts(SegmentStore):
                 .distinct()
                 .persist()
             )
+            new_pending = None
             try:
                 stage(
                     "cand_pairs",
                     cand.select(t_lit.alias("tenant"), "doc_a", "doc_b"),
                 )
+                cand_seg = staged[-1][1]
                 # the write above materialized cand's cache — this
                 # count is a cached scan, not a second collision join
                 n_pairs = cand.count()
                 new_seq = None
                 if self._meta.get("pair_stats_live"):
-                    new_seq = self._stage_pair_stats(
-                        sh, bdf, cand, tenant, nd_batch, stage, t_lit
+                    ve = max(1, int(self._meta.get("verify_every", 1)))
+                    tkey = str(int(tenant))
+                    pending = list(
+                        self._meta.get("pair_unverified", {}).get(tkey, [])
                     )
+                    if ve <= 1 or len(pending) + 1 >= ve:
+                        # verify NOW: this batch's candidates plus every
+                        # pair deferred since the last flush, against
+                        # the CURRENT capped sets (rows land at the new
+                        # seq, so strictly-older flips never re-apply)
+                        cand_v = cand
+                        if pending:
+                            cand_v = (
+                                cand.select("doc_a", "doc_b")
+                                .unionByName(
+                                    self._read_table_segments(
+                                        "cand_pairs", pending, _PAIR_SCHEMA
+                                    ).select("doc_a", "doc_b")
+                                )
+                                .distinct()
+                                .persist()
+                            )
+                        try:
+                            new_seq = self._stage_pair_stats(
+                                sh, bdf, cand_v, tenant, nd_batch, stage, t_lit
+                            )
+                        finally:
+                            if cand_v is not cand:
+                                cand_v.unpersist()
+                        new_pending = []
+                    else:
+                        # DEFER the verify: flip deltas must still be
+                        # committed per batch (df-cap drift waits for
+                        # no one) — an empty candidate set turns
+                        # _stage_pair_stats into exactly that
+                        empty_cand = self.spark.createDataFrame(
+                            [], "doc_a long, doc_b long"
+                        )
+                        new_seq = self._stage_pair_stats(
+                            sh, bdf, empty_cand, tenant, nd_batch, stage, t_lit
+                        )
+                        new_pending = pending + [cand_seg]
             finally:
                 cand.unpersist()
                 bdf.unpersist()
@@ -767,6 +926,11 @@ class DedupArtifacts(SegmentStore):
             }
             if new_seq is not None:
                 new_meta_extra["pair_seq"] = new_seq
+            if new_pending is not None:
+                new_meta_extra["pair_unverified"] = {
+                    **self._meta.get("pair_unverified", {}),
+                    tkey: new_pending,
+                }
             # ride the counters in the same atomic flip as the
             # segments: _commit_segments deep-copies self._meta, so
             # mutate first and restore on failure
@@ -1353,7 +1517,10 @@ class DedupArtifacts(SegmentStore):
                     )
                 )
                 rows = rows.unionByName(tomb)
-            stage("pair_stats", rows)
+            # a deferred-verify batch (verify_every) passes an empty
+            # candidate set — nothing to stage but the flips
+            if n_pairs_all or stale is not None:
+                stage("pair_stats", rows)
             if flips is not None:
                 stage("flip_docs", flips)
             return new_seq
@@ -1886,6 +2053,11 @@ class DedupArtifacts(SegmentStore):
         import copy
 
         with self._writer_lock():
+            # deferred verifies must land first: the pending list
+            # references cand_pairs segment names this rewrite retires,
+            # and the fold below only sees VERIFIED pair rows
+            if any(self._meta.get("pair_unverified", {}).values()):
+                self.flush_pairs()
             # physical purge of remove()'s tombstoned docs rides the
             # same rewrite: doc-keyed rows anti-join the tombstones,
             # the df re-aggregate absorbs the negative rows (zeroed
@@ -2197,7 +2369,10 @@ class DedupArtifacts(SegmentStore):
         pair_stats artifact, filtered by the knobs — update() already
         verified each pair against the then-current capped sets and
         re-verified the ones df-drift touched, so the stored stats ARE
-        the from-scratch answer (see _stage_pair_stats). The round-8
+        the from-scratch answer (see _stage_pair_stats). On a
+        verify_every > 1 store, pairs discovered since the last flush
+        are not yet visible (bounded staleness of < N batches) —
+        flush_pairs() forces exactness. The round-8
         behavior — a full verify per snapshot (141 s at the sf10
         probe's 500k docs), memoized under a lock keyed on
         (_meta_seq, knobs) — remains as the fallback for legacy stores

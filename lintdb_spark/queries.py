@@ -1424,6 +1424,47 @@ def q_artifact_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_FLUSH_CACHE: dict = {}
+
+
+def artifact_flush_store_cached(spark: SparkSession, sf_dir: str):
+    """The drift corpus ingested under DEFERRED pair verification
+    (verify_every=2, round 10): batch 1 defers, batch 2 lands the
+    flush (verifying both batches' pairs against the post-drift capped
+    sets — the phrase's trigrams crossed the cap with batch 2), batch
+    3 defers again, and an explicit flush_pairs() closes the gap. The
+    serve must equal the from-scratch verify over the full corpus —
+    deferral may never change WHAT is computed, only when."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_flush_") + "/store"
+        st = DedupArtifacts.create(spark, path, verify_every=2)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.update(docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16)))
+        st.update(docs.filter(F.col("doc_id") >= 16))
+        st.flush_pairs()
+        return st
+
+    return _session_cached(_ARTIFACT_FLUSH_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs under DEFERRED verification (verify_every=2,
+    round 10): candidates and df-cap flips commit per batch while the
+    verify runs every 2nd batch over everything pending; after the
+    final flush the serve must be byte-equal to a from-scratch capped
+    verify over the union corpus — same oracle as q_artifact_drift,
+    reached through the deferred path."""
+    return artifact_flush_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2563,6 +2604,10 @@ ORACLE["q_artifact_remove"] = ORACLE["q_artifact_drift"].replace(
     "WHERE doc_id < 24",
     "WHERE doc_id < 21 AND doc_id % 3 = 0",
 )
+# deferred-verification serve (verify_every, round 10): identical
+# corpus and answer to the drift oracle — deferral must change WHEN
+# verification runs, never what it computes
+ORACLE["q_artifact_flush"] = ORACLE["q_artifact_drift"]
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2709,11 +2754,17 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        NEW q_artifact_remove rotated IN (first round — retention
     #        deletion with up-flip adjustment); q_knn_cosine rotated
     #        OUT to make room (driver-green r01-r08 — eight
-    #        consecutive rounds). ----
+    #        consecutive rounds).
+    #   r10: NEW q_artifact_flush rotated IN (first round — deferred
+    #        pair verification, verify_every); q_repetition rotated
+    #        OUT (driver-green r05, r07, r08, r09 — four rounds, met
+    #        the >=3 bar). q_artifact_verified / q_artifact_gate stay
+    #        (greens r08, r09 — need their third); the r09 trio
+    #        (tenant/drift/remove, green r09) stays per policy. ----
+    "q_artifact_flush": q_artifact_flush,
     "q_artifact_drift": q_artifact_drift,
     "q_artifact_remove": q_artifact_remove,
     "q_artifact_tenant": q_artifact_tenant,
-    "q_repetition": q_repetition,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
@@ -2766,6 +2817,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_repetition": q_repetition,
     "q_knn_cosine": q_knn_cosine,
     "q_pack_plan": q_pack_plan,
     "q_term_float": q_term_float,

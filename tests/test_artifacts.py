@@ -872,3 +872,101 @@ def test_auto_compaction_triggers_and_preserves_reads(
         b = spark.createDataFrame(docs[i * 12 : (i + 1) * 12])
         assert "compacted" not in st3.update(b)
     assert max(len(st3._segments(t)) for t in st3.TABLES) == 3
+
+def test_verify_every_defers_then_lands_exactly(spark, tmp_path):
+    """Round-10 verify_every=N: pair verification runs every Nth batch
+    over everything discovered since the last flush; candidates and
+    df-cap FLIP DELTAS still commit per batch, so the deferred verify
+    lands byte-equal to from-scratch even across a drift boundary.
+    Between flushes verified_pairs serves the last flushed snapshot;
+    flush_pairs() and compact() force exactness."""
+    from lintdb_spark.operators.artifacts import (
+        DedupArtifacts,
+        _FLIP_SCHEMA,
+    )
+
+    def scratch_rows(docs_df):
+        sh = dedup.doc_shingles(docs_df).persist()
+        try:
+            return _rows(
+                dedup.jaccard_verify_pairs(
+                    dedup.df_capped_shingles(sh),
+                    dedup.lsh_buckets_wide(dedup.minhash_wide(sh)),
+                    min_jaccard=0.0,
+                    min_overlap=1,
+                ),
+                cols,
+            )
+        finally:
+            sh.unpersist()
+
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = [
+        (d, f"{phrase} s{d % 3} t{d % 3} u{d % 3} v{d % 3}")
+        for d in range(6)
+    ]
+    path = str(tmp_path / "store_ve")
+    st = DedupArtifacts.create(spark, path, verify_every=3)
+
+    b1 = spark.createDataFrame(base, "doc_id long, text string")
+    st.update(b1)  # batch 1: deferred (pending=1)
+    assert st._meta["pair_unverified"]["0"], "batch 1 should defer"
+    # the near-dup pairs exist as candidates but are not yet verified
+    assert st.candidate_pairs().count() > 0
+    assert st.verified_pairs(min_jaccard=0.0, min_overlap=1).count() == 0
+
+    # batch 2: 30 clones push the phrase over the cap while deferred.
+    # No pair row is stored yet, so there is nothing for flip deltas
+    # to adjust — none are written (the flush verifies against the
+    # post-drift sets anyway); drift-on-stored-rows is covered below
+    b2 = spark.createDataFrame(
+        [(100 + i, f"{phrase} m{i} n{i} o{i} p{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    st.update(b2)  # batch 2: still deferred (pending=2)
+    assert len(st._meta["pair_unverified"]["0"]) == 2
+    assert st._read_t("flip_docs", _FLIP_SCHEMA).count() == 0
+
+    # batch 3: the flush batch — everything pending verifies against
+    # the CURRENT capped sets and reads equal from-scratch
+    b3 = spark.createDataFrame(
+        [(200, base[0][1]), (201, base[1][1])], "doc_id long, text string"
+    )
+    st.update(b3)
+    assert st._meta["pair_unverified"]["0"] == []
+    union = b1.unionByName(b2).unionByName(b3)
+    got = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
+    want = scratch_rows(union)
+    assert want and got == want
+
+    # batch 4 defers again AND drifts: its docs push the base pairs'
+    # suffix trigrams (s0 t0 u0 / t0 u0 v0, df 3 after b3) over the
+    # cap — now pair rows ARE stored, so flip deltas must commit per
+    # batch even while verification is deferred, and flush_pairs()
+    # mid-gap must land byte-equal to from-scratch
+    b4 = spark.createDataFrame(
+        [(500 + i, f"w{i} x{i} s0 t0 u0 v0") for i in range(10)],
+        "doc_id long, text string",
+    )
+    st.update(b4)
+    assert st._meta["pair_unverified"]["0"]
+    assert st._read_t("flip_docs", _FLIP_SCHEMA).count() > 0
+    assert st.flush_pairs() == 1
+    assert st._meta["pair_unverified"]["0"] == []
+    union4 = union.unionByName(b4)
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == scratch_rows(union4)
+
+    # batch 5 defers; compact() flushes first, folds, stays exact
+    b5 = spark.createDataFrame(
+        [(400, base[3][1])], "doc_id long, text string"
+    )
+    st.update(b5)
+    assert st._meta["pair_unverified"]["0"]
+    st.compact()
+    assert st._meta["pair_unverified"]["0"] == []
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == scratch_rows(union4.unionByName(b5))
