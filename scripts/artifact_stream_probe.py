@@ -46,11 +46,16 @@ n = docs.count()
 print(f"corpus {n} docs, {N_BATCHES} micro-batches", flush=True)
 
 
-def run(compact_every: int | None) -> dict:
+def run(compact_every: int | None, auto: bool = False) -> dict:
+    """auto=True (round 10): NO caller cadence — the store's own
+    segment/flip-threshold trigger must keep serve flat (the backstop
+    for the measured 30x no-compaction cliff). auto=False disables the
+    trigger so 'tuned' and 'none' stay pure cadence measurements."""
     tmp = tempfile.mkdtemp(prefix="artifact_stream_")
     st = DedupArtifacts.create(
         spark, tmp + "/store", bucket_parts=1024, doc_parts=256
     )
+    st.auto_compact = auto
     batches = []
     serves = []
     try:
@@ -59,7 +64,8 @@ def run(compact_every: int | None) -> dict:
             t0 = time.time()
             stats = st.update(batch, idempotency_token=("probe", b))
             dt = time.time() - t0
-            compacted = False
+            compacted = bool(stats.get("compacted"))
+            dt_c = dt if compacted else 0.0  # auto: inside update_s
             if compact_every and (b + 1) % compact_every == 0:
                 t0 = time.time()
                 st.compact()
@@ -107,12 +113,28 @@ def run(compact_every: int | None) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+out = os.path.join(REPO, ".scale_probe", "results_artifact_stream.json")
 results = {}
-for ce in (10, None):
-    tag = f"compact_every_{ce}" if ce else "no_compaction"
+if os.path.exists(out):
+    with open(out) as f:
+        results = json.load(f)
+
+MODES = {
+    "compact_every_10": dict(compact_every=10),
+    "no_compaction": dict(compact_every=None),
+    # round 10: no caller cadence at all — the self-triggering
+    # compaction must keep serve within 2x of the tuned run
+    "auto_compact": dict(compact_every=None, auto=True),
+}
+only = os.environ.get("PROBE_MODES")
+for tag, kw in MODES.items():
+    if only and tag not in only.split(","):
+        continue
+    if tag in results and not os.environ.get("PROBE_FORCE"):
+        print(f"{tag}: already measured, skip", flush=True)
+        continue
     print(f"=== {tag} ===", flush=True)
-    results[tag] = run(ce)
-    out = os.path.join(REPO, ".scale_probe", "results_artifact_stream.json")
+    results[tag] = run(**kw)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(tag, "done:", {k: v for k, v in results[tag].items() if k != "batches"}, flush=True)
