@@ -1387,6 +1387,17 @@ class DedupArtifacts(SegmentStore):
         # were about to shuffle repeatedly anyway).
         pairs_all = pairs_all.localCheckpoint()
         n_pairs_all = pairs_all.count()
+        if n_pairs_all == 0 and stale is None:
+            # nothing to verify (a deferred verify_every batch, or a
+            # batch with zero collisions): commit the drift deltas and
+            # skip the whole involved-docs machinery
+            try:
+                if flips is not None:
+                    stage("flip_docs", flips)
+                return new_seq
+            finally:
+                crossing.unpersist()
+                pairs_all.unpersist()
         pairs_local = (
             pre_batch and n_pairs_all <= params.ARTIFACT_PREFILTER_PAIRS
         )
