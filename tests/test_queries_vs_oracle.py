@@ -44,16 +44,17 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r09 NEW: multi-tenant artifact isolation serve, first round
-        # in.
+        # r10 NEW: deferred-verification serve (verify_every), first
+        # round in.
+        "q_artifact_flush",
+        # r09 NEW trio (greens r09 — need >=3).
         "q_artifact_tenant",
+        "q_artifact_drift",
+        "q_artifact_remove",
         # r08 NEW: incremental artifact-store serve queries (greens
-        # r08 — need >=3).
+        # r08, r09 — need their third).
         "q_artifact_verified",
         "q_artifact_gate",
-        # q_repetition: greens r05, r07, r08 — staying for its
-        # post-third-green round, rotates r10.
-        "q_repetition",
         # r07 NEW: verified-pair-fed clustering twins + simhash
         # near-dup pairs, each now with one driver green (r07).
         "q_dup_clusters_verified",
