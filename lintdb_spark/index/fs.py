@@ -295,13 +295,22 @@ class StagedFS:
     cache)."""
 
     def __init__(self, remote, cache_root: str | None = None) -> None:
+        import atexit
+
         self.remote = remote
-        self.cache_root = cache_root or tempfile.mkdtemp(
-            prefix="lintdb_spark_fscache_"
-        )
+        if cache_root is None:
+            cache_root = tempfile.mkdtemp(prefix="lintdb_spark_fscache_")
+            # we own this tempdir: reclaim the segment mirrors at
+            # process exit (a long-lived process re-loading stores
+            # would otherwise leak one corpus mirror per store object)
+            atexit.register(shutil.rmtree, cache_root, ignore_errors=True)
+        self.cache_root = cache_root
         # segment roots already uploaded by this process — segments are
         # immutable, so a second publish of the same root (e.g. the
-        # writer's stage + the commit's manifest point) can no-op
+        # writer's stage + the commit's manifest point) can no-op.
+        # spark_write_path() invalidates a root's entry: a RE-staged
+        # root (compact/rewrite retry reusing a version-keyed path)
+        # must re-publish its new bytes.
         self._published: set[str] = set()
 
     # ---- delegation ----
@@ -325,18 +334,26 @@ class StagedFS:
     def spark_write_path(self, logical: str) -> str:
         local = self._local(logical)
         os.makedirs(os.path.dirname(local), exist_ok=True)
+        # a re-stage of the same root (version-keyed paths can be
+        # reused by a compact/rewrite retry) must re-publish
+        self._published.discard(logical)
         return local
 
     def publish(self, logical: str) -> None:
-        """Upload every file staged locally for ``logical``. Idempotent
-        and no-op when nothing is staged (so callers can publish at
-        every manifest point, including re-manifests of already-remote
-        segments)."""
+        """Upload every file staged locally for ``logical``, REPLACING
+        whatever the remote holds under it — a version-keyed path can
+        be re-staged by a compact/rewrite retry, and Spark's part-file
+        names differ between attempts, so an additive upload would
+        leave both attempts' files in place and a manifest walk would
+        double-count. Idempotent per staging (memoized until the next
+        spark_write_path of the same root) and a no-op when nothing is
+        staged locally (re-manifests of already-remote segments)."""
         if logical in self._published:
             return
         local = self._local(logical)
         if not os.path.isdir(local):
             return
+        self.remote.rmtree(logical)
         for wr, _dirs, files in os.walk(local):
             for f in files:
                 src = os.path.join(wr, f)
@@ -382,8 +399,21 @@ class FsspecRemote:
         return [posixpath.basename(p.rstrip("/")) for p in self.fs.ls(self._p(path))]
 
     def walk(self, root):
+        # fsspec yields protocol-STRIPPED roots ('bucket/store/...'),
+        # while every caller compares/joins walked paths against the
+        # scheme-ful logical root (manifest relpaths, StagedFS cache
+        # mirroring) — re-anchor each yielded dir onto the root the
+        # caller passed
+        base = str(
+            self.fs._strip_protocol(root)
+            if hasattr(self.fs, "_strip_protocol")
+            else self._p(root)
+        ).rstrip("/")
+        anchor = root.rstrip("/")
         for wr, dirs, files in self.fs.walk(self._p(root)):
-            yield wr, dirs, files
+            wr = str(wr).rstrip("/")
+            suffix = wr[len(base):] if wr.startswith(base) else ""
+            yield anchor + suffix, dirs, files
 
     def makedirs(self, path, exist_ok=False):
         self.fs.makedirs(self._p(path), exist_ok=exist_ok)
@@ -431,12 +461,48 @@ class FsspecRemote:
         self.write_atomic(path, self.open_read(path))
 
     def stat_id(self, path):
+        """Commit identity for the staleness guard. ETag when the
+        backend provides one (object stores); otherwise a content hash
+        — the file this guards (_meta.json) is KB-sized and the
+        alternative (coarse mtime + size alone) misses two same-length
+        commits inside one mtime quantum, exactly the hazard
+        LocalFS.stat_id's inode component exists to prevent."""
         try:
             info = self.fs.info(self._p(path))
         except FileNotFoundError:
             return None
         m = self.getmtime(path)
-        return (int(m * 1e9), int(info.get("size", 0)), info.get("ETag", 0))
+        tag = info.get("ETag") or info.get("etag")
+        if not tag:
+            import hashlib
+
+            tag = hashlib.md5(self.open_read(path)).hexdigest()
+        return (int(m * 1e9), int(info.get("size", 0)), tag)
+
+
+_CACHE_BASE: str | None = None
+_CACHE_LOCK = threading.Lock()
+
+
+def _shared_cache_root(store_path: str) -> str:
+    """One cache mirror per (process, store path): repeated
+    Index.load / DedupArtifacts.load of the same non-local store reuse
+    downloaded segments (immutable, so sharing is safe) instead of
+    mirroring the corpus once per store OBJECT. The base tempdir is
+    reclaimed at process exit."""
+    import atexit
+    import hashlib
+
+    global _CACHE_BASE
+    with _CACHE_LOCK:
+        if _CACHE_BASE is None:
+            _CACHE_BASE = tempfile.mkdtemp(prefix="lintdb_spark_fscache_")
+            atexit.register(shutil.rmtree, _CACHE_BASE, ignore_errors=True)
+    d = os.path.join(
+        _CACHE_BASE, hashlib.md5(store_path.encode()).hexdigest()[:16]
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def filesystem_for(path: str):
@@ -452,7 +518,7 @@ def filesystem_for(path: str):
     if scheme == "file":
         return LocalFS()
     if scheme == "mem":
-        return StagedFS(MemoryFS.instance())
+        return StagedFS(MemoryFS.instance(), _shared_cache_root(path))
     try:
         import fsspec
     except ImportError as exc:  # pragma: no cover - env without fsspec
@@ -460,4 +526,6 @@ def filesystem_for(path: str):
             f"store path scheme {scheme!r} needs the optional fsspec "
             "package (pip install fsspec) or a mem:// / local path"
         ) from exc
-    return StagedFS(FsspecRemote(fsspec.filesystem(scheme)))
+    return StagedFS(
+        FsspecRemote(fsspec.filesystem(scheme)), _shared_cache_root(path)
+    )

@@ -477,7 +477,17 @@ class SegmentStore:
             del cache[k]
         return out
 
-    def _read_uncached(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+    def _read_uncached(
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        segs: list[str] | None = None,
+    ) -> DataFrame:
+        """``segs`` restricts the read to a SUBSET of the table's
+        committed segments (e.g. the deferred-verify flush reads only
+        the cand_pairs segments pending); default is all of them. The
+        manifest-first protocol, the moved-dir listing fallback, and
+        the footerless-dir guard apply identically either way."""
         def _has_parquet(p: str) -> bool:
             # a committed-but-footerless dir (empty batch from an old
             # build, or crash remnant) would fail schema inference for
@@ -489,7 +499,7 @@ class SegmentStore:
 
         man = self._meta.get("manifests", {}).get(table, {})
         frames = []
-        for s in self._segments(table):
+        for s in self._segments(table) if segs is None else segs:
             root = os.path.join(self.path, table, s)
             rel = man.get(s)
             if rel is not None:

@@ -470,30 +470,9 @@ class DedupArtifacts(SegmentStore):
     ) -> DataFrame:
         """Open a SUBSET of a table's committed segments (the deferred
         verify reads only the cand_pairs segments pending a flush) —
-        same manifest-first, no-listing read as _read_uncached."""
-        man = self._meta.get("manifests", {}).get(table, {})
-        frames = []
-        for s in segs:
-            root = os.path.join(self.path, table, s)
-            rel = man.get(s)
-            if rel:
-                lroot = self.fs.spark_read_path(root)
-                frames.append(
-                    self._read_manifest_files(
-                        lroot, [os.path.join(lroot, r) for r in rel]
-                    )
-                )
-            elif rel is None and self._fs_exists(root):
-                frames.append(
-                    self.spark.read.parquet(self.fs.spark_read_path(root))
-                )
-        if not frames:
-            return self.spark.createDataFrame([], schema)
-        from functools import reduce
-
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
-        )
+        the exact _read_uncached protocol (manifest-first, moved-dir
+        fallback, footerless guard), restricted to ``segs``."""
+        return self._read_uncached(table, schema, segs=segs)
 
     def flush_pairs(self, tenant: int | None = None) -> int:
         """Run the DEFERRED pair verification now (verify_every > 1):
@@ -621,11 +600,16 @@ class DedupArtifacts(SegmentStore):
             out = self._update_locked(documents, idempotency_token, int(tenant))
             # self-triggering compaction: still under the writer lock
             # (compact's own acquire is re-entrant), so no concurrent
-            # stager exists and vacuum(0) is safe — every DedupArtifacts
-            # write stages inside this lock
+            # STAGER exists. The vacuum keeps a grace period anyway:
+            # the writer lock excludes writers, not READERS — a serving
+            # process may hold a lazy plan over the pre-compaction
+            # segment list, and zero-grace deletion would yank files
+            # out from under its in-flight scan.
             if self._should_autocompact():
                 self.compact()
-                self.vacuum(min_age_s=0.0)
+                self.vacuum(
+                    min_age_s=float(params.ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S)
+                )
                 out["compacted"] = True
             return out
 

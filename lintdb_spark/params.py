@@ -123,6 +123,13 @@ ARTIFACT_PREFILTER_PAIRS = 200_000
 # amortized trigger rate near the tuned compact_every=10 cadence while
 # staying out of the way of explicitly-managed stores.
 ARTIFACT_AUTOCOMPACT_SEGMENTS = 16
+# grace given to superseded segment dirs when the auto-compact path
+# vacuums: a CONCURRENT READER (the server + offline-ingest deployment)
+# may hold a lazy plan over the pre-compaction segment list — deleting
+# with zero grace would yank files out from under its in-flight scan.
+# Superseded dirs linger at most this long; disk cost is bounded by
+# one compaction's worth of segments.
+ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S = 600.0
 # ... and when the OUTSTANDING flip-delta rows (not yet folded into
 # pair rows) cross this bound: reads pay a 3-way join over the live
 # flip set until compaction folds it (measured 11-14 s vs 1-3 s at
