@@ -215,3 +215,82 @@ def test_index_lifecycle_on_memory_scheme(spark):
     removed = idx2.vacuum(min_age_s=0.0)
     assert removed
     assert idx2._docs().count() == 7
+
+
+def test_staged_publish_replaces_remote_on_restage():
+    """Review fix (round 10): a version-keyed path can be re-staged by
+    a compact/rewrite retry, and Spark part-file names differ between
+    attempts — publish must REPLACE the remote subtree (an additive
+    upload would leave both attempts' files and a manifest walk would
+    double-count), and re-staging must invalidate the publish memo."""
+    import tempfile
+
+    from lintdb_spark.index.fs import MemoryFS, StagedFS
+
+    fs = StagedFS(MemoryFS(), tempfile.mkdtemp(prefix="sfs_test_"))
+    root = "mem://b/t/v5"
+
+    local = fs.spark_write_path(root)
+    os.makedirs(local, exist_ok=True)
+    with open(os.path.join(local, "part-a.parquet"), "wb") as f:
+        f.write(b"attempt-1")
+    fs.publish(root)
+    fs.publish(root)  # memoized second call: no-op, no error
+    assert fs.remote.open_read(root + "/part-a.parquet") == b"attempt-1"
+
+    # retry: re-stage the SAME root with a different part-file set
+    local = fs.spark_write_path(root)
+    os.unlink(os.path.join(local, "part-a.parquet"))
+    with open(os.path.join(local, "part-b.parquet"), "wb") as f:
+        f.write(b"attempt-2")
+    fs.publish(root)
+    assert not fs.remote.exists(root + "/part-a.parquet")
+    assert fs.remote.open_read(root + "/part-b.parquet") == b"attempt-2"
+    # the remote holds EXACTLY the second attempt
+    files = [
+        f for _wr, _d, fls in fs.remote.walk(root) for f in fls
+    ]
+    assert files == ["part-b.parquet"]
+
+
+def test_fsspec_walk_reanchors_stripped_paths():
+    """Review fix (round 10): fsspec filesystems yield protocol-
+    STRIPPED walk roots; the adapter must re-anchor them onto the
+    scheme-ful root the caller passed, or manifest relpaths and cache
+    mirroring compute garbage."""
+    from lintdb_spark.index.fs import FsspecRemote
+
+    class FakeFsspecFS:
+        """Mimics fsspec: walk yields stripped roots."""
+
+        def _strip_protocol(self, p):
+            return p.split("://", 1)[1] if "://" in p else p
+
+        def walk(self, root):
+            yield "bucket/store/t/seg-1", ["sub"], ["a.parquet"]
+            yield "bucket/store/t/seg-1/sub", [], ["b.parquet"]
+
+    ad = FsspecRemote(FakeFsspecFS())
+    out = list(ad.walk("s3://bucket/store/t/seg-1"))
+    assert out[0][0] == "s3://bucket/store/t/seg-1"
+    assert out[1][0] == "s3://bucket/store/t/seg-1/sub"
+    # the exact consumer: _segment_manifest's relpath computation
+    rels = sorted(
+        os.path.relpath(os.path.join(wr, f), "s3://bucket/store/t/seg-1")
+        for wr, _d, fls in out
+        for f in fls
+    )
+    assert rels == ["a.parquet", "sub/b.parquet"]
+
+
+def test_shared_cache_root_per_store_path():
+    """Two store objects over the same non-local path share one cache
+    mirror (segments are immutable, so sharing is safe and avoids one
+    corpus mirror per load); different paths do not collide."""
+    from lintdb_spark.index.fs import filesystem_for
+
+    a1 = filesystem_for("mem://b/shared-store")
+    a2 = filesystem_for("mem://b/shared-store")
+    b = filesystem_for("mem://b/other-store")
+    assert a1.cache_root == a2.cache_root
+    assert a1.cache_root != b.cache_root
