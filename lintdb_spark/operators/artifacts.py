@@ -474,6 +474,16 @@ class DedupArtifacts(SegmentStore):
         fallback, footerless guard), restricted to ``segs``."""
         return self._read_uncached(table, schema, segs=segs)
 
+    def pending_pair_batches(self, tenant: int | None = None) -> int:
+        """Batches committed since the last pair verification (0 on a
+        live-verified store): verified_pairs() does not yet see the
+        pairs these batches discovered — call flush_pairs() (or wait
+        for the next Nth-batch flush) for exactness."""
+        pend = self._meta.get("pair_unverified", {})
+        if tenant is not None:
+            return len(pend.get(str(int(tenant)), []))
+        return sum(len(v) for v in pend.values())
+
     def flush_pairs(self, tenant: int | None = None) -> int:
         """Run the DEFERRED pair verification now (verify_every > 1):
         verify every pending candidate pair against the current capped

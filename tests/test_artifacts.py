@@ -970,3 +970,53 @@ def test_verify_every_defers_then_lands_exactly(spark, tmp_path):
     assert _rows(
         st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
     ) == scratch_rows(union4.unionByName(b5))
+
+def test_remove_while_verification_pending(spark, tmp_path):
+    """remove() during a verify_every gap: the pending pairs are later
+    verified against the post-removal state, tombstones suppress pairs
+    with a dead endpoint, and the flush + compact serve equals a
+    from-scratch build over the survivors."""
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (d, f"{phrase} s{d % 3} t{d % 3} u{d % 3} v{d % 3}")
+        for d in range(24)
+    ]
+    path = str(tmp_path / "store_rm_pending")
+    st = DedupArtifacts.create(spark, path, verify_every=4)
+    st.update(
+        spark.createDataFrame(docs[:8], "doc_id long, text string")
+    )  # deferred
+    st.update(
+        spark.createDataFrame(docs[8:], "doc_id long, text string")
+    )  # deferred (phrase df crosses the cap: 24 > 8)
+    assert st.pending_pair_batches() == 2
+    survivors = [0, 3, 6, 9, 12, 15, 18]
+    st.remove([d for d in range(24) if d not in survivors])
+    assert st.pending_pair_batches() == 2  # removal does not flush
+    assert st.flush_pairs() == 1
+    assert st.pending_pair_batches() == 0
+    surv = spark.createDataFrame(
+        [r for r in docs if r[0] in survivors], "doc_id long, text string"
+    )
+    sh_s = dedup.doc_shingles(surv).persist()
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    try:
+        want = _rows(
+            dedup.jaccard_verify_pairs(
+                dedup.df_capped_shingles(sh_s),
+                dedup.lsh_buckets_wide(dedup.minhash_wide(sh_s)),
+                min_jaccard=0.0,
+                min_overlap=1,
+            ),
+            cols,
+        )
+        got = _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
+        assert want and got == want
+        st.compact()
+        assert _rows(
+            st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+        ) == want
+    finally:
+        sh_s.unpersist()
