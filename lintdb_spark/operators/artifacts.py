@@ -253,6 +253,8 @@ class DedupArtifacts(SegmentStore):
             # create()); cand_pairs segments pending a flush, per tenant
             "verify_every": 1,
             "pair_unverified": {},
+            # flip-trigger cooldown input (see _should_autocompact)
+            "commits_since_compact": 0,
         }
         self._verified_lock = threading.Lock()
         # self-triggering compaction (round 10): update() compacts +
@@ -363,6 +365,9 @@ class DedupArtifacts(SegmentStore):
         # the per-tenant cand_pairs segments awaiting their flush
         self._meta.setdefault("verify_every", 1)
         self._meta.setdefault("pair_unverified", {})
+        # commits since the last compaction — the flip-row auto-compact
+        # trigger's cooldown input
+        self._meta.setdefault("commits_since_compact", 0)
 
     @property
     def num_perms(self) -> int:
@@ -627,8 +632,13 @@ class DedupArtifacts(SegmentStore):
         """Backstop trigger for the measured no-compaction serve cliff
         (SCALE.md §9: 407 segments -> 87 s serves, 30x): compact when
         any table's segment list or the outstanding flip-row count
-        crosses its params.ARTIFACT_AUTOCOMPACT_* threshold. Both
-        inputs live in meta — the check costs no Spark job."""
+        crosses its params.ARTIFACT_AUTOCOMPACT_* threshold. All
+        inputs live in meta — the check costs no Spark job. The
+        flip-row arm waits out a cooldown
+        (ARTIFACT_AUTOCOMPACT_MIN_COMMITS) so a drift-heavy tail whose
+        every batch emits millions of flip rows amortizes the fold
+        instead of compacting back-to-back (measured: consecutive
+        ~85 s compactions at the sf10 stream probe's tail)."""
         if not getattr(self, "auto_compact", True):
             return False
         segs = max(
@@ -636,7 +646,10 @@ class DedupArtifacts(SegmentStore):
         )
         if segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS):
             return True
-        return int(self._meta.get("flip_rows_live", 0)) >= int(
+        since = int(self._meta.get("commits_since_compact", 0))
+        return since >= int(
+            params.ARTIFACT_AUTOCOMPACT_MIN_COMMITS
+        ) and int(self._meta.get("flip_rows_live", 0)) >= int(
             params.ARTIFACT_AUTOCOMPACT_FLIP_ROWS
         )
 
@@ -898,7 +911,12 @@ class DedupArtifacts(SegmentStore):
             tkey = str(int(tenant))
             tstats = dict(self._meta["tenants"].get(tkey, {"n_docs": 0, "nd_shingled": 0}))
             self._meta.setdefault("flip_rows_live", 0)
+            self._meta.setdefault("commits_since_compact", 0)
             new_meta_extra = {
+                "commits_since_compact": int(
+                    self._meta["commits_since_compact"]
+                )
+                + 1,
                 "n_docs": int(self._meta["n_docs"]) + n_new,
                 "nd_shingled": int(self._meta["nd_shingled"]) + nd_batch,
                 "tenants": {
@@ -2172,6 +2190,7 @@ class DedupArtifacts(SegmentStore):
                     man.pop(aux, None)
             # every outstanding flip was folded into the pair rows
             new_meta["flip_rows_live"] = 0
+            new_meta["commits_since_compact"] = 0
             self._save_meta(new_meta)
             self._meta = new_meta
 

@@ -843,6 +843,7 @@ def test_auto_compaction_triggers_and_preserves_reads(
     # flip-row trigger: a drift-heavy commit crosses a tiny flip bound
     monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 10_000)
     monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 1)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_MIN_COMMITS", 2)
     phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     path2 = str(tmp_path / "store_auto_flip")
     st2 = DedupArtifacts.create(spark, path2)
@@ -862,6 +863,21 @@ def test_auto_compaction_triggers_and_preserves_reads(
     assert r.get("compacted") is True
     assert int(st2._meta["flip_rows_live"]) == 0
     assert not st2._segments("flip_docs")
+    assert int(st2._meta["commits_since_compact"]) == 0
+    # cooldown: the very next drift commit (a SECOND phrase's trigrams
+    # cross the cap, df 0 -> 9 > 8) is within MIN_COMMITS of the
+    # compaction — the flip-row arm must NOT fire back-to-back (the
+    # sf10 tail emitted millions of flips EVERY batch and a bare
+    # threshold compacted on consecutive batches)
+    phrase2 = "lam mu nu xi omicron pi rho sigma tau upsilon"
+    r2 = st2.update(
+        spark.createDataFrame(
+            [(200 + d, f"{phrase2} q{d} r{d} s{d} t{d}") for d in range(9)],
+            "doc_id long, text string",
+        )
+    )
+    assert "compacted" not in r2
+    assert int(st2._meta["flip_rows_live"]) > 0
 
     # opt-out: explicit cadence management, no inline compaction
     path3 = str(tmp_path / "store_auto_off")
