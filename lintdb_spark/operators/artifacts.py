@@ -253,8 +253,6 @@ class DedupArtifacts(SegmentStore):
             # create()); cand_pairs segments pending a flush, per tenant
             "verify_every": 1,
             "pair_unverified": {},
-            # flip-trigger cooldown input (see _should_autocompact)
-            "commits_since_compact": 0,
         }
         self._verified_lock = threading.Lock()
         # self-triggering compaction (round 10): update() compacts +
@@ -365,9 +363,6 @@ class DedupArtifacts(SegmentStore):
         # the per-tenant cand_pairs segments awaiting their flush
         self._meta.setdefault("verify_every", 1)
         self._meta.setdefault("pair_unverified", {})
-        # commits since the last compaction — the flip-row auto-compact
-        # trigger's cooldown input
-        self._meta.setdefault("commits_since_compact", 0)
 
     @property
     def num_perms(self) -> int:
@@ -613,45 +608,95 @@ class DedupArtifacts(SegmentStore):
                 if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
                     return {"docs": 0, "pairs": 0, "replayed": True}
             out = self._update_locked(documents, idempotency_token, int(tenant))
-            # self-triggering compaction: still under the writer lock
-            # (compact's own acquire is re-entrant), so no concurrent
-            # STAGER exists. The vacuum keeps a grace period anyway:
-            # the writer lock excludes writers, not READERS — a serving
-            # process may hold a lazy plan over the pre-compaction
-            # segment list, and zero-grace deletion would yank files
-            # out from under its in-flight scan.
+            # self-triggering maintenance: still under the writer lock
+            # (the re-entrant acquire), so no concurrent STAGER exists.
+            # Two arms with very different costs:
+            #   - segment accretion -> FULL compact (corpus rewrite,
+            #     ~80 s at the sf10 probe) — amortized by the 16-
+            #     segment threshold;
+            #   - outstanding flip rows -> flip-only FOLD (rewrites the
+            #     pairs-sized pair_stats table, seconds) — cheap enough
+            #     to run whenever the threshold is crossed, which a
+            #     drift-heavy tail does near-every batch (1-3M flip
+            #     rows per 10k-doc batch measured at sf10; serving
+            #     through 4 accumulated batches of flips cost 54 s).
+            # The vacuum keeps a grace period: the writer lock excludes
+            # writers, not READERS — a serving process may hold a lazy
+            # plan over the pre-compaction segment list.
             if self._should_autocompact():
                 self.compact()
                 self.vacuum(
                     min_age_s=float(params.ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S)
                 )
                 out["compacted"] = True
+            elif (
+                getattr(self, "auto_compact", True)
+                and self._segments("flip_docs")
+                and int(self._meta.get("flip_rows_live", 0))
+                >= int(params.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
+            ):
+                self.fold_flips()
+                out["folded"] = True
             return out
 
     def _should_autocompact(self) -> bool:
         """Backstop trigger for the measured no-compaction serve cliff
-        (SCALE.md §9: 407 segments -> 87 s serves, 30x): compact when
-        any table's segment list or the outstanding flip-row count
-        crosses its params.ARTIFACT_AUTOCOMPACT_* threshold. All
-        inputs live in meta — the check costs no Spark job. The
-        flip-row arm waits out a cooldown
-        (ARTIFACT_AUTOCOMPACT_MIN_COMMITS) so a drift-heavy tail whose
-        every batch emits millions of flip rows amortizes the fold
-        instead of compacting back-to-back (measured: consecutive
-        ~85 s compactions at the sf10 stream probe's tail)."""
+        (SCALE.md §9: 407 segments -> 87 s serves, 30x): FULL compact
+        when any table's segment list reaches the threshold. Outstanding
+        flip rows are handled by the much cheaper flip-only fold (see
+        update() / fold_flips). Meta-only check — no Spark job."""
         if not getattr(self, "auto_compact", True):
             return False
         segs = max(
             (len(self._segments(t)) for t in self.TABLES), default=0
         )
-        if segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS):
-            return True
-        since = int(self._meta.get("commits_since_compact", 0))
-        return since >= int(
-            params.ARTIFACT_AUTOCOMPACT_MIN_COMMITS
-        ) and int(self._meta.get("flip_rows_live", 0)) >= int(
-            params.ARTIFACT_AUTOCOMPACT_FLIP_ROWS
-        )
+        return segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
+
+    def fold_flips(self) -> None:
+        """Fold every outstanding flip-delta row into the pair rows
+        WITHOUT the full compact: rewrite pair_stats as ONE segment
+        holding the current (flip-adjusted) stats at the current seq
+        and clear the flip table — the same pair fold compact() does,
+        minus the corpus-sized doc/bucket/shingle rewrites. pair_stats
+        is PAIRS-sized, so this costs seconds where compact() pays
+        ~80 s at the sf10 probe; serving through N accumulated batches
+        of flips cost ~N x 10 s there, so the flip-row auto-trigger
+        wants a fold it can afford near-every batch. Tombstoned docs'
+        rows are kept (reads anti-join them; the next full compact
+        purges); zeroed pairs are kept for up-flip revival, exactly as
+        in compact()."""
+        import copy
+
+        with self._writer_lock():
+            if not self._segments("flip_docs"):
+                return
+            new_v = self._version("pair_stats") + 1
+            dst = self._table_path("pair_stats", new_v)
+            folded = self._pair_current(None).select(
+                "tenant",
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "na",
+                "nb",
+                "jaccard",
+                F.lit(int(self._meta.get("pair_seq", 0)))
+                .cast("bigint")
+                .alias("seq"),
+            )
+            self._write_segment("pair_stats", folded, dst, fine=True)
+            new_meta = copy.deepcopy(self._meta)
+            seg = f"v{new_v}"
+            new_meta["versions"]["pair_stats"] = new_v
+            segs = new_meta.setdefault("segments", {})
+            man = new_meta.setdefault("manifests", {})
+            segs["pair_stats"] = [seg]
+            man["pair_stats"] = {seg: self._segment_manifest(dst)}
+            segs["flip_docs"] = []
+            man.pop("flip_docs", None)
+            new_meta["flip_rows_live"] = 0
+            self._save_meta(new_meta)
+            self._meta = new_meta
 
     def _staged_rows(self, root: str) -> int:
         """Row count of a freshly staged segment from its parquet
@@ -911,12 +956,7 @@ class DedupArtifacts(SegmentStore):
             tkey = str(int(tenant))
             tstats = dict(self._meta["tenants"].get(tkey, {"n_docs": 0, "nd_shingled": 0}))
             self._meta.setdefault("flip_rows_live", 0)
-            self._meta.setdefault("commits_since_compact", 0)
             new_meta_extra = {
-                "commits_since_compact": int(
-                    self._meta["commits_since_compact"]
-                )
-                + 1,
                 "n_docs": int(self._meta["n_docs"]) + n_new,
                 "nd_shingled": int(self._meta["nd_shingled"]) + nd_batch,
                 "tenants": {
@@ -2190,7 +2230,6 @@ class DedupArtifacts(SegmentStore):
                     man.pop(aux, None)
             # every outstanding flip was folded into the pair rows
             new_meta["flip_rows_live"] = 0
-            new_meta["commits_since_compact"] = 0
             self._save_meta(new_meta)
             self._meta = new_meta
 

@@ -135,14 +135,11 @@ ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S = 600.0
 # flip set until compaction folds it (measured 11-14 s vs 1-3 s at
 # sf10), so a drift-heavy stream must not accumulate flips unboundedly.
 ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 2_000_000
-# cooldown on the FLIP-ROW trigger (commits since the last compaction):
-# at the sf10 stream probe's tail every 10k-doc batch emitted ~1-3M
-# flip rows, so a bare threshold compacted on consecutive batches
-# (~85 s each). Waiting at least this many commits amortizes the fold
-# while the flip join stays seconds-class (~1 s per accumulated batch
-# at that probe). The segment-count trigger ignores the cooldown — it
-# bounds a different cost (one scan per segment per read).
-ARTIFACT_AUTOCOMPACT_MIN_COMMITS = 5
+# (the flip-row trigger runs the cheap flip-only FOLD — see
+# DedupArtifacts.fold_flips — not the full compact, so it needs no
+# cooldown: at the sf10 stream probe's tail every 10k-doc batch
+# emitted ~1-3M flip rows, and folding the pairs-sized table costs
+# seconds where a full compact paid ~80 s.)
 # ... and the point path's driver-side df-delta collect is additionally
 # gated on the batch's DISTINCT-SHINGLE count (a bounded limit(N+1)
 # probe): the doc gate alone doesn't bound it — 5k LONG documents can

@@ -841,9 +841,12 @@ def test_auto_compaction_triggers_and_preserves_reads(
         sh_all.unpersist()
 
     # flip-row trigger: a drift-heavy commit crosses a tiny flip bound
+    # and runs the cheap flip-only FOLD — pair_stats collapses to one
+    # folded segment and the flip table clears, while the corpus-sized
+    # tables are NOT rewritten (that is what distinguishes the fold
+    # from a full compact)
     monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 10_000)
     monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 1)
-    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_MIN_COMMITS", 2)
     phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     path2 = str(tmp_path / "store_auto_flip")
     st2 = DedupArtifacts.create(spark, path2)
@@ -860,24 +863,32 @@ def test_auto_compaction_triggers_and_preserves_reads(
             "doc_id long, text string",
         )
     )
-    assert r.get("compacted") is True
+    assert r.get("folded") is True and "compacted" not in r
     assert int(st2._meta["flip_rows_live"]) == 0
     assert not st2._segments("flip_docs")
-    assert int(st2._meta["commits_since_compact"]) == 0
-    # cooldown: the very next drift commit (a SECOND phrase's trigrams
-    # cross the cap, df 0 -> 9 > 8) is within MIN_COMMITS of the
-    # compaction — the flip-row arm must NOT fire back-to-back (the
-    # sf10 tail emitted millions of flips EVERY batch and a bare
-    # threshold compacted on consecutive batches)
-    phrase2 = "lam mu nu xi omicron pi rho sigma tau upsilon"
-    r2 = st2.update(
-        spark.createDataFrame(
-            [(200 + d, f"{phrase2} q{d} r{d} s{d} t{d}") for d in range(9)],
-            "doc_id long, text string",
-        )
+    assert st2._segments("pair_stats") == [
+        f"v{st2._version('pair_stats')}"
+    ]
+    assert len(st2._segments("shingles")) == 2  # NOT rewritten
+    # the folded rows serve byte-equal to from-scratch
+    union2 = spark.createDataFrame(
+        [(d, f"{phrase} a{d} b{d} c{d} e{d}") for d in range(6)]
+        + [(100 + d, f"{phrase} x{d} y{d} z{d} w{d}") for d in range(6)],
+        "doc_id long, text string",
     )
-    assert "compacted" not in r2
-    assert int(st2._meta["flip_rows_live"]) > 0
+    sh2 = dedup.doc_shingles(union2).persist()
+    try:
+        scratch2 = dedup.jaccard_verify_pairs(
+            dedup.df_capped_shingles(sh2),
+            dedup.lsh_buckets_wide(dedup.minhash_wide(sh2)),
+            min_jaccard=0.0,
+            min_overlap=1,
+        )
+        assert _rows(
+            st2.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+        ) == _rows(scratch2, cols)
+    finally:
+        sh2.unpersist()
 
     # opt-out: explicit cadence management, no inline compaction
     path3 = str(tmp_path / "store_auto_off")
