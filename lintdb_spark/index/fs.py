@@ -53,6 +53,14 @@ import threading
 import time
 
 
+class ConditionalPutConflict(OSError):
+    """A conditional put (write_if_match) found the object changed
+    since the caller last observed it — the caller's view is stale and
+    its write was NOT applied. The commit protocol surfaces this as a
+    loud lost-update error instead of silently overwriting the other
+    writer's commit."""
+
+
 class LocalFS:
     """Default backend: the local filesystem, identity Spark bridge."""
 
@@ -128,6 +136,13 @@ class LocalFS:
 
     # ---- Spark bridge (identity) ----
     def spark_write_path(self, logical: str) -> str:
+        return logical
+
+    def staged_local_path(self, logical: str) -> str:
+        """Side-effect-free twin of spark_write_path: WHERE the staged
+        local bytes of ``logical`` live, without creating directories
+        or invalidating the publish memo — for read-only passes over a
+        freshly staged segment (e.g. footer row counts)."""
         return logical
 
     def publish(self, logical: str) -> None:
@@ -224,6 +239,29 @@ class MemoryFS:
 
     def write_atomic(self, path: str, data: bytes) -> None:
         with self._lock:
+            self._ver += 1
+            self._files[self._norm(path)] = (data, time.time(), self._ver)
+
+    # real object stores expose compare-and-swap puts (S3
+    # If-Match/If-None-Match, GCS x-goog-if-generation-match, Azure
+    # ETag conditions) — this is the semantics the meta-flip needs off
+    # POSIX, and MemoryFS models it exactly so the protocol is testable
+    # without cloud credentials
+    supports_cas = True
+
+    def write_if_match(self, path: str, data: bytes, expected) -> None:
+        """Whole-object conditional put: write only if the object's
+        current stat_id equals ``expected`` (None = must not exist).
+        Raises ConditionalPutConflict otherwise — the caller's view is
+        stale and nothing was written. Atomic under the store lock,
+        which is exactly what a real object store's If-Match gives."""
+        with self._lock:
+            cur = self.stat_id(path)
+            if cur != (tuple(expected) if expected is not None else None):
+                raise ConditionalPutConflict(
+                    f"conditional put of {path} lost: expected "
+                    f"{expected}, found {cur}"
+                )
             self._ver += 1
             self._files[self._norm(path)] = (data, time.time(), self._ver)
 
@@ -339,6 +377,14 @@ class StagedFS:
         self._published.discard(logical)
         return local
 
+    def staged_local_path(self, logical: str) -> str:
+        """Side-effect-free path mapper: where ``logical``'s staged
+        bytes live locally. Unlike spark_write_path this neither
+        mkdirs nor discards the publish memo — a read-only metadata
+        pass over an already-published segment must not force a full
+        re-upload at the next publish()."""
+        return self._local(logical)
+
     def publish(self, logical: str) -> None:
         """Upload every file staged locally for ``logical``, REPLACING
         whatever the remote holds under it — a version-keyed path can
@@ -451,9 +497,20 @@ class FsspecRemote:
 
     def getmtime(self, path):
         info = self.fs.info(self._p(path))
-        m = info.get("mtime") or info.get("LastModified")
+        # fsspec backends disagree on the key: 'mtime' (local, sftp),
+        # 'LastModified' (s3), 'created' (memory). A backend that
+        # reports NONE of them must read as FRESH (now), never as
+        # epoch-old: age checks gate destructive paths — a 0.0 here
+        # made a freshly held writer lock look instantly stale (any
+        # contender steals it) and collapsed vacuum's grace period to
+        # zero (superseded segments deleted under in-flight readers).
+        m = (
+            info.get("mtime")
+            or info.get("LastModified")
+            or info.get("created")
+        )
         if m is None:
-            return 0.0
+            return time.time()
         return m.timestamp() if hasattr(m, "timestamp") else float(m)
 
     def utime(self, path):

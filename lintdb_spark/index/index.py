@@ -1765,7 +1765,14 @@ class Index(SegmentStore):
             default=32 * 1024 * 1024,
         )
 
-        if est_bytes <= bcast_max:
+        # force_cogroup (bench/ops knob, default off): route down the
+        # cogrouped 100 TB fallback even when the blobs would fit the
+        # broadcast threshold — the fallback must be MEASURABLE at any
+        # corpus size (an unmeasured fallback is a latency cliff
+        # candidate), and an operator can pin it when executor memory
+        # is tighter than the threshold suggests.
+        force_cg = bool(getattr(self, "force_cogroup", False))
+        if est_bytes <= bcast_max and not force_cg:
             if bc_docs is None:
                 doc_map = self._collect_doc_blobs(docs, codes_c, res_c, nt_c)
                 # filtered maps are per-call (never cached) -> track

@@ -288,12 +288,36 @@ class SegmentStore:
         rests on, so it is the one write that must not be in-place.
         Pass ``meta`` to durably write a CANDIDATE dict before
         adopting it in memory (commit paths do this so a failed flip
-        leaves self._meta consistent with disk)."""
+        leaves self._meta consistent with disk).
+
+        On a CAS-capable backend (fs.supports_cas — object stores with
+        conditional puts; MemoryFS models them) the flip is a
+        compare-and-swap against the meta identity this writer last
+        observed: a racing commit the lockfile protocol failed to
+        exclude (the documented weakness of O_EXCL emulation on
+        eventually-consistent blob stores) turns into a LOUD
+        lost-update error instead of silently vanishing under ours —
+        the losing writer refreshes and retries its whole commit."""
         self._assert_and_touch_writer_lock()
-        self.fs.write_atomic(
-            os.path.join(self.path, "_meta.json"),
-            json.dumps(self._meta if meta is None else meta).encode(),
-        )
+        meta_path = os.path.join(self.path, "_meta.json")
+        payload = json.dumps(self._meta if meta is None else meta).encode()
+        if getattr(self.fs, "supports_cas", False):
+            from lintdb_spark.index.fs import ConditionalPutConflict
+
+            try:
+                self.fs.write_if_match(
+                    meta_path, payload, getattr(self, "_meta_stat", None)
+                )
+            except ConditionalPutConflict as exc:
+                raise RuntimeError(
+                    f"meta flip at {meta_path} lost a commit race: another "
+                    "writer published since this process last read the "
+                    "meta (the conditional put refused to overwrite it). "
+                    "Nothing was written — reload the store and retry "
+                    "the commit."
+                ) from exc
+        else:
+            self.fs.write_atomic(meta_path, payload)
         # mutation counter for in-process serve caches (e.g.
         # search_batch's doc-blob broadcast): every committed state
         # change bumps it, so caches key on it and never serve stale

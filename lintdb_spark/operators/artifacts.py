@@ -175,6 +175,37 @@ _BUCKET_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
     ]
 )
+# round 11: the INVERTED shingle->doc companion table (flip_rev >= 2).
+# The shingles table is doc-keyed (dpart partitions) — perfect for the
+# pair verify's "these docs' sets" lookups, but a flip commit needs the
+# OPPOSITE access path ("every doc containing these shingles"), which
+# on the doc-keyed layout is a corpus-sized scan (the round-10 design's
+# one corpus-proportional residual on the steady-state update path).
+# Same rows, spart-keyed: the flip lookup prunes to the flipped
+# shingles' spart partitions, cost ∝ docs-per-flipped-shingle.
+_SHDOC_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("spart", T.IntegerType()),
+        T.StructField("shingle", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+# round 11: the pair-ENDPOINT registry (flip_rev >= 2) — every doc_id
+# appearing in a stored pair_stats row. A flip delta only ever adjusts
+# STORED pair rows (_pair_current joins flips to them), and rows staged
+# at the flip's own commit or later are verified against post-flip sets
+# (flips apply only at k_f > row.seq) — so a flip row for a doc outside
+# this registry adjusts nothing, ever, and is dropped at staging time.
+# This bounds the flip table by pair-endpoint docs instead of
+# docs-per-flipped-shingle x corpus density (at the sf10 probe a 1k
+# batch's ~300k flip rows collapse to the few that touch actual pairs).
+_PAIRDOC_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
 
 
 class DedupArtifacts(SegmentStore):
@@ -218,6 +249,8 @@ class DedupArtifacts(SegmentStore):
         "pair_stats",
         "flip_docs",
         "removed_ids",
+        "shingle_docs",
+        "pair_docs",
     ]
 
     def __init__(
@@ -253,6 +286,12 @@ class DedupArtifacts(SegmentStore):
             # create()); cand_pairs segments pending a flush, per tenant
             "verify_every": 1,
             "pair_unverified": {},
+            # 2 = the store maintains the spart-keyed inverted
+            # shingle->doc table and the pair-endpoint registry, and
+            # flip staging prunes through them (round 11); 1 = the
+            # round-10 layout (flip lookups scan the doc-keyed shingle
+            # table). compact()/migrate_layout backfill and upgrade.
+            "flip_rev": 2,
         }
         self._verified_lock = threading.Lock()
         # self-triggering compaction (round 10): update() compacts +
@@ -363,6 +402,12 @@ class DedupArtifacts(SegmentStore):
         # the per-tenant cand_pairs segments awaiting their flush
         self._meta.setdefault("verify_every", 1)
         self._meta.setdefault("pair_unverified", {})
+        # stores written before round 11 lack the inverted shingle->doc
+        # table and the pair-endpoint registry: their flip lookups keep
+        # the corpus-scan path until compact() backfills both tables
+        # (completeness is the upgrade invariant — a PARTIAL inverted
+        # table would silently drop flip rows for pre-upgrade docs)
+        self._meta.setdefault("flip_rev", 1)
 
     @property
     def num_perms(self) -> int:
@@ -379,6 +424,10 @@ class DedupArtifacts(SegmentStore):
     @property
     def schema_rev(self) -> int:
         return int(self._meta["schema_rev"])
+
+    @property
+    def _flip_rev(self) -> int:
+        return int(self._meta.get("flip_rev", 1))
 
     # ---------------- layout expressions ----------------
 
@@ -449,7 +498,12 @@ class DedupArtifacts(SegmentStore):
             w.partitionBy(*(("tenant", "dpart") if fine else ("tenant",))).parquet(
                 path
             )
-        elif table == "df":
+        elif table in ("df", "shingle_docs"):
+            # shingle-keyed tables share the spart layout: compacted
+            # segments hive-partition on (tenant, spart) and sort by
+            # shingle within files, so flip-commit lookups prune to the
+            # flipped shingles' partitions (static pruning) and land on
+            # row groups via min/max
             w = (
                 df.repartition("tenant", "spart")
                 .sortWithinPartitions("tenant", "spart", "shingle")
@@ -654,44 +708,66 @@ class DedupArtifacts(SegmentStore):
 
     def fold_flips(self) -> None:
         """Fold every outstanding flip-delta row into the pair rows
-        WITHOUT the full compact: rewrite pair_stats as ONE segment
-        holding the current (flip-adjusted) stats at the current seq
-        and clear the flip table — the same pair fold compact() does,
-        minus the corpus-sized doc/bucket/shingle rewrites. pair_stats
-        is PAIRS-sized, so this costs seconds where compact() pays
-        ~80 s at the sf10 probe; serving through N accumulated batches
-        of flips cost ~N x 10 s there, so the flip-row auto-trigger
-        wants a fold it can afford near-every batch. Tombstoned docs'
-        rows are kept (reads anti-join them; the next full compact
-        purges); zeroed pairs are kept for up-flip revival, exactly as
-        in compact()."""
+        WITHOUT the full compact — and (round 11) without the round-10
+        full pair-table rewrite: the fold appends ONE segment holding
+        only the TOUCHED pairs (rows some outstanding flip actually
+        applies to), re-emitted flip-adjusted at the current seq, and
+        clears the flip table in the same meta flip. Reads stay exact
+        by the max-seq rule: a touched pair's old row had
+        seq < flip seq <= pair_seq, so the folded row strictly
+        supersedes it; an untouched pair's stored values are already
+        post-flip-exact once the flip table clears (no flip applied).
+
+        Cost shape: one map-side endpoint pre-filter over the pair
+        segments (broadcast semi-join against the flipped docs — with
+        flip_rev >= 2 those are pair-endpoint docs only, a small set)
+        feeding a touched-rows-sized shuffle + write — the round-10
+        fold's full-table materialization grew with TOTAL pairs per
+        fold, i.e. with the corpus. Tombstoned docs' rows are kept
+        (reads anti-join them; the next full compact purges); zeroed
+        pairs are kept for up-flip revival, exactly as in compact().
+
+        Why not hive-partition pair_stats and prune the fold to
+        flip-touched partitions (VERDICT r10's sketch): flipped docs
+        are xxhash64-uniform over any partition count, so by the 2M
+        flip-row trigger point essentially EVERY partition contains a
+        flipped doc — static pruning keeps the full scan; and a pair
+        is an edge, so a doc_a-keyed layout cannot prune the doc_b
+        side at all. The row-granular pre-filter achieves the actual
+        goal (write cost ∝ touched pairs); the residual per-fold scan
+        is column-pruned and map-only, and with flip_rev >= 2 the
+        TRIGGER itself fires ~docs-in-pairs/corpus-density times less
+        often (flip rows are endpoint-restricted at staging)."""
         import copy
 
         with self._writer_lock():
             if not self._segments("flip_docs"):
                 return
-            new_v = self._version("pair_stats") + 1
-            dst = self._table_path("pair_stats", new_v)
-            folded = self._pair_current(None).select(
-                "tenant",
-                "doc_a",
-                "doc_b",
-                "n_common",
-                "na",
-                "nb",
-                "jaccard",
-                F.lit(int(self._meta.get("pair_seq", 0)))
-                .cast("bigint")
-                .alias("seq"),
+            fl = self._read_t("flip_docs", _FLIP_SCHEMA, None)
+            ends = fl.select("tenant", "doc_id").distinct()
+            folded = (
+                self._pair_current(None, endpoints=ends, with_touched=True)
+                .filter(F.col("_touched"))
+                .select(
+                    "tenant",
+                    "doc_a",
+                    "doc_b",
+                    "n_common",
+                    "na",
+                    "nb",
+                    "jaccard",
+                    F.lit(int(self._meta.get("pair_seq", 0)))
+                    .cast("bigint")
+                    .alias("seq"),
+                )
             )
-            self._write_segment("pair_stats", folded, dst, fine=True)
+            seg, dst = self._stage_path("pair_stats")
+            self._write_segment("pair_stats", folded, dst)
             new_meta = copy.deepcopy(self._meta)
-            seg = f"v{new_v}"
-            new_meta["versions"]["pair_stats"] = new_v
             segs = new_meta.setdefault("segments", {})
             man = new_meta.setdefault("manifests", {})
-            segs["pair_stats"] = [seg]
-            man["pair_stats"] = {seg: self._segment_manifest(dst)}
+            segs.setdefault("pair_stats", []).append(seg)
+            man.setdefault("pair_stats", {})[seg] = self._segment_manifest(dst)
             segs["flip_docs"] = []
             man.pop("flip_docs", None)
             new_meta["flip_rows_live"] = 0
@@ -702,11 +778,15 @@ class DedupArtifacts(SegmentStore):
         """Row count of a freshly staged segment from its parquet
         footers — driver-side metadata reads over the LOCAL bytes this
         process just wrote (the staging copy on non-local schemes), no
-        Spark job."""
+        Spark job. Uses the side-effect-free staged_local_path:
+        spark_write_path would mkdir AND drop the publish memo, forcing
+        _commit_segments' publish to re-upload every already-published
+        file of the segment (a doubled upload per drift commit on
+        non-local schemes)."""
         import pyarrow.parquet as pq
 
         total = 0
-        for wr, _dirs, files in os.walk(self.fs.spark_write_path(root)):
+        for wr, _dirs, files in os.walk(self.fs.staged_local_path(root)):
             for f in files:
                 if f.endswith(".parquet"):
                     total += pq.ParquetFile(
@@ -820,6 +900,21 @@ class DedupArtifacts(SegmentStore):
                     "shingle",
                 ),
             )
+            if self.schema_rev >= 2 and self._flip_rev >= 2:
+                # the INVERTED copy of the same rows, spart-keyed — the
+                # index a drift commit's shingle->doc lookup prunes on
+                # (write amplification x2 on the shingle rows, all
+                # map-only over sh's already-materialized cache; it
+                # buys the flip path out of its corpus-sized scan)
+                stage(
+                    "shingle_docs",
+                    sh.select(
+                        t_lit.alias("tenant"),
+                        self._spart_col(F.col("shingle")).alias("spart"),
+                        "shingle",
+                        "doc_id",
+                    ),
+                )
             # counted AFTER the shingles write materialized sh's cache
             # — the distinct then reads cached rows instead of paying
             # the shingling lineage a second time
@@ -1043,6 +1138,52 @@ class DedupArtifacts(SegmentStore):
             T.StructType([T.StructField("shingle", T.StringType())]),
         )
 
+    def _crossing_doc_rows(
+        self,
+        tenant: int,
+        crossing: DataFrame,
+        sh: DataFrame | None,
+        sparts: list[int] | None,
+    ) -> DataFrame:
+        """(doc_id, shingle, delta) — for each capped-status-crossing
+        shingle, the containing docs whose STORED pair rows the flip
+        delta must adjust. ``crossing`` is a (shingle, delta) frame.
+
+        flip_rev >= 2 (round 11): the lookup reads the spart-keyed
+        INVERTED shingle->doc table pruned to the crossing shingles'
+        ``sparts`` (static partition pruning on compacted segments;
+        per-batch coarse segments are batch-sized scans either way) —
+        cost ∝ docs-per-flipped-shingle, never ∝ corpus. The result is
+        then semi-joined to the pair-endpoint registry: a flip row for
+        a doc with no stored pair rows adjusts nothing (_pair_current
+        joins flips to stored rows, and rows staged at this commit or
+        later carry seq >= the flip's — flips apply only at
+        k_f > row.seq), so dropping it is EXACT; the in-flight batch's
+        docs drop out the same way (they cannot be in any committed
+        pair row — the known-doc guard makes them new).
+
+        flip_rev 1 (pre-round-11 stores, until compact() backfills the
+        two tables): the original corpus-scan-plus-batch union over
+        the doc-keyed shingle table."""
+        if self._flip_rev >= 2:
+            src = self._read_t("shingle_docs", _SHDOC_SCHEMA, tenant)
+            if sparts is not None:
+                src = src.filter(
+                    F.col("spart").isin([int(x) for x in sparts])
+                    | F.col("spart").isNull()
+                )
+            out = src.select("doc_id", "shingle").join(crossing, "shingle")
+            pd_docs = self._read_t(
+                "pair_docs", _PAIRDOC_SCHEMA, tenant
+            ).select("doc_id")
+            return out.join(pd_docs, "doc_id", "left_semi")
+        src = self._read_t("shingles", _SHINGLE_SCHEMA, tenant).select(
+            "doc_id", "shingle"
+        )
+        if sh is not None:
+            src = src.unionByName(sh.select("doc_id", "shingle"))
+        return src.join(crossing, "shingle")
+
     def _stage_pair_stats_point(
         self, sh, bdf, cand, tenant: int, cap: float, stage, t_lit
     ) -> int | None:
@@ -1174,26 +1315,35 @@ class DedupArtifacts(SegmentStore):
             new_seq = int(self._meta.get("pair_seq", 0)) + 1
             flips = None
             if crossing and self._segments("pair_stats"):
-                # flip-delta rows: every doc containing a flipped
-                # shingle (stored docs via the spart... no — shingle-
-                # keyed lookup is a scan of the doc-keyed table, so
-                # prune by a broadcast semi-join; batch docs via sh).
-                # Cost ∝ docs-per-flipped-shingle (~df ≈ cap rows per
-                # flip), the truly batch-proportional drift shape.
-                cross_local = F.broadcast(
-                    self._local_shingles(self.spark, crossing)
+                # flip-delta rows via _crossing_doc_rows: pruned to the
+                # crossing shingles' spart partitions (crossing ⊆ batch
+                # shingles under a pinned cap, so their sparts are
+                # already in hand from the brows collect — zero extra
+                # jobs) and restricted to pair-endpoint docs. Cost ∝
+                # docs-per-flipped-shingle ∩ pair endpoints.
+                cross_set = set(crossing)
+                cross_df = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(s, -1) for s in crossing],
+                        T.StructType(
+                            [
+                                T.StructField("shingle", T.StringType()),
+                                T.StructField("delta", T.IntegerType()),
+                            ]
+                        ),
+                    )
                 )
-                doc_sh = (
-                    self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
-                    .select("doc_id", "shingle")
-                    .unionByName(sh.select("doc_id", "shingle"))
+                c_sparts = sorted(
+                    {r["spart"] for r in brows if r["shingle"] in cross_set}
                 )
-                flips = doc_sh.join(cross_local, "shingle").select(
+                flips = self._crossing_doc_rows(
+                    tenant, cross_df, sh, c_sparts
+                ).select(
                     t_lit.alias("tenant"),
                     F.lit(new_seq).cast("bigint").alias("seq"),
                     "shingle",
                     "doc_id",
-                    F.lit(-1).cast("int").alias("delta"),
+                    F.col("delta").cast("int").alias("delta"),
                 )
             if not prows and flips is None:
                 # nothing new to verify and no stored pair touched:
@@ -1247,6 +1397,18 @@ class DedupArtifacts(SegmentStore):
                         F.lit(new_seq).cast("bigint").alias("seq"),
                     ),
                 )
+                if self._flip_rev >= 2:
+                    # pair-endpoint registry rides the same commit —
+                    # future flip staging restricts to these docs
+                    stage(
+                        "pair_docs",
+                        self.spark.createDataFrame(
+                            [(i,) for i in ids],
+                            T.StructType(
+                                [T.StructField("doc_id", T.LongType())]
+                            ),
+                        ).select(t_lit.alias("tenant"), "doc_id"),
+                    )
             if flips is not None:
                 stage("flip_docs", flips)
             return new_seq
@@ -1382,13 +1544,24 @@ class DedupArtifacts(SegmentStore):
                 # NOT ∝ touched pairs (at the sf10 probe a 1k batch
                 # flipped 323 shingles touching 10M stored pairs; the
                 # rev-2 re-verify paid all 10M, this writes ~300k flip
-                # rows and reads adjust arithmetically).
-                doc_sh = (
-                    self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
-                    .select("doc_id", "shingle")
-                    .unionByName(sh.select("doc_id", "shingle"))
-                )
-                flips = doc_sh.join(crossing, "shingle").select(
+                # rows and reads adjust arithmetically). Round 11: the
+                # containing-doc lookup prunes the inverted table to
+                # the crossing shingles' spart partitions (collected
+                # here — bounded by shingle_parts) and keeps only
+                # pair-endpoint docs; see _crossing_doc_rows.
+                c_sparts = None
+                if self._flip_rev >= 2:
+                    c_sparts = [
+                        r["spart"]
+                        for r in crossing.select(
+                            self._spart_col(F.col("shingle")).alias("spart")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                flips = self._crossing_doc_rows(
+                    tenant, crossing, sh, c_sparts
+                ).select(
                     t_lit.alias("tenant"),
                     F.lit(new_seq).cast("bigint").alias("seq"),
                     "shingle",
@@ -1584,6 +1757,13 @@ class DedupArtifacts(SegmentStore):
             # candidate set — nothing to stage but the flips
             if n_pairs_all or stale is not None:
                 stage("pair_stats", rows)
+                if self._flip_rev >= 2:
+                    # pair-endpoint registry: the staged rows' doc ids
+                    # (docs_involved already holds exactly them)
+                    stage(
+                        "pair_docs",
+                        docs_involved.select(t_lit.alias("tenant"), "doc_id"),
+                    )
             if flips is not None:
                 stage("flip_docs", flips)
             return new_seq
@@ -1784,12 +1964,21 @@ class DedupArtifacts(SegmentStore):
             new_seq = None
             if n_crossing and self._segments("pair_stats"):
                 new_seq = int(self._meta.get("pair_seq", 0)) + 1
-                doc_sh = self._read_t(
-                    "shingles", _SHINGLE_SCHEMA, tenant
-                ).select("doc_id", "shingle")
+                c_sparts = None
+                if self._flip_rev >= 2:
+                    c_sparts = [
+                        r["spart"]
+                        for r in crossing.select(
+                            self._spart_col(F.col("shingle")).alias("spart")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
                 stage(
                     "flip_docs",
-                    doc_sh.join(crossing, "shingle").select(
+                    self._crossing_doc_rows(
+                        tenant, crossing, None, c_sparts
+                    ).select(
                         t_lit.alias("tenant"),
                         F.lit(new_seq).cast("bigint").alias("seq"),
                         "shingle",
@@ -1870,12 +2059,28 @@ class DedupArtifacts(SegmentStore):
             "tenant", "doc_a", "doc_b", "n_common", "jaccard"
         )
 
-    def _pair_current(self, tenant: int | None) -> DataFrame:
+    def _pair_current(
+        self,
+        tenant: int | None,
+        endpoints: DataFrame | None = None,
+        with_touched: bool = False,
+    ) -> DataFrame:
         """Current FULL stats per pair (tenant, doc_a, doc_b,
         n_common, na, nb, jaccard, seq): the max-seq pair_stats row
         (later rows — legacy re-verifications and tombstones, or
         compaction folds — supersede earlier ones), with any NEWER
         flip-delta rows applied arithmetically.
+
+        ``endpoints`` (a broadcastable (tenant, doc_id) frame)
+        restricts the output to pairs with AT LEAST ONE endpoint in
+        the set, applied as a map-side pre-filter BEFORE the max-seq
+        groupBy — the row-scoped fold passes the flipped docs here so
+        the shuffle carries only candidate-touched rows, never the
+        whole pairs table (all rows of a pair share (tenant, doc_a,
+        doc_b), so pre-filtering on those keys keeps per-pair max-seq
+        semantics exact). ``with_touched`` appends a boolean
+        ``_touched`` column: True iff some outstanding flip actually
+        applied to the row (the fold rewrites exactly those).
 
         A pair row verified at seq v records (n_common, na, nb) over
         the capped sets as of v. A flip row (s, k, doc, ±1) with k > v
@@ -1893,6 +2098,18 @@ class DedupArtifacts(SegmentStore):
         never write flip rows, so their null na/nb rows pass through
         untouched."""
         ps = self._read_t("pair_stats", _PAIRSTAT_SCHEMA, tenant)
+        if endpoints is not None:
+            ea = endpoints.select(
+                "tenant", F.col("doc_id").alias("doc_a")
+            )
+            eb = endpoints.select(
+                "tenant", F.col("doc_id").alias("doc_b")
+            )
+            hit_a = ps.join(F.broadcast(ea), ["tenant", "doc_a"], "left_semi")
+            ps = hit_a.unionByName(
+                ps.join(F.broadcast(eb), ["tenant", "doc_b"], "left_semi")
+                .join(F.broadcast(ea), ["tenant", "doc_a"], "left_anti")
+            )
         cur = (
             ps.groupBy("tenant", "doc_a", "doc_b")
             .agg(
@@ -1913,6 +2130,8 @@ class DedupArtifacts(SegmentStore):
             )
         )
         if not self._segments("flip_docs"):
+            if with_touched:
+                return cur.withColumn("_touched", F.lit(False))
             return cur
         fl = self._read_t("flip_docs", _FLIP_SCHEMA, tenant)
         fa = fl.select(
@@ -1975,7 +2194,7 @@ class DedupArtifacts(SegmentStore):
             | (F.coalesce("adj_b", z) != z)
             | (F.coalesce("adj_c", z) != z)
         )
-        return out.select(
+        sel = [
             "tenant",
             "doc_a",
             "doc_b",
@@ -1990,7 +2209,10 @@ class DedupArtifacts(SegmentStore):
             .otherwise(F.col("jaccard"))
             .alias("jaccard"),
             "seq",
-        )
+        ]
+        if with_touched:
+            sel.append(touched.alias("_touched"))
+        return out.select(*sel)
 
     def migrate_layout(self) -> None:
         """Upgrade a round-8 (rev-1) store to the current layout:
@@ -2083,6 +2305,29 @@ class DedupArtifacts(SegmentStore):
                 seg, p = self._stage_path("pair_stats")
                 self._write_segment("pair_stats", rows, p)
                 staged.append(("pair_stats", seg))
+                # pair-endpoint registry for the flip restriction:
+                # cand_pairs endpoints ⊇ the backfilled rows' endpoints
+                pd = (
+                    self._read_t("cand_pairs", _PAIR_SCHEMA)
+                    .select(
+                        "tenant",
+                        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+                    )
+                    .distinct()
+                )
+                seg, p = self._stage_path("pair_docs")
+                self._write_segment("pair_docs", pd, p)
+                staged.append(("pair_docs", seg))
+            if self._segments("shingles"):
+                sd = self._read_t("shingles", _SHINGLE_SCHEMA).select(
+                    "tenant",
+                    self._spart_col(F.col("shingle")).alias("spart"),
+                    "shingle",
+                    "doc_id",
+                )
+                seg, p = self._stage_path("shingle_docs")
+                self._write_segment("shingle_docs", sd, p, fine=True)
+                staged.append(("shingle_docs", seg))
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
             man = new_meta.setdefault("manifests", {})
@@ -2095,6 +2340,9 @@ class DedupArtifacts(SegmentStore):
             new_meta["pair_rev"] = pair_rev
             new_meta["pair_seq"] = pair_seq
             new_meta["pair_stats_live"] = True
+            # the inverted table + endpoint registry above are complete
+            # as of this snapshot — later commits maintain them
+            new_meta["flip_rev"] = 2
             self._save_meta(new_meta)
             self._meta = new_meta
 
@@ -2206,12 +2454,48 @@ class DedupArtifacts(SegmentStore):
                         F.col("n_common") >= 1
                     )
                 ),
+                # round 11: the inverted shingle->doc table (same rows
+                # as the compacted shingles, spart-keyed) and the
+                # pair-endpoint registry (cand_pairs endpoints — a
+                # superset of pair_stats endpoints, which is all the
+                # flip restriction needs). Rewritten every compaction;
+                # on a pre-round-11 (flip_rev 1) store this IS the
+                # backfill that makes the upgrade safe: both tables are
+                # complete as of this snapshot, and every later commit
+                # maintains them incrementally.
+                "shingle_docs": rm(
+                    self._read_t("shingles", _SHINGLE_SCHEMA), None
+                ).select(
+                    "tenant",
+                    self._spart_col(F.col("shingle")).alias("spart"),
+                    "shingle",
+                    "doc_id",
+                ),
+                "pair_docs": rm(
+                    self._read_t("cand_pairs", _PAIR_SCHEMA),
+                    None,
+                    cols=("doc_a", "doc_b"),
+                )
+                .select(
+                    "tenant",
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+                )
+                .distinct(),
+            }
+            # the two flip_rev-2 tables are written when their SOURCE
+            # has segments (backfill on upgrade), not only when they do
+            upgrade_ok = self.schema_rev >= 2
+            force = {
+                "shingle_docs": upgrade_ok and bool(self._segments("shingles")),
+                "pair_docs": upgrade_ok and bool(self._segments("cand_pairs")),
             }
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
             man = new_meta.setdefault("manifests", {})
             for table, df in writers.items():
-                if not self._segments(table):
+                if not self._segments(table) and not force.get(table, False):
+                    continue
+                if table in force and not upgrade_ok:
                     continue
                 new_v = self._version(table) + 1
                 dst = self._table_path(table, new_v)
@@ -2220,6 +2504,8 @@ class DedupArtifacts(SegmentStore):
                 new_meta["versions"][table] = new_v
                 segs[table] = [seg]
                 man[table] = {seg: self._segment_manifest(dst)}
+            if upgrade_ok:
+                new_meta["flip_rev"] = 2
             # the pair fold above absorbed every outstanding flip
             # delta, and the rewrites purged tombstoned docs — drop
             # both auxiliary tables' segments in the same flip (their

@@ -536,6 +536,16 @@ def jaccard_verify_pairs(
     cand = candidates if candidates is not None else lsh_candidate_pairs(buckets)
     if all_candidates and candidates is None:
         raise ValueError("all_candidates requires an explicit candidates frame")
+    if all_candidates and (min_jaccard > 0.0 or min_overlap > 1):
+        # all_candidates deliberately emits EVERY pair (the incremental
+        # artifact store filters at read time) — silently ignoring
+        # caller thresholds here would hand back unfiltered
+        # zero-overlap rows with no warning
+        raise ValueError(
+            "all_candidates=True returns every candidate pair unfiltered; "
+            "pass min_jaccard=0.0 and min_overlap=1 (filter the result "
+            "yourself) or drop all_candidates"
+        )
     sizes = shingles.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n")
     )

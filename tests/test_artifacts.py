@@ -856,6 +856,7 @@ def test_auto_compaction_triggers_and_preserves_reads(
             "doc_id long, text string",
         )
     )
+    pre_pair_segs = list(st2._segments("pair_stats"))
     # pushes phrase df 6 -> 12 across the floor cap of 8: down-flips
     r = st2.update(
         spark.createDataFrame(
@@ -866,9 +867,13 @@ def test_auto_compaction_triggers_and_preserves_reads(
     assert r.get("folded") is True and "compacted" not in r
     assert int(st2._meta["flip_rows_live"]) == 0
     assert not st2._segments("flip_docs")
-    assert st2._segments("pair_stats") == [
-        f"v{st2._version('pair_stats')}"
-    ]
+    # round 11: the fold APPENDS one touched-pairs-sized segment — the
+    # pre-fold batch segments SURVIVE (the round-10 fold rewrote the
+    # whole pairs table, a cost that grew with total pairs rather than
+    # with the flip set)
+    post_pair_segs = st2._segments("pair_stats")
+    assert all(s in post_pair_segs for s in pre_pair_segs)
+    assert len(post_pair_segs) == len(pre_pair_segs) + 1
     assert len(st2._segments("shingles")) == 2  # NOT rewritten
     # the folded rows serve byte-equal to from-scratch
     union2 = spark.createDataFrame(
@@ -1047,3 +1052,158 @@ def test_remove_while_verification_pending(spark, tmp_path):
         ) == want
     finally:
         sh_s.unpersist()
+
+
+def _scratch_pairs(spark, rows):
+    """From-scratch capped verify over an explicit (doc_id, text)
+    corpus — the oracle every incremental read must equal."""
+    union = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.doc_shingles(union).persist()
+    try:
+        return _rows(
+            dedup.jaccard_verify_pairs(
+                dedup.df_capped_shingles(sh),
+                dedup.lsh_buckets_wide(dedup.minhash_wide(sh)),
+                min_jaccard=0.0,
+                min_overlap=1,
+            ),
+            ["doc_a", "doc_b", "n_common", "jaccard"],
+        )
+    finally:
+        sh.unpersist()
+
+
+# two phrase groups: A never drifts (df 4 <= floor cap 8 throughout);
+# B's trigrams cross the cap when the second B batch lands (4 -> 12)
+_PA = "quick brown foxes jump over the lazy sleeping river dogs"
+_PB = "never gonna give you up never gonna let you down"
+
+
+def _two_group_rows(n_a=4, n_b1=4, n_b2=8):
+    rows = [(d, f"{_PA} a{d}") for d in range(n_a)]
+    rows += [(100 + d, f"{_PB} b{d}") for d in range(n_b1)]
+    rows2 = [(200 + d, f"{_PB} c{d}") for d in range(n_b2)]
+    return rows, rows2
+
+
+def test_fold_is_row_scoped_and_exact(spark, tmp_path):
+    """Round-11 fold_flips: the fold segment holds ONLY the pairs some
+    outstanding flip actually applies to — group A's pairs (whose
+    phrase never crossed the cap) are NOT re-emitted, group B's (whose
+    shared trigrams flipped) are; reads stay byte-equal to from-scratch
+    across the fold boundary, and the pre-fold segments survive."""
+    import os as _os
+
+    from lintdb_spark.operators.artifacts import _PAIRSTAT_SCHEMA
+
+    rows1, rows2 = _two_group_rows()
+    path = str(tmp_path / "store_fold")
+    st = DedupArtifacts.create(spark, path)
+    st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    assert st._segments("flip_docs"), "drift batch staged no flips"
+    pre_segs = list(st._segments("pair_stats"))
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    want = _scratch_pairs(spark, rows1 + rows2)
+    assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == want
+    st.fold_flips()
+    assert not st._segments("flip_docs")
+    post_segs = st._segments("pair_stats")
+    assert all(s in post_segs for s in pre_segs)
+    fold_segs = [s for s in post_segs if s not in pre_segs]
+    assert len(fold_segs) == 1
+    folded = spark.read.parquet(
+        _os.path.join(path, "pair_stats", fold_segs[0])
+    )
+    # row-scoped: every folded row has a group-B endpoint; no pure
+    # group-A pair was rewritten
+    assert folded.filter(F.col("doc_a") < 100).count() == 0
+    assert folded.count() > 0
+    # byte-equal across the fold boundary
+    assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == want
+
+
+def test_flip_rows_restricted_to_pair_endpoints(spark, tmp_path):
+    """Round-11: flip-delta rows are staged ONLY for docs that appear
+    in a stored pair row — a flip on a pairless doc adjusts nothing
+    (_pair_current joins flips to stored rows) and rows staged at the
+    flip's own commit or later are verified post-flip, so dropping
+    those rows is exact. Singleton docs that contain the drifting
+    phrase but pair with nothing must not appear in flip_docs."""
+    from lintdb_spark.operators.artifacts import (
+        _FLIP_SCHEMA,
+        _PAIRDOC_SCHEMA,
+    )
+
+    rows1, rows2 = _two_group_rows()
+    # singletons: share B's phrase (so they contain the flipping
+    # trigrams) but are otherwise long and unique — no pairs
+    singles = [
+        (
+            900 + d,
+            _PB + " " + " ".join(f"w{d}x{j}" for j in range(40)),
+        )
+        for d in range(3)
+    ]
+    path = str(tmp_path / "store_restrict")
+    st = DedupArtifacts.create(spark, path)
+    st.update(
+        spark.createDataFrame(rows1 + singles, "doc_id long, text string")
+    )
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    fl = st._read_t("flip_docs", _FLIP_SCHEMA)
+    assert fl.count() > 0
+    pd_docs = {
+        r["doc_id"]
+        for r in st._read_t("pair_docs", _PAIRDOC_SCHEMA)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    flip_docs = {r["doc_id"] for r in fl.select("doc_id").distinct().collect()}
+    assert flip_docs <= pd_docs
+    singleton_ids = {i for i, _t in singles}
+    if singleton_ids & pd_docs:
+        # LSH happened to pair a singleton after all — the restriction
+        # claim below would be vacuous; the corpus is deterministic so
+        # this is a construction error, not flakiness
+        raise AssertionError("test corpus error: singleton got a pair")
+    assert not (flip_docs & singleton_ids)
+    # and the reads are still exact vs from-scratch
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, rows1 + singles + rows2)
+
+
+def test_legacy_flip_rev1_upgrades_on_compact(spark, tmp_path):
+    """A store written before round 11 (flip_rev 1: no inverted
+    shingle->doc table, no pair-endpoint registry) keeps the corpus-
+    scan flip path and stays exact; compact() backfills both tables
+    and upgrades flip_rev, after which drift commits prune through the
+    inverted table — still byte-equal to from-scratch."""
+    rows1, rows2 = _two_group_rows()
+    rows3 = [(300 + d, f"{_PA} z{d}") for d in range(8)]  # drifts A: 4 -> 12
+    path = str(tmp_path / "store_legacy")
+    st = DedupArtifacts.create(spark, path)
+    # simulate a round-10 store: downgrade BEFORE any data lands
+    with st._writer_lock():
+        st._meta["flip_rev"] = 1
+        st._save_meta()
+    st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
+    assert not st._segments("shingle_docs")
+    assert not st._segments("pair_docs")
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, rows1 + rows2)
+    st.compact()
+    assert st._flip_rev == 2
+    assert st._segments("shingle_docs") and st._segments("pair_docs")
+    # post-upgrade drift batch goes through the pruned inverted path
+    st.update(spark.createDataFrame(rows3, "doc_id long, text string"))
+    assert st._segments("shingle_docs")
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, rows1 + rows2 + rows3)

@@ -303,6 +303,13 @@ def test_batch_broadcast_and_cogroup_paths_agree(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert bcast == cogroup
+    # the round-11 bench/ops knob routes the same way without touching
+    # session conf — must also agree
+    idx.force_cogroup = True
+    try:
+        assert run() == bcast
+    finally:
+        idx.force_cogroup = False
 
 
 def test_batch_adc_parity_both_paths(spark, tmp_path):

@@ -294,3 +294,56 @@ def test_shared_cache_root_per_store_path():
     b = filesystem_for("mem://b/other-store")
     assert a1.cache_root == a2.cache_root
     assert a1.cache_root != b.cache_root
+
+
+def test_conditional_put_meta_flip_rejects_lost_update(spark):
+    """Round-11 CAS seam: on a CAS-capable backend (MemoryFS models an
+    object store's conditional put) the meta flip is write-if-match
+    against the identity this writer last observed. A writer whose
+    lockfile exclusion was bypassed (the documented hazard on
+    eventually-consistent blob stores) gets a LOUD lost-update error —
+    the other writer's commit survives; after a refresh the loser's
+    retry lands."""
+    import json
+
+    import pytest as _pytest
+
+    from lintdb_spark.index.fs import ConditionalPutConflict, MemoryFS
+
+    path = _mem_path("cas")
+
+    class _Store(SegmentStore):
+        def _all_tables(self):
+            return ["t"]
+
+    w1 = _Store(spark, path)
+    w1.fs.makedirs(path, exist_ok=False)
+    w1._save_meta()  # put-if-absent: the file must not exist yet
+    assert w1._meta_stat is not None
+
+    # second process on the same path
+    w2 = _Store(spark, path)
+    w2._meta = json.loads(w2.fs.open_read(path + "/_meta.json"))
+    w2._meta_stat = w2._stat_meta()
+    w2._meta["n"] = 2
+    w2._save_meta()  # normal CAS flip
+
+    # w1 still holds the pre-w2 identity: its flip must be REFUSED and
+    # w2's meta must survive untouched
+    w1._meta["n"] = 1
+    with _pytest.raises(RuntimeError, match="lost a commit race"):
+        w1._save_meta()
+    assert json.loads(w1.fs.open_read(path + "/_meta.json"))["n"] == 2
+
+    # refresh -> retry lands (and w2's field is preserved in the
+    # reloaded base)
+    w1._refresh_meta_if_stale()
+    assert w1._meta["n"] == 2
+    w1._meta["n"] = 3
+    w1._save_meta()
+    assert json.loads(w1.fs.open_read(path + "/_meta.json"))["n"] == 3
+
+    # the raw primitive: put-if-absent refuses an existing object
+    mem = MemoryFS.instance()
+    with _pytest.raises(ConditionalPutConflict):
+        mem.write_if_match(path + "/_meta.json", b"{}", None)
