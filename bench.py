@@ -80,6 +80,8 @@ HEADLINE = [
     "q_artifact_tenant",
     "q_artifact_drift",
     "q_artifact_remove",
+    "q_artifact_fold",
+    "q_artifact_fold_remove",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

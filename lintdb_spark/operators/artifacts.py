@@ -71,6 +71,17 @@ same reason. `auto_compact = False` opts out for explicitly-managed
 stores (a tuned compact_every stream, or a bulk load that compacts
 once at the end).
 
+Flip maintenance is BATCH-PROPORTIONAL end to end (round 11,
+flip_rev 2): the drift commit's shingle->doc lookup reads a
+spart-partitioned INVERTED companion table pruned to the flipped
+shingles' partitions (shingle_docs — the doc-keyed shingles table
+cannot prune a shingle-keyed lookup, which left a corpus-sized scan
+on every drift commit through round 10), flip rows are staged only
+for docs present in a stored pair row (pair_docs — a flip on a
+pairless doc adjusts nothing, so the flip table is bounded by pair
+endpoints, not corpus density), and fold_flips() appends one
+touched-pairs segment instead of rewriting the pairs-sized table.
+
 Tenancy (round 9): every table carries a leading `tenant` partition
 column (default 0). Dedup is tenant-local — the collision join, the
 df statistics, and every read are keyed/filtered per tenant, so two
@@ -315,14 +326,20 @@ class DedupArtifacts(SegmentStore):
         num_perms: int | None = None,
         bucket_parts: int | None = None,
         doc_parts: int | None = None,
+        shingle_parts: int | None = None,
         maintain_pairs: bool = True,
         verify_every: int = 1,
     ) -> "DedupArtifacts":
-        """``bucket_parts`` / ``doc_parts`` size the pruning layout for
-        the deployment (frozen into meta): more partitions = finer
-        point-update pruning but more files per segment — a 1B-doc
-        store wants thousands; the defaults suit bench scale.
-        Compaction bounds the small-file cost either way.
+        """``bucket_parts`` / ``doc_parts`` / ``shingle_parts`` size the
+        pruning layout for the deployment (frozen into meta): more
+        partitions = finer point-update pruning but more files per
+        segment — a 1B-doc store wants thousands; the defaults suit
+        bench scale. Compaction bounds the small-file cost either way.
+        ``shingle_parts`` additionally bounds how sharply a drift
+        commit's flip lookup prunes the inverted shingle->doc table: a
+        commit flipping S shingles reads at most min(S, shingle_parts)
+        partitions, so size it well above the typical per-commit flip
+        count.
 
         ``maintain_pairs`` picks which side of the write/read trade
         pays for pair VERIFICATION: True (default) verifies
@@ -352,6 +369,8 @@ class DedupArtifacts(SegmentStore):
             store._meta["bucket_parts"] = int(bucket_parts)
         if doc_parts is not None:
             store._meta["doc_parts"] = int(doc_parts)
+        if shingle_parts is not None:
+            store._meta["shingle_parts"] = int(shingle_parts)
         store._meta["pair_stats_live"] = bool(maintain_pairs)
         store._meta["verify_every"] = max(1, int(verify_every))
         store._save_meta()
@@ -668,12 +687,14 @@ class DedupArtifacts(SegmentStore):
             #   - segment accretion -> FULL compact (corpus rewrite,
             #     ~80 s at the sf10 probe) — amortized by the 16-
             #     segment threshold;
-            #   - outstanding flip rows -> flip-only FOLD (rewrites the
-            #     pairs-sized pair_stats table, seconds) — cheap enough
-            #     to run whenever the threshold is crossed, which a
-            #     drift-heavy tail does near-every batch (1-3M flip
-            #     rows per 10k-doc batch measured at sf10; serving
-            #     through 4 accumulated batches of flips cost 54 s).
+            #   - outstanding flip rows -> flip-only FOLD (round 11:
+            #     appends ONE touched-pairs segment, cost ∝ the rows
+            #     flips actually adjust) — cheap enough to run whenever
+            #     the threshold is crossed. On flip_rev 2 stores the
+            #     trigger itself fires far less often: flip staging is
+            #     endpoint-restricted, so the 1-3M rows per 10k-doc
+            #     batch the r10 sf10 tail measured collapse to the
+            #     pair-endpoint subset.
             # The vacuum keeps a grace period: the writer lock excludes
             # writers, not READERS — a serving process may hold a lazy
             # plan over the pre-compaction segment list.

@@ -1465,6 +1465,84 @@ def q_artifact_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_FOLD_CACHE: dict = {}
+
+
+def artifact_fold_store_cached(spark: SparkSession, sf_dir: str):
+    """The drift corpus ingested in two batches, then fold_flips()
+    forces the ROW-SCOPED fold (round 11): the outstanding flip deltas
+    land in one touched-pairs segment (pre-fold segments survive), the
+    flip table clears, and every read afterwards must still equal the
+    from-scratch verify — folding may never change WHAT is served."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_fold_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.update(docs.filter(F.col("doc_id") >= 8))
+        st.fold_flips()
+        assert not st._segments("flip_docs")
+        return st
+
+    return _session_cached(_ARTIFACT_FOLD_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs served THROUGH a row-scoped flip fold (round 11):
+    batch 2's df-cap drift staged flip deltas, fold_flips() absorbed
+    them into a touched-pairs-only segment and cleared the flip table —
+    the serve must be byte-equal to a from-scratch capped verify over
+    the union corpus (same oracle as q_artifact_drift, reached through
+    the folded representation instead of the live flip join)."""
+    return artifact_fold_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
+_ARTIFACT_FOLD_RM_CACHE: dict = {}
+
+
+def artifact_fold_remove_store_cached(spark: SparkSession, sf_dir: str):
+    """The remove() scenario with a fold on top: drift down-flips,
+    retention deletion's up-flips (the phrase re-enters the survivors'
+    capped sets), then fold_flips() — the telescoped deltas must fold
+    into the stored rows exactly, with tombstoned rows kept but
+    anti-joined at read."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_foldrm_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.update(docs.filter(F.col("doc_id") >= 8))
+        st.remove([d for d in range(24) if d % 3 != 0 or d == 21])
+        st.fold_flips()
+        assert not st._segments("flip_docs")
+        return st
+
+    return _session_cached(_ARTIFACT_FOLD_RM_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_fold_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs after remove() + fold_flips() (round 11): the
+    removal's up-flip deltas are folded into the touched rows and the
+    flip table cleared — the serve must equal a from-scratch capped
+    verify over the SURVIVING corpus (same oracle as q_artifact_remove,
+    reached through the folded representation)."""
+    return artifact_fold_remove_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2608,6 +2686,11 @@ ORACLE["q_artifact_remove"] = ORACLE["q_artifact_drift"].replace(
 # corpus and answer to the drift oracle — deferral must change WHEN
 # verification runs, never what it computes
 ORACLE["q_artifact_flush"] = ORACLE["q_artifact_drift"]
+# row-scoped fold serve (round 11): folding outstanding flip deltas
+# into a touched-pairs segment must not change what is served — same
+# oracles as the live-flip drift/remove reads
+ORACLE["q_artifact_fold"] = ORACLE["q_artifact_drift"]
+ORACLE["q_artifact_fold_remove"] = ORACLE["q_artifact_remove"]
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2760,7 +2843,17 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        OUT (driver-green r05, r07, r08, r09 — four rounds, met
     #        the >=3 bar). q_artifact_verified / q_artifact_gate stay
     #        (greens r08, r09 — need their third); the r09 trio
-    #        (tenant/drift/remove, green r09) stays per policy. ----
+    #        (tenant/drift/remove, green r09) stays per policy.
+    #   r11: NEW q_artifact_fold, q_artifact_fold_remove rotated IN
+    #        (first round — the row-scoped flip fold, this round's
+    #        centerpiece: serves must be byte-equal through a folded
+    #        representation, with and without retention deletion).
+    #        Rotated OUT q_artifact_verified, q_artifact_gate (each
+    #        driver-green r08, r09, r10 — met the >=3 bar). The r09
+    #        trio (tenant/drift/remove, greens r09, r10) and
+    #        q_artifact_flush (green r10) stay per policy. ----
+    "q_artifact_fold": q_artifact_fold,
+    "q_artifact_fold_remove": q_artifact_fold_remove,
     "q_artifact_flush": q_artifact_flush,
     "q_artifact_drift": q_artifact_drift,
     "q_artifact_remove": q_artifact_remove,
@@ -2792,8 +2885,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join": q_range_join,
     "q_skew_agg": q_skew_agg,
     "q_simhash_neardup": q_simhash_neardup,
-    "q_artifact_verified": q_artifact_verified,
-    "q_artifact_gate": q_artifact_gate,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_verified": q_dup_clusters_verified,
@@ -2817,6 +2908,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_artifact_verified": q_artifact_verified,
+    "q_artifact_gate": q_artifact_gate,
     "q_repetition": q_repetition,
     "q_knn_cosine": q_knn_cosine,
     "q_pack_plan": q_pack_plan,

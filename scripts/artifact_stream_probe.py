@@ -53,7 +53,8 @@ def run(compact_every: int | None, auto: bool = False) -> dict:
     trigger so 'tuned' and 'none' stay pure cadence measurements."""
     tmp = tempfile.mkdtemp(prefix="artifact_stream_")
     st = DedupArtifacts.create(
-        spark, tmp + "/store", bucket_parts=1024, doc_parts=256
+        spark, tmp + "/store", bucket_parts=1024, doc_parts=256,
+        shingle_parts=1024,
     )
     st.auto_compact = auto
     batches = []

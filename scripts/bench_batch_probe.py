@@ -99,3 +99,26 @@ print(
     f"warm_med={sorted(warm)[len(warm)//2]:.3f}s "
     f"warm_max={max(warm):.3f}s"
 )
+
+# round 11: price the FORCED cogroup fallback (the 100 TB serve path —
+# blobs over the broadcast threshold) on the same batch. Bench-scale
+# corpora never route here on their own, so an unmeasured fallback
+# would be a latency-cliff candidate (VERDICT r10 #3).
+cg_times = []
+idx.force_cogroup = True
+try:
+    for i in range(REPS):
+        t0 = time.time()
+        n = idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
+        dt_s = time.time() - t0
+        cg_times.append(dt_s)
+        print(f"cogroup{i}: {dt_s:.3f}s  {NQ/dt_s:.0f} q/s  (rows={n})")
+finally:
+    idx.force_cogroup = False
+print(
+    f"SUMMARY_COGROUP nq={NQ} "
+    f"min={min(cg_times):.3f}s ({NQ/min(cg_times):.0f} q/s) "
+    f"med={sorted(cg_times)[len(cg_times)//2]:.3f}s "
+    f"max={max(cg_times):.3f}s "
+    f"vs_blob_path={min(cg_times)/min(warm):.2f}x"
+)

@@ -62,7 +62,7 @@ seed_path = os.path.join(tmp, "seed")
 print(f"{SF}: seeding {n} docs ...", flush=True)
 t0 = time.time()
 st = DedupArtifacts.create(
-    spark, seed_path, bucket_parts=1024, doc_parts=256
+    spark, seed_path, bucket_parts=1024, doc_parts=256, shingle_parts=1024
 )
 st.update(docs.filter(F.col("doc_id") % 2 == 0))
 st.update(docs.filter(F.col("doc_id") % 2 == 1))

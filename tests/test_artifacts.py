@@ -349,6 +349,9 @@ def test_tenant_isolation(spark, corpus, tmp_path):
             sh.unpersist()
 
 
+# slow lane: rare admin path; the upgrade contract is also pinned
+# by test_legacy_flip_rev1_upgrades_on_compact (default lane)
+@pytest.mark.slow
 def test_migrate_layout_from_rev1(spark, corpus, tmp_path):
     """A store whose meta predates the doc_ids/buckets tables (rev 1)
     keeps working on the legacy full-scan path, and migrate_layout
@@ -431,6 +434,10 @@ def test_verified_pairs_memo_is_thread_safe(spark, corpus, tmp_path, monkeypatch
     assert results[0] is results[1]
 
 
+# slow lane: the LEGACY (pair_rev 2) drift re-verify; current-rev
+# drift exactness is driver-gated by q_artifact_drift/q_artifact_fold
+# and locally oracle-checked every run
+@pytest.mark.slow
 def test_pair_stats_df_drift_reverifies(spark, tmp_path):
     """The exactness keystone of incremental pair verification: a
     second batch pushes a shared phrase's trigram df across the cap,
@@ -800,6 +807,10 @@ def test_multi_tenant_reads_require_tenant(spark, corpus, tmp_path):
     assert st.doc_ids(tenant=0).count() == 20
     assert st.doc_ids(tenant=1).count() == 9
 
+# slow lane: trigger-behavior probe; fold/read exactness is covered
+# default-lane by test_fold_is_row_scoped_and_exact and the
+# q_artifact_fold* oracle rows
+@pytest.mark.slow
 def test_auto_compaction_triggers_and_preserves_reads(
     spark, corpus, tmp_path, monkeypatch
 ):
@@ -905,6 +916,9 @@ def test_auto_compaction_triggers_and_preserves_reads(
         assert "compacted" not in st3.update(b)
     assert max(len(st3._segments(t)) for t in st3.TABLES) == 3
 
+# slow lane: the deferred-verify contract is driver-gated by
+# q_artifact_flush (green r10) and locally oracle-checked every run
+@pytest.mark.slow
 def test_verify_every_defers_then_lands_exactly(spark, tmp_path):
     """Round-10 verify_every=N: pair verification runs every Nth batch
     over everything discovered since the last flush; candidates and

@@ -44,17 +44,18 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r10 NEW: deferred-verification serve (verify_every), first
-        # round in.
+        # r11 NEW: row-scoped fold serves (first round in).
+        "q_artifact_fold",
+        "q_artifact_fold_remove",
+        # r10 NEW: deferred-verification serve (verify_every), greens
+        # r10 — needs >=3.
         "q_artifact_flush",
-        # r09 NEW trio (greens r09 — need >=3).
+        # r09 NEW trio (greens r09, r10 — need their third).
         "q_artifact_tenant",
         "q_artifact_drift",
         "q_artifact_remove",
-        # r08 NEW: incremental artifact-store serve queries (greens
-        # r08, r09 — need their third).
-        "q_artifact_verified",
-        "q_artifact_gate",
+        # (r08's q_artifact_verified / q_artifact_gate rotated OUT in
+        # r11: greens r08, r09, r10 met the >=3 bar.)
         # r07 NEW: verified-pair-fed clustering twins + simhash
         # near-dup pairs, each now with one driver green (r07).
         "q_dup_clusters_verified",

@@ -324,6 +324,9 @@ def test_neardup_stream_suppresses_reformatted_dups(spark, tmp_path):
     assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
 
 
+# slow lane: cadence probe; segment-bounding is also enforced by the
+# auto-compact backstop and its artifact-store tests
+@pytest.mark.slow
 def test_stream_ingest_compact_every_bounds_segments(spark, tmp_path):
     """compact_every keeps the live segment count bounded across
     micro-batches and preserves searchability of every ingested doc."""
