@@ -18,7 +18,11 @@
 
 Results append to .scale_probe/results_flip_prune.json.
 Env: PROBE_SF=sf1|sf10|sf0.1 (default sf1), PROBE_FORCE=1,
-PROBE_BATCHES (default 3). sf10 needs SPARK_GRAFT_DRIVER_MEM=32g.
+PROBE_BATCHES (default 3), PROBE_BATCH_DOCS (default 1000 — the first
+sf1/sf0.1 runs showed 1k-doc clone batches cross ZERO df-cap
+boundaries below sf10, measuring only the no-flip overhead; 10k-doc
+batches match the stream replay that observed 1-3M flip rows/batch).
+sf10 needs SPARK_GRAFT_DRIVER_MEM=32g.
 """
 from __future__ import annotations
 
@@ -48,7 +52,7 @@ DIRS = {
     "sf10": os.path.join(REPO, ".scale_probe", "sf10"),
 }
 BATCHES = int(os.environ.get("PROBE_BATCHES", "3"))
-BATCH_DOCS = 1000
+BATCH_DOCS = int(os.environ.get("PROBE_BATCH_DOCS", "1000"))
 
 spark = get_spark("flip_prune_probe")
 spark.sparkContext.setLogLevel("ERROR")
@@ -58,9 +62,19 @@ results = {}
 if os.path.exists(out):
     with open(out) as f:
         results = json.load(f)
-if SF in results and not os.environ.get("PROBE_FORCE"):
-    print(f"{SF}: already measured (PROBE_FORCE=1 to redo)")
+KEY = SF if BATCH_DOCS == 1000 else f"{SF}@{BATCH_DOCS}"
+if KEY in results and not os.environ.get("PROBE_FORCE"):
+    print(f"{KEY}: already measured (PROBE_FORCE=1 to redo)")
     sys.exit(0)
+
+
+def _save() -> None:
+    # incremental: a crash in a later mode / bytes step must not lose
+    # an hour of sf10 measurement
+    results[KEY] = res
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
 
 sf_dir = DIRS[SF]
 docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -159,49 +173,59 @@ for mi, mode in enumerate(("r11_pruned", "r10_scan")):
         sh_root = os.path.join(mpath, "shingles")
         res["modes"][mode]["inverted_table_bytes"] = du(sd_root)
         res["modes"][mode]["shingles_table_bytes"] = du(sh_root)
+    _save()
     shutil.rmtree(mpath, ignore_errors=True)
 
 # D (exact): re-run ONE drift batch on a fresh copy and, BEFORE folding,
 # read the staged flip segment's shingles -> matched spart dirs
-mpath = os.path.join(tmp, "bytes_probe")
-shutil.copytree(seed_path, mpath)
-ms = DedupArtifacts.load(spark, mpath)
-ms.auto_compact = False
-batch = docs.filter(F.col("doc_id") % mod == 0).withColumn(
-    "doc_id", F.col("doc_id") + 7_000_000_000
-)
-ms.update(batch)
+try:
+    mpath = os.path.join(tmp, "bytes_probe")
+    shutil.copytree(seed_path, mpath)
+    ms = DedupArtifacts.load(spark, mpath)
+    ms.auto_compact = False
+    batch = docs.filter(F.col("doc_id") % mod == 0).withColumn(
+        "doc_id", F.col("doc_id") + 7_000_000_000
+    )
+    ms.update(batch)
+except Exception as e:  # keep the mode results on a bytes-step crash
+    res["bytes_evidence_error"] = repr(e)
+    _save()
+    raise
 if ms._segments("flip_docs"):
-    fl = ms._read_t("flip_docs", _FLIP_SCHEMA)
-    sparts = sorted(
-        r["spart"]
-        for r in fl.select(
-            ms._spart_col(F.col("shingle")).alias("spart")
+    try:
+        fl = ms._read_t("flip_docs", _FLIP_SCHEMA)
+        sparts = sorted(
+            r["spart"]
+            for r in fl.select(
+                ms._spart_col(F.col("shingle")).alias("spart")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
-    n_cross = fl.select("shingle").distinct().count()
-    sd_root = os.path.join(
-        mpath, "shingle_docs", f"v{ms._version('shingle_docs')}", "tenant=0"
-    )
-    matched = sum(
-        du(os.path.join(sd_root, f"spart={s}")) for s in sparts
-    )
-    res["bytes_evidence"] = {
-        "crossing_shingles": n_cross,
-        "matched_sparts": len(sparts),
-        "shingle_parts": int(ms._meta["shingle_parts"]),
-        "matched_spart_bytes": matched,
-        "inverted_table_bytes": du(os.path.dirname(sd_root)),
-        "legacy_scan_bytes": du(os.path.join(mpath, "shingles")),
-    }
-    print("bytes_evidence", json.dumps(res["bytes_evidence"]), flush=True)
+        n_cross = fl.select("shingle").distinct().count()
+        sd_root = os.path.join(
+            mpath, "shingle_docs", f"v{ms._version('shingle_docs')}", "tenant=0"
+        )
+        matched = sum(
+            du(os.path.join(sd_root, f"spart={s}")) for s in sparts
+        )
+        res["bytes_evidence"] = {
+            "crossing_shingles": n_cross,
+            "matched_sparts": len(sparts),
+            "shingle_parts": int(ms._meta["shingle_parts"]),
+            "matched_spart_bytes": matched,
+            "inverted_table_bytes": du(os.path.dirname(sd_root)),
+            "legacy_scan_bytes": du(os.path.join(mpath, "shingles")),
+        }
+        print("bytes_evidence", json.dumps(res["bytes_evidence"]), flush=True)
+    except Exception as e:
+        res["bytes_evidence_error"] = repr(e)
+        _save()
+        raise
+else:
+    res["bytes_evidence"] = None  # no flips in the probe batch
 shutil.rmtree(mpath, ignore_errors=True)
 
-results[SF] = res
-os.makedirs(os.path.dirname(out), exist_ok=True)
-with open(out, "w") as f:
-    json.dump(results, f, indent=1)
+_save()
 shutil.rmtree(tmp, ignore_errors=True)
 print("wrote", out)
