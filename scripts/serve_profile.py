@@ -56,7 +56,32 @@ probe_rows = [
 print(f"probe selection ({len(probe_rows)} rows): {time.time()-t:.2f}s")
 
 # cold + 2 warm full batches
+blob_times = []
 for tag in ("cold", "warm1", "warm2"):
     t = time.time()
     n = idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
-    print(f"{tag}: {time.time()-t:.2f}s rows={n}")
+    dt_s = time.time() - t
+    blob_times.append(dt_s)
+    print(f"{tag}: {dt_s:.2f}s rows={n}", flush=True)
+
+# round 11 (VERDICT r10 #3): price the FORCED cogroup fallback at sf10 —
+# the 100 TB serve path (doc blobs over the broadcast threshold) that
+# bench-scale corpora never route to on their own. Two reps, min taken,
+# same query batch, vs the warm blob path above.
+cg_times = []
+idx.force_cogroup = True
+try:
+    for i in range(2):
+        t = time.time()
+        n = idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
+        dt_s = time.time() - t
+        cg_times.append(dt_s)
+        print(f"cogroup{i}: {dt_s:.2f}s  {NQ/dt_s:.0f} q/s  rows={n}", flush=True)
+finally:
+    idx.force_cogroup = False
+warm_blob = min(blob_times[1:])
+print(
+    f"SUMMARY_SF10 nq={NQ} blob_warm={warm_blob:.2f}s ({NQ/warm_blob:.0f} q/s) "
+    f"cogroup_min={min(cg_times):.2f}s ({NQ/min(cg_times):.0f} q/s) "
+    f"ratio={min(cg_times)/warm_blob:.2f}x"
+)
