@@ -373,6 +373,17 @@ class DedupArtifacts(SegmentStore):
             store._meta["shingle_parts"] = int(shingle_parts)
         store._meta["pair_stats_live"] = bool(maintain_pairs)
         store._meta["verify_every"] = max(1, int(verify_every))
+        # which shingles segments the inverted shingle_docs table
+        # reflects (round 11): batch commits append to shingles ONLY —
+        # the flip lookup reads uncovered batch segments doc-keyed
+        # (they are batch-sized coarse scans either way; staging an
+        # inverted copy per batch measured +18% on sf10 drift updates
+        # for zero read benefit) — and compaction folds them into the
+        # spart-pruned inverted rewrite, updating this list. A meta
+        # WITHOUT this key is a pre-fix flip_rev-2 store whose
+        # shingle_docs was maintained in lockstep every commit
+        # (covers everything; uncovered = []).
+        store._meta["shingle_docs_covers"] = []
         store._save_meta()
         return store
 
@@ -729,24 +740,35 @@ class DedupArtifacts(SegmentStore):
 
     def fold_flips(self) -> None:
         """Fold every outstanding flip-delta row into the pair rows
-        WITHOUT the full compact — and (round 11) without the round-10
-        full pair-table rewrite: the fold appends ONE segment holding
-        only the TOUCHED pairs (rows some outstanding flip actually
-        applies to), re-emitted flip-adjusted at the current seq, and
-        clears the flip table in the same meta flip. Reads stay exact
-        by the max-seq rule: a touched pair's old row had
-        seq < flip seq <= pair_seq, so the folded row strictly
-        supersedes it; an untouched pair's stored values are already
-        post-flip-exact once the flip table clears (no flip applied).
+        WITHOUT the full compact, picking the cheaper of two exact
+        physical shapes by the estimated touched fraction (the sf10
+        probe measured BOTH regimes: at 10k-doc drift batches the
+        outstanding flips touched 96% of 19.3M pairs and a row-scoped
+        fold paid its pre-filter for nothing — 131 s vs ~108; in the
+        1k-batch steady state flipped endpoints are a few percent of
+        pair endpoints and a full rewrite pays the whole table for a
+        sliver of touched rows):
 
-        Cost shape: one map-side endpoint pre-filter over the pair
-        segments (broadcast semi-join against the flipped docs — with
-        flip_rev >= 2 those are pair-endpoint docs only, a small set)
-        feeding a touched-rows-sized shuffle + write — the round-10
-        fold's full-table materialization grew with TOTAL pairs per
-        fold, i.e. with the corpus. Tombstoned docs' rows are kept
-        (reads anti-join them; the next full compact purges); zeroed
-        pairs are kept for up-flip revival, exactly as in compact().
+        - ROW-SCOPED (touched estimate < 50%): append ONE segment
+          holding only the TOUCHED pairs (rows some outstanding flip
+          actually applies to), re-emitted flip-adjusted at the
+          current seq. Exact by the max-seq rule: a touched pair's
+          old row had seq < flip seq <= pair_seq, so the folded row
+          strictly supersedes it; an untouched pair's stored values
+          are already post-flip-exact once the flip table clears.
+          Write cost ∝ touched pairs, not table size.
+        - FULL (touched estimate >= 50%, or no endpoint registry to
+          estimate from): rewrite pair_stats as one v<N> segment of
+          current flip-adjusted stats — cheaper than row-scoping when
+          most rows re-emit anyway, and it collapses the segment list.
+
+        The estimate costs two small counts (distinct flip-endpoint
+        docs vs distinct pair-endpoint docs; a pair is touched iff an
+        endpoint flipped, so with endpoint fraction f the touched
+        fraction is ~1-(1-f)^2). Both shapes clear the flip table in
+        the same meta flip. Tombstoned docs' rows are kept (reads
+        anti-join them; the next full compact purges); zeroed pairs
+        are kept for up-flip revival, exactly as in compact().
 
         Why not hive-partition pair_stats and prune the fold to
         flip-touched partitions (VERDICT r10's sketch): flipped docs
@@ -755,10 +777,8 @@ class DedupArtifacts(SegmentStore):
         flipped doc — static pruning keeps the full scan; and a pair
         is an edge, so a doc_a-keyed layout cannot prune the doc_b
         side at all. The row-granular pre-filter achieves the actual
-        goal (write cost ∝ touched pairs); the residual per-fold scan
-        is column-pruned and map-only, and with flip_rev >= 2 the
-        TRIGGER itself fires ~docs-in-pairs/corpus-density times less
-        often (flip rows are endpoint-restricted at staging)."""
+        goal in the regime where it matters, and the estimator backs
+        off to the full rewrite where it doesn't."""
         import copy
 
         with self._writer_lock():
@@ -766,29 +786,55 @@ class DedupArtifacts(SegmentStore):
                 return
             fl = self._read_t("flip_docs", _FLIP_SCHEMA, None)
             ends = fl.select("tenant", "doc_id").distinct()
-            folded = (
-                self._pair_current(None, endpoints=ends, with_touched=True)
-                .filter(F.col("_touched"))
-                .select(
-                    "tenant",
-                    "doc_a",
-                    "doc_b",
-                    "n_common",
-                    "na",
-                    "nb",
-                    "jaccard",
-                    F.lit(int(self._meta.get("pair_seq", 0)))
-                    .cast("bigint")
-                    .alias("seq"),
+            row_scoped = False
+            if self._segments("pair_docs"):
+                n_flip = ends.count()
+                n_ends = (
+                    self._read_t("pair_docs", _PAIRDOC_SCHEMA, None)
+                    .select("tenant", "doc_id")
+                    .distinct()
+                    .count()
                 )
-            )
-            seg, dst = self._stage_path("pair_stats")
-            self._write_segment("pair_stats", folded, dst)
+                f = n_flip / max(n_ends, 1)
+                row_scoped = (1.0 - (1.0 - min(f, 1.0)) ** 2) < 0.5
+            sel = [
+                "tenant",
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "na",
+                "nb",
+                "jaccard",
+                F.lit(int(self._meta.get("pair_seq", 0)))
+                .cast("bigint")
+                .alias("seq"),
+            ]
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
             man = new_meta.setdefault("manifests", {})
-            segs.setdefault("pair_stats", []).append(seg)
-            man.setdefault("pair_stats", {})[seg] = self._segment_manifest(dst)
+            if row_scoped:
+                folded = (
+                    self._pair_current(
+                        None, endpoints=ends, with_touched=True
+                    )
+                    .filter(F.col("_touched"))
+                    .select(*sel)
+                )
+                seg, dst = self._stage_path("pair_stats")
+                self._write_segment("pair_stats", folded, dst)
+                segs.setdefault("pair_stats", []).append(seg)
+                man.setdefault("pair_stats", {})[seg] = (
+                    self._segment_manifest(dst)
+                )
+            else:
+                new_v = self._version("pair_stats") + 1
+                dst = self._table_path("pair_stats", new_v)
+                folded = self._pair_current(None).select(*sel)
+                self._write_segment("pair_stats", folded, dst, fine=True)
+                seg = f"v{new_v}"
+                new_meta["versions"]["pair_stats"] = new_v
+                segs["pair_stats"] = [seg]
+                man["pair_stats"] = {seg: self._segment_manifest(dst)}
             segs["flip_docs"] = []
             man.pop("flip_docs", None)
             new_meta["flip_rows_live"] = 0
@@ -921,21 +967,23 @@ class DedupArtifacts(SegmentStore):
                     "shingle",
                 ),
             )
-            if self.schema_rev >= 2 and self._flip_rev >= 2:
-                # the INVERTED copy of the same rows, spart-keyed — the
-                # index a drift commit's shingle->doc lookup prunes on
-                # (write amplification x2 on the shingle rows, all
-                # map-only over sh's already-materialized cache; it
-                # buys the flip path out of its corpus-sized scan)
-                stage(
-                    "shingle_docs",
-                    sh.select(
-                        t_lit.alias("tenant"),
-                        self._spart_col(F.col("shingle")).alias("spart"),
-                        "shingle",
-                        "doc_id",
-                    ),
+            if self._flip_rev >= 2 and "shingle_docs_covers" not in self._meta:
+                # first new-code batch on a store whose shingle_docs
+                # was maintained in LOCKSTEP (an inverted segment per
+                # commit): record that the inverted table covers
+                # everything committed so far — this batch's shingles
+                # segment lands outside the list, so the flip lookup
+                # reads it doc-keyed until the next compaction folds
+                # it in. Rides the batch's own meta flip.
+                self._meta["shingle_docs_covers"] = list(
+                    self._segments("shingles")
                 )
+            # NO inverted shingle_docs segment per batch (round-11
+            # probe: staging the inverted copy every commit cost +18%
+            # on sf10 drift updates while per-batch coarse segments
+            # prune nothing — the flip lookup scans uncovered
+            # batch-sized segments doc-keyed at the same cost, and
+            # compaction builds the spart-pruned inverted rewrite)
             # counted AFTER the shingles write materialized sh's cache
             # — the distinct then reads cached rows instead of paying
             # the shingling lineage a second time
@@ -1172,9 +1220,14 @@ class DedupArtifacts(SegmentStore):
 
         flip_rev >= 2 (round 11): the lookup reads the spart-keyed
         INVERTED shingle->doc table pruned to the crossing shingles'
-        ``sparts`` (static partition pruning on compacted segments;
-        per-batch coarse segments are batch-sized scans either way) —
-        cost ∝ docs-per-flipped-shingle, never ∝ corpus. The result is
+        ``sparts`` (static partition pruning — the inverted table is
+        compaction-built, so every segment carries the fine spart
+        layout), UNIONED with the doc-keyed shingles segments NOT yet
+        folded into it (batch commits since the last compaction —
+        batch-sized coarse scans that an inverted per-batch copy
+        could not beat; see shingle_docs_covers). Cost ∝
+        docs-per-flipped-shingle over the compacted bulk plus the
+        since-compaction batch rows, never ∝ corpus. The result is
         then semi-joined to the pair-endpoint registry: a flip row for
         a doc with no stored pair rows adjusts nothing (_pair_current
         joins flips to stored rows, and rows staged at this commit or
@@ -1194,6 +1247,30 @@ class DedupArtifacts(SegmentStore):
                     | F.col("spart").isNull()
                 )
             out = src.select("doc_id", "shingle").join(crossing, "shingle")
+            covers = self._meta.get("shingle_docs_covers")
+            if covers is not None:
+                # batch segments committed since the covers snapshot:
+                # their rows exist ONLY doc-keyed — read them raw with
+                # _read_t's tenant predicate replicated
+                cset = set(covers)
+                uncovered = [
+                    s for s in self._segments("shingles") if s not in cset
+                ]
+                if uncovered:
+                    raw = self._read_table_segments(
+                        "shingles", uncovered, _SHINGLE_SCHEMA
+                    )
+                    if "tenant" in raw.columns:
+                        t = int(tenant)
+                        pred = F.col("tenant") == t
+                        if t == 0:
+                            pred = pred | F.col("tenant").isNull()
+                        raw = raw.filter(pred)
+                    out = out.unionByName(
+                        raw.select("doc_id", "shingle").join(
+                            crossing, "shingle"
+                        )
+                    )
             pd_docs = self._read_t(
                 "pair_docs", _PAIRDOC_SCHEMA, tenant
             ).select("doc_id")
@@ -2362,8 +2439,13 @@ class DedupArtifacts(SegmentStore):
             new_meta["pair_seq"] = pair_seq
             new_meta["pair_stats_live"] = True
             # the inverted table + endpoint registry above are complete
-            # as of this snapshot — later commits maintain them
+            # as of this snapshot — it covers every shingles segment
+            # committed so far; later batch commits land outside the
+            # covers list and are read doc-keyed until compaction
             new_meta["flip_rev"] = 2
+            new_meta["shingle_docs_covers"] = list(
+                segs.get("shingles", [])
+            )
             self._save_meta(new_meta)
             self._meta = new_meta
 
@@ -2527,6 +2609,13 @@ class DedupArtifacts(SegmentStore):
                 man[table] = {seg: self._segment_manifest(dst)}
             if upgrade_ok:
                 new_meta["flip_rev"] = 2
+                # the inverted rewrite above reflects exactly the
+                # post-compaction shingles segment list — batch
+                # commits after this flip land outside it and are
+                # read doc-keyed until the next compaction
+                new_meta["shingle_docs_covers"] = list(
+                    segs.get("shingles", [])
+                )
             # the pair fold above absorbed every outstanding flip
             # delta, and the rewrites purged tombstoned docs — drop
             # both auxiliary tables' segments in the same flip (their

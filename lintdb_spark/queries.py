@@ -1470,10 +1470,11 @@ _ARTIFACT_FOLD_CACHE: dict = {}
 
 def artifact_fold_store_cached(spark: SparkSession, sf_dir: str):
     """The drift corpus ingested in two batches, then fold_flips()
-    forces the ROW-SCOPED fold (round 11): the outstanding flip deltas
-    land in one touched-pairs segment (pre-fold segments survive), the
-    flip table clears, and every read afterwards must still equal the
-    from-scratch verify — folding may never change WHAT is served."""
+    absorbs the outstanding flip deltas (round 11; the fold picks its
+    physical shape — row-scoped append vs full rewrite — by estimated
+    touched fraction), the flip table clears, and every read
+    afterwards must still equal the from-scratch verify — folding may
+    never change WHAT is served, whichever shape it picks."""
 
     def build():
         import tempfile
@@ -1493,12 +1494,13 @@ def artifact_fold_store_cached(spark: SparkSession, sf_dir: str):
 
 
 def q_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified pairs served THROUGH a row-scoped flip fold (round 11):
-    batch 2's df-cap drift staged flip deltas, fold_flips() absorbed
-    them into a touched-pairs-only segment and cleared the flip table —
-    the serve must be byte-equal to a from-scratch capped verify over
-    the union corpus (same oracle as q_artifact_drift, reached through
-    the folded representation instead of the live flip join)."""
+    """Verified pairs served THROUGH a flip fold (round 11): batch 2's
+    df-cap drift staged flip deltas, fold_flips() absorbed them (in
+    whichever physical shape its touched-fraction estimator picked)
+    and cleared the flip table — the serve must be byte-equal to a
+    from-scratch capped verify over the union corpus (same oracle as
+    q_artifact_drift, reached through the folded representation
+    instead of the live flip join)."""
     return artifact_fold_store_cached(spark, sf_dir).verified_pairs(
         min_jaccard=DUP_CLUSTER_JACCARD
     )

@@ -1101,16 +1101,20 @@ def _two_group_rows(n_a=4, n_b1=4, n_b2=8):
 
 
 def test_fold_is_row_scoped_and_exact(spark, tmp_path):
-    """Round-11 fold_flips: the fold segment holds ONLY the pairs some
-    outstanding flip actually applies to — group A's pairs (whose
-    phrase never crossed the cap) are NOT re-emitted, group B's (whose
-    shared trigrams flipped) are; reads stay byte-equal to from-scratch
-    across the fold boundary, and the pre-fold segments survive."""
+    """Round-11 fold_flips, row-scoped regime: when the flipped
+    endpoints are a small fraction of pair endpoints (group A is 40
+    docs whose pairs never flip; only group B's 12 flip), the fold
+    APPENDS one segment holding ONLY the touched pairs — group A's are
+    NOT re-emitted, group B's are; reads stay byte-equal to
+    from-scratch across the fold boundary, and the pre-fold segments
+    survive."""
     import os as _os
 
     from lintdb_spark.operators.artifacts import _PAIRSTAT_SCHEMA
 
-    rows1, rows2 = _two_group_rows()
+    # 40 untouched-endpoint docs vs 12 flipped: endpoint fraction
+    # 12/52 ≈ 0.23 → estimated touched ≈ 0.41 < 0.5 → row-scoped
+    rows1, rows2 = _two_group_rows(n_a=40)
     path = str(tmp_path / "store_fold")
     st = DedupArtifacts.create(spark, path)
     st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
@@ -1134,6 +1138,33 @@ def test_fold_is_row_scoped_and_exact(spark, tmp_path):
     assert folded.filter(F.col("doc_a") < 100).count() == 0
     assert folded.count() > 0
     # byte-equal across the fold boundary
+    assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == want
+
+
+def test_fold_full_rewrite_when_most_pairs_touched(spark, tmp_path):
+    """Round-11 fold_flips, heavy regime: when most pair endpoints
+    flipped (here 8 of 10 committed endpoints — the sf10 probe's
+    shape, where flips touched 96% of pairs and row-scoping paid its
+    pre-filter for nothing), the estimator picks the FULL rewrite:
+    pair_stats collapses to one v<N> segment, the flip table clears,
+    and reads stay byte-equal to from-scratch. (Flip rows only ever
+    reference endpoints COMMITTED before the drift batch — the
+    batch's own rows are verified post-flip — so the fraction is
+    measured against batch-1's 2 A docs + 8 B docs.)"""
+    rows1, rows2 = _two_group_rows(n_a=2, n_b1=8, n_b2=8)
+    path = str(tmp_path / "store_fold_full")
+    st = DedupArtifacts.create(spark, path)
+    st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    assert st._segments("flip_docs"), "drift batch staged no flips"
+    pre_segs = list(st._segments("pair_stats"))
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    want = _scratch_pairs(spark, rows1 + rows2)
+    st.fold_flips()
+    assert not st._segments("flip_docs")
+    post_segs = st._segments("pair_stats")
+    assert len(post_segs) == 1
+    assert post_segs[0] not in pre_segs and post_segs[0].startswith("v")
     assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == want
 
 
