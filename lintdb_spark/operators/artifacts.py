@@ -1236,10 +1236,42 @@ class DedupArtifacts(SegmentStore):
         docs drop out the same way (they cannot be in any committed
         pair row — the known-doc guard makes them new).
 
+        The inverted read is taken ONLY while the crossing set is
+        sparse relative to the partition space: with S distinct
+        crossing shingles xxhash-uniform over P sparts, the matched
+        fraction is 1-(1-1/P)^S — at the sf10 probe's drift storm
+        (S=3675, P=1024) 990 of 1024 partitions matched, making the
+        inverted read a many-small-files rendition of the very scan
+        it replaces. Above S >= P/4 (~22% of partitions matched) the
+        lookup reads the flat doc-keyed shingles table instead — same
+        rows, fewer file opens; the endpoint semi-join (the measured
+        3x flip-volume cut) applies on both roads. Deployments size
+        shingle_parts so steady-state crossing sets stay far under
+        the threshold.
+
         flip_rev 1 (pre-round-11 stores, until compact() backfills the
         two tables): the original corpus-scan-plus-batch union over
         the doc-keyed shingle table."""
         if self._flip_rev >= 2:
+            pd_docs = self._read_t(
+                "pair_docs", _PAIRDOC_SCHEMA, tenant
+            ).select("doc_id")
+            parts_total = int(
+                self._meta.get("shingle_parts", params.ARTIFACT_SHINGLE_PARTS)
+            )
+            if sparts is not None and len(set(sparts)) >= max(
+                1, parts_total // 4
+            ):
+                # crossing set saturates the partition space — the
+                # flat doc-keyed scan is the cheaper complete source
+                # (batch docs still excluded: they cannot be in any
+                # committed pair row)
+                src = self._read_t(
+                    "shingles", _SHINGLE_SCHEMA, tenant
+                ).select("doc_id", "shingle")
+                return src.join(crossing, "shingle").join(
+                    pd_docs, "doc_id", "left_semi"
+                )
             src = self._read_t("shingle_docs", _SHDOC_SCHEMA, tenant)
             if sparts is not None:
                 src = src.filter(
@@ -1271,9 +1303,6 @@ class DedupArtifacts(SegmentStore):
                             crossing, "shingle"
                         )
                     )
-            pd_docs = self._read_t(
-                "pair_docs", _PAIRDOC_SCHEMA, tenant
-            ).select("doc_id")
             return out.join(pd_docs, "doc_id", "left_semi")
         src = self._read_t("shingles", _SHINGLE_SCHEMA, tenant).select(
             "doc_id", "shingle"

@@ -63,6 +63,10 @@ if os.path.exists(out):
     with open(out) as f:
         results = json.load(f)
 KEY = SF if BATCH_DOCS == 1000 else f"{SF}@{BATCH_DOCS}"
+if os.environ.get("PROBE_ORDER") == "swap":
+    KEY += "@swap"
+if os.environ.get("PROBE_BATCHES"):
+    KEY += f"@b{os.environ['PROBE_BATCHES']}"
 if KEY in results and not os.environ.get("PROBE_FORCE"):
     print(f"{KEY}: already measured (PROBE_FORCE=1 to redo)")
     sys.exit(0)
@@ -106,7 +110,14 @@ def du(path: str) -> int:
 
 res = {"docs": n, "batches": BATCHES, "batch_docs": BATCH_DOCS, "modes": {}}
 mod = max(BATCHES, n // BATCH_DOCS)
-for mi, mode in enumerate(("r11_pruned", "r10_scan")):
+# mode order is a confound: the first mode pays JVM/codegen warm-up
+# (first-batch inflation measured ~1.3x) — PROBE_ORDER=swap runs the
+# legacy mode first so the warm-up lands on IT instead
+order = ("r11_pruned", "r10_scan")
+if os.environ.get("PROBE_ORDER") == "swap":
+    order = ("r10_scan", "r11_pruned")
+    res["order"] = "swap"
+for mi, mode in enumerate(order):
     mpath = os.path.join(tmp, mode)
     shutil.copytree(seed_path, mpath)
     if mode == "r10_scan":

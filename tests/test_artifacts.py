@@ -1168,6 +1168,24 @@ def test_fold_full_rewrite_when_most_pairs_touched(spark, tmp_path):
     assert _rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols) == want
 
 
+def test_flip_lookup_flat_scan_branch_exact(spark, tmp_path):
+    """Round-11 cost-based flip lookup: when the crossing set
+    saturates the spart partition space (here shingle_parts=2, so any
+    drift commit crosses the S >= P/4 threshold), the containing-docs
+    lookup takes the flat doc-keyed scan instead of the inverted
+    read — same rows, and reads stay byte-equal to from-scratch."""
+    rows1, rows2 = _two_group_rows()
+    path = str(tmp_path / "store_flat_branch")
+    st = DedupArtifacts.create(spark, path, shingle_parts=2)
+    st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    assert st._segments("flip_docs"), "drift batch staged no flips"
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, rows1 + rows2)
+
+
 def test_flip_rows_restricted_to_pair_endpoints(spark, tmp_path):
     """Round-11: flip-delta rows are staged ONLY for docs that appear
     in a stored pair row — a flip on a pairless doc adjusts nothing
