@@ -134,7 +134,14 @@ ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S = 600.0
 # pair rows) cross this bound: reads pay a 3-way join over the live
 # flip set until compaction folds it (measured 11-14 s vs 1-3 s at
 # sf10), so a drift-heavy stream must not accumulate flips unboundedly.
-ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 2_000_000
+# 600k, recalibrated in round 11: the original 2M was set against
+# PRE-endpoint-restriction flip volumes — the restriction cut staged
+# rows 3.2x, so the same serve exposure (the quantity the trigger
+# actually bounds) now corresponds to ~600k rows. The sf10 stream
+# replay measured the miscalibration directly: four tail batches
+# accumulated just under 2M restricted rows with no fold and the
+# batch-49 serve sample degraded to 38.9 s (SCALE.md §11).
+ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 600_000
 # (the flip-row trigger runs the cheap flip-only FOLD — see
 # DedupArtifacts.fold_flips — not the full compact, so it needs no
 # cooldown: at the sf10 stream probe's tail every 10k-doc batch
