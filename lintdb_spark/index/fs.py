@@ -121,6 +121,9 @@ class LocalFS:
     def getmtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def utime(self, path: str) -> None:
         os.utime(path)
 
@@ -304,6 +307,13 @@ class MemoryFS:
             if p in self._dirs or self._children(p):
                 return 0.0
             raise OSError(f"no such path: {path}")
+
+    def getsize(self, path: str) -> int:
+        with self._lock:
+            ent = self._files.get(self._norm(path))
+            if ent is None:
+                raise OSError(f"no such file: {path}")
+            return len(ent[0])
 
     def utime(self, path: str) -> None:
         with self._lock:
@@ -512,6 +522,9 @@ class FsspecRemote:
         if m is None:
             return time.time()
         return m.timestamp() if hasattr(m, "timestamp") else float(m)
+
+    def getsize(self, path):
+        return int(self.fs.info(self._p(path)).get("size", 0))
 
     def utime(self, path):
         # touch by rewrite — only used to refresh the writer lock

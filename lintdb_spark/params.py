@@ -123,6 +123,29 @@ ARTIFACT_PREFILTER_PAIRS = 200_000
 # amortized trigger rate near the tuned compact_every=10 cadence while
 # staying out of the way of explicitly-managed stores.
 ARTIFACT_AUTOCOMPACT_SEGMENTS = 16
+# tiered maintenance (round 11): the count trigger above is a
+# BACKSTOP, not a full-rewrite cadence — at 100 TB a corpus rewrite
+# every 16 micro-batches is the scale cliff, so segment accretion is
+# normally answered by minor_compact() (merge the per-batch segments,
+# cost ∝ batch bytes) and the FULL compact runs only when real debt
+# accrues (_full_compact_due: tombstone fraction or the batch tier
+# rivaling the base tier). Level-0 (per-batch seg-*) segments merge
+# into one m1-* segment at this fanout; m1 into m2 at the same fanout,
+# and so on — a row is rewritten at most log_fanout(batches) times
+# between full compacts instead of once per count trip.
+ARTIFACT_MINOR_FANOUT = 8
+# FULL compact when the batch tier's bytes reach this fraction of the
+# base tier's: below it, merging again costs a sliver of the rewrite;
+# at or above it the minor merge re-copies a base-sized volume anyway
+# and the full rewrite additionally re-covers the inverted
+# shingle_docs table and purges tombstones. 0.25 ≈ rewrite the corpus
+# once per 4x growth — the standard LSM major-compaction shape.
+ARTIFACT_FULLCOMPACT_BATCH_FRAC = 0.25
+# ... or when tombstones (removed_ids bytes vs doc_ids bytes — the two
+# tables' rows are the same shape, so the byte ratio tracks the dead
+# fraction) reach this fraction: every read pays the anti-join and the
+# base tier carries dead rows until the rewrite purges them.
+ARTIFACT_FULLCOMPACT_TOMBSTONE_FRAC = 0.05
 # grace given to superseded segment dirs when the auto-compact path
 # vacuums: a CONCURRENT READER (the server + offline-ingest deployment)
 # may hold a lazy plan over the pre-compaction segment list — deleting

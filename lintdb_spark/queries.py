@@ -1506,6 +1506,49 @@ def q_artifact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARTIFACT_MINOR_CACHE: dict = {}
+
+
+def artifact_minor_store_cached(spark: SparkSession, sf_dir: str):
+    """The drift corpus ingested in THREE batches, then
+    minor_compact(force=True) merges the per-batch segments into one
+    m1-* tier segment per table (round 11; the v* base tier and the
+    outstanding flip deltas are untouched — the minor merge is the
+    batch-proportional arm of tiered maintenance). Reads afterwards
+    must still equal the from-scratch verify: merging segment lists
+    may never change WHAT is served."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_minor_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.update(
+            docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16))
+        )
+        st.update(docs.filter(F.col("doc_id") >= 16))
+        merged = st.minor_compact(force=True)
+        assert merged, "three batch segments must merge"
+        return st
+
+    return _session_cached(_ARTIFACT_MINOR_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs served THROUGH a minor compaction (round 11):
+    the three batches' segments merged into one m1-* tier segment per
+    table, flip deltas still live — the serve must be byte-equal to a
+    from-scratch capped verify over the union corpus (same oracle as
+    q_artifact_drift, reached through the merged batch tier)."""
+    return artifact_minor_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 _ARTIFACT_FOLD_RM_CACHE: dict = {}
 
 
@@ -2693,6 +2736,10 @@ ORACLE["q_artifact_flush"] = ORACLE["q_artifact_drift"]
 # oracles as the live-flip drift/remove reads
 ORACLE["q_artifact_fold"] = ORACLE["q_artifact_drift"]
 ORACLE["q_artifact_fold_remove"] = ORACLE["q_artifact_remove"]
+# tiered maintenance's batch-proportional arm (round 11): merging the
+# per-batch segment lists into one m1-* tier segment must not change
+# what is served — same oracle as the live drift read
+ORACLE["q_artifact_minor"] = ORACLE["q_artifact_drift"]
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2853,7 +2900,11 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        Rotated OUT q_artifact_verified, q_artifact_gate (each
     #        driver-green r08, r09, r10 — met the >=3 bar). The r09
     #        trio (tenant/drift/remove, greens r09, r10) and
-    #        q_artifact_flush (green r10) stay per policy. ----
+    #        q_artifact_flush (green r10) stay per policy. Late r11:
+    #        NEW q_artifact_minor rotated IN (first round — tiered
+    #        maintenance's minor merge: serving through a merged
+    #        batch tier must be byte-equal). ----
+    "q_artifact_minor": q_artifact_minor,
     "q_artifact_fold": q_artifact_fold,
     "q_artifact_fold_remove": q_artifact_fold_remove,
     "q_artifact_flush": q_artifact_flush,

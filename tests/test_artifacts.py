@@ -1274,3 +1274,134 @@ def test_legacy_flip_rev1_upgrades_on_compact(spark, tmp_path):
     assert _rows(
         st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
     ) == _scratch_pairs(spark, rows1 + rows2 + rows3)
+
+
+def test_minor_compact_merges_batch_tier_and_preserves_reads(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 tiered maintenance: with a base tier in place and low
+    debt, the segment-accretion trigger runs minor_compact() — the
+    per-batch segments merge into one m1-* segment (cost ∝ batch
+    bytes), the v* base tier is NOT rewritten, and every read stays
+    byte-equal to from-scratch. The full compact fires only on the
+    first trip (no base tier yet)."""
+    from lintdb_spark import params as P
+
+    monkeypatch.setattr(P, "ARTIFACT_MINOR_FANOUT", 2)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 100)
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_BATCH_FRAC", 10.0)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 10**9)
+    rows1, rows2 = _two_group_rows(n_a=12)
+    rows3 = [(300 + d, f"{_PB} d{d}") for d in range(6)]
+    rows4 = [(400 + d, f"{_PA} e{d}") for d in range(6)]
+    rows5 = [(500 + d, f"{_PA} f{d}") for d in range(6)]
+    batches = [rows1, rows2, rows3, rows4, rows5]
+    path = str(tmp_path / "store_minor")
+    st = DedupArtifacts.create(spark, path)
+    events = []
+    for rows in batches:
+        r = st.update(spark.createDataFrame(rows, "doc_id long, text string"))
+        events.append(
+            {k: r[k] for k in ("compacted", "minor_compacted") if k in r}
+        )
+    # first trip (3 level-0 segments, no base) -> FULL; the next trip
+    # has a base and 10x batch-fraction headroom -> MINOR
+    assert any(e.get("compacted") for e in events)
+    assert any(e.get("minor_compacted") for e in events)
+    full_at = next(i for i, e in enumerate(events) if e.get("compacted"))
+    minor_at = next(
+        i for i, e in enumerate(events) if e.get("minor_compacted")
+    )
+    assert minor_at > full_at
+    # base tier untouched by the minor merge: still the full compact's
+    # v1, plus one m1-* merged segment, minus the merged seg-* names
+    doc_segs = st._segments("doc_ids")
+    assert "v1" in doc_segs
+    assert any(s.startswith("m1-") for s in doc_segs)
+    assert sum(1 for s in doc_segs if s.startswith("seg-")) < 2
+    # reads byte-equal to the from-scratch capped verify
+    all_rows = [r for b in batches for r in b]
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, all_rows)
+    # a drift batch AFTER the merge still prunes/flips exactly (the
+    # merged shingles segment reads doc-keyed via shingle_docs_covers)
+    rows6 = [(600 + d, f"{_PA} g{d}") for d in range(12)]
+    st.update(spark.createDataFrame(rows6, "doc_id long, text string"))
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, all_rows + rows6)
+
+
+def test_full_compact_due_on_tombstone_and_batch_debt(
+    spark, tmp_path, monkeypatch
+):
+    """_full_compact_due routes the trigger: False right after a full
+    compact with low debt, True when tombstones pass the fraction or
+    when the batch tier's bytes rival the base tier's."""
+    from lintdb_spark import params as P
+
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 10_000)
+    monkeypatch.setattr(P, "ARTIFACT_MINOR_FANOUT", 10_000)
+    rows1, rows2 = _two_group_rows(n_a=20)
+    path = str(tmp_path / "store_debt")
+    st = DedupArtifacts.create(spark, path)
+    st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
+    # no base tier yet: full is due by definition
+    assert st._full_compact_due()
+    st.compact()
+    assert not st._full_compact_due()
+    # batch-tier debt: with the fraction floored to 0 any batch trips
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_BATCH_FRAC", 0.0)
+    assert st._full_compact_due()
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_BATCH_FRAC", 10.0)
+    assert not st._full_compact_due()
+    # tombstone debt: remove a chunk of the corpus, ratio crosses
+    st.remove([d for d, _ in rows1[:10]])
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_TOMBSTONE_FRAC", 0.01)
+    assert st._full_compact_due()
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_TOMBSTONE_FRAC", 10.0)
+    assert not st._full_compact_due()
+
+
+def test_minor_compact_skips_pending_cand_pairs(spark, tmp_path, monkeypatch):
+    """Deferred verification (verify_every) references pending
+    cand_pairs segments BY NAME — minor_compact must not merge them
+    away. Pending names survive the merge, the deferred flush still
+    lands, and reads end byte-equal to from-scratch."""
+    from lintdb_spark import params as P
+
+    monkeypatch.setattr(P, "ARTIFACT_MINOR_FANOUT", 10_000)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 10_000)
+    rows1, rows2 = _two_group_rows()
+    rows3 = [(300 + d, f"{_PB} d{d}") for d in range(4)]
+    path = str(tmp_path / "store_minor_pend")
+    st = DedupArtifacts.create(spark, path, verify_every=10)
+    for rows in (rows1, rows2, rows3):
+        st.update(spark.createDataFrame(rows, "doc_id long, text string"))
+    monkeypatch.setattr(P, "ARTIFACT_MINOR_FANOUT", 2)
+    pend_before = {
+        s
+        for lst in st._meta.get("pair_unverified", {}).values()
+        for s in lst
+    }
+    assert pend_before, "verify_every=10 should leave pending segments"
+    merged = st.minor_compact()
+    assert merged, "non-pending tables should still merge"
+    assert "cand_pairs" not in merged or all(
+        s in st._segments("cand_pairs") for s in pend_before
+    )
+    pend_after = {
+        s
+        for lst in st._meta.get("pair_unverified", {}).values()
+        for s in lst
+    }
+    assert pend_before == pend_after
+    assert all(s in st._segments("cand_pairs") for s in pend_after)
+    st.flush_pairs()
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, rows1 + rows2 + rows3)
