@@ -778,10 +778,14 @@ class DedupArtifacts(SegmentStore):
         )
         return segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
 
-    # tables minor_compact never touches: flip_docs belongs to
-    # fold_flips (and its flip_rows_live bookkeeping); shingle_docs is
-    # only ever written by the full compact (no batch segments exist)
-    _MINOR_SKIP = ("flip_docs", "shingle_docs")
+    # the one table minor_compact never touches: shingle_docs is only
+    # ever written by the full compact (no batch segments exist).
+    # flip_docs IS minor-merged — merging preserves the row multiset,
+    # so fold_flips' arithmetic and the flip_rows_live count are
+    # untouched, and WITHOUT it a drift-heavy stream accretes one flip
+    # segment per batch until the count backstop forces the very full
+    # compact the tiered policy exists to avoid.
+    _MINOR_SKIP = ("shingle_docs",)
 
     def _minor_due(self) -> bool:
         """Meta-only: does any table hold >= ARTIFACT_MINOR_FANOUT
@@ -926,6 +930,7 @@ class DedupArtifacts(SegmentStore):
             "pair_stats": _PAIRSTAT_SCHEMA,
             "removed_ids": _DOCID_SCHEMA,
             "pair_docs": _PAIRDOC_SCHEMA,
+            "flip_docs": _FLIP_SCHEMA,
         }
         merged: dict[str, int] = {}
         with self._writer_lock():
@@ -944,6 +949,7 @@ class DedupArtifacts(SegmentStore):
                 if table in self._MINOR_SKIP:
                     continue
                 current = list(segs_map.get(table, []))
+                man = man_map.setdefault(table, {})
                 total = len(current)
                 # iterate levels ascending so a merge that fills the
                 # next level can cascade within one call
@@ -956,6 +962,21 @@ class DedupArtifacts(SegmentStore):
                         and not (table == "cand_pairs" and s in pend)
                         and not (table == "shingles" and s in covers)
                     ]
+                    # zero-row segments (empty manifest — e.g. a batch
+                    # that staged no rows for this table) carry nothing
+                    # a read could miss: drop them from the list
+                    # outright instead of feeding an all-empty group to
+                    # the subset read (whose empty-union fallback needs
+                    # a schema the wide signatures table doesn't pin)
+                    empty = [s for s in group if man.get(s) == []]
+                    if empty:
+                        eset = set(empty)
+                        group = [s for s in group if s not in eset]
+                        current = [s for s in current if s not in eset]
+                        for s in empty:
+                            man.pop(s, None)
+                        merged[table] = merged.get(table, 0) + len(empty)
+                        total = len(current)
                     if len(group) >= 2 and (
                         force or len(group) >= fanout or total >= backstop
                     ):
@@ -983,7 +1004,6 @@ class DedupArtifacts(SegmentStore):
                         current = [
                             s for s in current if s not in set(group)
                         ] + [seg]
-                        man = man_map.setdefault(table, {})
                         for s in group:
                             man.pop(s, None)
                         man[seg] = self._segment_manifest(dst)
