@@ -621,6 +621,16 @@ class Index(SegmentStore):
         finally:
             out.unpersist()
         self._commit_segments(staged, stream_batch=idempotency_token)
+        # self-triggering tiered maintenance (round 11, shared
+        # SegmentStore machinery — the artifact store has had the
+        # always-full variant since round 10): a stream whose caller
+        # never configured compact_every must not walk into the
+        # segment-accretion serve cliff, and the answer to accretion
+        # is the batch-proportional minor merge, not a corpus rewrite
+        # per 16 micro-batches. Still under add()'s writer lock (the
+        # re-entrant acquire); auto_compact=False opts out for
+        # explicitly-managed indexes.
+        self._auto_maintain()
 
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
         """A6: delete postings + forward rows for ids — implemented as a
@@ -721,6 +731,19 @@ class Index(SegmentStore):
         self._validate_ingest(docs_df)
         self._remove_keys(docs_df)
         self.add(docs_df)
+
+    def _minor_write(self, table: str, df, path: str) -> None:
+        """Merged-segment layout per table kind, identical to the
+        batch segments add() stages: vector postings go through THE
+        shared postings writer; docs and text postings are
+        tenant-partitioned parquet."""
+        if table.startswith("postings/"):
+            self._write_postings(df, path)
+        else:
+            df.write.mode("overwrite").partitionBy("tenant").parquet(
+                self.fs.spark_write_path(path)
+            )
+            self.fs.publish(path)
 
     def compact(self) -> None:
         """Consolidate every table's segment list into ONE v<N>

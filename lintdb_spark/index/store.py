@@ -28,7 +28,21 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from lintdb_spark import params
 from lintdb_spark.index.fs import filesystem_for
+
+
+def _seg_level(seg: str) -> int | None:
+    """Tier level of a segment name: 0 for per-batch seg-* segments,
+    L for m<L>-* minor-compaction outputs, None for v* base segments
+    (full-compact output — never minor-merged)."""
+    if seg.startswith("v"):
+        return None
+    if seg.startswith("m"):
+        head = seg[1:].split("-", 1)[0]
+        if head.isdigit():
+            return int(head)
+    return 0
 
 # serializes the parallel-discovery-threshold bump in
 # _read_manifest_files across ALL stores in the process — the conf is
@@ -639,3 +653,271 @@ class SegmentStore:
                     self.fs.rmtree(full)
                     removed.append(f"{table}/{child}")
         return removed
+
+    # ---------------- tiered self-triggering maintenance ----------------
+    # Shared by every SegmentStore-backed store (DedupArtifacts, Index):
+    # segment accretion is normally answered by the batch-proportional
+    # MINOR merge (per-batch seg-* segments fold into leveled m<L>-*
+    # tier segments at ARTIFACT_MINOR_FANOUT), and the FULL corpus
+    # rewrite (self.compact()) runs only when real debt accrued — at
+    # 100 TB "full compact every N micro-batches" is itself the scale
+    # cliff. Subclasses parameterize via hooks:
+    #   _MINOR_SKIP         tables never minor-merged
+    #   _TIER_BYTES_SKIP    tables excluded from the debt byte ratio
+    #   _minor_schema       empty-read schema for a table (None = infer)
+    #   _minor_reduce       exact per-table reduction applied on merge
+    #   _minor_write        the table's batch-segment physical layout
+    #   _minor_excluded     segment names referenced elsewhere in meta
+    #   _extra_full_compact_due   store-specific debt (e.g. tombstones)
+
+    _MINOR_SKIP: tuple = ()
+    _TIER_BYTES_SKIP: tuple = ()
+
+    def _should_autocompact(self) -> bool:
+        """Count backstop for the measured no-compaction serve cliff
+        (SCALE.md §9: 407 segments -> 87 s serves, 30x): maintenance
+        is due when any table's segment list reaches the threshold.
+        Meta-only check — no Spark job."""
+        if not getattr(self, "auto_compact", True):
+            return False
+        segs = max(
+            (len(self._segments(t)) for t in self._all_tables()),
+            default=0,
+        )
+        return segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
+
+    def _minor_due(self) -> bool:
+        """Meta-only: does any table hold >= ARTIFACT_MINOR_FANOUT
+        segments at one level? (Level 0 = per-batch seg-*; level L =
+        m<L>-* minor outputs. v* base segments have no level.)"""
+        fanout = int(params.ARTIFACT_MINOR_FANOUT)
+        for t in self._all_tables():
+            if t in self._MINOR_SKIP:
+                continue
+            counts: dict[int, int] = {}
+            for s in self._segments(t):
+                lv = _seg_level(s)
+                if lv is None:
+                    continue
+                counts[lv] = counts.get(lv, 0) + 1
+                if counts[lv] >= fanout:
+                    return True
+        return False
+
+    def _tier_bytes(self, table: str) -> tuple[int, int]:
+        """(base_bytes, batch_bytes) of a table's committed segments —
+        driver-side stats over the manifest file lists (one getsize
+        per leaf file; no Spark job). Base = v* segments (full compact
+        output), batch = everything else (per-batch seg-* and
+        minor-merge m<L>-*)."""
+        man = self._meta.get("manifests", {}).get(table, {})
+        base = batch = 0
+        for seg in self._segments(table):
+            root = os.path.join(self.path, table, seg)
+            rel = man.get(seg)
+            if rel is None:
+                files = [
+                    os.path.join(wr, f)
+                    for wr, _d, fls in self._fs_walk(root)
+                    for f in fls
+                    if f.endswith(".parquet")
+                ]
+            else:
+                files = [os.path.join(root, r) for r in rel]
+            sz = 0
+            for p in files:
+                try:
+                    sz += int(self.fs.getsize(p))
+                except OSError:
+                    pass
+            if seg.startswith("v"):
+                base += sz
+            else:
+                batch += sz
+        return base, batch
+
+    def _extra_full_compact_due(self) -> bool:
+        """Store-specific debt beyond the generic criteria (e.g. the
+        artifact store's tombstone fraction). Default: none."""
+        return False
+
+    def _full_compact_due(self) -> bool:
+        """Is the FULL corpus rewrite worth it, vs the
+        batch-proportional minor merge? Evaluated only when a count
+        trigger already tripped (once per ~fanout batches), so the
+        manifest byte stats here run at maintenance cadence, not per
+        commit. Full is due when:
+
+        - no base tier exists yet (the first compact establishes the
+          v* segments — and any compaction-only companion tables), or
+        - store-specific debt accrued (_extra_full_compact_due), or
+        - the batch tier's bytes rival the base tier's: re-merging
+          would copy a base-sized volume anyway, while the rewrite
+          also restores the fine physical layout.
+
+        At 100 TB this is the difference between maintenance cost
+        ∝ recent writes (minor, the steady state) and ∝ corpus (full,
+        amortized over 1/FRAC growth)."""
+        primary = self._all_tables()[0]
+        if not any(s.startswith("v") for s in self._segments(primary)):
+            return True
+        if self._extra_full_compact_due():
+            return True
+        base = batch = 0
+        for t in self._all_tables():
+            if t in self._TIER_BYTES_SKIP:
+                continue
+            b0, b1 = self._tier_bytes(t)
+            base += b0
+            batch += b1
+        return batch >= float(
+            params.ARTIFACT_FULLCOMPACT_BATCH_FRAC
+        ) * max(base, 1)
+
+    def _minor_schema(self, table: str):
+        """Schema for an (impossible in practice) all-empty subset
+        read; None = infer from the files."""
+        return None
+
+    def _minor_reduce(self, table: str, df: DataFrame) -> DataFrame:
+        """Exact per-table reduction applied to merged rows (identity
+        by default; e.g. the artifact df table pre-aggregates because
+        its reads sum segments anyway)."""
+        return df
+
+    def _minor_write(self, table: str, df: DataFrame, path: str) -> None:
+        """Write one merged segment in the table's BATCH-segment
+        physical layout (and publish it)."""
+        raise NotImplementedError
+
+    def _minor_excluded(self, table: str) -> set:
+        """Segment names other meta state references BY NAME — never
+        merged (the reference would dangle)."""
+        return set()
+
+    def minor_compact(self, force: bool = False) -> dict:
+        """Merge per-batch segments into ONE segment per (table,
+        level) WITHOUT touching the base tier — the LSM answer to
+        segment accretion when the corpus is large: read cost returns
+        to a handful of scans and the write cost is the merged
+        segments' bytes, never the corpus. Exact by construction:
+        every read unions a table's segments order-independently, so
+        replacing N list entries with one segment holding the same
+        rows changes no read. Levels bound write amplification:
+        level-0 (per-batch seg-*) merges into one m1-* segment at
+        ARTIFACT_MINOR_FANOUT, m1 into m2 at the same fanout — a row
+        is rewritten at most log_fanout(batches) times between full
+        compacts instead of once per count trip.
+
+        Returns {table: number_of_segments_merged}; {} if nothing
+        qualified. ``force=True`` merges every level with >= 2
+        mergeable segments regardless of the fanout — for explicitly
+        managed stores (a stream calling it on its own cadence). Run
+        vacuum() afterwards to reclaim the superseded per-batch dirs
+        (same grace contract as the full compact)."""
+        import copy
+        import uuid
+
+        fanout = int(params.ARTIFACT_MINOR_FANOUT)
+        backstop = int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
+        merged: dict[str, int] = {}
+        with self._writer_lock():
+            new_meta = copy.deepcopy(self._meta)
+            segs_map = new_meta.setdefault("segments", {})
+            man_map = new_meta.setdefault("manifests", {})
+            for table in self._all_tables():
+                if table in self._MINOR_SKIP:
+                    continue
+                excluded = self._minor_excluded(table)
+                current = list(segs_map.get(table, []))
+                man = man_map.setdefault(table, {})
+                total = len(current)
+                # iterate levels ascending so a merge that fills the
+                # next level can cascade within one call
+                lv = 0
+                while True:
+                    group = [
+                        s
+                        for s in current
+                        if _seg_level(s) == lv and s not in excluded
+                    ]
+                    # zero-row segments (empty manifest — e.g. a batch
+                    # that staged no rows for this table) carry nothing
+                    # a read could miss: drop them from the list
+                    # outright instead of feeding an all-empty group to
+                    # the subset read (whose empty-union fallback needs
+                    # a schema a wide table doesn't pin)
+                    empty = [s for s in group if man.get(s) == []]
+                    if empty:
+                        eset = set(empty)
+                        group = [s for s in group if s not in eset]
+                        current = [s for s in current if s not in eset]
+                        for s in empty:
+                            man.pop(s, None)
+                        merged[table] = merged.get(table, 0) + len(empty)
+                        total = len(current)
+                    if len(group) >= 2 and (
+                        force or len(group) >= fanout or total >= backstop
+                    ):
+                        df = self._minor_reduce(
+                            table,
+                            self._read_uncached(
+                                table, self._minor_schema(table), segs=group
+                            ),
+                        )
+                        seg = f"m{lv + 1}-{uuid.uuid4().hex[:12]}"
+                        dst = os.path.join(self.path, table, seg)
+                        self._minor_write(table, df, dst)
+                        current = [
+                            s for s in current if s not in set(group)
+                        ] + [seg]
+                        for s in group:
+                            man.pop(s, None)
+                        man[seg] = self._segment_manifest(dst)
+                        merged[table] = merged.get(table, 0) + len(group)
+                        total = len(current)
+                    # advance past levels with nothing to do; stop
+                    # once no segment sits at or above this level
+                    if not any(
+                        (_seg_level(s) or 0) > lv
+                        for s in current
+                        if _seg_level(s) is not None
+                    ):
+                        break
+                    lv += 1
+                segs_map[table] = current
+            if not merged:
+                return {}
+            self._save_meta(new_meta)
+            self._meta = new_meta
+        return merged
+
+    def _auto_maintain(self) -> dict:
+        """Self-triggering tiered maintenance — ingest paths call this
+        under the writer lock right after their commit. Routes the
+        count trigger by debt: full compact only when
+        _full_compact_due says the rewrite is worth it, the
+        batch-proportional minor merge otherwise; falls back to full
+        when the count backstop tripped but nothing was mergeable
+        (e.g. every segment pinned by a by-name reference). Vacuums
+        with the reader grace period after either."""
+        out: dict = {}
+        if not getattr(self, "auto_compact", True):
+            return out
+        if not (self._should_autocompact() or self._minor_due()):
+            return out
+        if self._full_compact_due():
+            self.compact()
+            out["compacted"] = True
+        else:
+            merged = self.minor_compact()
+            if merged:
+                out["minor_compacted"] = merged
+            elif self._should_autocompact():
+                self.compact()
+                out["compacted"] = True
+        if out:
+            self.vacuum(
+                min_age_s=float(params.ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S)
+            )
+        return out

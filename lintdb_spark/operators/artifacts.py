@@ -110,19 +110,6 @@ from lintdb_spark.operators import dedup
 # both pay per file
 _COARSE_FILES = 8
 
-
-def _seg_level(seg: str) -> int | None:
-    """Tier level of a segment name: 0 for per-batch seg-* segments,
-    L for m<L>-* minor-compaction outputs, None for v* base segments
-    (full-compact output — never minor-merged)."""
-    if seg.startswith("v"):
-        return None
-    if seg.startswith("m"):
-        head = seg[1:].split("-", 1)[0]
-        if head.isdigit():
-            return int(head)
-    return 0
-
 _DOCID_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.IntegerType()),
@@ -722,40 +709,15 @@ class DedupArtifacts(SegmentStore):
             # The vacuum keeps a grace period: the writer lock excludes
             # writers, not READERS — a serving process may hold a lazy
             # plan over the pre-compaction segment list.
-            did_full = False
-            if getattr(self, "auto_compact", True) and (
-                self._should_autocompact() or self._minor_due()
-            ):
-                # tiered (round 11): segment accretion is normally
-                # answered by the batch-proportional MINOR merge; the
-                # corpus rewrite runs only when real debt accrued
-                # (tombstones, batch tier rivaling the base) — at
-                # 100 TB "full compact every 16 micro-batches" is
-                # itself the scale cliff.
-                if self._full_compact_due():
-                    self.compact()
-                    did_full = True
-                    out["compacted"] = True
-                else:
-                    merged = self.minor_compact()
-                    if merged:
-                        out["minor_compacted"] = merged
-                    elif self._should_autocompact():
-                        # count backstop tripped but nothing was
-                        # mergeable (e.g. every cand_pairs segment
-                        # pending a deferred verify): the full compact
-                        # flushes pending work and resets the lists
-                        self.compact()
-                        did_full = True
-                        out["compacted"] = True
-                if did_full or out.get("minor_compacted"):
-                    self.vacuum(
-                        min_age_s=float(
-                            params.ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S
-                        )
-                    )
+            # tiered (round 11, shared SegmentStore machinery):
+            # segment accretion is normally answered by the
+            # batch-proportional MINOR merge; the corpus rewrite runs
+            # only when real debt accrued (tombstones, batch tier
+            # rivaling the base) — at 100 TB "full compact every 16
+            # micro-batches" is itself the scale cliff.
+            out.update(self._auto_maintain())
             if (
-                not did_full
+                not out.get("compacted")
                 and getattr(self, "auto_compact", True)
                 and self._segments("flip_docs")
                 and int(self._meta.get("flip_rows_live", 0))
@@ -765,19 +727,6 @@ class DedupArtifacts(SegmentStore):
                 out["folded"] = True
             return out
 
-    def _should_autocompact(self) -> bool:
-        """Backstop trigger for the measured no-compaction serve cliff
-        (SCALE.md §9: 407 segments -> 87 s serves, 30x): FULL compact
-        when any table's segment list reaches the threshold. Outstanding
-        flip rows are handled by the much cheaper flip-only fold (see
-        update() / fold_flips). Meta-only check — no Spark job."""
-        if not getattr(self, "auto_compact", True):
-            return False
-        segs = max(
-            (len(self._segments(t)) for t in self.TABLES), default=0
-        )
-        return segs >= int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
-
     # the one table minor_compact never touches: shingle_docs is only
     # ever written by the full compact (no batch segments exist).
     # flip_docs IS minor-merged — merging preserves the row multiset,
@@ -786,244 +735,80 @@ class DedupArtifacts(SegmentStore):
     # segment per batch until the count backstop forces the very full
     # compact the tiered policy exists to avoid.
     _MINOR_SKIP = ("shingle_docs",)
+    # flip bytes are fold_flips' business (bounded by the flip-row
+    # trigger), not full-compact debt
+    _TIER_BYTES_SKIP = ("flip_docs",)
+    _MINOR_SCHEMAS = {
+        "doc_ids": _DOCID_SCHEMA,
+        "shingles": _SHINGLE_SCHEMA,
+        "df": _DF_SCHEMA,
+        "cand_pairs": _PAIR_SCHEMA,
+        "simhash": _SIMHASH_SCHEMA,
+        "buckets": _BUCKET_SCHEMA,
+        "pair_stats": _PAIRSTAT_SCHEMA,
+        "removed_ids": _DOCID_SCHEMA,
+        "pair_docs": _PAIRDOC_SCHEMA,
+        "flip_docs": _FLIP_SCHEMA,
+    }
 
-    def _minor_due(self) -> bool:
-        """Meta-only: does any table hold >= ARTIFACT_MINOR_FANOUT
-        segments at one level? (Level 0 = per-batch seg-*; level L =
-        m<L>-* minor outputs. v* base segments have no level.)"""
-        fanout = int(params.ARTIFACT_MINOR_FANOUT)
-        for t in self.TABLES:
-            if t in self._MINOR_SKIP:
-                continue
-            counts: dict[int, int] = {}
-            for s in self._segments(t):
-                lv = _seg_level(s)
-                if lv is None:
-                    continue
-                counts[lv] = counts.get(lv, 0) + 1
-                if counts[lv] >= fanout:
-                    return True
-        return False
+    def _minor_schema(self, table):
+        # signatures is the wide minhash table (m0..m{p-1}) — schema
+        # inferred from the files
+        return self._MINOR_SCHEMAS.get(table)
 
-    def _tier_bytes(self, table: str) -> tuple[int, int]:
-        """(base_bytes, batch_bytes) of a table's committed segments —
-        driver-side stats over the manifest file lists (one
-        getsize per leaf file; no Spark job). Base = v* segments (full
-        compact output), batch = everything else (per-batch seg-* and
-        minor-merge m<L>-*)."""
-        man = self._meta.get("manifests", {}).get(table, {})
-        base = batch = 0
-        for seg in self._segments(table):
-            root = os.path.join(self.path, table, seg)
-            rel = man.get(seg)
-            if rel is None:
-                files = [
-                    os.path.join(wr, f)
-                    for wr, _d, fls in self._fs_walk(root)
-                    for f in fls
-                    if f.endswith(".parquet")
-                ]
-            else:
-                files = [os.path.join(root, r) for r in rel]
-            sz = 0
-            for p in files:
-                try:
-                    sz += int(self.fs.getsize(p))
-                except OSError:
-                    pass
-            if seg.startswith("v"):
-                base += sz
-            else:
-                batch += sz
-        return base, batch
-
-    def _full_compact_due(self) -> bool:
-        """Is the FULL corpus rewrite worth it, vs the
-        batch-proportional minor merge? Evaluated only when a count
-        trigger already tripped (once per ~fanout batches), so the
-        manifest byte stats here run at maintenance cadence, not per
-        commit. Full is due when:
-
-        - no base tier exists yet (the first compact establishes the
-          v* segments and the inverted shingle_docs cover), or
-        - tombstone debt: removed_ids bytes reach a fraction of
-          doc_ids bytes (same row shape, so the byte ratio tracks the
-          dead fraction every read anti-joins and the base carries), or
-        - the batch tier's bytes rival the base tier's: re-merging
-          would copy a base-sized volume anyway, while the rewrite
-          also re-covers shingle_docs and purges tombstones.
-
-        At 100 TB this is the difference between maintenance cost
-        ∝ recent writes (minor, the steady state) and ∝ corpus (full,
-        amortized over 1/FRAC growth) — the count-triggered
-        always-full policy this replaces would rewrite the corpus
-        every ARTIFACT_AUTOCOMPACT_SEGMENTS micro-batches."""
-        if not any(
-            s.startswith("v") for s in self._segments("doc_ids")
-        ):
-            return True
-        doc_base, doc_batch = self._tier_bytes("doc_ids")
-        rem = sum(self._tier_bytes("removed_ids"))
-        if rem >= float(
-            params.ARTIFACT_FULLCOMPACT_TOMBSTONE_FRAC
-        ) * max(doc_base + doc_batch, 1):
-            return True
-        base = batch = 0
-        for t in self.TABLES:
-            if t == "flip_docs":
-                continue
-            b0, b1 = self._tier_bytes(t)
-            base += b0
-            batch += b1
-        return batch >= float(
-            params.ARTIFACT_FULLCOMPACT_BATCH_FRAC
-        ) * max(base, 1)
-
-    def minor_compact(self, force: bool = False) -> dict:
-        """Merge per-batch segments into ONE segment per (table,
-        level) WITHOUT touching the base tier — the LSM answer to
-        segment accretion when the corpus is large: read cost returns
-        to a handful of scans and the write cost is the merged
-        segments' bytes, never the corpus. Exact by construction:
-        every read unions a table's segments order-independently
-        (pair max-seq semantics ride on row contents), so replacing N
-        list entries with one segment holding the same rows changes
-        no read. Levels bound write amplification: level-0 (per-batch
-        seg-*) merges into one m1-* segment at
-        ARTIFACT_MINOR_FANOUT, m1 into m2 at the same fanout — a row
-        is rewritten at most log_fanout(batches) times between full
-        compacts instead of once per count trip.
-
-        Never merged, by name:
-        - v* base segments (the full compact's output);
-        - cand_pairs segments pending a deferred verify
-          (pair_unverified references them by name);
-        - shingles segments inside shingle_docs_covers (the merged
-          name would fall OUT of the covers list and the flip lookup
-          would double-read their rows; in practice covers only ever
-          holds the compacted v* segment).
-
-        Size reductions that are exact for their consumers ride
-        along, mirroring compact(): df pre-aggregates to one row per
-        (tenant, spart, shingle) and drops zeroed shingles (reads sum
-        segments and treat absent as 0), cand_pairs and pair_docs
-        dedupe (set semantics — semi-joins and distinct reads).
-
-        Returns {table: number_of_segments_merged}; {} if nothing
-        qualified. ``force=True`` merges every level with >= 2
-        mergeable segments regardless of the fanout — for explicitly
-        managed stores (a stream calling it on its own cadence). Run
-        vacuum() afterwards to reclaim the superseded per-batch dirs
-        (same grace contract as the full compact)."""
-        import copy
-        import uuid
-
-        fanout = int(params.ARTIFACT_MINOR_FANOUT)
-        backstop = int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
-        schemas = {
-            "doc_ids": _DOCID_SCHEMA,
-            "shingles": _SHINGLE_SCHEMA,
-            "df": _DF_SCHEMA,
-            "cand_pairs": _PAIR_SCHEMA,
-            "simhash": _SIMHASH_SCHEMA,
-            "buckets": _BUCKET_SCHEMA,
-            "pair_stats": _PAIRSTAT_SCHEMA,
-            "removed_ids": _DOCID_SCHEMA,
-            "pair_docs": _PAIRDOC_SCHEMA,
-            "flip_docs": _FLIP_SCHEMA,
-        }
-        merged: dict[str, int] = {}
-        with self._writer_lock():
-            pend = {
+    def _minor_excluded(self, table):
+        """Segment names other meta state references BY NAME:
+        cand_pairs segments pending a deferred verify
+        (pair_unverified), and shingles segments inside
+        shingle_docs_covers (the merged name would fall OUT of the
+        covers list and the flip lookup would double-read their rows;
+        in practice covers only ever holds the compacted v*
+        segment)."""
+        if table == "cand_pairs":
+            return {
                 s
-                for lst in self._meta.get(
-                    "pair_unverified", {}
-                ).values()
+                for lst in self._meta.get("pair_unverified", {}).values()
                 for s in lst
             }
-            covers = set(self._meta.get("shingle_docs_covers") or [])
-            new_meta = copy.deepcopy(self._meta)
-            segs_map = new_meta.setdefault("segments", {})
-            man_map = new_meta.setdefault("manifests", {})
-            for table in self.TABLES:
-                if table in self._MINOR_SKIP:
-                    continue
-                current = list(segs_map.get(table, []))
-                man = man_map.setdefault(table, {})
-                total = len(current)
-                # iterate levels ascending so a merge that fills the
-                # next level can cascade within one call
-                lv = 0
-                while True:
-                    group = [
-                        s
-                        for s in current
-                        if _seg_level(s) == lv
-                        and not (table == "cand_pairs" and s in pend)
-                        and not (table == "shingles" and s in covers)
-                    ]
-                    # zero-row segments (empty manifest — e.g. a batch
-                    # that staged no rows for this table) carry nothing
-                    # a read could miss: drop them from the list
-                    # outright instead of feeding an all-empty group to
-                    # the subset read (whose empty-union fallback needs
-                    # a schema the wide signatures table doesn't pin)
-                    empty = [s for s in group if man.get(s) == []]
-                    if empty:
-                        eset = set(empty)
-                        group = [s for s in group if s not in eset]
-                        current = [s for s in current if s not in eset]
-                        for s in empty:
-                            man.pop(s, None)
-                        merged[table] = merged.get(table, 0) + len(empty)
-                        total = len(current)
-                    if len(group) >= 2 and (
-                        force or len(group) >= fanout or total >= backstop
-                    ):
-                        df = self._read_table_segments(
-                            table, group, schemas.get(table)
-                        )
-                        if "tenant" in df.columns:
-                            df = df.withColumn(
-                                "tenant",
-                                F.coalesce(
-                                    F.col("tenant").cast("int"), F.lit(0)
-                                ),
-                            )
-                        if table == "df":
-                            df = (
-                                df.groupBy("tenant", "spart", "shingle")
-                                .agg(F.sum("df").alias("df"))
-                                .filter(F.col("df") != 0)
-                            )
-                        elif table in ("cand_pairs", "pair_docs"):
-                            df = df.distinct()
-                        seg = f"m{lv + 1}-{uuid.uuid4().hex[:12]}"
-                        dst = os.path.join(self.path, table, seg)
-                        self._write_segment(table, df, dst)
-                        current = [
-                            s for s in current if s not in set(group)
-                        ] + [seg]
-                        for s in group:
-                            man.pop(s, None)
-                        man[seg] = self._segment_manifest(dst)
-                        merged[table] = merged.get(table, 0) + len(group)
-                        total = len(current)
-                    # advance past levels with nothing to do; stop
-                    # once no segment sits at or above this level
-                    if not any(
-                        (_seg_level(s) or 0) > lv
-                        for s in current
-                        if _seg_level(s) is not None
-                    ):
-                        break
-                    lv += 1
-                segs_map[table] = current
-            if not merged:
-                return {}
-            self._save_meta(new_meta)
-            self._meta = new_meta
-        return merged
+        if table == "shingles":
+            return set(self._meta.get("shingle_docs_covers") or [])
+        return set()
+
+    def _minor_reduce(self, table, df):
+        """Size reductions that are exact for their consumers,
+        mirroring compact(): df pre-aggregates to one row per
+        (tenant, spart, shingle) and drops zeroed shingles (reads sum
+        segments and treat absent as 0), cand_pairs and pair_docs
+        dedupe (set semantics — semi-joins and distinct reads). The
+        tenant column normalizes NULL (pre-tenancy segments) to 0,
+        which every read already does."""
+        if "tenant" in df.columns:
+            df = df.withColumn(
+                "tenant", F.coalesce(F.col("tenant").cast("int"), F.lit(0))
+            )
+        if table == "df":
+            df = (
+                df.groupBy("tenant", "spart", "shingle")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") != 0)
+            )
+        elif table in ("cand_pairs", "pair_docs"):
+            df = df.distinct()
+        return df
+
+    def _minor_write(self, table, df, path):
+        self._write_segment(table, df, path)
+
+    def _extra_full_compact_due(self):
+        """Tombstone debt: removed_ids bytes reaching a fraction of
+        doc_ids bytes (same row shape, so the byte ratio tracks the
+        dead fraction every read anti-joins and the base tier
+        carries until the rewrite purges it)."""
+        doc_base, doc_batch = self._tier_bytes("doc_ids")
+        rem = sum(self._tier_bytes("removed_ids"))
+        return rem >= float(
+            params.ARTIFACT_FULLCOMPACT_TOMBSTONE_FRAC
+        ) * max(doc_base + doc_batch, 1)
 
     def fold_flips(self) -> None:
         """Fold every outstanding flip-delta row into the pair rows

@@ -74,7 +74,14 @@ def stream_ingest(
     a no-op via its idempotency token, and compaction simply runs
     again against whatever layout the crash left. Compactions after a
     restart count from the restart (the counter is process-local),
-    which only delays — never skips — the bound."""
+    which only delays — never skips — the bound.
+
+    Since round 11 the cadence is OPTIONAL: Index.add self-triggers
+    tiered maintenance (batch-proportional minor merges by default, a
+    full rewrite only on debt — SegmentStore._auto_maintain), so an
+    unconfigured stream is bounded by construction; an explicit
+    compact_every still gives the operator a deterministic schedule
+    (and index.auto_compact = False opts the trigger out)."""
     n_batches = 0
 
     def _add(batch_df: DataFrame, batch_id: int) -> None:

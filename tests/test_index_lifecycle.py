@@ -1135,3 +1135,50 @@ def test_commit_manifest_drives_reads(spark, tmp_path):
     seg_new = [s for s in reader._segments("docs") if s in reader._meta["manifests"]["docs"]]
     assert set(seg_new) == set(reader._segments("docs"))
     assert reader._docs().count() == 8
+
+
+def test_index_auto_tiered_maintenance(spark, tmp_path, monkeypatch):
+    """Round-11: Index.add self-triggers tiered maintenance (shared
+    SegmentStore machinery) — first trip with no base tier runs the
+    FULL compact, later trips with low debt run the batch-proportional
+    minor merge (per-batch segments fold into one m1-* per table, the
+    v* base untouched), and search results are byte-equal throughout.
+    auto_compact=False opts out."""
+    from lintdb_spark import params as P
+
+    monkeypatch.setattr(P, "ARTIFACT_MINOR_FANOUT", 2)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 100)
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_BATCH_FRAC", 10.0)
+    path = str(tmp_path / "idx_tiered")
+    idx = Index.create(spark, path, make_schema("none"))
+    all_docs = make_docs(spark, range(30))
+    idx.train(all_docs)
+    for lo in range(0, 30, 6):
+        idx.add(make_docs(spark, range(lo, lo + 6)))
+    # trip 1 (2 level-0 segments, no base) -> full compact (v1);
+    # trip 2 -> minor merge (m1-*); the level-0 tail stays short
+    doc_segs = idx._segments("docs")
+    assert "v1" in doc_segs, doc_segs
+    assert any(s.startswith("m1-") for s in doc_segs), doc_segs
+    assert sum(1 for s in doc_segs if s.startswith("seg-")) < 2
+    post_segs = idx._segments("postings/colbert")
+    assert "v1" in post_segs and any(
+        s.startswith("m1-") for s in post_segs
+    ), post_segs
+    # search byte-equal to an untouched (auto_compact=False) twin
+    path2 = str(tmp_path / "idx_plain")
+    idx2 = Index.create(spark, path2, make_schema("none"))
+    idx2.auto_compact = False
+    idx2.train(all_docs)
+    for lo in range(0, 30, 6):
+        idx2.add(make_docs(spark, range(lo, lo + 6)))
+    assert all(
+        len(s) == 1 for s in (idx2._segments("docs"),)
+    ) is False  # accreted: one segment per add
+    assert len(idx2._segments("docs")) == 5
+    for d in (0, 7, 22):
+        q = VectorQuery("colbert", doc_tokens(d))
+        assert search_ids(idx, q, k=3) == search_ids(idx2, q, k=3)
+    # a post-merge add + vector query still works end to end
+    idx.add(make_docs(spark, range(50, 56)))
+    assert search_ids(idx, VectorQuery("colbert", doc_tokens(52)), k=1) == [52]
