@@ -524,7 +524,9 @@ class FsspecRemote:
         return m.timestamp() if hasattr(m, "timestamp") else float(m)
 
     def getsize(self, path):
-        return int(self.fs.info(self._p(path)).get("size", 0))
+        # some backends report size=None (HTTP/SFTP-style info) — read
+        # as 0 rather than raising out of the maintenance debt check
+        return int(self.fs.info(self._p(path)).get("size") or 0)
 
     def utime(self, path):
         # touch by rewrite — only used to refresh the writer lock

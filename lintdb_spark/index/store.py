@@ -688,16 +688,24 @@ class SegmentStore:
 
     def _minor_due(self) -> bool:
         """Meta-only: does any table hold >= ARTIFACT_MINOR_FANOUT
-        segments at one level? (Level 0 = per-batch seg-*; level L =
-        m<L>-* minor outputs. v* base segments have no level.)"""
+        MERGEABLE segments at one level? (Level 0 = per-batch seg-*;
+        level L = m<L>-* minor outputs. v* base segments have no
+        level.) Segments minor_compact could never merge — pinned by a
+        by-name reference (_minor_excluded) or known zero-row (empty
+        manifest) — are not counted: counting them would trip a no-op
+        maintenance evaluation (with its manifest byte sweep) on every
+        subsequent commit until the pin clears."""
         fanout = int(params.ARTIFACT_MINOR_FANOUT)
+        man_all = self._meta.get("manifests", {})
         for t in self._all_tables():
             if t in self._MINOR_SKIP:
                 continue
+            excluded = self._minor_excluded(t)
+            man = man_all.get(t, {})
             counts: dict[int, int] = {}
             for s in self._segments(t):
                 lv = _seg_level(s)
-                if lv is None:
+                if lv is None or s in excluded or man.get(s) == []:
                     continue
                 counts[lv] = counts.get(lv, 0) + 1
                 if counts[lv] >= fanout:
@@ -709,27 +717,41 @@ class SegmentStore:
         driver-side stats over the manifest file lists (one getsize
         per leaf file; no Spark job). Base = v* segments (full compact
         output), batch = everything else (per-batch seg-* and
-        minor-merge m<L>-*)."""
+        minor-merge m<L>-*). Per-segment sums are memoized for the
+        store object's lifetime: segments are immutable after commit
+        and names are never reused (version numbers only grow, batch
+        names carry a uuid), so repeated maintenance evaluations —
+        and the doc_ids/removed_ids tables the artifact tombstone
+        check visits on top of the generic loop — cost one stat sweep
+        per NEW segment, not per trip (the dominant driver-side cost
+        on object stores, where each getsize is a network call)."""
+        cache = getattr(self, "_seg_bytes_cache", None)
+        if cache is None:
+            cache = self._seg_bytes_cache = {}
         man = self._meta.get("manifests", {}).get(table, {})
         base = batch = 0
         for seg in self._segments(table):
-            root = os.path.join(self.path, table, seg)
-            rel = man.get(seg)
-            if rel is None:
-                files = [
-                    os.path.join(wr, f)
-                    for wr, _d, fls in self._fs_walk(root)
-                    for f in fls
-                    if f.endswith(".parquet")
-                ]
-            else:
-                files = [os.path.join(root, r) for r in rel]
-            sz = 0
-            for p in files:
-                try:
-                    sz += int(self.fs.getsize(p))
-                except OSError:
-                    pass
+            key = (table, seg)
+            sz = cache.get(key)
+            if sz is None:
+                root = os.path.join(self.path, table, seg)
+                rel = man.get(seg)
+                if rel is None:
+                    files = [
+                        os.path.join(wr, f)
+                        for wr, _d, fls in self._fs_walk(root)
+                        for f in fls
+                        if f.endswith(".parquet")
+                    ]
+                else:
+                    files = [os.path.join(root, r) for r in rel]
+                sz = 0
+                for p in files:
+                    try:
+                        sz += int(self.fs.getsize(p))
+                    except OSError:
+                        pass
+                cache[key] = sz
             if seg.startswith("v"):
                 base += sz
             else:
@@ -821,6 +843,7 @@ class SegmentStore:
         fanout = int(params.ARTIFACT_MINOR_FANOUT)
         backstop = int(params.ARTIFACT_AUTOCOMPACT_SEGMENTS)
         merged: dict[str, int] = {}
+        dropped = 0
         with self._writer_lock():
             new_meta = copy.deepcopy(self._meta)
             segs_map = new_meta.setdefault("segments", {})
@@ -849,12 +872,16 @@ class SegmentStore:
                     # a schema a wide table doesn't pin)
                     empty = [s for s in group if man.get(s) == []]
                     if empty:
+                        # not counted in `merged`: a drop is bookkeeping,
+                        # and reporting it as a merge would mask
+                        # _auto_maintain's nothing-was-mergeable
+                        # backstop fallback
                         eset = set(empty)
                         group = [s for s in group if s not in eset]
                         current = [s for s in current if s not in eset]
                         for s in empty:
                             man.pop(s, None)
-                        merged[table] = merged.get(table, 0) + len(empty)
+                        dropped += len(empty)
                         total = len(current)
                     if len(group) >= 2 and (
                         force or len(group) >= fanout or total >= backstop
@@ -886,7 +913,7 @@ class SegmentStore:
                         break
                     lv += 1
                 segs_map[table] = current
-            if not merged:
+            if not merged and not dropped:
                 return {}
             self._save_meta(new_meta)
             self._meta = new_meta

@@ -786,6 +786,11 @@ class DedupArtifacts(SegmentStore):
             df = df.withColumn(
                 "tenant", F.coalesce(F.col("tenant").cast("int"), F.lit(0))
             )
+        else:
+            # a merge group of pure pre-tenancy segments: surface the
+            # implicit tenant 0 explicitly — _write_segment partitions
+            # on it, and reads already treat NULL/absent as 0
+            df = df.withColumn("tenant", F.lit(0))
         if table == "df":
             df = (
                 df.groupBy("tenant", "spart", "shingle")

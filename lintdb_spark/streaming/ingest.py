@@ -84,6 +84,14 @@ def stream_ingest(
     (and index.auto_compact = False opts the trigger out)."""
     n_batches = 0
 
+    if compact_every:
+        # an explicit cadence IS the maintenance schedule: disable the
+        # self-trigger so full compactions run only when the operator
+        # scheduled them (the auto path would otherwise preempt the
+        # cadence mid-batch — e.g. a first-trip full rewrite at
+        # micro-batch ~8, before a compact_every=20 ever fires)
+        index.auto_compact = False
+
     def _add(batch_df: DataFrame, batch_id: int) -> None:
         # Index.add runs two actions (docs write + postings write);
         # cache the micro-batch so the source is scanned once, not twice.
@@ -128,8 +136,13 @@ def stream_artifacts(
     ``compact_every=N`` bounds segment accretion like stream_ingest's
     knob: every N batches the store consolidates to one v<N> segment
     per table (crash mid-compact re-runs the batch, whose update is a
-    token no-op, then compaction runs again)."""
+    token no-op, then compaction runs again). An explicit cadence
+    disables the store's self-trigger (same contract as
+    stream_ingest): the operator's schedule, not the auto path,
+    decides when maintenance runs."""
     n_batches = 0
+    if compact_every:
+        store.auto_compact = False
 
     def _upd(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
