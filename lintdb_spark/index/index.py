@@ -198,8 +198,12 @@ class Index(SegmentStore):
         )
         idx = cls(spark, path, schema)
         idx._storefs = fs  # reuse (shares the staged-FS cache dir)
-        idx._meta = json.loads(fs.open_read(os.path.join(path, "_meta.json")))
+        # stat BEFORE read (see DedupArtifacts.load): read-then-stat
+        # could pair stale meta bytes with a concurrent commit's
+        # identity, making the staleness check skip the reload and the
+        # CAS meta flip silently erase that commit
         idx._meta_stat = idx._stat_meta()
+        idx._meta = json.loads(fs.open_read(os.path.join(path, "_meta.json")))
         idx._normalize_meta()
         idx._load_trained_sidecars()
         return idx

@@ -392,10 +392,18 @@ class DedupArtifacts(SegmentStore):
         import json
 
         store = cls(spark, path)
+        # stat BEFORE read: a commit landing between the two leaves
+        # _meta newer than _meta_stat, which the next staleness check
+        # harmlessly re-reads. The reverse order (read then stat) could
+        # pair stale bytes with the NEWER identity — the staleness
+        # check then skips the reload and, on a CAS backend, the meta
+        # flip's write_if_match PASSES against the concurrent commit
+        # and silently erases it (the exact lost update the
+        # conditional put exists to make loud).
+        store._meta_stat = store._stat_meta()
         store._meta = json.loads(
             store.fs.open_read(os.path.join(path, "_meta.json"))
         )
-        store._meta_stat = store._stat_meta()
         store._normalize_meta()
         return store
 
@@ -804,6 +812,28 @@ class DedupArtifacts(SegmentStore):
     def _minor_write(self, table, df, path):
         self._write_segment(table, df, path)
 
+    def _drop_empty_flip_segments(self, staged):
+        """(staged', flip_rows): footer-count the staged flip_docs
+        segments (driver-side metadata, no job) and DROP the zero-row
+        ones before the commit. The endpoint restriction makes empty
+        flip frames common (a crossing shingle contained only by
+        pairless docs semi-joins to nothing — pre-round-11 a crossing
+        df > 0 guaranteed containing docs); committing one would put a
+        permanent flip-adjustment join on every read that the row-count
+        fold trigger (sum stays 0) could never clear."""
+        rows = {
+            (t, s): self._staged_rows(os.path.join(self.path, t, s))
+            for t, s in staged
+            if t == "flip_docs"
+        }
+        empty = {k for k, n in rows.items() if n == 0}
+        for t, s in empty:
+            self.fs.rmtree(os.path.join(self.path, t, s))
+        return (
+            [x for x in staged if x not in empty],
+            sum(rows.values()),
+        )
+
     def _extra_full_compact_due(self):
         """Tombstone debt: removed_ids bytes reaching a fraction of
         doc_ids bytes (same row shape, so the byte ratio tracks the
@@ -1197,6 +1227,7 @@ class DedupArtifacts(SegmentStore):
             tkey = str(int(tenant))
             tstats = dict(self._meta["tenants"].get(tkey, {"n_docs": 0, "nd_shingled": 0}))
             self._meta.setdefault("flip_rows_live", 0)
+            staged, flip_rows = self._drop_empty_flip_segments(staged)
             new_meta_extra = {
                 "n_docs": int(self._meta["n_docs"]) + n_new,
                 "nd_shingled": int(self._meta["nd_shingled"]) + nd_batch,
@@ -1211,11 +1242,7 @@ class DedupArtifacts(SegmentStore):
                 # trigger: footer counts of the staged flip segments
                 # (driver-side metadata, no job); compact() resets it
                 "flip_rows_live": int(self._meta["flip_rows_live"])
-                + sum(
-                    self._staged_rows(os.path.join(self.path, t, s))
-                    for t, s in staged
-                    if t == "flip_docs"
-                ),
+                + flip_rows,
             }
             if new_seq is not None:
                 new_meta_extra["pair_seq"] = new_seq
@@ -2199,6 +2226,7 @@ class DedupArtifacts(SegmentStore):
                 )
             )
             self._meta.setdefault("flip_rows_live", 0)
+            staged, flip_rows = self._drop_empty_flip_segments(staged)
             new_meta_extra = {
                 "n_docs": int(self._meta["n_docs"]) - n_rm,
                 "nd_shingled": int(self._meta["nd_shingled"]) - nd_rem,
@@ -2210,11 +2238,7 @@ class DedupArtifacts(SegmentStore):
                     },
                 },
                 "flip_rows_live": int(self._meta["flip_rows_live"])
-                + sum(
-                    self._staged_rows(os.path.join(self.path, t, s))
-                    for t, s in staged
-                    if t == "flip_docs"
-                ),
+                + flip_rows,
             }
             if new_seq is not None:
                 new_meta_extra["pair_seq"] = new_seq

@@ -474,8 +474,8 @@ def jaccard_pairs(
 def jaccard_verify_pairs(
     shingles: DataFrame,
     buckets: DataFrame | None,
-    min_jaccard: float = 0.5,
-    min_overlap: int = 2,
+    min_jaccard: float | None = None,
+    min_overlap: int | None = None,
     candidates: DataFrame | None = None,
     with_sizes: bool = False,
     all_candidates: bool = False,
@@ -532,20 +532,33 @@ def jaccard_verify_pairs(
     (0, na, nb), otherwise a later up-flip (the df cap re-admitting a
     shared shingle — a moving cap, or remove() shrinking df) has no
     row to adjust and the pair is permanently lost to the flip
-    algebra. Requires ``candidates``."""
+    algebra. Requires ``candidates``. ``min_jaccard``/``min_overlap``
+    default (None) to 0.5/2 in normal mode and to no-filtering under
+    ``all_candidates``; explicitly passing a filtering threshold
+    together with ``all_candidates`` raises rather than being
+    silently ignored."""
     cand = candidates if candidates is not None else lsh_candidate_pairs(buckets)
     if all_candidates and candidates is None:
         raise ValueError("all_candidates requires an explicit candidates frame")
-    if all_candidates and (min_jaccard > 0.0 or min_overlap > 1):
+    if all_candidates:
         # all_candidates deliberately emits EVERY pair (the incremental
-        # artifact store filters at read time) — silently ignoring
-        # caller thresholds here would hand back unfiltered
-        # zero-overlap rows with no warning
-        raise ValueError(
-            "all_candidates=True returns every candidate pair unfiltered; "
-            "pass min_jaccard=0.0 and min_overlap=1 (filter the result "
-            "yourself) or drop all_candidates"
-        )
+        # artifact store filters at read time). Thresholds default to
+        # None sentinels so the DOCUMENTED unfiltered contract holds
+        # when the caller leaves them alone — but an EXPLICIT filtering
+        # threshold alongside all_candidates would be silently ignored,
+        # so it raises instead.
+        if (min_jaccard is not None and min_jaccard > 0.0) or (
+            min_overlap is not None and min_overlap > 1
+        ):
+            raise ValueError(
+                "all_candidates=True returns every candidate pair "
+                "unfiltered; pass min_jaccard=0.0 and min_overlap=1 "
+                "(filter the result yourself) or drop all_candidates"
+            )
+        min_jaccard, min_overlap = 0.0, 1
+    else:
+        min_jaccard = 0.5 if min_jaccard is None else min_jaccard
+        min_overlap = 2 if min_overlap is None else min_overlap
     sizes = shingles.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n")
     )

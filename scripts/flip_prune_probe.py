@@ -124,6 +124,15 @@ for mi, mode in enumerate(order):
         with open(os.path.join(mpath, "_meta.json")) as f:
             meta = json.load(f)
         meta["flip_rev"] = 1  # the round-10 lookup path
+        # drop the endpoint registry too: fold_flips picks its regime
+        # by the PRESENCE of pair_docs segments, so a flip_rev
+        # downgrade alone would still run the round-11 cost-based fold
+        # in the "r10" mode (caught in review; the recorded r11 run's
+        # estimator chose the FULL rewrite — the r10 physical shape —
+        # so its numbers stand, but future runs should not rely on
+        # that coincidence)
+        meta.get("segments", {}).pop("pair_docs", None)
+        meta.get("manifests", {}).pop("pair_docs", None)
         with open(os.path.join(mpath, "_meta.json"), "w") as f:
             json.dump(meta, f)
     ms = DedupArtifacts.load(spark, mpath)
