@@ -1405,3 +1405,40 @@ def test_minor_compact_skips_pending_cand_pairs(spark, tmp_path, monkeypatch):
     assert _rows(
         st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
     ) == _scratch_pairs(spark, rows1 + rows2 + rows3)
+
+
+def test_pairless_drift_stages_no_flip_segment(spark, tmp_path):
+    """A drift commit whose crossing shingles are contained (among
+    stored docs) only by PAIRLESS docs — the endpoint restriction
+    semi-joins the flip frame to nothing — must not commit a zero-row
+    flip_docs segment: a committed empty segment would put the
+    flip-adjustment join on every read with a row count (0) the fold
+    trigger can never clear."""
+    pb = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    path = str(tmp_path / "store_pairless")
+    st = DedupArtifacts.create(spark, path)
+    # batch 1: 4 near-dup docs sharing phrase A (pairs stored among
+    # them -> pair_stats and the endpoint registry exist) plus ONE
+    # singleton containing phrase B (df_B = 1) and junk — the
+    # singleton shares nothing under cap with anyone, so it never
+    # gets a pair row
+    rows1 = [(d, f"{_PA} a{d}") for d in range(4)]
+    rows1.append((50, f"{pb} j0 j1 j2 j3"))
+    st.update(spark.createDataFrame(rows1, "doc_id long, text string"))
+    assert st._segments("pair_stats")
+    # batch 2: 9 new docs each containing phrase B + unique junk —
+    # df_B goes 1 -> 10 across the floor cap of 8, so B's trigrams
+    # CROSS; the only STORED containing doc is the pairless singleton,
+    # so the endpoint-restricted flip frame is empty and no flip
+    # segment may be committed
+    rows2 = [
+        (100 + d, f"{pb} q{d} r{d} s{d} t{d}") for d in range(9)
+    ]
+    st.update(spark.createDataFrame(rows2, "doc_id long, text string"))
+    assert not st._segments("flip_docs"), st._segments("flip_docs")
+    assert int(st._meta.get("flip_rows_live", 0)) == 0
+    # reads still exact vs from-scratch over everything ingested
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _scratch_pairs(spark, rows1 + rows2)
