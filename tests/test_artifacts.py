@@ -1276,6 +1276,11 @@ def test_legacy_flip_rev1_upgrades_on_compact(spark, tmp_path):
     ) == _scratch_pairs(spark, rows1 + rows2 + rows3)
 
 
+# slow lane (suite-budget policy, round 10 #7): trigger-routing probe
+# with two from-scratch corpora; the merge's read-exactness is covered
+# default-lane by the q_artifact_minor oracle row (driver-gated AND in
+# test_queries_vs_oracle) and by test_minor_compact_skips_pending
+@pytest.mark.slow
 def test_minor_compact_merges_batch_tier_and_preserves_reads(
     spark, tmp_path, monkeypatch
 ):
