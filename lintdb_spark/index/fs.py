@@ -524,9 +524,14 @@ class FsspecRemote:
         return m.timestamp() if hasattr(m, "timestamp") else float(m)
 
     def getsize(self, path):
-        # some backends report size=None (HTTP/SFTP-style info) — read
-        # as 0 rather than raising out of the maintenance debt check
-        return int(self.fs.info(self._p(path)).get("size") or 0)
+        # some backends report size=None (HTTP/SFTP-style info) —
+        # surface UNKNOWN as None, never 0: the maintenance debt check
+        # routes on byte ratios, and a coerced 0 either reinstates the
+        # full-rewrite-per-trip cliff (base reads 0) or disables debt
+        # compaction forever (batch reads 0). _tier_bytes treats None
+        # as "skip byte-ratio routing this trip".
+        sz = self.fs.info(self._p(path)).get("size")
+        return None if sz is None else int(sz)
 
     def utime(self, path):
         # touch by rewrite — only used to refresh the writer lock

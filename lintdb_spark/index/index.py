@@ -495,6 +495,7 @@ class Index(SegmentStore):
         self,
         docs_df: DataFrame,
         idempotency_token: tuple[str, int] | None = None,
+        auto_maintain: bool | None = None,
     ) -> None:
         """A5/B1: validate -> assign centroids -> encode residuals ->
         role fan-out -> STAGED multi-table append: every table's rows
@@ -541,7 +542,9 @@ class Index(SegmentStore):
                 if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
                     return
             try:
-                return self._add_encoded(out, ingest_bcs, idempotency_token)
+                return self._add_encoded(
+                    out, ingest_bcs, idempotency_token, auto_maintain
+                )
             finally:
                 for b in ingest_bcs:
                     try:
@@ -549,7 +552,9 @@ class Index(SegmentStore):
                     except Exception:  # noqa: BLE001 — best-effort
                         pass
 
-    def _add_encoded(self, out, ingest_bcs, idempotency_token) -> None:
+    def _add_encoded(
+        self, out, ingest_bcs, idempotency_token, auto_maintain=None
+    ) -> None:
         for fld in self.schema.colbert_fields():
             C = self.centroids[fld.name]
             q = self.quantizers[fld.name]
@@ -633,8 +638,13 @@ class Index(SegmentStore):
         # is the batch-proportional minor merge, not a corpus rewrite
         # per 16 micro-batches. Still under add()'s writer lock (the
         # re-entrant acquire); auto_compact=False opts out for
-        # explicitly-managed indexes.
-        self._auto_maintain()
+        # explicitly-managed indexes, and ``auto_maintain=False``
+        # opts out for THIS call only (stream_ingest's explicit
+        # cadence — a per-call override instead of a persistent
+        # attribute mutation that would outlive the stream and leave
+        # the object never self-maintaining, ADVICE r11).
+        if auto_maintain is None or auto_maintain:
+            self._auto_maintain()
 
     def remove(self, tenant: int, doc_ids: list[int]) -> None:
         """A6: delete postings + forward rows for ids — implemented as a
@@ -735,6 +745,36 @@ class Index(SegmentStore):
         self._validate_ingest(docs_df)
         self._remove_keys(docs_df)
         self.add(docs_df)
+
+    def _minor_schema(self, table: str):
+        """Pin the empty-union fallback's type for every index table
+        (ADVICE r11): a minor-merge group whose segments all fall
+        through to the listing read and yield no frames (legacy
+        no-manifest segments with missing or footerless dirs) reaches
+        _read_uncached's createDataFrame([], schema) — None there
+        raises inside add()'s commit path. Real (non-empty) reads
+        still infer from the files, so columns added later (e.g.
+        text-posting tf) are unaffected."""
+        if table == "docs":
+            return self.schema.doc_spark_schema()
+        if table.startswith("postings_text/"):
+            return T.StructType(
+                [
+                    T.StructField("tenant", T.LongType()),
+                    T.StructField("token", T.StringType()),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("tf", T.LongType()),
+                ]
+            )
+        if table.startswith("postings/"):
+            return T.StructType(
+                [
+                    T.StructField("tenant", T.LongType()),
+                    T.StructField("centroid_id", T.LongType()),
+                    T.StructField("doc_id", T.LongType()),
+                ]
+            )
+        return None
 
     def _minor_write(self, table: str, df, path: str) -> None:
         """Merged-segment layout per table kind, identical to the

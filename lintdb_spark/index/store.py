@@ -712,7 +712,7 @@ class SegmentStore:
                     return True
         return False
 
-    def _tier_bytes(self, table: str) -> tuple[int, int]:
+    def _tier_bytes(self, table: str) -> tuple[int | None, int | None]:
         """(base_bytes, batch_bytes) of a table's committed segments —
         driver-side stats over the manifest file lists (one getsize
         per leaf file; no Spark job). Base = v* segments (full compact
@@ -724,12 +724,26 @@ class SegmentStore:
         and the doc_ids/removed_ids tables the artifact tombstone
         check visits on top of the generic loop — cost one stat sweep
         per NEW segment, not per trip (the dominant driver-side cost
-        on object stores, where each getsize is a network call)."""
+        on object stores, where each getsize is a network call).
+
+        A tier sum is ``None`` — unknown, NOT zero — when any of its
+        segments has a file whose size the backend could not report
+        (getsize raised, or returned None as HTTP/SFTP-style fsspec
+        info does). The two failure modes of coercing to 0 are both
+        routing bugs: an undercounted BASE makes every batch tier
+        look like debt (full rewrite per trip — the cliff the tiered
+        policy removes), an undercounted BATCH silently defers the
+        rewrite forever. Unknown sums make _full_compact_due skip the
+        byte-ratio criteria; the segment-count backstop still routes.
+        A segment with a failed stat is NOT memoized, so the next
+        maintenance evaluation retries it — on object stores with
+        read-after-write listing lag the retry is the fix."""
         cache = getattr(self, "_seg_bytes_cache", None)
         if cache is None:
             cache = self._seg_bytes_cache = {}
         man = self._meta.get("manifests", {}).get(table, {})
-        base = batch = 0
+        base: int | None = 0
+        batch: int | None = 0
         for seg in self._segments(table):
             key = (table, seg)
             sz = cache.get(key)
@@ -748,14 +762,19 @@ class SegmentStore:
                 sz = 0
                 for p in files:
                     try:
-                        sz += int(self.fs.getsize(p))
+                        n = self.fs.getsize(p)
                     except OSError:
-                        pass
-                cache[key] = sz
+                        n = None
+                    if n is None:
+                        sz = None
+                        break
+                    sz += int(n)
+                if sz is not None:
+                    cache[key] = sz
             if seg.startswith("v"):
-                base += sz
+                base = None if (sz is None or base is None) else base + sz
             else:
-                batch += sz
+                batch = None if (sz is None or batch is None) else batch + sz
         return base, batch
 
     def _extra_full_compact_due(self) -> bool:
@@ -790,6 +809,14 @@ class SegmentStore:
             if t in self._TIER_BYTES_SKIP:
                 continue
             b0, b1 = self._tier_bytes(t)
+            if b0 is None or b1 is None:
+                # a tier sum is unknowable (backend can't report file
+                # sizes right now) — byte-ratio routing would compare
+                # garbage either way, so skip it: minor merges keep
+                # running on the count trigger and _auto_maintain's
+                # nothing-was-mergeable backstop still forces the full
+                # rewrite; the next evaluation retries the stats
+                return False
             base += b0
             batch += b1
         return batch >= float(

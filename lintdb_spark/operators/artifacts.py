@@ -673,6 +673,7 @@ class DedupArtifacts(SegmentStore):
         documents: DataFrame,
         idempotency_token: tuple[str, int] | None = None,
         tenant: int = 0,
+        auto_maintain: bool | None = None,
     ) -> dict:
         """Ingest one batch of NEW documents (doc_id, text) for one
         tenant: sign, band, and collision-join against the stored
@@ -723,7 +724,16 @@ class DedupArtifacts(SegmentStore):
             # only when real debt accrued (tombstones, batch tier
             # rivaling the base) — at 100 TB "full compact every 16
             # micro-batches" is itself the scale cliff.
-            out.update(self._auto_maintain())
+            # ``auto_maintain=False`` skips COMPACTION routing for
+            # this call only (stream_artifacts' explicit cadence) —
+            # the fold trigger below stays live: fold debt is serve
+            # exposure, not a compaction-schedule concern, and a
+            # drift-heavy stream on a long cadence must not carry a
+            # growing flip-adjustment join until the scheduled
+            # compact (ADVICE r11). auto_compact=False (the
+            # attribute) remains the full opt-out of both.
+            if auto_maintain is None or auto_maintain:
+                out.update(self._auto_maintain())
             if (
                 not out.get("compacted")
                 and getattr(self, "auto_compact", True)
@@ -838,10 +848,14 @@ class DedupArtifacts(SegmentStore):
         """Tombstone debt: removed_ids bytes reaching a fraction of
         doc_ids bytes (same row shape, so the byte ratio tracks the
         dead fraction every read anti-joins and the base tier
-        carries until the rewrite purges it)."""
+        carries until the rewrite purges it). Unknown sums (backend
+        could not stat a file — _tier_bytes returns None, never a
+        silent 0) skip the ratio: the next evaluation retries."""
         doc_base, doc_batch = self._tier_bytes("doc_ids")
-        rem = sum(self._tier_bytes("removed_ids"))
-        return rem >= float(
+        rem_base, rem_batch = self._tier_bytes("removed_ids")
+        if None in (doc_base, doc_batch, rem_base, rem_batch):
+            return False
+        return rem_base + rem_batch >= float(
             params.ARTIFACT_FULLCOMPACT_TOMBSTONE_FRAC
         ) * max(doc_base + doc_batch, 1)
 

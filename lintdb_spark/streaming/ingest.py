@@ -83,14 +83,15 @@ def stream_ingest(
     compact_every still gives the operator a deterministic schedule
     (and index.auto_compact = False opts the trigger out)."""
     n_batches = 0
-
-    if compact_every:
-        # an explicit cadence IS the maintenance schedule: disable the
-        # self-trigger so full compactions run only when the operator
-        # scheduled them (the auto path would otherwise preempt the
-        # cadence mid-batch — e.g. a first-trip full rewrite at
-        # micro-batch ~8, before a compact_every=20 ever fires)
-        index.auto_compact = False
+    # an explicit cadence IS the maintenance schedule: pass a PER-CALL
+    # opt-out so full compactions run only when the operator scheduled
+    # them (the auto path would otherwise preempt the cadence
+    # mid-batch — e.g. a first-trip full rewrite at micro-batch ~8,
+    # before a compact_every=20 ever fires). A per-call override, not
+    # index.auto_compact = False: the attribute mutation outlived the
+    # stream, leaving later direct add() calls on the same object
+    # never self-maintaining (ADVICE r11).
+    auto = None if not compact_every else False
 
     def _add(batch_df: DataFrame, batch_id: int) -> None:
         # Index.add runs two actions (docs write + postings write);
@@ -98,7 +99,11 @@ def stream_ingest(
         nonlocal n_batches
         batch_df.persist()
         try:
-            index.add(batch_df, idempotency_token=(checkpoint_dir, batch_id))
+            index.add(
+                batch_df,
+                idempotency_token=(checkpoint_dir, batch_id),
+                auto_maintain=auto,
+            )
         finally:
             batch_df.unpersist()
         n_batches += 1
@@ -137,16 +142,29 @@ def stream_artifacts(
     knob: every N batches the store consolidates to one v<N> segment
     per table (crash mid-compact re-runs the batch, whose update is a
     token no-op, then compaction runs again). An explicit cadence
-    disables the store's self-trigger (same contract as
-    stream_ingest): the operator's schedule, not the auto path,
-    decides when maintenance runs."""
+    disables the store's COMPACTION self-trigger for the stream's own
+    calls (same contract as stream_ingest): the operator's schedule,
+    not the auto path, decides when compaction runs. The flip-row
+    FOLD trigger is NOT cadence-gated — it bounds serve read-through
+    exposure, which a long compaction cadence must not be able to
+    re-open."""
     n_batches = 0
-    if compact_every:
-        store.auto_compact = False
+    # per-call compaction opt-out under an explicit cadence — NOT
+    # store.auto_compact = False, which (a) outlived the stream and
+    # (b) also disabled the flip-row FOLD trigger, so a drift-heavy
+    # stream on a long cadence carried the growing flip-adjustment
+    # join on every read until the scheduled compact (ADVICE r11).
+    # The fold is serve-exposure control, not a compaction schedule:
+    # it stays live regardless of the cadence.
+    auto = None if not compact_every else False
 
     def _upd(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
-        store.update(batch_df, idempotency_token=(checkpoint_dir, batch_id))
+        store.update(
+            batch_df,
+            idempotency_token=(checkpoint_dir, batch_id),
+            auto_maintain=auto,
+        )
         n_batches += 1
         if compact_every and n_batches % compact_every == 0:
             store.compact()

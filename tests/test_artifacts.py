@@ -1447,3 +1447,51 @@ def test_pairless_drift_stages_no_flip_segment(spark, tmp_path):
     assert _rows(
         st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
     ) == _scratch_pairs(spark, rows1 + rows2)
+
+
+def test_fold_fires_under_explicit_cadence(spark, tmp_path, monkeypatch):
+    """ADVICE r11: an explicit compaction cadence (stream_artifacts'
+    compact_every -> update(auto_maintain=False)) must gate ONLY the
+    compaction self-trigger, never the flip-row fold — fold debt is
+    serve read-through exposure, and a drift-heavy stream on a long
+    cadence must not carry the growing flip-adjustment join until the
+    scheduled compact. The opt-out is per-call: no persistent
+    attribute mutation survives (a later direct update() on the same
+    object still self-maintains)."""
+    from lintdb_spark import params as P
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 2)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 1)
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    st = DedupArtifacts.create(spark, str(tmp_path / "store_cadence"))
+    st.update(
+        spark.createDataFrame(
+            [(d, f"{phrase} a{d} b{d} c{d} e{d}") for d in range(6)],
+            "doc_id long, text string",
+        ),
+        auto_maintain=False,
+    )
+    # drift commit under the cadence: phrase df crosses the floor cap
+    r = st.update(
+        spark.createDataFrame(
+            [(100 + d, f"{phrase} x{d} y{d} z{d} w{d}") for d in range(6)],
+            "doc_id long, text string",
+        ),
+        auto_maintain=False,
+    )
+    # compaction routing suppressed, fold NOT
+    assert "compacted" not in r and "minor_compacted" not in r
+    assert r.get("folded") is True
+    assert int(st._meta["flip_rows_live"]) == 0
+    # nothing persistent was flipped off
+    assert getattr(st, "auto_compact", True) is True
+    # ...and the attribute opt-out still disables BOTH arms
+    st.auto_compact = False
+    r2 = st.update(
+        spark.createDataFrame(
+            [(200, "totally unrelated words only here")],
+            "doc_id long, text string",
+        )
+    )
+    assert "folded" not in r2 and "compacted" not in r2

@@ -1182,3 +1182,20 @@ def test_index_auto_tiered_maintenance(spark, tmp_path, monkeypatch):
     # a post-merge add + vector query still works end to end
     idx.add(make_docs(spark, range(50, 56)))
     assert search_ids(idx, VectorQuery("colbert", doc_tokens(52)), k=1) == [52]
+
+
+def test_minor_schema_pins_empty_union_types(spark, tmp_path):
+    """ADVICE r11: every index table kind must pin a schema for
+    _read_uncached's all-empty fallback — a minor-merge group whose
+    segments all fall through the listing read (legacy no-manifest
+    dirs) otherwise hits createDataFrame([], None) inside add()'s
+    commit path."""
+    idx = Index.create(
+        spark, str(tmp_path / "idx_mschema"), make_schema("int")
+    )
+    for t in idx._all_tables():
+        sch = idx._minor_schema(t)
+        assert sch is not None, t
+        empty = idx._read_uncached(t, sch, segs=[])
+        assert empty.count() == 0
+        assert "tenant" in empty.columns and "doc_id" in empty.columns

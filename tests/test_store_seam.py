@@ -347,3 +347,99 @@ def test_conditional_put_meta_flip_rejects_lost_update(spark):
     mem = MemoryFS.instance()
     with _pytest.raises(ConditionalPutConflict):
         mem.write_if_match(path + "/_meta.json", b"{}", None)
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (ADVICE r11): tier-byte stats must treat "backend could not
+# report a size" as UNKNOWN — never as 0, and never memoized. Both
+# coercion failure modes are maintenance-routing bugs: base=0 makes
+# every batch tier look like debt (full rewrite per trip), batch=0
+# defers the debt rewrite forever.
+# ---------------------------------------------------------------------------
+
+
+class _SizedFS:
+    """Seam double whose getsize answers from a mutable dict: a
+    missing key raises OSError (read-after-write listing lag), an
+    explicit None models fsspec backends whose info() carries
+    size=None (HTTP/SFTP-style)."""
+
+    def __init__(self, sizes: dict[str, int | None]):
+        self.sizes = sizes
+
+    def getsize(self, path: str):
+        if path not in self.sizes:
+            raise OSError(f"no such object (lag): {path}")
+        return self.sizes[path]
+
+
+class _TierStore(SegmentStore):
+    TABLES = ["t"]
+
+    def __init__(self, sizes):
+        self.spark = None
+        self.path = "mock://bucket/tiers"
+        self._storefs = _SizedFS(sizes)
+        self._meta = {
+            "versions": {"t": 1},
+            "segments": {"t": ["v1", "seg-a"]},
+            "manifests": {
+                "t": {"v1": ["base.parquet"], "seg-a": ["a.parquet"]}
+            },
+        }
+
+    def _all_tables(self):
+        return list(self.TABLES)
+
+
+def _leaf(seg, name):
+    return os.path.join("mock://bucket/tiers", "t", seg, name)
+
+
+def test_tier_bytes_failed_stat_is_uncached_and_retried():
+    sizes = {_leaf("v1", "base.parquet"): 1000}
+    st = _TierStore(sizes)
+    # seg-a's leaf can't be stat'ed yet: its tier reads UNKNOWN (None),
+    # not a silently-cached 0
+    assert st._tier_bytes("t") == (1000, None)
+    assert ("t", "v1") in st._seg_bytes_cache
+    assert ("t", "seg-a") not in st._seg_bytes_cache
+    # the byte-ratio debt check skips rather than routing on garbage
+    assert st._full_compact_due() is False
+    # lag clears -> the NEXT evaluation retries and gets the real sum
+    sizes[_leaf("seg-a", "a.parquet")] = 400
+    assert st._tier_bytes("t") == (1000, 400)
+    assert st._seg_bytes_cache[("t", "seg-a")] == 400
+    # with real sizes the ratio routes again (400 >= 0.25 * 1000)
+    assert st._full_compact_due() is True
+
+
+def test_tier_bytes_size_none_reads_unknown_not_zero():
+    # fsspec-style size=None: the old coercion made base read 0 and
+    # batch >= 0.25*max(0,1) fire the full rewrite on EVERY trip
+    st = _TierStore(
+        {_leaf("v1", "base.parquet"): None, _leaf("seg-a", "a.parquet"): 50}
+    )
+    assert st._tier_bytes("t") == (None, 50)
+    assert st._full_compact_due() is False
+    # ...and the inverse orientation must not disable debt forever by
+    # reading batch=0: it reads unknown and the check just defers
+    st2 = _TierStore(
+        {_leaf("v1", "base.parquet"): 100, _leaf("seg-a", "a.parquet"): None}
+    )
+    assert st2._tier_bytes("t") == (100, None)
+    assert st2._full_compact_due() is False
+
+
+def test_fsspec_getsize_surfaces_none():
+    from lintdb_spark.index.fs import FsspecRemote
+
+    class _Info:
+        def __init__(self, size):
+            self._size = size
+
+        def info(self, path):
+            return {"name": path, "size": self._size}
+
+    assert FsspecRemote(_Info(None)).getsize("b/f") is None
+    assert FsspecRemote(_Info(77)).getsize("b/f") == 77
