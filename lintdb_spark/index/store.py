@@ -844,6 +844,19 @@ class SegmentStore:
         merged (the reference would dangle)."""
         return set()
 
+    def _minor_companion(
+        self, table: str, merged: list, seg: str, new_meta: dict
+    ) -> None:
+        """Hook: stage companion segments / meta updates that must
+        ride the SAME flip as a minor merge of ``table`` (e.g. the
+        artifact store's inverted shingle sliver + coverage advance).
+        Runs after the merged segment is written and recorded in
+        ``new_meta`` but before the meta flip — companion writes are
+        staged-and-published like the merge itself, so a crash before
+        the flip leaves only vacuum-collectable orphans. Default:
+        none."""
+        return
+
     def minor_compact(self, force: bool = False) -> dict:
         """Merge per-batch segments into ONE segment per (table,
         level) WITHOUT touching the base tier — the LSM answer to
@@ -930,6 +943,7 @@ class SegmentStore:
                         man[seg] = self._segment_manifest(dst)
                         merged[table] = merged.get(table, 0) + len(group)
                         total = len(current)
+                        self._minor_companion(table, group, seg, new_meta)
                     # advance past levels with nothing to do; stop
                     # once no segment sits at or above this level
                     if not any(

@@ -546,7 +546,16 @@ class DedupArtifacts(SegmentStore):
                 df.repartition("tenant", "spart")
                 .sortWithinPartitions("tenant", "spart", "shingle")
                 if fine
-                else df.coalesce(_COARSE_FILES).sortWithinPartitions("shingle")
+                # coarse segments lead the in-file sort with spart so
+                # the lookup's pushed spart IN-list skips row groups
+                # via min/max — partition pruning's poor-man's twin for
+                # batch-sized segments that deliberately avoid the
+                # many-small-files hive layout (matters for the
+                # round-12 inverted slivers, which are read ONLY
+                # through spart-pruned lookups)
+                else df.coalesce(_COARSE_FILES).sortWithinPartitions(
+                    "spart", "shingle"
+                )
             ).write.mode("overwrite")
             w.partitionBy(*(("tenant", "spart") if fine else ("tenant",))).parquet(
                 path
@@ -745,14 +754,16 @@ class DedupArtifacts(SegmentStore):
                 out["folded"] = True
             return out
 
-    # the one table minor_compact never touches: shingle_docs is only
-    # ever written by the full compact (no batch segments exist).
+    # every table minor-merges, including (round 12) shingle_docs:
+    # its per-merge inverted slivers (_minor_companion) are level-0
+    # segments like any batch segment, and merging them bounds the
+    # inverted road's scan-branch count between full compacts.
     # flip_docs IS minor-merged — merging preserves the row multiset,
     # so fold_flips' arithmetic and the flip_rows_live count are
     # untouched, and WITHOUT it a drift-heavy stream accretes one flip
     # segment per batch until the count backstop forces the very full
     # compact the tiered policy exists to avoid.
-    _MINOR_SKIP = ("shingle_docs",)
+    _MINOR_SKIP = ()
     # flip bytes are fold_flips' business (bounded by the flip-row
     # trigger), not full-compact debt
     _TIER_BYTES_SKIP = ("flip_docs",)
@@ -767,6 +778,7 @@ class DedupArtifacts(SegmentStore):
         "removed_ids": _DOCID_SCHEMA,
         "pair_docs": _PAIRDOC_SCHEMA,
         "flip_docs": _FLIP_SCHEMA,
+        "shingle_docs": _SHDOC_SCHEMA,
     }
 
     def _minor_schema(self, table):
@@ -777,19 +789,19 @@ class DedupArtifacts(SegmentStore):
     def _minor_excluded(self, table):
         """Segment names other meta state references BY NAME:
         cand_pairs segments pending a deferred verify
-        (pair_unverified), and shingles segments inside
-        shingle_docs_covers (the merged name would fall OUT of the
-        covers list and the flip lookup would double-read their rows;
-        in practice covers only ever holds the compacted v*
-        segment)."""
+        (pair_unverified). Covered shingles segments are NOT excluded
+        anymore (round 12): _minor_companion advances
+        shingle_docs_covers from the retired member names to the
+        merged segment in the same flip, so the covers reference can
+        never dangle — and excluding them would block the m1 -> m2
+        cascade for the one table whose coverage the flip lookup
+        depends on."""
         if table == "cand_pairs":
             return {
                 s
                 for lst in self._meta.get("pair_unverified", {}).values()
                 for s in lst
             }
-        if table == "shingles":
-            return set(self._meta.get("shingle_docs_covers") or [])
         return set()
 
     def _minor_reduce(self, table, df):
@@ -821,6 +833,62 @@ class DedupArtifacts(SegmentStore):
 
     def _minor_write(self, table, df, path):
         self._write_segment(table, df, path)
+
+    def _minor_companion(self, table, merged, seg, new_meta):
+        """Extend shingle_docs coverage at minor-compact time
+        (round 12, VERDICT r11 #1): when a group of shingles segments
+        merges into an m<L>-* tier segment, build the INVERTED sliver
+        (same rows, spart-keyed) for the group members NOT already in
+        shingle_docs_covers, commit it as a shingle_docs segment in
+        the same meta flip, and advance covers from the retired
+        member names to the merged segment. This keeps the
+        flip-commit lookup's uncovered doc-keyed read at ONE FANOUT
+        of batches: previously minor merges moved batch rows into
+        uncovered m-tier segments that every drift commit re-read
+        wholesale, a set the debt policy lets grow to ~25% of corpus
+        shingle bytes between full compacts — the last
+        corpus-proportional term on the steady-state drift path.
+        Sliver cost ∝ merged segment bytes, never corpus; a row is
+        inverted at most once per level (all-covered cascade groups
+        stage nothing — their rows are already in shingle_docs, so
+        only covers advances). Slivers are ordinary level-0 segments:
+        the generic loop merges them at the same fanout, and the full
+        compact's v* rewrite retires them wholesale."""
+        if table != "shingles" or self._flip_rev < 2:
+            return
+        covers = new_meta.get("shingle_docs_covers")
+        if covers is None:
+            # lockstep-legacy store (pre-covers): shingle_docs already
+            # holds every shingles row; nothing to extend
+            return
+        cset = set(covers)
+        uncovered = [s for s in merged if s not in cset]
+        if uncovered:
+            raw = self._read_table_segments(
+                "shingles", uncovered, _SHINGLE_SCHEMA
+            )
+            if "tenant" not in raw.columns:
+                raw = raw.withColumn("tenant", F.lit(0))
+            sliver = raw.select(
+                F.coalesce(F.col("tenant").cast("int"), F.lit(0)).alias(
+                    "tenant"
+                ),
+                self._spart_col(F.col("shingle")).alias("spart"),
+                "shingle",
+                "doc_id",
+            )
+            sseg, dst = self._stage_path("shingle_docs")
+            self._write_segment("shingle_docs", sliver, dst)
+            new_meta.setdefault("segments", {}).setdefault(
+                "shingle_docs", []
+            ).append(sseg)
+            new_meta.setdefault("manifests", {}).setdefault(
+                "shingle_docs", {}
+            )[sseg] = self._segment_manifest(dst)
+        mset = set(merged)
+        new_meta["shingle_docs_covers"] = [
+            s for s in covers if s not in mset
+        ] + [seg]
 
     def _drop_empty_flip_segments(self, staged):
         """(staged', flip_rows): footer-count the staged flip_docs
