@@ -124,6 +124,16 @@ class LocalFS:
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def parquet_num_rows(self, path: str) -> int | None:
+        """Row count from the parquet footer — a driver-side metadata
+        read, no Spark job. None when the footer is unreadable."""
+        try:
+            import pyarrow.parquet as pq
+
+            return int(pq.ParquetFile(path).metadata.num_rows)
+        except Exception:  # noqa: BLE001 — stats feed estimates only
+            return None
+
     def utime(self, path: str) -> None:
         os.utime(path)
 
@@ -395,6 +405,22 @@ class StagedFS:
         re-upload at the next publish()."""
         return self._local(logical)
 
+    def parquet_num_rows(self, path: str) -> int | None:
+        """Footer row count from the LOCAL staged/cached copy only —
+        never a remote read (a footer fetch per maintenance trip would
+        put ranged GETs on the commit path). None when this process
+        has no local bytes for the file; callers estimate from
+        segments they do know (or fall back entirely)."""
+        local = self._local(path)
+        if not os.path.exists(local):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            return int(pq.ParquetFile(local).metadata.num_rows)
+        except Exception:  # noqa: BLE001 — stats feed estimates only
+            return None
+
     def publish(self, logical: str) -> None:
         """Upload every file staged locally for ``logical``, REPLACING
         whatever the remote holds under it — a version-keyed path can
@@ -488,10 +514,43 @@ class FsspecRemote:
         # best-effort: object stores need a conditional put / lock
         # service for true exclusivity; single-writer deployments are
         # unaffected (documented limitation of the lockfile protocol
-        # off POSIX)
+        # off POSIX). On a CAS-capable backend the put-if-absent IS
+        # exclusive (expected tag None = object must not exist).
+        if self.supports_cas:
+            try:
+                self.fs.put_if_match(self._p(path), data, None)
+                return
+            except OSError as exc:
+                raise FileExistsError(path) from exc
         if self.fs.exists(self._p(path)):
             raise FileExistsError(path)
         self.write_atomic(path, data)
+
+    @property
+    def supports_cas(self) -> bool:
+        """True when the wrapped filesystem exposes a conditional put
+        (``put_if_match(path, data, etag)`` — e.g. S3
+        If-Match/If-None-Match, GCS generation preconditions surfaced
+        by a backend). SegmentStore._save_meta then turns commit races
+        the lockfile emulation cannot exclude into loud
+        ConditionalPutConflict errors instead of silent lost
+        updates."""
+        return hasattr(self.fs, "put_if_match")
+
+    def write_if_match(self, path, data, expected):
+        """Compare-and-swap put: ``expected`` is the stat_id tuple the
+        writer last observed ((mtime_ns, size, tag)) or None for
+        put-if-absent; only the TAG component is the precondition —
+        it is the backend's own ETag when provided, else the content
+        hash stat_id computed, both of which the backend can check
+        atomically."""
+        tag = expected[2] if expected else None
+        try:
+            self.fs.put_if_match(self._p(path), data, tag)
+        except OSError as exc:
+            raise ConditionalPutConflict(
+                f"conditional put of {path} refused: {exc}"
+            ) from exc
 
     def unlink(self, path):
         self.fs.rm_file(self._p(path))
@@ -582,16 +641,29 @@ def _shared_cache_root(store_path: str) -> str:
     return d
 
 
+# embedder/test extension point: scheme -> factory(path) -> StoreFS.
+# Lets a deployment plug a custom backend (e.g. an fsspec-style object
+# store with conditional puts) without fsspec's global registry; the
+# CI-style object-store quirk suite registers its fake here.
+_SCHEME_FACTORIES: dict = {}
+
+
+def register_scheme(scheme: str, factory) -> None:
+    _SCHEME_FACTORIES[scheme] = factory
+
+
 def filesystem_for(path: str):
     """Pick the StoreFS for a store path by scheme: plain paths (and
     file://) get LocalFS; mem:// gets the in-memory test double behind
-    a staging bridge; any other scheme needs fsspec installed and gets
-    its filesystem behind the same bridge. Hadoop-supported schemes on
-    a real cluster should prefer direct Spark I/O — see module
-    docstring."""
+    a staging bridge; registered custom schemes get their factory;
+    any other scheme needs fsspec installed and gets its filesystem
+    behind the same bridge. Hadoop-supported schemes on a real
+    cluster should prefer direct Spark I/O — see module docstring."""
     if "://" not in path:
         return LocalFS()
     scheme = path.split("://", 1)[0]
+    if scheme in _SCHEME_FACTORIES:
+        return _SCHEME_FACTORIES[scheme](path)
     if scheme == "file":
         return LocalFS()
     if scheme == "mem":

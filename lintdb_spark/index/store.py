@@ -406,6 +406,31 @@ class SegmentStore:
         immutable after commit, so the manifest can never go stale for
         a reader holding the meta that references it."""
         out = []
+        # prefer the WRITER's local staged bytes (identity path on
+        # LocalFS, the staging mirror on bridged schemes): the writer
+        # just put those files, so the listing is complete by
+        # construction — a remote walk right after publish can be
+        # INCOMPLETE under read-after-write listing lag (S3-era
+        # eventual consistency, still the contract floor for generic
+        # object stores), and a manifest missing leaf files silently
+        # drops their rows from every read holding that meta
+        try:
+            staged = getattr(self.fs, "staged_local_path", None)
+        except Exception:  # noqa: BLE001 — seam-only stores (mock
+            # schemes with overridden _fs_walk) may have no resolvable
+            # StoreFS at all; the listing fallback below is their path
+            staged = None
+        if staged is not None:
+            local = staged(root)
+            if os.path.isdir(local):
+                for wr, _dirs, files in os.walk(local):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            out.append(
+                                os.path.relpath(os.path.join(wr, f), local)
+                            )
+                out.sort()
+                return out
         for wr, _dirs, files in self._fs_walk(root):
             for f in files:
                 if f.endswith(".parquet"):
@@ -610,16 +635,24 @@ class SegmentStore:
         now = _time.time()
 
         def _tree_age(p: str) -> float:
+            # FILE mtimes only: a Spark job bumps leaf mtimes, which is
+            # the signal this guards on — and on object stores
+            # directories are synthetic (no mtime of their own;
+            # FsspecRemote deliberately reports unknown times as "now",
+            # which would make every tree read age-0 forever and
+            # disable vacuum outright if dirs were included)
             try:
-                newest = self.fs.getmtime(p)
-                for walk_root, dirs, files in self._fs_walk(p):
-                    for name in dirs + files:
-                        newest = max(
-                            newest,
-                            self.fs.getmtime(os.path.join(walk_root, name)),
-                        )
+                newest = None
+                for walk_root, _dirs, files in self._fs_walk(p):
+                    for name in files:
+                        m = self.fs.getmtime(os.path.join(walk_root, name))
+                        newest = m if newest is None else max(newest, m)
             except OSError:
                 return 0.0  # racing writer/remover: not an orphan
+            if newest is None:
+                # no datable files (a writer's fresh mkdir, or every
+                # file hidden by listing lag): treat as just-touched
+                return 0.0
             return now - newest
 
         removed: list[str] = []
@@ -738,16 +771,37 @@ class SegmentStore:
         A segment with a failed stat is NOT memoized, so the next
         maintenance evaluation retries it — on object stores with
         read-after-write listing lag the retry is the fix."""
-        cache = getattr(self, "_seg_bytes_cache", None)
-        if cache is None:
-            cache = self._seg_bytes_cache = {}
-        man = self._meta.get("manifests", {}).get(table, {})
         base: int | None = 0
         batch: int | None = 0
         for seg in self._segments(table):
+            sz = self._seg_bytes(table, seg)
+            if seg.startswith("v"):
+                base = None if (sz is None or base is None) else base + sz
+            else:
+                batch = None if (sz is None or batch is None) else batch + sz
+        return base, batch
+
+    def _table_rows(self, table: str) -> int | None:
+        """Estimated committed row count of a table from parquet
+        FOOTERS — driver-side metadata only (LocalFS reads the footer
+        in place; StagedFS counts only files with a local
+        staged/cached copy, never a remote fetch), memoized per
+        immutable segment like _tier_bytes. Segments with no readable
+        footers are estimated from the table's known rows-per-byte
+        ratio (manifest byte stats); None when nothing at all is
+        known. Feeds cost ESTIMATES (e.g. the artifact fold trigger),
+        never correctness."""
+        cache = getattr(self, "_seg_rows_cache", None)
+        if cache is None:
+            cache = self._seg_rows_cache = {}
+        man = self._meta.get("manifests", {}).get(table, {})
+        known_rows = known_bytes = 0
+        unknown_bytes = 0
+        any_known = False
+        for seg in self._segments(table):
             key = (table, seg)
-            sz = cache.get(key)
-            if sz is None:
+            n = cache.get(key)
+            if n is None:
                 root = os.path.join(self.path, table, seg)
                 rel = man.get(seg)
                 if rel is None:
@@ -759,23 +813,66 @@ class SegmentStore:
                     ]
                 else:
                     files = [os.path.join(root, r) for r in rel]
-                sz = 0
+                n = 0
+                counter = getattr(self.fs, "parquet_num_rows", None)
                 for p in files:
-                    try:
-                        n = self.fs.getsize(p)
-                    except OSError:
+                    k = counter(p) if counter is not None else None
+                    if k is None:
                         n = None
-                    if n is None:
-                        sz = None
                         break
-                    sz += int(n)
-                if sz is not None:
-                    cache[key] = sz
-            if seg.startswith("v"):
-                base = None if (sz is None or base is None) else base + sz
+                    n += k
+                if n is not None:
+                    cache[key] = n
+            if n is not None:
+                any_known = True
+                known_rows += n
+                b = self._seg_bytes(table, seg)
+                known_bytes += b if b is not None else 0
             else:
-                batch = None if (sz is None or batch is None) else batch + sz
-        return base, batch
+                b = self._seg_bytes(table, seg)
+                if b is None:
+                    return None  # cannot even byte-estimate
+                unknown_bytes += b
+        if not any_known:
+            return None if unknown_bytes else 0
+        if unknown_bytes and known_bytes:
+            known_rows += int(unknown_bytes * known_rows / known_bytes)
+        return known_rows
+
+    def _seg_bytes(self, table: str, seg: str) -> int | None:
+        """Byte sum of ONE committed segment via the _tier_bytes
+        cache protocol: memoized when complete, uncached (returns
+        None) when any file's size is unknowable right now."""
+        cache = getattr(self, "_seg_bytes_cache", None)
+        if cache is None:
+            cache = self._seg_bytes_cache = {}
+        key = (table, seg)
+        sz = cache.get(key)
+        if sz is not None:
+            return sz
+        man = self._meta.get("manifests", {}).get(table, {})
+        root = os.path.join(self.path, table, seg)
+        rel = man.get(seg)
+        if rel is None:
+            files = [
+                os.path.join(wr, f)
+                for wr, _d, fls in self._fs_walk(root)
+                for f in fls
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [os.path.join(root, r) for r in rel]
+        sz = 0
+        for p in files:
+            try:
+                n = self.fs.getsize(p)
+            except OSError:
+                n = None
+            if n is None:
+                return None
+            sz += int(n)
+        cache[key] = sz
+        return sz
 
     def _extra_full_compact_due(self) -> bool:
         """Store-specific debt beyond the generic criteria (e.g. the

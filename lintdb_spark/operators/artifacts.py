@@ -747,12 +747,61 @@ class DedupArtifacts(SegmentStore):
                 not out.get("compacted")
                 and getattr(self, "auto_compact", True)
                 and self._segments("flip_docs")
-                and int(self._meta.get("flip_rows_live", 0))
-                >= int(params.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
+                and self._fold_due()
             ):
                 self.fold_flips()
                 out["folded"] = True
             return out
+
+    def _fold_due(self) -> bool:
+        """Route the fold trigger in the currency it actually bounds
+        (round 12, VERDICT r11 #2): estimated serve read-through cost
+        of the outstanding flip set, with the flat row count kept only
+        as a backstop. The row constant was hand-retuned once already
+        — the pre-restriction 2M value let a 38.9 s serve exposure
+        through when the endpoint restriction tripled the per-row
+        match rate — so any future change to flip volume-per-batch
+        would silently re-expose the cliff until a replay caught it;
+        the cost estimate is invariant to such shifts because it
+        prices the MATCHES, not the rows."""
+        fr = int(self._meta.get("flip_rows_live", 0))
+        if fr <= 0:
+            return False
+        cost = self._fold_cost_rows()
+        if cost is not None and cost >= int(params.ARTIFACT_FOLD_COST_ROWS):
+            return True
+        return fr >= int(params.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
+
+    def _fold_cost_rows(self) -> int | None:
+        """Estimated serve read-through cost of the OUTSTANDING flip
+        set, in join input+output rows. _pair_current's adjustment
+        scans the live flip rows and joins them against stored pair
+        rows on each endpoint, so its cost is
+
+            flip_rows            (scan + hash build)
+          + flip_rows * degree   (expected matches: an endpoint-
+                                  restricted flip doc IS a pair
+                                  endpoint and participates in
+                                  ~degree = 2*pair_rows/endpoint_docs
+                                  stored pairs)
+
+        Both stats are driver-side manifest metadata (footer row
+        counts memoized per immutable segment, byte-ratio estimated
+        for segments with no local footer). None when unavailable —
+        _fold_due then falls back to the flat row bound. pair_stats
+        superseded rows inflate the estimate and duplicate pair_docs
+        endpoints deflate it; both are bounded between full compacts
+        and err is acceptable in a trigger (early fold = a few
+        seconds of fold work; the constant bounds the late side)."""
+        fr = int(self._meta.get("flip_rows_live", 0))
+        if fr <= 0 or not self._segments("flip_docs"):
+            return 0
+        pr = self._table_rows("pair_stats")
+        ep = self._table_rows("pair_docs")
+        if not pr or not ep:
+            return None
+        degree = 2.0 * pr / ep
+        return int(fr * (1.0 + degree))
 
     # every table minor-merges, including (round 12) shingle_docs:
     # its per-merge inverted slivers (_minor_companion) are level-0

@@ -165,6 +165,23 @@ ARTIFACT_AUTOCOMPACT_VACUUM_AGE_S = 600.0
 # accumulated just under 2M restricted rows with no fold and the
 # batch-49 serve sample degraded to 38.9 s (SCALE.md §11).
 ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 600_000
+# round 12: the PRIMARY fold trigger is expressed in the currency the
+# trigger actually bounds — estimated serve read-through cost of the
+# outstanding flip set (flip_rows * (1 + degree) join input+output
+# rows, degree = 2*pair_rows/endpoint_docs from driver-side footer
+# stats; see DedupArtifacts._fold_cost_rows). The row constant above
+# is kept only as a BACKSTOP for stores where the stats are
+# unavailable: it was miscalibrated once already (the 2M
+# pre-endpoint-restriction value let a 38.9 s serve exposure through
+# because restricted rows match ~3x more pairs each), and any future
+# volume-shifting change would silently re-expose it. Calibrated on
+# the sf10 replay tail (scripts/fold_cost_replay.py, observe mode —
+# SCALE.md §12): degree ≈ 112 at the 500k-doc corpus (17.2M pair rows
+# / 306k endpoint rows), serve 9-14 s through cost ≈ 63M and 23.3 s at
+# 145M against a ~3 s flip-free baseline; 60M both preserves the
+# r11-measured 600k-row firing point (600k x (1+112) ≈ 68M) and sits
+# under the measured degradation knee.
+ARTIFACT_FOLD_COST_ROWS = 60_000_000
 # (the flip-row trigger runs the cheap flip-only FOLD — see
 # DedupArtifacts.fold_flips — not the full compact, so it needs no
 # cooldown: at the sf10 stream probe's tail every 10k-doc batch

