@@ -1588,6 +1588,135 @@ def q_artifact_fold_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COVERED_PHRASE = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+_ARTIFACT_COVERED_CACHE: dict = {}
+
+
+def _covered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift corpus with a SECOND 10-word phrase appended to docs
+    12-23 only: phrase A crosses the cap at the second batch (df
+    8 -> 12 over the floor-pinned cap of 8), phrase B crosses at the
+    FOURTH (df 4 -> 12) — after the minor merge, so B's stored
+    containing docs (12-15) are findable only through the merged
+    tier's inverted sliver. Deterministic from doc_id so the DuckDB
+    oracle derives the identical corpus."""
+    g = (F.col("doc_id") % 3).cast("string")
+    text = F.concat(
+        F.lit(_DRIFT_PHRASE + " s"),
+        g,
+        F.lit(" t"),
+        g,
+        F.lit(" u"),
+        g,
+        F.lit(" v"),
+        g,
+        F.when(
+            F.col("doc_id") >= 12, F.lit(" " + _COVERED_PHRASE)
+        ).otherwise(F.lit("")),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id", text.alias("text"))
+    )
+
+
+def artifact_covered_store_cached(spark: SparkSession, sf_dir: str):
+    """Round-12 coverage-extension lifecycle (VERDICT r11 #1): a full
+    compact establishes shingle_docs coverage, two more batches
+    minor-merge into an m1 tier WITH the inverted sliver staged and
+    covers advanced (_minor_companion), and a final drift commit
+    crosses phrase B — whose stored containing docs live ONLY in the
+    merged-and-covered m1 segment, so the flip lookup must find them
+    through the sliver (the uncovered doc-keyed set is EMPTY, asserted
+    at build). Serve must equal a from-scratch capped verify."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_cov_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _covered_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        st.compact()  # covers = the v1 snapshot
+        st.update(
+            docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 12))
+        )  # phrase A crosses through the covered v1 road
+        st.update(
+            docs.filter((F.col("doc_id") >= 12) & (F.col("doc_id") < 16))
+        )  # phrase B enters (df 4, under cap)
+        merged = st.minor_compact(force=True)
+        assert merged.get("shingles"), merged
+        covers = set(st._meta["shingle_docs_covers"])
+        assert any(s.startswith("m") for s in covers)
+        # full coverage: the drift lookup below has NO uncovered road
+        assert all(s in covers for s in st._segments("shingles"))
+        st.update(docs.filter(F.col("doc_id") >= 16))  # B crosses
+        return st
+
+    return _session_cached(_ARTIFACT_COVERED_CACHE, spark, sf_dir, build)
+
+
+_ARTIFACT_COSTFOLD_CACHE: dict = {}
+
+
+def artifact_cost_fold_store_cached(spark: SparkSession, sf_dir: str):
+    """Round-12 cost-triggered fold (VERDICT r11 #2): the drift
+    corpus's second batch crosses the cap and the resulting flip rows
+    trip the SERVE-COST bound (ARTIFACT_FOLD_COST_ROWS forced to 1 for
+    the commit, the flat row backstop pushed out of reach) — the fold
+    must fire through _fold_due's primary road and clear the flip
+    table inside update() itself. Params are restored before the
+    builder returns; the serve is over the folded representation."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark import params as P
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_costf_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        old = (P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
+        P.ARTIFACT_FOLD_COST_ROWS = 1
+        P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 10**15
+        try:
+            r = st.update(docs.filter(F.col("doc_id") >= 8))
+            assert r.get("folded"), r
+        finally:
+            P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = old
+        assert not st._segments("flip_docs")
+        return st
+
+    return _session_cached(_ARTIFACT_COSTFOLD_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_cost_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs after a fold fired by the COST trigger (round
+    12): the serve-cost estimate — not the flat row count — routed the
+    fold inside update(), and the folded serve must equal a
+    from-scratch capped verify over the union corpus (same oracle as
+    q_artifact_drift)."""
+    return artifact_cost_fold_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
+def q_artifact_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs served through the round-12 covered merged
+    layout: a drift commit whose crossing phrase's containing docs
+    live only in a minor-merged, companion-covered segment — the flip
+    lookup reads them via the inverted sliver, and the serve must
+    equal a from-scratch capped verify over the union corpus."""
+    return artifact_covered_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell occupancy/norm statistics off the stored bucket
     table (the ANN corpus map)."""
@@ -2740,6 +2869,24 @@ ORACLE["q_artifact_fold_remove"] = ORACLE["q_artifact_remove"]
 # per-batch segment lists into one m1-* tier segment must not change
 # what is served — same oracle as the live drift read
 ORACLE["q_artifact_minor"] = ORACLE["q_artifact_drift"]
+# round-12 coverage extension: the drift oracle over the TWO-phrase
+# covered corpus (_covered_corpus — phrase B appended to docs 12-23,
+# crossing the cap only after the minor merge covered its containing
+# docs' segment)
+# cost-triggered fold (round 12): the trigger currency changes WHEN
+# the fold runs, never what is served — same oracle as the drift read
+ORACLE["q_artifact_cost_fold"] = ORACLE["q_artifact_drift"]
+ORACLE["q_artifact_covered"] = ORACLE["q_jaccard_verified"].replace(
+    "FROM documents",
+    f"""FROM (SELECT doc_id,
+        '{_DRIFT_PHRASE} s' || CAST(doc_id % 3 AS VARCHAR)
+        || ' t' || CAST(doc_id % 3 AS VARCHAR)
+        || ' u' || CAST(doc_id % 3 AS VARCHAR)
+        || ' v' || CAST(doc_id % 3 AS VARCHAR)
+        || CASE WHEN doc_id >= 12 THEN ' {_COVERED_PHRASE}' ELSE '' END
+        AS text
+        FROM documents WHERE doc_id < 24)""",
+)
 
 ORACLE["q_doc_chunks"] = f"""
 WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2903,14 +3050,30 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        q_artifact_flush (green r10) stay per policy. Late r11:
     #        NEW q_artifact_minor rotated IN (first round — tiered
     #        maintenance's minor merge: serving through a merged
-    #        batch tier must be byte-equal). ----
+    #        batch tier must be byte-equal). That late insertion also
+    #        DISPLACED q_media_frames to position 51 — outside the
+    #        driver's 50 — which this log failed to name at the time
+    #        (flagged by the r11 verdict; q_media_frames had greens
+    #        r05-r10, six rounds, so the displacement was
+    #        policy-compliant, just unrecorded).
+    #   r12: NEW q_artifact_covered rotated IN (first round — the
+    #        minor-compact coverage extension: a drift commit whose
+    #        crossing phrase's containing docs live only in a
+    #        merged-and-covered segment must serve byte-equal through
+    #        the inverted sliver). NEW q_artifact_cost_fold rotated IN
+    #        (first round — the serve-cost fold trigger's primary
+    #        road). Rotated OUT q_artifact_tenant, q_artifact_drift,
+    #        q_artifact_remove (each driver-green r09, r10, r11 — met
+    #        the >=3 bar). q_media_frames re-enters the checked
+    #        window at position 50 (net -3 +2 this round).
+    #        q_artifact_flush (greens r10, r11) and the r11 trio
+    #        (minor/fold/fold_remove, green r11) stay per policy. ----
+    "q_artifact_covered": q_artifact_covered,
+    "q_artifact_cost_fold": q_artifact_cost_fold,
     "q_artifact_minor": q_artifact_minor,
     "q_artifact_fold": q_artifact_fold,
     "q_artifact_fold_remove": q_artifact_fold_remove,
     "q_artifact_flush": q_artifact_flush,
-    "q_artifact_drift": q_artifact_drift,
-    "q_artifact_remove": q_artifact_remove,
-    "q_artifact_tenant": q_artifact_tenant,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
@@ -2961,6 +3124,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_artifact_tenant": q_artifact_tenant,
+    "q_artifact_drift": q_artifact_drift,
+    "q_artifact_remove": q_artifact_remove,
     "q_artifact_verified": q_artifact_verified,
     "q_artifact_gate": q_artifact_gate,
     "q_repetition": q_repetition,

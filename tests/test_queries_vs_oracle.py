@@ -44,18 +44,22 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r11 NEW: row-scoped fold serves (first round in).
+        # r12 NEW: coverage-extension drift serve + cost-triggered
+        # fold (first round in).
+        "q_artifact_covered",
+        "q_artifact_cost_fold",
+        # r11 NEW: row-scoped fold serves (greens r11 — need >=3),
+        # plus the late-r11 minor-merge serve.
         "q_artifact_fold",
         "q_artifact_fold_remove",
+        "q_artifact_minor",
         # r10 NEW: deferred-verification serve (verify_every), greens
-        # r10 — needs >=3.
+        # r10, r11 — needs its third.
         "q_artifact_flush",
-        # r09 NEW trio (greens r09, r10 — need their third).
-        "q_artifact_tenant",
-        "q_artifact_drift",
-        "q_artifact_remove",
-        # (r08's q_artifact_verified / q_artifact_gate rotated OUT in
-        # r11: greens r08, r09, r10 met the >=3 bar.)
+        # (the r09 trio q_artifact_tenant/_drift/_remove rotated OUT
+        # in r12: greens r09, r10, r11 met the >=3 bar; r08's
+        # q_artifact_verified / q_artifact_gate rotated OUT in r11:
+        # greens r08, r09, r10.)
         # r07 NEW: verified-pair-fed clustering twins + simhash
         # near-dup pairs, each now with one driver green (r07).
         "q_dup_clusters_verified",
