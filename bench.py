@@ -625,8 +625,17 @@ def main() -> None:
     line = json.dumps(result)
     # file-backed as well as stdout: a crashed/garbled stdout pipe must
     # not lose the round's numbers
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json"), "w") as fh:
         fh.write(line + "\n")
+    # ...and a TRACKED pretty-printed copy (bench_full_latest.json):
+    # the driver's BENCH_r{N}.json keeps only a 2000-char tail of
+    # stdout, which truncates the per-query dicts — committing the
+    # full result each round is what makes r(N-1)->rN per-query
+    # regression diffs possible from the repo alone (VERDICT r11 #4)
+    with open(os.path.join(here, "bench_full_latest.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
     print(line)
     global _EMITTED
     _EMITTED = True

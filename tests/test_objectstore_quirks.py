@@ -1,0 +1,463 @@
+"""Round-12 (VERDICT r11 "Next round" #4): exercise the store-seam
+lifecycle against an OBJECT-STORE-SEMANTICS backend, not mem://'s
+idealized one. No fsspec in this container, so the backend is a
+CI-style fake that speaks the fsspec duck-type FsspecRemote adapts —
+meaning the REAL adapter code runs: the getmtime fallback chain
+(S3-style 'LastModified' / no time key at all), size=None info, walk
+re-anchoring, and the new conditional-put seam (put_if_match ->
+supports_cas -> CAS meta flip). Quirk knobs model the classic
+eventual-consistency hazards:
+
+- listing lag: freshly put objects are INVISIBLE to ls/walk/info for
+  the next N listing calls (read-after-write list consistency)
+- stat lag: info() of a fresh object raises FileNotFoundError a few
+  times before converging
+- size_none: info() reports size=None (HTTP/SFTP-style backends)
+
+The manifest protocol must stay complete under listing lag (the
+round-12 fix builds manifests from the writer's staged bytes), CAS
+must reject lost updates loudly, and maintenance byte-ratio routing
+must defer — never misroute — under size=None.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+
+import pytest
+
+from lintdb_spark.index import fs as fsmod
+from lintdb_spark.index.fs import (
+    ConditionalPutConflict,
+    FsspecRemote,
+    StagedFS,
+    _shared_cache_root,
+    register_scheme,
+)
+
+
+class _Missing(FileNotFoundError):
+    pass
+
+
+class FakeObjectStore:
+    """fsspec-AbstractFileSystem duck type backing scheme fakes3://.
+    Flat object namespace (directories implied), S3-style info dicts,
+    optional consistency quirks. Process-global like MemoryFS so
+    every StagedFS bridge sees the same objects."""
+
+    _inst = None
+    _inst_lock = threading.Lock()
+
+    @classmethod
+    def instance(cls):
+        with cls._inst_lock:
+            if cls._inst is None:
+                cls._inst = cls()
+            return cls._inst
+
+    def __init__(self):
+        self._lock = threading.RLock()
+        self.objects: dict[str, bytes] = {}
+        self.mtimes: dict[str, float] = {}
+        # quirk knobs
+        self.listing_lag: int = 0  # fresh objects hidden for N list ops
+        self.stat_lag: int = 0  # fresh objects 404 for N info ops
+        self.size_none: bool = False
+        self.time_key: str | None = "LastModified"  # None = no time at all
+        self._fresh: dict[str, int] = {}  # path -> remaining hidden ops
+
+    def reset(self, **quirks):
+        with self._lock:
+            self.objects.clear()
+            self.mtimes.clear()
+            self._fresh.clear()
+            self.listing_lag = quirks.get("listing_lag", 0)
+            self.stat_lag = quirks.get("stat_lag", 0)
+            self.size_none = quirks.get("size_none", False)
+            self.time_key = quirks.get("time_key", "LastModified")
+
+    @staticmethod
+    def _norm(p: str) -> str:
+        return p.rstrip("/")
+
+    def _visible_for_listing(self, p: str) -> bool:
+        n = self._fresh.get(p, 0)
+        if n > 0:
+            self._fresh[p] = n - 1
+            return False
+        return True
+
+    # ---- fsspec surface FsspecRemote adapts -------------------------
+    def exists(self, p):
+        p = self._norm(p)
+        with self._lock:
+            return p in self.objects or self.isdir(p)
+
+    def isdir(self, p):
+        p = self._norm(p) + "/"
+        with self._lock:
+            return any(k.startswith(p) for k in self.objects)
+
+    def ls(self, p):
+        p = self._norm(p)
+        with self._lock:
+            kids = set()
+            for k in list(self.objects):
+                if k.startswith(p + "/"):
+                    if not self._visible_for_listing(k):
+                        continue
+                    kids.add(p + "/" + k[len(p) + 1 :].split("/", 1)[0])
+            return sorted(kids)
+
+    def walk(self, root):
+        root = self._norm(root)
+        with self._lock:
+            by_dir: dict[str, list[str]] = {}
+            for k in list(self.objects):
+                if not (k.startswith(root + "/") or k == root):
+                    continue
+                if not self._visible_for_listing(k):
+                    continue
+                d, _, f = k.rpartition("/")
+                by_dir.setdefault(d, []).append(f)
+            dirs = set(by_dir)
+            for d in list(dirs):
+                cur = d
+                while cur and cur != root and "/" in cur:
+                    cur = cur.rpartition("/")[0]
+                    dirs.add(cur)
+            dirs.add(root)
+            for d in sorted(dirs):
+                subs = sorted(
+                    {
+                        x[len(d) + 1 :].split("/", 1)[0]
+                        for x in dirs
+                        if x.startswith(d + "/")
+                        and "/" not in x[len(d) + 1 :]
+                    }
+                )
+                yield d, subs, sorted(by_dir.get(d, []))
+
+    def makedirs(self, p, exist_ok=False):
+        return  # object stores have no real directories
+
+    class _Writer:
+        def __init__(self, store, path):
+            self.store, self.path, self.buf = store, path, bytearray()
+
+        def write(self, data):
+            self.buf.extend(data)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            if not exc or exc[0] is None:
+                self.store._put(self.path, bytes(self.buf))
+
+    class _Reader:
+        def __init__(self, data):
+            self.data = data
+
+        def read(self):
+            return self.data
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    def open(self, p, mode="rb"):
+        p = self._norm(p)
+        if "w" in mode:
+            return self._Writer(self, p)
+        with self._lock:
+            if p not in self.objects:
+                raise _Missing(p)
+            return self._Reader(self.objects[p])
+
+    def _put(self, p, data):
+        with self._lock:
+            self.objects[p] = data
+            self.mtimes[p] = time.time()
+            lag = max(self.listing_lag, self.stat_lag)
+            if lag:
+                self._fresh[p] = lag
+
+    def rm_file(self, p):
+        p = self._norm(p)
+        with self._lock:
+            self.objects.pop(p, None)
+            self.mtimes.pop(p, None)
+
+    def mv(self, src, dst):
+        with self._lock:
+            self.objects[self._norm(dst)] = self.objects.pop(self._norm(src))
+            self.mtimes[self._norm(dst)] = time.time()
+
+    def rm(self, p, recursive=False):
+        p = self._norm(p)
+        with self._lock:
+            hit = False
+            for k in list(self.objects):
+                if k == p or (recursive and k.startswith(p + "/")):
+                    del self.objects[k]
+                    self.mtimes.pop(k, None)
+                    hit = True
+            if not hit:
+                raise _Missing(p)
+
+    def info(self, p):
+        p = self._norm(p)
+        with self._lock:
+            if p not in self.objects:
+                if self.isdir(p):
+                    return {"name": p, "type": "directory", "size": 0}
+                raise _Missing(p)
+            n = self._fresh.get(p, 0)
+            if self.stat_lag and n > 0:
+                self._fresh[p] = n - 1
+                raise _Missing(p)
+            d = {
+                "name": p,
+                "type": "file",
+                "size": None if self.size_none else len(self.objects[p]),
+                "ETag": __import__("hashlib")
+                .md5(self.objects[p])
+                .hexdigest(),
+            }
+            if self.time_key:
+                d[self.time_key] = self.mtimes[p]
+            return d
+
+    # ---- the conditional-put extension the CAS seam adapts ----------
+    def put_if_match(self, p, data, etag):
+        p = self._norm(p)
+        with self._lock:
+            cur = self.objects.get(p)
+            cur_tag = (
+                __import__("hashlib").md5(cur).hexdigest()
+                if cur is not None
+                else None
+            )
+            if cur_tag != etag:
+                raise OSError(
+                    f"PreconditionFailed: {p} expected {etag} found {cur_tag}"
+                )
+            self._put(p, data)
+
+
+FAKE = FakeObjectStore.instance()
+register_scheme(
+    "fakes3",
+    lambda path: StagedFS(
+        FsspecRemote(FAKE, strip_scheme=True), _shared_cache_root(path)
+    ),
+)
+
+
+def _path(tag):
+    return f"fakes3://bucket/{tag}-{uuid.uuid4().hex[:8]}"
+
+
+# ---------------------------------------------------------------------------
+# adapter-level quirks
+# ---------------------------------------------------------------------------
+
+
+def test_getmtime_fallback_chain_on_s3_style_and_timeless_info():
+    FAKE.reset(time_key="LastModified")
+    r = FsspecRemote(FAKE, strip_scheme=True)
+    p = "fakes3://bucket/mt/a.bin"
+    r.write_atomic(p, b"x")
+    assert abs(r.getmtime(p) - time.time()) < 5
+    # a backend reporting NO time key must read FRESH (now), never
+    # epoch-old: age checks gate lock stealing and vacuum
+    FAKE.time_key = None
+    assert abs(r.getmtime(p) - time.time()) < 5
+
+
+def test_getsize_none_defers_debt_routing_end_to_end(spark, tmp_path):
+    """size=None all the way through a real store: byte-ratio debt
+    routing defers (count backstop still live) instead of reading 0."""
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset(size_none=True)
+
+    class _S(SegmentStore):
+        TABLES = ["t"]
+
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(spark, _path("sizes"))
+    st._meta = {
+        "versions": {"t": 1},
+        "segments": {"t": ["v1", "seg-a"]},
+        "manifests": {"t": {"v1": ["f.parquet"], "seg-a": ["g.parquet"]}},
+    }
+    for seg, f in (("v1", "f.parquet"), ("seg-a", "g.parquet")):
+        st.fs.write_atomic(f"{st.path}/t/{seg}/{f}", b"pq" * 50)
+    assert st._tier_bytes("t") == (None, None)
+    assert st._full_compact_due() is False
+    # sizes converge -> routing resumes with real numbers
+    FAKE.size_none = False
+    b0, b1 = st._tier_bytes("t")
+    assert b0 == 100 and b1 == 100
+
+
+# ---------------------------------------------------------------------------
+# CAS on the fsspec-style backend (the seam round 11 proved on mem://)
+# ---------------------------------------------------------------------------
+
+
+def test_cas_meta_flip_rejects_lost_update_on_object_store(spark):
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset()
+
+    class _S(SegmentStore):
+        TABLES = ["t"]
+
+        def _all_tables(self):
+            return ["t"]
+
+    path = _path("cas")
+    w1 = _S(spark, path)
+    assert w1.fs.supports_cas
+    w1._save_meta()  # put-if-absent
+    assert w1._meta_stat is not None
+
+    w2 = _S(spark, path)
+    w2._meta = json.loads(w2.fs.open_read(path + "/_meta.json"))
+    w2._meta_stat = w2._stat_meta()
+    w2._meta["n"] = 2
+    w2._save_meta()
+
+    w1._meta["n"] = 1
+    with pytest.raises(RuntimeError, match="lost a commit race"):
+        w1._save_meta()
+    assert json.loads(w1.fs.open_read(path + "/_meta.json"))["n"] == 2
+
+    w1._refresh_meta_if_stale()
+    assert w1._meta["n"] == 2
+    w1._meta["n"] = 3
+    w1._save_meta()
+    assert json.loads(w1.fs.open_read(path + "/_meta.json"))["n"] == 3
+
+    # raw primitive: put-if-absent refuses an existing object
+    with pytest.raises(ConditionalPutConflict):
+        w1.fs.write_if_match(path + "/_meta.json", b"{}", None)
+
+    # create_exclusive rides the conditional put on CAS backends
+    lock = path + "/_writer.lock"
+    w1.fs.create_exclusive(lock, b"tok")
+    with pytest.raises(FileExistsError):
+        w1.fs.create_exclusive(lock, b"tok2")
+
+
+# ---------------------------------------------------------------------------
+# full artifact lifecycle under listing lag
+# ---------------------------------------------------------------------------
+
+
+# slow lane per the r11 verdict's suite-budget task: the adapter-level
+# quirks and the CAS/manifest units above stay in the default lane;
+# this full two-store lifecycle rep runs on the scheduled lane
+@pytest.mark.slow
+def test_artifact_lifecycle_on_laggy_object_store(spark, sf_dir, tmp_path):
+    """create -> update x2 (drift) -> manifests complete despite
+    listing lag -> compact -> CAS flips throughout -> vacuum grace —
+    reads byte-equal to the same corpus on a local store."""
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+    from lintdb_spark.tables import load_table
+
+    FAKE.reset(listing_lag=3, time_key="LastModified")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    path = _path("life")
+    st = DedupArtifacts.create(spark, path)
+    st.update(docs.filter(F.col("doc_id") < 30))
+    st.update(docs.filter(F.col("doc_id") >= 30))
+    # manifests must be COMPLETE (from the writer's staged bytes, not
+    # the laggy remote listing): every manifested leaf exists remotely
+    man = st._meta.get("manifests", {})
+    n_files = 0
+    for t, per_seg in man.items():
+        for seg, rels in per_seg.items():
+            for rel in rels:
+                n_files += 1
+                assert st.fs.exists(f"{path}/{t}/{seg}/{rel}"), (t, seg, rel)
+    assert n_files > 0
+    local = DedupArtifacts.create(spark, str(tmp_path / "local_twin"))
+    local.update(docs)
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+
+    def rows(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in df.select(*cols).collect()
+        )
+
+    assert rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1)) == rows(
+        local.verified_pairs(min_jaccard=0.0, min_overlap=1)
+    )
+    # compact + vacuum with grace on the laggy store
+    st.compact()
+    removed_early = st.vacuum(min_age_s=3600)
+    assert removed_early == []  # grace respected (mtimes fresh)
+    removed = st.vacuum(min_age_s=0)
+    assert removed, "superseded segments reclaimed"
+    assert rows(st.verified_pairs(min_jaccard=0.0, min_overlap=1)) == rows(
+        local.verified_pairs(min_jaccard=0.0, min_overlap=1)
+    )
+
+
+def test_manifest_complete_under_listing_lag_unit():
+    """The round-12 manifest fix in isolation: a remote whose walk
+    hides fresh objects yields an INCOMPLETE listing, but
+    _segment_manifest reads the writer's staged bytes and stays
+    complete."""
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset(listing_lag=100)
+
+    class _S(SegmentStore):
+        TABLES = ["t"]
+
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(None, _path("man"))
+    root = st.path + "/t/seg-x"
+    # stage two leaf files the way _write_segment does (local staging
+    # then publish)
+    import os
+
+    local = st.fs.spark_write_path(root)
+    os.makedirs(os.path.join(local, "tenant=0"), exist_ok=True)
+    for name in ("part-0.parquet", "tenant=0/part-1.parquet"):
+        fp = os.path.join(local, name)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "wb") as f:
+            f.write(b"pq")
+    st.fs.publish(root)
+    man = st._segment_manifest(root)
+    assert man == ["part-0.parquet", "tenant=0/part-1.parquet"]
+    # the remote walk REALLY was lagging (sanity: direct walk misses)
+    seen = [
+        f
+        for _wr, _d, fls in FsspecRemote(FAKE, strip_scheme=True).walk(root)
+        for f in fls
+    ]
+    assert len(seen) < 2
