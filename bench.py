@@ -82,6 +82,8 @@ HEADLINE = [
     "q_artifact_remove",
     "q_artifact_fold",
     "q_artifact_fold_remove",
+    "q_artifact_covered",
+    "q_artifact_cost_fold",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

@@ -613,7 +613,10 @@ class FsspecRemote:
             import hashlib
 
             tag = hashlib.md5(self.open_read(path)).hexdigest()
-        return (int(m * 1e9), int(info.get("size", 0)), tag)
+        # size may be None (HTTP/SFTP-style info) — identity still
+        # works off mtime+tag; 0 here is a tuple component, not a
+        # routing input like getsize's
+        return (int(m * 1e9), int(info.get("size") or 0), tag)
 
 
 _CACHE_BASE: str | None = None

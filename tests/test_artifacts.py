@@ -614,6 +614,11 @@ def test_point_path_runs_and_matches_scratch(spark, tmp_path, monkeypatch):
         sh_all.unpersist()
 
 
+# slow lane (r12 budget): the remove/up-flip serve contract is
+# oracle-checked default-lane by test_queries_vs_oracle's
+# q_artifact_remove and q_artifact_fold_remove rows (fold_remove is in
+# the driver window); this is the deeper compact-revival probe
+@pytest.mark.slow
 def test_remove_docs_equals_scratch_and_compacts(spark, tmp_path):
     """remove(): reads equal a from-scratch build over the SURVIVING
     corpus — including UP-flips (removal drops a boilerplate phrase's
@@ -1243,6 +1248,10 @@ def test_flip_rows_restricted_to_pair_endpoints(spark, tmp_path):
     ) == _scratch_pairs(spark, rows1 + singles + rows2)
 
 
+# slow lane (r12 budget): one-time upgrade path, not on any serve
+# road; the post-upgrade serve equality it ends with is the same
+# compare the default-lane oracle suite runs on flip_rev-2 stores
+@pytest.mark.slow
 def test_legacy_flip_rev1_upgrades_on_compact(spark, tmp_path):
     """A store written before round 11 (flip_rev 1: no inverted
     shingle->doc table, no pair-endpoint registry) keeps the corpus-
@@ -1497,6 +1506,11 @@ def test_fold_fires_under_explicit_cadence(spark, tmp_path, monkeypatch):
     assert "folded" not in r2 and "compacted" not in r2
 
 
+# slow lane (r12 budget): the covered-drift serve contract is
+# driver-gated by q_artifact_covered (window, first round) and
+# oracle-checked default-lane; this probe additionally pins the
+# covers-advance/sliver internals and the m2 cascade
+@pytest.mark.slow
 def test_minor_compact_extends_shingle_docs_coverage(
     spark, tmp_path, monkeypatch
 ):

@@ -1137,6 +1137,12 @@ def test_commit_manifest_drives_reads(spark, tmp_path):
     assert reader._docs().count() == 8
 
 
+# slow lane (r12 budget): probe-style multi-batch maintenance walk.
+# Default-lane cover: q_merge_semantics (window) pins compaction
+# serve-equality, test_stream_ingest_compact_every_bounds_segments
+# pins the segment bound, and the generic debt routing is pinned by
+# the cheap _full_compact_due/_tier_bytes unit tests
+@pytest.mark.slow
 def test_index_auto_tiered_maintenance(spark, tmp_path, monkeypatch):
     """Round-11: Index.add self-triggers tiered maintenance (shared
     SegmentStore machinery) — first trip with no base tier runs the

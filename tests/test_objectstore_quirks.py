@@ -461,3 +461,15 @@ def test_manifest_complete_under_listing_lag_unit():
         for f in fls
     ]
     assert len(seen) < 2
+
+
+def test_stat_id_tolerates_size_none():
+    FAKE.reset(size_none=True)
+    r = FsspecRemote(FAKE, strip_scheme=True)
+    p = "fakes3://bucket/sid/a.json"
+    r.write_atomic(p, b"{}")
+    sid = r.stat_id(p)
+    assert sid is not None and sid[1] == 0 and sid[2]
+    # identity still distinguishes content changes via the tag
+    r.write_atomic(p, b"{\"n\":1}")
+    assert r.stat_id(p)[2] != sid[2]
