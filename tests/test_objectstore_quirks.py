@@ -473,3 +473,35 @@ def test_stat_id_tolerates_size_none():
     # identity still distinguishes content changes via the tag
     r.write_atomic(p, b"{\"n\":1}")
     assert r.stat_id(p)[2] != sid[2]
+
+
+@pytest.mark.slow
+def test_index_lifecycle_on_laggy_object_store(spark, tmp_path):
+    """The ANN Index's full lifecycle (create/train/add/search/
+    compact/vacuum) against the laggy fake object store — the
+    twin of the mem:// rep in test_store_seam, under non-idealized
+    listing semantics and the CAS meta flip."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_streaming_multimodal import OPTS, doc_tokens, make_docs, make_schema
+
+    from lintdb_spark.index.index import Index
+    from lintdb_spark.index.query import VectorQuery
+
+    FAKE.reset(listing_lag=3, time_key="LastModified")
+    path = _path("idx")
+    idx = Index.create(spark, path, make_schema("none"))
+    idx.train(make_docs(spark, range(10)))
+    idx.add(make_docs(spark, range(6)))
+    idx.add(make_docs(spark, range(6, 10)))
+    res = idx.search(0, VectorQuery("colbert", doc_tokens(7)), k=3, opts=OPTS)
+    assert res.collect()[0]["doc_id"] == 7
+    idx.compact()
+    idx.vacuum(min_age_s=0)
+    res2 = idx.search(0, VectorQuery("colbert", doc_tokens(3)), k=3, opts=OPTS)
+    assert res2.collect()[0]["doc_id"] == 3
+    # reload from the object store in a fresh object
+    idx2 = Index.load(spark, path)
+    res3 = idx2.search(0, VectorQuery("colbert", doc_tokens(7)), k=3, opts=OPTS)
+    assert res3.collect()[0]["doc_id"] == 7

@@ -424,3 +424,55 @@ def test_jaccard_verified_has_no_shingle_self_join(spark, sf_dir):
         if "keys [1]: [shingle#" in blk and "Join type: Inner" in blk
     ]
     assert not bad, bad[:1]
+
+
+def test_covered_drift_lookup_pushes_spart_filter(spark, sf_dir):
+    """Round 12: the flip-commit lookup's inverted road must push the
+    crossing sparts into the shingle_docs scan — partition pruning on
+    fine (hive spart=) segments, row-group min/max skipping on the
+    coarse slivers (which sort by (spart, shingle) precisely for
+    this). A regression to a post-scan filter re-reads the whole
+    inverted table per drift commit."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lintdb_spark.queries import artifact_covered_store_cached
+
+    st = artifact_covered_store_cached(spark, sf_dir)
+    crossing = F.broadcast(
+        spark.createDataFrame(
+            [("lambda mu nu", -1)],
+            T.StructType(
+                [
+                    T.StructField("shingle", T.StringType()),
+                    T.StructField("delta", T.IntegerType()),
+                ]
+            ),
+        )
+    )
+    sparts = [
+        r["spart"]
+        for r in spark.createDataFrame([("lambda mu nu",)], "shingle string")
+        .select(st._spart_col(F.col("shingle")).alias("spart"))
+        .collect()
+    ]
+    df = st._crossing_doc_rows(0, crossing, None, sparts)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the spart predicate reaches the parquet source (pushed or
+    # partition filter), not only a post-scan Filter node
+    assert "spart" in plan
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if ("PushedFilters" in ln or "PartitionFilters" in ln)
+        and "spart" in ln
+    ]
+    assert pushed, plan
+    # and no row-at-a-time python UDF anywhere in the lookup
+    assert "BatchEvalPython" not in plan
