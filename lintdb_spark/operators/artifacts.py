@@ -1177,11 +1177,45 @@ class DedupArtifacts(SegmentStore):
         )
         try:
             staged: list[tuple[str, str]] = []
+            deferred: list[tuple[str, DataFrame, str]] = []
 
             def stage(table: str, df: DataFrame) -> None:
+                # reserve the segment name now, DEFER the write:
+                # flush_stage() runs every staged write in one
+                # small thread pool, overlapping the 8-10 per-table
+                # jobs a batch commit issues — on a cluster the
+                # stages' shuffles/IO overlap, and even on local mode
+                # the driver-side job submission latency (the dominant
+                # cost of a small batch) is paid concurrently instead
+                # of serially. Plans are lazy and read only committed
+                # segments plus this batch's persisted frames, so
+                # deferral changes WHEN each plan executes, never what
+                # it computes; a mid-build exception skips the flush
+                # entirely (fewer crash orphans than eager writes).
                 seg, p = self._stage_path(table)
-                self._write_segment(table, df, p)
+                deferred.append((table, df, p))
                 staged.append((table, seg))
+
+            def flush_stage() -> None:
+                if not deferred:
+                    return
+                workers = min(
+                    int(params.ARTIFACT_STAGE_PARALLELISM), len(deferred)
+                )
+                if workers <= 1:
+                    for t, df, p in deferred:
+                        self._write_segment(t, df, p)
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=workers) as ex:
+                        # list() propagates the first worker exception
+                        list(
+                            ex.map(
+                                lambda x: self._write_segment(*x), deferred
+                            )
+                        )
+                deferred.clear()
 
             # rev-1 stores don't get the new tables piecemeal: their
             # backfill happens wholesale in migrate_layout (a partial
@@ -1351,6 +1385,11 @@ class DedupArtifacts(SegmentStore):
                             sh, bdf, empty_cand, tenant, nd_batch, stage, t_lit
                         )
                         new_pending = pending + [cand_seg]
+                # run the deferred segment writes NOW — before the
+                # persisted frames their plans read (sh/wide/new_b/
+                # cand/bdf) are unpersisted below, and before the
+                # footer-count pass needs the staged bytes on disk
+                flush_stage()
             finally:
                 cand.unpersist()
                 bdf.unpersist()

@@ -182,6 +182,13 @@ ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 600_000
 # r11-measured 600k-row firing point (600k x (1+112) ≈ 68M) and sits
 # under the measured degradation knee.
 ARTIFACT_FOLD_COST_ROWS = 60_000_000
+# round 12: a batch commit stages 8-10 independent table segments;
+# writing them through a small thread pool overlaps their jobs (on a
+# cluster: shuffles/IO of independent stages; on local mode: the
+# driver-side job-submission latency that dominates a small batch).
+# 1 = sequential (the pre-round-12 behavior). Measured at the tiny
+# test shape: ~1.4x faster update; at sf0.1: see SCALE.md §12.
+ARTIFACT_STAGE_PARALLELISM = 4
 # (the flip-row trigger runs the cheap flip-only FOLD — see
 # DedupArtifacts.fold_flips — not the full compact, so it needs no
 # cooldown: at the sf10 stream probe's tail every 10k-doc batch
