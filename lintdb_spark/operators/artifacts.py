@@ -2895,14 +2895,37 @@ class DedupArtifacts(SegmentStore):
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
             man = new_meta.setdefault("manifests", {})
+            # the ~10 per-table rewrites are independent until the
+            # meta flip — run them through the same small pool as
+            # batch staging (round 12): on a cluster the rewrites'
+            # shuffles/IO overlap, locally the driver-side job
+            # latency does. Version numbers and meta/manifest updates
+            # stay sequential (the pool does writes only).
+            jobs = []
             for table, df in writers.items():
                 if not self._segments(table) and not force.get(table, False):
                     continue
                 if table in force and not upgrade_ok:
                     continue
                 new_v = self._version(table) + 1
-                dst = self._table_path(table, new_v)
-                self._write_segment(table, df, dst, fine=True)
+                jobs.append((table, df, new_v, self._table_path(table, new_v)))
+            workers = min(int(params.ARTIFACT_STAGE_PARALLELISM), len(jobs))
+            if workers <= 1:
+                for table, df, _v, dst in jobs:
+                    self._write_segment(table, df, dst, fine=True)
+            elif jobs:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(
+                        ex.map(
+                            lambda j: self._write_segment(
+                                j[0], j[1], j[3], fine=True
+                            ),
+                            jobs,
+                        )
+                    )
+            for table, _df, new_v, dst in jobs:
                 seg = f"v{new_v}"
                 new_meta["versions"][table] = new_v
                 segs[table] = [seg]
