@@ -582,11 +582,23 @@ class Index(SegmentStore):
         out = out.persist()
         staged: list[tuple[str, str]] = []
         try:
+            # the docs write plus one postings write per colbert/text
+            # field are independent until the meta flip — overlap
+            # them through the shared staging pool (round 12,
+            # SegmentStore._run_writes; 1 = sequential). All plans
+            # read the SAME persisted `out`, so concurrent first
+            # materialization is at most duplicate cache fill, never
+            # a different result.
+            writes = []
             doc_cols = [f.name for f in self.schema.doc_spark_schema().fields]
             seg, p = self._stage_path("docs")
-            out.select(*doc_cols).write.mode("overwrite").partitionBy(
-                "tenant"
-            ).parquet(self.fs.spark_write_path(p))
+            writes.append(
+                lambda df=out.select(*doc_cols), lp=p: df.write.mode(
+                    "overwrite"
+                )
+                .partitionBy("tenant")
+                .parquet(self.fs.spark_write_path(lp))
+            )
             staged.append(("docs", seg))
 
             for fld in self.schema.colbert_fields():
@@ -600,7 +612,9 @@ class Index(SegmentStore):
                     .distinct()
                 )
                 seg, p = self._stage_path(table)
-                self._write_postings(postings, p)
+                writes.append(
+                    lambda df=postings, lp=p: self._write_postings(df, lp)
+                )
                 staged.append((table, seg))
 
             # analyzed TEXT fields -> token postings (inverted text
@@ -623,10 +637,13 @@ class Index(SegmentStore):
                     .agg(F.count("*").cast("bigint").alias("tf"))
                 )
                 seg, p = self._stage_path(table)
-                tp.write.mode("overwrite").partitionBy("tenant").parquet(
-                    self.fs.spark_write_path(p)
+                writes.append(
+                    lambda df=tp, lp=p: df.write.mode("overwrite")
+                    .partitionBy("tenant")
+                    .parquet(self.fs.spark_write_path(lp))
                 )
                 staged.append((table, seg))
+            self._run_writes(writes)
         finally:
             out.unpersist()
         self._commit_segments(staged, stream_batch=idempotency_token)

@@ -387,6 +387,28 @@ class SegmentStore:
         self._save_meta(new_meta)
         self._meta = new_meta
 
+    def _run_writes(self, thunks: list) -> None:
+        """Run independent segment-write thunks through a small
+        thread pool (params.ARTIFACT_STAGE_PARALLELISM; 1 =
+        sequential). A multi-table commit's staging writes are
+        independent until the meta flip, so overlapping them pays
+        driver-side job latency (the dominant cost of a small batch)
+        concurrently — and on a cluster overlaps the stages' own
+        shuffle/IO. The first worker exception propagates; any
+        already-written segments stay invisible staging (vacuum
+        collects them), exactly like a crash mid-staging."""
+        if not thunks:
+            return
+        workers = min(int(params.ARTIFACT_STAGE_PARALLELISM), len(thunks))
+        if workers <= 1:
+            for t in thunks:
+                t()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda t: t(), thunks))
+
     def _stage_path(self, table: str) -> tuple[str, str]:
         import uuid
 

@@ -1197,24 +1197,12 @@ class DedupArtifacts(SegmentStore):
                 staged.append((table, seg))
 
             def flush_stage() -> None:
-                if not deferred:
-                    return
-                workers = min(
-                    int(params.ARTIFACT_STAGE_PARALLELISM), len(deferred)
+                self._run_writes(
+                    [
+                        (lambda t=t, df=df, p=p: self._write_segment(t, df, p))
+                        for t, df, p in deferred
+                    ]
                 )
-                if workers <= 1:
-                    for t, df, p in deferred:
-                        self._write_segment(t, df, p)
-                else:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    with ThreadPoolExecutor(max_workers=workers) as ex:
-                        # list() propagates the first worker exception
-                        list(
-                            ex.map(
-                                lambda x: self._write_segment(*x), deferred
-                            )
-                        )
                 deferred.clear()
 
             # rev-1 stores don't get the new tables piecemeal: their
@@ -2909,22 +2897,16 @@ class DedupArtifacts(SegmentStore):
                     continue
                 new_v = self._version(table) + 1
                 jobs.append((table, df, new_v, self._table_path(table, new_v)))
-            workers = min(int(params.ARTIFACT_STAGE_PARALLELISM), len(jobs))
-            if workers <= 1:
-                for table, df, _v, dst in jobs:
-                    self._write_segment(table, df, dst, fine=True)
-            elif jobs:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=workers) as ex:
-                    list(
-                        ex.map(
-                            lambda j: self._write_segment(
-                                j[0], j[1], j[3], fine=True
-                            ),
-                            jobs,
+            self._run_writes(
+                [
+                    (
+                        lambda t=table, d=df, p=dst: self._write_segment(
+                            t, d, p, fine=True
                         )
                     )
+                    for table, df, _v, dst in jobs
+                ]
+            )
             for table, _df, new_v, dst in jobs:
                 seg = f"v{new_v}"
                 new_meta["versions"][table] = new_v
