@@ -64,6 +64,12 @@ class ConditionalPutConflict(OSError):
 class LocalFS:
     """Default backend: the local filesystem, identity Spark bridge."""
 
+    # POSIX directories carry a real mtime of their own — vacuum's
+    # tree-age check may fall back to it for trees with no datable
+    # files (object-store schemes report synthetic dir times and must
+    # never, see SegmentStore.vacuum)
+    real_dir_mtimes = True
+
     # ---- metadata / protocol ----
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -157,6 +163,13 @@ class LocalFS:
         or invalidating the publish memo — for read-only passes over a
         freshly staged segment (e.g. footer row counts)."""
         return logical
+
+    def locally_staged(self, logical: str) -> bool:
+        """May a commit-time manifest walk trust staged_local_path's
+        bytes as the COMPLETE segment? Locally always: the "mirror"
+        IS the segment (identity bridge) — there is no partial-
+        download hazard."""
+        return True
 
     def publish(self, logical: str) -> None:
         pass
@@ -405,6 +418,16 @@ class StagedFS:
         re-upload at the next publish()."""
         return self._local(logical)
 
+    def locally_staged(self, logical: str) -> bool:
+        """True only for roots THIS PROCESS staged and published: the
+        local mirror of such a root is complete by construction (the
+        writer put every file). Roots this process merely READ may
+        have a PARTIAL mirror (an interrupted spark_read_path), so a
+        commit-time manifest walk must never trust them (ADVICE r12
+        — build_manifests over a partially downloaded segment would
+        silently drop the missing leaves from every future read)."""
+        return logical in self._published
+
     def parquet_num_rows(self, path: str) -> int | None:
         """Footer row count from the LOCAL staged/cached copy only —
         never a remote read (a footer fetch per maintenance trip would
@@ -541,10 +564,19 @@ class FsspecRemote:
         """Compare-and-swap put: ``expected`` is the stat_id tuple the
         writer last observed ((mtime_ns, size, tag)) or None for
         put-if-absent; only the TAG component is the precondition —
-        it is the backend's own ETag when provided, else the content
-        hash stat_id computed, both of which the backend can check
-        atomically."""
+        and ONLY when it is the backend's own ETag. A tag stat_id
+        fabricated locally (the ``md5!`` content hash, used when
+        info() exposes no ETag) is NOT something the backend can
+        verify: sending it as If-Match matches only where ETag ==
+        content-md5 (single-part S3) and would brick every meta flip
+        after the first elsewhere (ADVICE r12) — so fabricated tags
+        degrade to a plain atomic put. True CAS protection requires
+        backend-native tags; without them the lockfile protocol is
+        the only writer exclusion (the documented pre-CAS posture)."""
         tag = expected[2] if expected else None
+        if isinstance(tag, str) and tag.startswith("md5!"):
+            self.write_atomic(path, data)
+            return
         try:
             self.fs.put_if_match(self._p(path), data, tag)
         except OSError as exc:
@@ -612,7 +644,9 @@ class FsspecRemote:
         if not tag:
             import hashlib
 
-            tag = hashlib.md5(self.open_read(path)).hexdigest()
+            # fabricated locally — marked so write_if_match knows the
+            # backend cannot verify it as an If-Match precondition
+            tag = "md5!" + hashlib.md5(self.open_read(path)).hexdigest()
         # size may be None (HTTP/SFTP-style info) — identity still
         # works off mtime+tag; 0 here is a tuple component, not a
         # routing input like getsize's

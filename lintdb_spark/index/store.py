@@ -415,7 +415,9 @@ class SegmentStore:
         seg = f"seg-{uuid.uuid4().hex[:12]}"
         return seg, os.path.join(self.path, table, seg)
 
-    def _segment_manifest(self, root: str) -> list[str]:
+    def _segment_manifest(
+        self, root: str, prefer_local: bool = True
+    ) -> list[str]:
         """Relative paths of a segment's parquet leaf files, walked
         once at COMMIT time by the process that just wrote them (a
         local readdir over freshly written dirs — cheap, and on object
@@ -426,7 +428,14 @@ class SegmentStore:
         listing job (~15 s) on every cold open; a manifest read costs
         one footer read + driver-side file stats. Segments are
         immutable after commit, so the manifest can never go stale for
-        a reader holding the meta that references it."""
+        a reader holding the meta that references it.
+
+        ``prefer_local=False`` (build_manifests' migration path)
+        forces the remote walk: migration manifests segments this
+        process never wrote, where the local mirror may be a PARTIAL
+        download (an interrupted spark_read_path earlier in the same
+        process) — a manifest built from it would silently drop the
+        missing leaves from every future read."""
         out = []
         # prefer the WRITER's local staged bytes (identity path on
         # LocalFS, the staging mirror on bridged schemes): the writer
@@ -435,9 +444,19 @@ class SegmentStore:
         # INCOMPLETE under read-after-write listing lag (S3-era
         # eventual consistency, still the contract floor for generic
         # object stores), and a manifest missing leaf files silently
-        # drops their rows from every read holding that meta
+        # drops their rows from every read holding that meta.
+        # Gated (ADVICE r12) on the fs CONFIRMING this process staged
+        # and published the root: a read-side cache mirror (possibly
+        # partial, from an interrupted download) must never become a
+        # manifest — only roots in StagedFS's publish memo qualify,
+        # and LocalFS (where the "mirror" IS the segment) always does.
         try:
-            staged = getattr(self.fs, "staged_local_path", None)
+            staged = (
+                getattr(self.fs, "staged_local_path", None)
+                if prefer_local
+                and getattr(self.fs, "locally_staged", lambda p: False)(root)
+                else None
+            )
         except Exception:  # noqa: BLE001 — seam-only stores (mock
             # schemes with overridden _fs_walk) may have no resolvable
             # StoreFS at all; the listing fallback below is their path
@@ -479,7 +498,12 @@ class SegmentStore:
                     root = os.path.join(self.path, table, seg)
                     if not self._fs_exists(root):
                         continue
-                    man.setdefault(table, {})[seg] = self._segment_manifest(root)
+                    # migration path: ALWAYS the remote walk — these
+                    # segments were committed by some earlier process;
+                    # a local cache mirror may be a partial download
+                    man.setdefault(table, {})[seg] = self._segment_manifest(
+                        root, prefer_local=False
+                    )
                     added += 1
             if added:
                 self._save_meta(new_meta)
@@ -672,8 +696,20 @@ class SegmentStore:
             except OSError:
                 return 0.0  # racing writer/remover: not an orphan
             if newest is None:
-                # no datable files (a writer's fresh mkdir, or every
-                # file hidden by listing lag): treat as just-touched
+                # no datable files: on backends with REAL directory
+                # mtimes (LocalFS) fall back to the root dir's own —
+                # an empty orphan dir (crash after mkdir, before any
+                # file) would otherwise never age and leak forever
+                # (ADVICE r12). Object-store schemes keep the
+                # just-touched rule: their dir times are synthetic
+                # ("now"), and treating those as datable would make
+                # every empty tree instantly stale OR never stale
+                # depending on the backend's lie.
+                if getattr(self.fs, "real_dir_mtimes", False):
+                    try:
+                        return now - self.fs.getmtime(p)
+                    except OSError:
+                        return 0.0
                 return 0.0
             return now - newest
 

@@ -1244,9 +1244,10 @@ class DedupArtifacts(SegmentStore):
             # prune nothing — the flip lookup scans uncovered
             # batch-sized segments doc-keyed at the same cost, and
             # compaction builds the spart-pruned inverted rewrite)
-            # counted AFTER the shingles write materialized sh's cache
-            # — the distinct then reads cached rows instead of paying
-            # the shingling lineage a second time
+            # this count is the FIRST materialization of sh's persisted
+            # cache (the shingles write above is DEFERRED to
+            # flush_stage); the deferred write then reuses the cache
+            # instead of paying the shingling lineage a second time
             nd_batch = sh.select("doc_id").distinct().count()
             stage("signatures", wide.select(t_lit.alias("tenant"), *wide.columns))
             bdf = (
@@ -1326,8 +1327,10 @@ class DedupArtifacts(SegmentStore):
                     cand.select(t_lit.alias("tenant"), "doc_a", "doc_b"),
                 )
                 cand_seg = staged[-1][1]
-                # the write above materialized cand's cache — this
-                # count is a cached scan, not a second collision join
+                # this count is the FIRST materialization of cand's
+                # persisted cache (the cand_pairs write is deferred to
+                # flush_stage, which then reuses the cache — one
+                # collision join either way)
                 n_pairs = cand.count()
                 new_seq = None
                 if self._meta.get("pair_stats_live"):

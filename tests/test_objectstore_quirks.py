@@ -68,6 +68,7 @@ class FakeObjectStore:
         self.stat_lag: int = 0  # fresh objects 404 for N info ops
         self.size_none: bool = False
         self.time_key: str | None = "LastModified"  # None = no time at all
+        self.no_etag: bool = False  # info() exposes no ETag at all
         self._fresh: dict[str, int] = {}  # path -> remaining hidden ops
 
     def reset(self, **quirks):
@@ -79,6 +80,7 @@ class FakeObjectStore:
             self.stat_lag = quirks.get("stat_lag", 0)
             self.size_none = quirks.get("size_none", False)
             self.time_key = quirks.get("time_key", "LastModified")
+            self.no_etag = quirks.get("no_etag", False)
 
     @staticmethod
     def _norm(p: str) -> str:
@@ -227,10 +229,11 @@ class FakeObjectStore:
                 "name": p,
                 "type": "file",
                 "size": None if self.size_none else len(self.objects[p]),
-                "ETag": __import__("hashlib")
-                .md5(self.objects[p])
-                .hexdigest(),
             }
+            if not self.no_etag:
+                d["ETag"] = (
+                    __import__("hashlib").md5(self.objects[p]).hexdigest()
+                )
             if self.time_key:
                 d[self.time_key] = self.mtimes[p]
             return d
@@ -461,6 +464,98 @@ def test_manifest_complete_under_listing_lag_unit():
         for f in fls
     ]
     assert len(seen) < 2
+
+
+def test_build_manifests_ignores_partial_cache_mirror():
+    """ADVICE r12 (medium): build_manifests migrates segments this
+    process never wrote; if an earlier spark_read_path was interrupted
+    mid-download the cache holds a PARTIAL mirror — the migration must
+    manifest from the REMOTE walk, or the missing leaves' rows are
+    silently dropped from every future read."""
+    import os
+
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset()
+
+    class _S(SegmentStore):
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(None, _path("partial"))
+    root = st.path + "/t/seg-old"
+    # the segment was committed by some OTHER process: objects exist
+    # remotely, nothing staged locally by this one
+    for rel in ("part-0.parquet", "part-1.parquet", "part-2.parquet"):
+        st.fs.write_atomic(f"{root}/{rel}", b"pq")
+    st._meta = {"versions": {}, "segments": {"t": ["seg-old"]}}
+    st.fs.write_atomic(st.path + "/_meta.json", json.dumps(st._meta).encode())
+    st._meta_stat = st._stat_meta()
+    # simulate the interrupted download: ONE file mirrored in the cache
+    local = st.fs.staged_local_path(root)
+    os.makedirs(local, exist_ok=True)
+    with open(os.path.join(local, "part-0.parquet"), "wb") as f:
+        f.write(b"pq")
+    assert not st.fs.locally_staged(root)  # never published by us
+    assert st.build_manifests() == 1
+    assert sorted(st._meta["manifests"]["t"]["seg-old"]) == [
+        "part-0.parquet",
+        "part-1.parquet",
+        "part-2.parquet",
+    ]
+
+
+def test_write_if_match_degrades_without_backend_etag():
+    """ADVICE r12 (low): when info() exposes no ETag, stat_id's tag is
+    a locally fabricated content hash the backend cannot verify —
+    write_if_match must degrade to a plain atomic put instead of
+    sending the fabricated token as If-Match (which bricked every
+    flip after the first on backends where ETag != content-md5)."""
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset(no_etag=True)
+
+    class _S(SegmentStore):
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(None, _path("noetag"))
+    assert st.fs.supports_cas  # put_if_match exists
+    st._save_meta()  # put-if-absent: backend-verifiable, real CAS
+    sid = st._meta_stat
+    assert isinstance(sid[2], str) and sid[2].startswith("md5!")
+    # the second and third flips carry a fabricated expected tag —
+    # before the fix these raised ConditionalPutConflict every time
+    st._meta["n"] = 1
+    st._save_meta()
+    st._meta["n"] = 2
+    st._save_meta()
+    assert json.loads(st.fs.open_read(st.path + "/_meta.json"))["n"] == 2
+
+
+def test_vacuum_reclaims_empty_orphan_dir_on_localfs(tmp_path):
+    """ADVICE r12 (low): an empty orphan staging dir (crash after
+    mkdir, before any file) has no datable files; on LocalFS the dir's
+    own mtime is real, so vacuum ages it out instead of leaking it
+    forever. Grace is still respected for fresh empty dirs."""
+    import os
+
+    from lintdb_spark.index.store import SegmentStore
+
+    class _S(SegmentStore):
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(None, str(tmp_path / "store"))
+    orphan = os.path.join(st.path, "t", "seg-orphan")
+    os.makedirs(orphan)
+    # fresh: grace respected
+    assert st.vacuum(min_age_s=3600) == []
+    # aged: reclaimed via the dir's own mtime
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    assert st.vacuum(min_age_s=3600) == ["t/seg-orphan"]
+    assert not os.path.exists(orphan)
 
 
 def test_stat_id_tolerates_size_none():
