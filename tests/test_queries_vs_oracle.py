@@ -44,18 +44,20 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
+        # r13 NEW: degraded-stats fold on a cold bridged-scheme store
+        # (first round in).
+        "q_artifact_remote_fold",
         # r12 NEW: coverage-extension drift serve + cost-triggered
-        # fold (first round in).
+        # fold (greens r12 — need >=3).
         "q_artifact_covered",
         "q_artifact_cost_fold",
-        # r11 NEW: row-scoped fold serves (greens r11 — need >=3),
-        # plus the late-r11 minor-merge serve.
+        # r11 NEW: row-scoped fold serves (greens r11, r12 — need
+        # their third), plus the late-r11 minor-merge serve.
         "q_artifact_fold",
         "q_artifact_fold_remove",
         "q_artifact_minor",
-        # r10 NEW: deferred-verification serve (verify_every), greens
-        # r10, r11 — needs its third.
-        "q_artifact_flush",
+        # (q_artifact_flush rotated OUT in r13: greens r10, r11, r12
+        # met the >=3 bar.)
         # (the r09 trio q_artifact_tenant/_drift/_remove rotated OUT
         # in r12: greens r09, r10, r11 met the >=3 bar; r08's
         # q_artifact_verified / q_artifact_gate rotated OUT in r11:
