@@ -483,9 +483,82 @@ class StagedFS:
         return local
 
 
+def _is_transient(exc: BaseException) -> bool:
+    """Classify a backend error as TRANSIENT (throttling / 5xx /
+    timeout — retry is correct) vs SEMANTIC (missing object,
+    precondition failed — retry would mask real state). Backends
+    surface throttling heterogeneously, so match both a numeric
+    ``status``/``code``/``response_code`` attribute and the classic
+    marker strings (S3 SlowDown/ThrottlingException, GCS
+    rateLimitExceeded, generic 429/5xx)."""
+    if isinstance(exc, (FileNotFoundError, FileExistsError)):
+        return False
+    for attr in ("status", "code", "response_code", "status_code"):
+        v = getattr(exc, attr, None)
+        if isinstance(v, int) and (v == 429 or 500 <= v <= 599):
+            return True
+    s = f"{type(exc).__name__}: {exc}".lower()
+    return any(
+        m in s
+        for m in (
+            "slowdown",
+            "slow down",
+            "throttl",
+            "ratelimit",
+            "rate limit",
+            "503",
+            "500",
+            "502",
+            "504",
+            "429",
+            "timed out",
+            "timeout",
+            "connection reset",
+        )
+    )
+
+
 class FsspecRemote:
     """Adapt an fsspec AbstractFileSystem as a StagedFS remote. Only
-    constructed when fsspec is importable (filesystem_for)."""
+    constructed when fsspec is importable (filesystem_for).
+
+    Every backend call runs through a retry-with-backoff seam
+    (``_retry``): transient failures (throttling, 5xx, timeouts — see
+    ``_is_transient``) are retried up to ``retry_attempts`` times with
+    exponential backoff, semantic errors (missing object, failed
+    precondition) propagate immediately. Retrying is safe for every op
+    here because each is idempotent at the object level: reads and
+    stats are pure, puts are whole-object (a retried put re-writes the
+    same bytes), deletes tolerate already-gone, and the CAS put's
+    precondition re-evaluates on retry (a conflict is SEMANTIC and
+    never retried).
+
+    ATOMICITY REQUIREMENTS — which primitives the commit protocol
+    needs atomic on a real backend (asserted by the quirk suite's op
+    trace, test_objectstore_quirks):
+
+    - ``write_atomic``: whole-object put (readers see old or new
+      bytes, never torn) — native on all object stores. The meta flip
+      is this put (or the CAS variant below). NO rename anywhere on
+      the commit path.
+    - ``create_exclusive``: put-if-absent. Real exclusion needs a
+      conditional put (If-None-Match) — provided via put_if_match on
+      CAS backends; without it the exists+put emulation is
+      best-effort (documented single-writer limitation).
+    - ``write_if_match``: conditional put keyed on a BACKEND-NATIVE
+      tag (ETag / generation). Locally fabricated tags degrade to a
+      plain put (see below).
+    - ``rename``: needed only by the writer lock's stale-takeover and
+      NOT required atomic — with copy+delete semantics, concurrent
+      claimants serialize on the delete (at most one claims), and the
+      subsequent create_exclusive is the actual exclusion point.
+    """
+
+    # transient-failure retry knobs (instance attrs so tests and
+    # embedders tune without globals): attempts include the first try;
+    # backoff is retry_base_s * 2^i per retry
+    retry_attempts = 5
+    retry_base_s = 0.05
 
     def __init__(self, fs, strip_scheme: bool = False) -> None:
         self.fs = fs
@@ -494,44 +567,73 @@ class FsspecRemote:
     def _p(self, path: str) -> str:
         return path.split("://", 1)[1] if self.strip and "://" in path else path
 
+    def _retry(self, fn):
+        """Run one backend call, retrying transient failures with
+        exponential backoff; the last failure propagates."""
+        last = None
+        for i in range(int(self.retry_attempts)):
+            try:
+                return fn()
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if not _is_transient(exc):
+                    raise
+                last = exc
+                time.sleep(float(self.retry_base_s) * (2**i))
+        raise last
+
     def exists(self, path):
-        return self.fs.exists(self._p(path))
+        return self._retry(lambda: self.fs.exists(self._p(path)))
 
     def isdir(self, path):
-        return self.fs.isdir(self._p(path))
+        return self._retry(lambda: self.fs.isdir(self._p(path)))
 
     def listdir(self, path):
-        return [posixpath.basename(p.rstrip("/")) for p in self.fs.ls(self._p(path))]
+        return [
+            posixpath.basename(p.rstrip("/"))
+            for p in self._retry(lambda: self.fs.ls(self._p(path)))
+        ]
 
     def walk(self, root):
         # fsspec yields protocol-STRIPPED roots ('bucket/store/...'),
         # while every caller compares/joins walked paths against the
         # scheme-ful logical root (manifest relpaths, StagedFS cache
         # mirroring) — re-anchor each yielded dir onto the root the
-        # caller passed
+        # caller passed. The listing is materialized INSIDE the retry:
+        # a transient failure mid-iteration restarts the whole walk
+        # instead of yielding a silently truncated tree.
         base = str(
             self.fs._strip_protocol(root)
             if hasattr(self.fs, "_strip_protocol")
             else self._p(root)
         ).rstrip("/")
         anchor = root.rstrip("/")
-        for wr, dirs, files in self.fs.walk(self._p(root)):
+        entries = self._retry(lambda: list(self.fs.walk(self._p(root))))
+        for wr, dirs, files in entries:
             wr = str(wr).rstrip("/")
             suffix = wr[len(base):] if wr.startswith(base) else ""
             yield anchor + suffix, dirs, files
 
     def makedirs(self, path, exist_ok=False):
-        self.fs.makedirs(self._p(path), exist_ok=exist_ok)
+        self._retry(
+            lambda: self.fs.makedirs(self._p(path), exist_ok=exist_ok)
+        )
 
     def open_read(self, path):
-        with self.fs.open(self._p(path), "rb") as f:
-            return f.read()
+        def _read():
+            with self.fs.open(self._p(path), "rb") as f:
+                return f.read()
+
+        return self._retry(_read)
 
     def write_atomic(self, path, data):
         # fsspec writes are whole-object puts — atomic per object on
-        # real object stores (readers see old or new, never torn)
-        with self.fs.open(self._p(path), "wb") as f:
-            f.write(data)
+        # real object stores (readers see old or new, never torn);
+        # a retried put re-writes the same bytes (idempotent)
+        def _write():
+            with self.fs.open(self._p(path), "wb") as f:
+                f.write(data)
+
+        self._retry(_write)
 
     def create_exclusive(self, path, data):
         # best-effort: object stores need a conditional put / lock
@@ -541,11 +643,15 @@ class FsspecRemote:
         # exclusive (expected tag None = object must not exist).
         if self.supports_cas:
             try:
-                self.fs.put_if_match(self._p(path), data, None)
+                self._retry(
+                    lambda: self.fs.put_if_match(self._p(path), data, None)
+                )
                 return
             except OSError as exc:
+                if _is_transient(exc):  # retries exhausted, NOT a
+                    raise  # precondition refusal — don't mislabel
                 raise FileExistsError(path) from exc
-        if self.fs.exists(self._p(path)):
+        if self.exists(path):
             raise FileExistsError(path)
         self.write_atomic(path, data)
 
@@ -578,26 +684,30 @@ class FsspecRemote:
             self.write_atomic(path, data)
             return
         try:
-            self.fs.put_if_match(self._p(path), data, tag)
+            self._retry(
+                lambda: self.fs.put_if_match(self._p(path), data, tag)
+            )
         except OSError as exc:
+            if _is_transient(exc):  # retries exhausted — a backend
+                raise  # outage, not a lost commit race
             raise ConditionalPutConflict(
                 f"conditional put of {path} refused: {exc}"
             ) from exc
 
     def unlink(self, path):
-        self.fs.rm_file(self._p(path))
+        self._retry(lambda: self.fs.rm_file(self._p(path)))
 
     def rename(self, src, dst):
-        self.fs.mv(self._p(src), self._p(dst))
+        self._retry(lambda: self.fs.mv(self._p(src), self._p(dst)))
 
     def rmtree(self, path):
         try:
-            self.fs.rm(self._p(path), recursive=True)
+            self._retry(lambda: self.fs.rm(self._p(path), recursive=True))
         except FileNotFoundError:
             pass
 
     def getmtime(self, path):
-        info = self.fs.info(self._p(path))
+        info = self._retry(lambda: self.fs.info(self._p(path)))
         # fsspec backends disagree on the key: 'mtime' (local, sftp),
         # 'LastModified' (s3), 'created' (memory). A backend that
         # reports NONE of them must read as FRESH (now), never as
@@ -621,7 +731,7 @@ class FsspecRemote:
         # full-rewrite-per-trip cliff (base reads 0) or disables debt
         # compaction forever (batch reads 0). _tier_bytes treats None
         # as "skip byte-ratio routing this trip".
-        sz = self.fs.info(self._p(path)).get("size")
+        sz = self._retry(lambda: self.fs.info(self._p(path))).get("size")
         return None if sz is None else int(sz)
 
     def utime(self, path):
@@ -636,7 +746,7 @@ class FsspecRemote:
         commits inside one mtime quantum, exactly the hazard
         LocalFS.stat_id's inode component exists to prevent."""
         try:
-            info = self.fs.info(self._p(path))
+            info = self._retry(lambda: self.fs.info(self._p(path)))
         except FileNotFoundError:
             return None
         m = self.getmtime(path)

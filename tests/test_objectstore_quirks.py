@@ -43,6 +43,14 @@ class _Missing(FileNotFoundError):
     pass
 
 
+class TransientError(OSError):
+    """Throttling / 5xx-style failure: the op did NOT take effect and
+    a retry is correct. Carries the status attribute real backends
+    surface (FsspecRemote._is_transient keys on it)."""
+
+    status = 503
+
+
 class FakeObjectStore:
     """fsspec-AbstractFileSystem duck type backing scheme fakes3://.
     Flat object namespace (directories implied), S3-style info dicts,
@@ -69,6 +77,9 @@ class FakeObjectStore:
         self.size_none: bool = False
         self.time_key: str | None = "LastModified"  # None = no time at all
         self.no_etag: bool = False  # info() exposes no ETag at all
+        self.transient_every: int = 0  # every Nth call raises 503
+        self._op_count: int = 0
+        self.op_log: list[str] = []  # op-name trace (protocol audits)
         self._fresh: dict[str, int] = {}  # path -> remaining hidden ops
 
     def reset(self, **quirks):
@@ -81,6 +92,9 @@ class FakeObjectStore:
             self.size_none = quirks.get("size_none", False)
             self.time_key = quirks.get("time_key", "LastModified")
             self.no_etag = quirks.get("no_etag", False)
+            self.transient_every = quirks.get("transient_every", 0)
+            self._op_count = 0
+            self.op_log = []
 
     @staticmethod
     def _norm(p: str) -> str:
@@ -93,18 +107,38 @@ class FakeObjectStore:
             return False
         return True
 
+    def _op(self, name: str) -> None:
+        """Per-call bookkeeping: trace the op name (protocol audits)
+        and inject a deterministic transient failure every Nth call
+        when the transient_every quirk is on."""
+        with self._lock:
+            self.op_log.append(name)
+            if self.transient_every:
+                self._op_count += 1
+                if self._op_count % self.transient_every == 0:
+                    raise TransientError(
+                        f"SlowDown: simulated 503 on {name} "
+                        f"(call {self._op_count})"
+                    )
+
     # ---- fsspec surface FsspecRemote adapts -------------------------
     def exists(self, p):
+        self._op("exists")
         p = self._norm(p)
         with self._lock:
-            return p in self.objects or self.isdir(p)
+            return p in self.objects or self._isdir_raw(p)
 
-    def isdir(self, p):
+    def _isdir_raw(self, p):
         p = self._norm(p) + "/"
         with self._lock:
             return any(k.startswith(p) for k in self.objects)
 
+    def isdir(self, p):
+        self._op("isdir")
+        return self._isdir_raw(p)
+
     def ls(self, p):
+        self._op("ls")
         p = self._norm(p)
         with self._lock:
             kids = set()
@@ -116,6 +150,7 @@ class FakeObjectStore:
             return sorted(kids)
 
     def walk(self, root):
+        self._op("walk")
         root = self._norm(root)
         with self._lock:
             by_dir: dict[str, list[str]] = {}
@@ -145,6 +180,7 @@ class FakeObjectStore:
                 yield d, subs, sorted(by_dir.get(d, []))
 
     def makedirs(self, p, exist_ok=False):
+        self._op("makedirs")
         return  # object stores have no real directories
 
     class _Writer:
@@ -175,6 +211,7 @@ class FakeObjectStore:
             return False
 
     def open(self, p, mode="rb"):
+        self._op("open_w" if "w" in mode else "open_r")
         p = self._norm(p)
         if "w" in mode:
             return self._Writer(self, p)
@@ -192,17 +229,20 @@ class FakeObjectStore:
                 self._fresh[p] = lag
 
     def rm_file(self, p):
+        self._op("rm_file")
         p = self._norm(p)
         with self._lock:
             self.objects.pop(p, None)
             self.mtimes.pop(p, None)
 
     def mv(self, src, dst):
+        self._op("mv")
         with self._lock:
             self.objects[self._norm(dst)] = self.objects.pop(self._norm(src))
             self.mtimes[self._norm(dst)] = time.time()
 
     def rm(self, p, recursive=False):
+        self._op("rm")
         p = self._norm(p)
         with self._lock:
             hit = False
@@ -215,10 +255,11 @@ class FakeObjectStore:
                 raise _Missing(p)
 
     def info(self, p):
+        self._op("info")
         p = self._norm(p)
         with self._lock:
             if p not in self.objects:
-                if self.isdir(p):
+                if self._isdir_raw(p):
                     return {"name": p, "type": "directory", "size": 0}
                 raise _Missing(p)
             n = self._fresh.get(p, 0)
@@ -240,6 +281,7 @@ class FakeObjectStore:
 
     # ---- the conditional-put extension the CAS seam adapts ----------
     def put_if_match(self, p, data, etag):
+        self._op("put_if_match")
         p = self._norm(p)
         with self._lock:
             cur = self.objects.get(p)
@@ -376,13 +418,15 @@ def test_cas_meta_flip_rejects_lost_update_on_object_store(spark):
 def test_artifact_lifecycle_on_laggy_object_store(spark, sf_dir, tmp_path):
     """create -> update x2 (drift) -> manifests complete despite
     listing lag -> compact -> CAS flips throughout -> vacuum grace —
-    reads byte-equal to the same corpus on a local store."""
+    reads byte-equal to the same corpus on a local store. Round 13
+    also throttles every 9th backend call (transient 503): the retry
+    seam must absorb the failures on every lifecycle op."""
     from pyspark.sql import functions as F
 
     from lintdb_spark.operators.artifacts import DedupArtifacts
     from lintdb_spark.tables import load_table
 
-    FAKE.reset(listing_lag=3, time_key="LastModified")
+    FAKE.reset(listing_lag=3, time_key="LastModified", transient_every=9)
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -464,6 +508,80 @@ def test_manifest_complete_under_listing_lag_unit():
         for f in fls
     ]
     assert len(seen) < 2
+
+
+def test_transient_failures_retried_across_adapter_ops():
+    """Round 13 (VERDICT r12 #5): every FsspecRemote op runs through
+    the retry seam — a backend that 503s every 2nd call (so every op's
+    FIRST attempt may throttle) must still complete reads, puts,
+    stats, walks, CAS, rename and delete correctly."""
+    FAKE.reset(transient_every=2)
+    r = FsspecRemote(FAKE, strip_scheme=True)
+    r.retry_base_s = 0.001
+    p = "fakes3://bucket/tr/a.bin"
+    r.write_atomic(p, b"x")
+    assert r.open_read(p) == b"x"
+    assert r.exists(p)
+    assert r.getsize(p) == 1
+    assert r.getmtime(p) > 0
+    assert [
+        f for _w, _d, fls in r.walk("fakes3://bucket/tr") for f in fls
+    ] == ["a.bin"]
+    sid = r.stat_id(p)
+    assert sid is not None
+    r.write_if_match(p, b"y", sid)  # CAS: retried AND precondition kept
+    assert r.open_read(p) == b"y"
+    # a REAL precondition refusal is semantic — never retried, still
+    # surfaced as the loud lost-update error
+    with pytest.raises(ConditionalPutConflict):
+        r.write_if_match(p, b"z", (0, 0, "bogus-etag"))
+    assert r.open_read(p) == b"y"
+    r.rename(p, p + ".2")
+    r.unlink(p + ".2")
+    assert not r.exists(p)
+
+    # exhaustion: a backend that throttles EVERY call raises the
+    # transient error after retry_attempts, not a mislabeled conflict
+    FAKE.reset(transient_every=1)
+    r2 = FsspecRemote(FAKE, strip_scheme=True)
+    r2.retry_base_s = 0.001
+    r2.retry_attempts = 3
+    with pytest.raises(OSError, match="SlowDown"):
+        r2.write_atomic(p, b"x")
+    assert FAKE.op_log.count("open_w") == 3
+
+
+def test_commit_protocol_requires_no_atomic_rename():
+    """Atomicity audit (VERDICT r12 #5): a full writer-locked segment
+    commit on the object-store fake — lock acquire, publish, manifest,
+    CAS meta flip, lock release — must never call rename/mv. Object
+    stores lack atomic rename; the protocol's commit path rests on
+    whole-object puts and the conditional put only. rename is reserved
+    for the writer lock's STALE takeover, where copy+delete semantics
+    suffice (the delete serializes claimants and create_exclusive is
+    the real exclusion point)."""
+    import os
+
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset()
+
+    class _S(SegmentStore):
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(None, _path("norename"))
+    root = st.path + "/t/seg-a"
+    local = st.fs.spark_write_path(root)
+    os.makedirs(local, exist_ok=True)
+    with open(os.path.join(local, "part-0.parquet"), "wb") as f:
+        f.write(b"pq")
+    FAKE.op_log.clear()
+    with st._writer_lock():
+        st._commit_segments([("t", "seg-a")])
+    assert "mv" not in FAKE.op_log, FAKE.op_log
+    assert "put_if_match" in FAKE.op_log  # CAS flip + exclusive lock
+    assert st._meta["segments"]["t"] == ["seg-a"]
 
 
 def test_build_manifests_ignores_partial_cache_mirror():
