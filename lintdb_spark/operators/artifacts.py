@@ -1469,6 +1469,102 @@ class DedupArtifacts(SegmentStore):
             T.StructType([T.StructField("shingle", T.StringType())]),
         )
 
+    def _seg_spart_bytes(self, table: str, seg: str) -> dict | None:
+        """Per-spart byte map of ONE committed segment, from its
+        manifest paths + driver-side file stats: {spart: bytes}, with
+        key None for files not under a ``spart=`` hive dir (coarse
+        batch segments — the inverted road reads those wholesale).
+        Memoized per immutable segment like _seg_bytes; None —
+        unknown, never 0 — when any file size is unknowable right now
+        (uncached, so the next evaluation retries: the _tier_bytes
+        protocol)."""
+        cache = getattr(self, "_spart_bytes_cache", None)
+        if cache is None:
+            cache = self._spart_bytes_cache = {}
+        key = (table, seg)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        root = os.path.join(self.path, table, seg)
+        rel = self._meta.get("manifests", {}).get(table, {}).get(seg)
+        if rel is None:
+            rel = [
+                os.path.relpath(os.path.join(wr, f), root)
+                for wr, _d, fls in self._fs_walk(root)
+                for f in fls
+                if f.endswith(".parquet")
+            ]
+        out: dict = {}
+        for r in rel:
+            sp = None
+            for comp in r.replace(os.sep, "/").split("/"):
+                if comp.startswith("spart="):
+                    try:
+                        sp = int(comp[6:])
+                    except ValueError:
+                        sp = None
+                    break
+            try:
+                n = self.fs.getsize(os.path.join(root, r))
+            except OSError:
+                n = None
+            if n is None:
+                return None
+            out[sp] = out.get(sp, 0) + int(n)
+        cache[key] = out
+        return out
+
+    def _flat_road_cheaper(
+        self, sparts: list[int], parts_total: int
+    ) -> bool:
+        """Route the flip lookup: True = the flat doc-keyed shingles
+        scan is the cheaper complete source for the crossing set.
+
+        Primary rule (round 13, VERDICT r12 #6): compare the BYTES the
+        spart-pruned inverted read will actually open — the matched
+        ``spart=`` partitions of every shingle_docs segment, exact
+        from manifest paths and driver-side file stats, plus coarse
+        unpartitioned inverted files in full — against the flat
+        table's total bytes, switching to flat at
+        ARTIFACT_ROAD_SWITCH_FRAC. Under uniform partition sizes this
+        is the r11 matched-partition-count proxy exactly (the fraction
+        is the P/4 count threshold through the measured ~1.5x
+        bytes-per-matched-fraction amp — sparse_road_probe shows
+        identical routing at every swept point); under SKEW it is
+        strictly better: a handful of huge matched partitions route
+        flat, thousands of tiny ones stay inverted. Tenant pruning
+        applies identically down both roads, so cross-tenant bytes
+        cancel in the comparison to first order.
+
+        Falls back to the count proxy when any byte stat is
+        unknowable (None from the backend — never coerced to 0).
+        ``_road_override`` ("flat"/"inverted") bypasses both rules —
+        the probes' read-only forcing knob."""
+        override = getattr(self, "_road_override", None)
+        if override in ("flat", "inverted"):
+            return override == "flat"
+        sset = {int(x) for x in sparts}
+        inv: int | None = 0
+        for seg in self._segments("shingle_docs"):
+            m = self._seg_spart_bytes("shingle_docs", seg)
+            if m is None:
+                inv = None
+                break
+            inv += sum(v for k, v in m.items() if k is None or k in sset)
+        if inv is not None:
+            flat: int | None = 0
+            for seg in self._segments("shingles"):
+                b = self._seg_bytes("shingles", seg)
+                if b is None:
+                    flat = None
+                    break
+                flat += b
+            if flat:
+                return inv >= float(
+                    params.ARTIFACT_ROAD_SWITCH_FRAC
+                ) * flat
+        return len(sset) >= max(1, parts_total // 4)
+
     def _crossing_doc_rows(
         self,
         tenant: int,
@@ -1499,14 +1595,15 @@ class DedupArtifacts(SegmentStore):
         pair row — the known-doc guard makes them new).
 
         The inverted read is taken ONLY while the crossing set is
-        sparse relative to the partition space: with S distinct
-        crossing shingles xxhash-uniform over P sparts, the matched
-        fraction is 1-(1-1/P)^S — at the sf10 probe's drift storm
-        (S=3675, P=1024) 990 of 1024 partitions matched, making the
-        inverted read a many-small-files rendition of the very scan
-        it replaces. Above S >= P/4 (~22% of partitions matched) the
-        lookup reads the flat doc-keyed shingles table instead — same
-        rows, fewer file opens; the endpoint semi-join (the measured
+        sparse relative to the partition space: at the sf10 probe's
+        drift storm (S=3675, P=1024) 990 of 1024 partitions matched,
+        making the inverted read a many-small-files rendition of the
+        very scan it replaces. The road choice (_flat_road_cheaper)
+        compares the BYTES the pruned inverted read will open against
+        the flat table's bytes (round 13 — exact under partition-size
+        skew; equivalent to the r11 S >= P/4 matched-partition proxy
+        under uniform sizes, which remains the fallback when byte
+        stats are unknowable); the endpoint semi-join (the measured
         3x flip-volume cut) applies on both roads. Deployments size
         shingle_parts so steady-state crossing sets stay far under
         the threshold.
@@ -1521,13 +1618,14 @@ class DedupArtifacts(SegmentStore):
             parts_total = int(
                 self._meta.get("shingle_parts", params.ARTIFACT_SHINGLE_PARTS)
             )
-            if sparts is not None and len(set(sparts)) >= max(
-                1, parts_total // 4
+            if sparts is not None and self._flat_road_cheaper(
+                sparts, parts_total
             ):
-                # crossing set saturates the partition space — the
-                # flat doc-keyed scan is the cheaper complete source
-                # (batch docs still excluded: they cannot be in any
-                # committed pair row)
+                # crossing set saturates the partition space (by
+                # bytes, or by the count proxy when stats are
+                # unavailable) — the flat doc-keyed scan is the
+                # cheaper complete source (batch docs still excluded:
+                # they cannot be in any committed pair row)
                 src = self._read_t(
                     "shingles", _SHINGLE_SCHEMA, tenant
                 ).select("doc_id", "shingle")

