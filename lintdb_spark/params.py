@@ -40,7 +40,16 @@ N_PROBE = 4  # reference: 32 of 65536 lists
 K_TOP_CENTROIDS = 2  # per-token prefilter before the n_probe cut (SearchOptions.h:29)
 K = 10  # top-k returned (reference: 100)
 NUM_SECOND_PASS = 32  # reference: 1024
-XTR_NEAREST_TOKENS = 64  # per-q-token retrieved tokens (SearchOptions.h:34 default 100)
+# per-q-token retrieved tokens (k'). The reference ships 100
+# (SearchOptions.h:34); the XTR paper uses corpus-relative k' (40k at
+# their scale). Round-13 sweep over the golden fixture
+# (scripts/xtr_sweep_probe.py, .scale_probe/results_xtr_sweep.json):
+# Success@10 converges 0.90 (k'=64) -> 0.9688 (256) -> 0.9844 (384)
+# -> 1.0 (all tokens) at flat wall time — the old 64 undersized
+# retrieval, not an intrinsic XTR bound. 256 keeps the retrieved set
+# bounded (k' x |q_tokens| rows per query) while closing most of the
+# gap to the PLAID cascade's 0.9812.
+XTR_NEAREST_TOKENS = 256
 CENTROID_SCORE_THRESHOLD = 0.0  # reference: 0.45 (tuned for unit-norm 128-d)
 
 # Text-pipeline knobs.

@@ -75,4 +75,8 @@ def test_golden_xtr_success(spark):
     from lintdb_spark.cache import release
 
     release(xtr)
-    assert success >= 0.8, f"golden XTR Success@10 {success} < 0.8"
+    # gate raised 0.8 -> 0.9 in round 13: the k' sweep showed the old
+    # default (64) undersized token retrieval (Success 0.90 on the
+    # bench fixture); at k'=256 the bench fixture scores 0.9688 and
+    # this smaller fixture must clear 0.9 with margin
+    assert success >= 0.9, f"golden XTR Success@10 {success} < 0.9"
