@@ -459,7 +459,14 @@ def test_covered_drift_lookup_pushes_spart_filter(spark, sf_dir):
         .select(st._spart_col(F.col("shingle")).alias("spart"))
         .collect()
     ]
-    df = st._crossing_doc_rows(0, crossing, None, sparts)
+    # force the INVERTED road: this test pins its plan shape, and on a
+    # 24-doc store the r13 byte router correctly prefers flat (one
+    # matched spart is a large byte fraction of a tiny table)
+    st._road_override = "inverted"
+    try:
+        df = st._crossing_doc_rows(0, crossing, None, sparts)
+    finally:
+        st._road_override = None
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
