@@ -549,7 +549,16 @@ class SegmentStore:
         walk every committed segment that lacks a manifest entry and
         record its leaf files in one meta flip. Safe because committed
         segments are immutable; idempotent; returns the number of
-        segments manifested. New commits manifest automatically."""
+        segments updated (manifested, or row-count-backfilled — see
+        below). New commits manifest automatically.
+
+        Round 13: also BACKFILLS ``seg_rows`` — the commit-time footer
+        row counts _record_manifest persists for new commits — for
+        segments committed before the counts existed, wherever footers
+        are readable (in place on LocalFS; via the local cache on
+        bridged schemes). Segments with no readable footers stay
+        absent and keep the estimate/backstop fallback until their
+        next rewrite records them."""
         import copy
 
         with self._writer_lock():
@@ -570,6 +579,29 @@ class SegmentStore:
                         root, prefer_local=False
                     )
                     added += 1
+            sr = new_meta.setdefault("seg_rows", {})
+            counter = getattr(self.fs, "parquet_num_rows", None)
+            if counter is not None:
+                for table in self._all_tables():
+                    for seg in new_meta.get("segments", {}).get(table, []):
+                        if seg in sr.get(table, {}):
+                            continue
+                        rel = man.get(table, {}).get(seg)
+                        if rel is None:
+                            continue
+                        root = os.path.join(self.path, table, seg)
+                        n: int | None = 0
+                        for r in rel:
+                            k = counter(os.path.join(root, r))
+                            if k is None:
+                                n = None
+                                break
+                            n += k
+                        if n is not None:
+                            sr.setdefault(table, {})[seg] = n
+                            added += 1
+            if not new_meta["seg_rows"]:
+                del new_meta["seg_rows"]
             if added:
                 self._save_meta(new_meta)
                 self._meta = new_meta

@@ -818,6 +818,38 @@ def test_seg_rows_recorded_exact_and_pruned(spark, sf_dir, tmp_path):
     assert any(per for per in sr.values()), "v* rewrites recorded too"
 
 
+def test_build_manifests_backfills_seg_rows(spark, sf_dir, tmp_path):
+    """Round 13: stores committed before seg_rows existed keep the
+    estimate fallback until migrated — build_manifests backfills the
+    commit-time counts from readable footers, restoring the exact
+    stats path without waiting for each table's next rewrite."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lintdb_spark.operators.artifacts import DedupArtifacts
+    from lintdb_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 30)
+    )
+    st = DedupArtifacts.create(spark, str(tmp_path / "store"))
+    st.update(docs)
+    truth = dict(st._meta["seg_rows"])
+    assert truth
+    # simulate a pre-round-13 meta: strip the counts and re-commit
+    del st._meta["seg_rows"]
+    st._save_meta()
+    st2 = DedupArtifacts.load(spark, st.path)
+    assert "seg_rows" not in st2._meta
+    assert st2.build_manifests() > 0
+    assert st2._meta["seg_rows"] == truth
+    # idempotent: nothing left to do
+    assert st2.build_manifests() == 0
+
+
 def test_fold_cost_trigger_survives_cold_remote_reopen(spark, sf_dir):
     """VERDICT r12 'Next round' #1: a store re-opened COLD on a
     bridged scheme has no local parquet footers, so live footer stats
