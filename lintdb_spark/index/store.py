@@ -315,15 +315,18 @@ class SegmentStore:
         self._assert_and_touch_writer_lock()
         meta_path = os.path.join(self.path, "_meta.json")
         target = self._meta if meta is None else meta
-        # self-cleaning seg_rows (round 13): commit-time row counts are
-        # recorded per segment by _record_manifest; segments leave the
-        # lists through many paths (minor merge, fold, compaction), so
-        # rather than threading a prune through each, every flip drops
-        # counts for segments no longer in any table's list — the map
-        # stays exactly as large as the live segment set
-        sr = target.get("seg_rows")
-        if sr:
-            live = target.get("segments", {})
+        # self-cleaning commit-time stats (round 13): per-segment row
+        # counts / byte totals / spart byte maps are recorded by
+        # _record_manifest; segments leave the lists through many
+        # paths (minor merge, fold, compaction), so rather than
+        # threading a prune through each, every flip drops entries
+        # for segments no longer in any table's list — the maps stay
+        # exactly as large as the live segment set
+        live = target.get("segments", {})
+        for stats_key in ("seg_rows", "seg_bytes", "seg_spart_bytes"):
+            sr = target.get(stats_key)
+            if not sr:
+                continue
             for t in list(sr):
                 keep = set(live.get(t, []))
                 cur = sr[t]
@@ -522,19 +525,59 @@ class SegmentStore:
         except Exception:  # noqa: BLE001 — stats feed estimates only
             return None
 
+    # tables whose per-spart byte layout is persisted at commit (the
+    # artifact store's inverted road router consumes it); empty by
+    # default — a fine segment's map has one entry per hive spart dir,
+    # so only tables a router actually reads should pay the meta bytes
+    _SPART_BYTES_TABLES: tuple = ()
+
+    def _staged_manifest_sizes(
+        self, root: str, rel: list[str]
+    ) -> dict | None:
+        """Per-spart byte map of a just-staged segment from the
+        WRITER's local bytes — {spart_key: bytes} with key "" for
+        files not under a ``spart=`` hive dir (JSON-safe string keys;
+        consumers decode "" back to None). None when this process has
+        no complete local copy."""
+        try:
+            if not getattr(self.fs, "locally_staged", lambda p: False)(root):
+                return None
+            local = self.fs.staged_local_path(root)
+        except Exception:  # noqa: BLE001 — seam-only stores
+            return None
+        out: dict = {}
+        try:
+            for r in rel:
+                k = ""
+                for comp in r.replace(os.sep, "/").split("/"):
+                    if comp.startswith("spart="):
+                        k = comp[6:]
+                        break
+                out[k] = out.get(k, 0) + os.path.getsize(
+                    os.path.join(local, r)
+                )
+        except OSError:
+            return None
+        return out
+
     def _record_manifest(
         self, new_meta: dict, table: str, seg: str, root: str
     ) -> list[str]:
         """Record a just-published segment in the candidate meta: its
-        leaf-file manifest AND its commit-time footer row count
-        (``seg_rows``). Persisting the count at commit is what keeps
-        cost estimators (_table_rows -> the artifact fold trigger)
-        exact after a RESTART on a bridged scheme: a fresh store
-        object there has no local parquet footers, and without the
-        persisted counts the serve-cost trigger silently degrades to
-        its flat row backstop — the exact miscalibration class the
-        cost currency was built to eliminate (VERDICT r12 #1). Stale
-        counts are pruned centrally by _save_meta."""
+        leaf-file manifest AND its commit-time stats — footer row
+        count (``seg_rows``), byte total (``seg_bytes``), and for
+        _SPART_BYTES_TABLES the per-spart byte map
+        (``seg_spart_bytes``). Persisting stats at commit is what
+        keeps cost estimators exact AND meta-only after a RESTART on
+        a bridged scheme: a fresh store object there has no local
+        parquet footers (so _table_rows would degrade the fold
+        trigger to its flat backstop — VERDICT r12 #1), and live byte
+        sweeps would cost one backend stat per leaf file per process
+        (thousands of network calls on a fine-partitioned segment).
+        With the persisted stats, maintenance debt routing
+        (_tier_bytes), the fold trigger (_table_rows), and the flip
+        road router read the meta alone. Stale entries are pruned
+        centrally by _save_meta."""
         rel = self._segment_manifest(root)
         new_meta.setdefault("manifests", {}).setdefault(table, {})[seg] = rel
         rows = self._staged_manifest_rows(root, rel)
@@ -542,6 +585,15 @@ class SegmentStore:
             new_meta.setdefault("seg_rows", {}).setdefault(table, {})[
                 seg
             ] = rows
+        sizes = self._staged_manifest_sizes(root, rel)
+        if sizes is not None:
+            new_meta.setdefault("seg_bytes", {}).setdefault(table, {})[
+                seg
+            ] = sum(sizes.values())
+            if table in self._SPART_BYTES_TABLES:
+                new_meta.setdefault("seg_spart_bytes", {}).setdefault(
+                    table, {}
+                )[seg] = sizes
         return rel
 
     def build_manifests(self) -> int:
@@ -580,16 +632,15 @@ class SegmentStore:
                     )
                     added += 1
             sr = new_meta.setdefault("seg_rows", {})
+            sb = new_meta.setdefault("seg_bytes", {})
             counter = getattr(self.fs, "parquet_num_rows", None)
-            if counter is not None:
-                for table in self._all_tables():
-                    for seg in new_meta.get("segments", {}).get(table, []):
-                        if seg in sr.get(table, {}):
-                            continue
-                        rel = man.get(table, {}).get(seg)
-                        if rel is None:
-                            continue
-                        root = os.path.join(self.path, table, seg)
+            for table in self._all_tables():
+                for seg in new_meta.get("segments", {}).get(table, []):
+                    rel = man.get(table, {}).get(seg)
+                    if rel is None:
+                        continue
+                    root = os.path.join(self.path, table, seg)
+                    if counter is not None and seg not in sr.get(table, {}):
                         n: int | None = 0
                         for r in rel:
                             k = counter(os.path.join(root, r))
@@ -600,8 +651,17 @@ class SegmentStore:
                         if n is not None:
                             sr.setdefault(table, {})[seg] = n
                             added += 1
-            if not new_meta["seg_rows"]:
-                del new_meta["seg_rows"]
+                    if seg not in sb.get(table, {}):
+                        # one-time explicit migration: remote getsize
+                        # per leaf is acceptable HERE (the live paths
+                        # never pay it again once persisted)
+                        b = self._seg_bytes(table, seg)
+                        if b is not None:
+                            sb.setdefault(table, {})[seg] = b
+                            added += 1
+            for stats_key in ("seg_rows", "seg_bytes"):
+                if not new_meta[stats_key]:
+                    del new_meta[stats_key]
             if added:
                 self._save_meta(new_meta)
                 self._meta = new_meta
@@ -1005,7 +1065,11 @@ class SegmentStore:
     def _seg_bytes(self, table: str, seg: str) -> int | None:
         """Byte sum of ONE committed segment via the _tier_bytes
         cache protocol: memoized when complete, uncached (returns
-        None) when any file's size is unknowable right now."""
+        None) when any file's size is unknowable right now. The
+        COMMIT-TIME total persisted in the meta (``seg_bytes``,
+        round 13) is consulted first — maintenance debt evaluation
+        then costs zero backend stat calls, even on a store object
+        opened fresh on a remote scheme."""
         cache = getattr(self, "_seg_bytes_cache", None)
         if cache is None:
             cache = self._seg_bytes_cache = {}
@@ -1013,6 +1077,10 @@ class SegmentStore:
         sz = cache.get(key)
         if sz is not None:
             return sz
+        p = self._meta.get("seg_bytes", {}).get(table, {}).get(seg)
+        if p is not None:
+            cache[key] = int(p)
+            return int(p)
         man = self._meta.get("manifests", {}).get(table, {})
         root = os.path.join(self.path, table, seg)
         rel = man.get(seg)

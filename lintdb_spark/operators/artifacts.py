@@ -1469,15 +1469,22 @@ class DedupArtifacts(SegmentStore):
             T.StructType([T.StructField("shingle", T.StringType())]),
         )
 
+    # the flip road router reads shingle_docs' per-spart byte layout;
+    # persist it at commit so routing is meta-only (no per-file
+    # backend stats) even on a cold remote store object
+    _SPART_BYTES_TABLES = ("shingle_docs",)
+
     def _seg_spart_bytes(self, table: str, seg: str) -> dict | None:
-        """Per-spart byte map of ONE committed segment, from its
-        manifest paths + driver-side file stats: {spart: bytes}, with
-        key None for files not under a ``spart=`` hive dir (coarse
-        batch segments — the inverted road reads those wholesale).
-        Memoized per immutable segment like _seg_bytes; None —
-        unknown, never 0 — when any file size is unknowable right now
-        (uncached, so the next evaluation retries: the _tier_bytes
-        protocol)."""
+        """Per-spart byte map of ONE committed segment: {spart: bytes},
+        with key None for files not under a ``spart=`` hive dir
+        (coarse batch segments — the inverted road reads those
+        wholesale). The COMMIT-TIME map persisted in the meta
+        (``seg_spart_bytes``, string keys, "" = coarse) is consulted
+        first; the fallback computes from manifest paths +
+        driver-side file stats. Memoized per immutable segment like
+        _seg_bytes; None — unknown, never 0 — when any file size is
+        unknowable right now (uncached, so the next evaluation
+        retries: the _tier_bytes protocol)."""
         cache = getattr(self, "_spart_bytes_cache", None)
         if cache is None:
             cache = self._spart_bytes_cache = {}
@@ -1485,6 +1492,19 @@ class DedupArtifacts(SegmentStore):
         hit = cache.get(key)
         if hit is not None:
             return hit
+        p = self._meta.get("seg_spart_bytes", {}).get(table, {}).get(seg)
+        if p is not None:
+            out = {}
+            for k, v in p.items():
+                # "" = coarse; non-numeric (e.g. hive's NULL-partition
+                # dir) folds into the coarse bucket too — read in full
+                try:
+                    kk = int(k) if k else None
+                except ValueError:
+                    kk = None
+                out[kk] = out.get(kk, 0) + int(v)
+            cache[key] = out
+            return out
         root = os.path.join(self.path, table, seg)
         rel = self._meta.get("manifests", {}).get(table, {}).get(seg)
         if rel is None:

@@ -238,7 +238,13 @@ class FakeObjectStore:
     def mv(self, src, dst):
         self._op("mv")
         with self._lock:
-            self.objects[self._norm(dst)] = self.objects.pop(self._norm(src))
+            s = self._norm(src)
+            if s not in self.objects:
+                # fsspec semantics: a vanished source is
+                # FileNotFoundError — a losing stale-lock claimant
+                # must see OSError (and loop), not a KeyError crash
+                raise _Missing(src)
+            self.objects[self._norm(dst)] = self.objects.pop(s)
             self.mtimes[self._norm(dst)] = time.time()
 
     def rm(self, p, recursive=False):
@@ -584,6 +590,41 @@ def test_commit_protocol_requires_no_atomic_rename():
     assert st._meta["segments"]["t"] == ["seg-a"]
 
 
+def test_stale_lock_takeover_on_object_store():
+    """The writer lock's stale-takeover path on the object-store fake:
+    a dead writer's aged lockfile is claimed (rename + delete — the
+    ONE protocol use of rename, not required atomic) and a new hold
+    proceeds without timeout. A claimant whose source vanished (the
+    copy+delete race's loser) sees FileNotFoundError — an OSError the
+    waiter loop absorbs, never a crash."""
+    import os
+
+    from lintdb_spark.index.store import SegmentStore
+
+    FAKE.reset()
+
+    class _S(SegmentStore):
+        def _all_tables(self):
+            return ["t"]
+
+    st = _S(None, _path("stale"))
+    st.writer_lock_stale_s = 1.0
+    st.writer_lock_timeout_s = 10.0
+    lock = os.path.join(st.path, "_writer.lock")
+    st.fs.write_atomic(
+        lock, json.dumps({"pid": 0, "ts": 0, "token": "dead"}).encode()
+    )
+    # age the dead writer's lock past the stale bound
+    FAKE.mtimes[lock.split("://", 1)[1]] = time.time() - 1000
+    with st._writer_lock():
+        cur = json.loads(st.fs.open_read(lock))
+        assert cur["token"] != "dead"  # took over, fresh hold
+    assert not st.fs.exists(lock)  # released cleanly
+    # the losing claimant's rename of a vanished lock is OSError
+    with pytest.raises(FileNotFoundError):
+        st.fs.rename(lock, lock + ".stale-loser")
+
+
 def test_build_manifests_ignores_partial_cache_mirror():
     """ADVICE r12 (medium): build_manifests migrates segments this
     process never wrote; if an earlier spark_read_path was interrupted
@@ -615,7 +656,9 @@ def test_build_manifests_ignores_partial_cache_mirror():
     with open(os.path.join(local, "part-0.parquet"), "wb") as f:
         f.write(b"pq")
     assert not st.fs.locally_staged(root)  # never published by us
-    assert st.build_manifests() == 1
+    # 2 = the manifest + the byte-total backfill (footer row counts
+    # stay absent: the partial mirror's fake bytes aren't parquet)
+    assert st.build_manifests() == 2
     assert sorted(st._meta["manifests"]["t"]["seg-old"]) == [
         "part-0.parquet",
         "part-1.parquet",
@@ -810,12 +853,28 @@ def test_seg_rows_recorded_exact_and_pruned(spark, sf_dir, tmp_path):
             assert n == true_n, (t, seg)
             checked += 1
     assert checked >= 4
-    st.compact()
-    sr = st._meta.get("seg_rows", {})
-    for t, per_seg in sr.items():
-        # superseded batch segments' counts pruned with the rewrite
-        assert set(per_seg) <= set(st._segments(t)), t
-    assert any(per for per in sr.values()), "v* rewrites recorded too"
+    # byte totals persisted too, equal to an on-disk du per segment
+    sb = st._meta.get("seg_bytes", {})
+    assert sb
+    for t, per_seg in sb.items():
+        for seg, b in per_seg.items():
+            du = sum(
+                os.path.getsize(os.path.join(st.path, t, seg, rel))
+                for rel in st._meta["manifests"][t][seg]
+            )
+            assert b == du, (t, seg)
+    st.compact()  # establishes shingle_docs (no per-batch inverted copy)
+    # the road table's per-spart layout rides the compaction flip
+    assert "shingle_docs" in st._meta.get("seg_spart_bytes", {})
+    for stats_key in ("seg_rows", "seg_bytes", "seg_spart_bytes"):
+        for t, per_seg in st._meta.get(stats_key, {}).items():
+            # superseded batch segments' stats pruned with the rewrite
+            assert set(per_seg) <= set(st._segments(t)), (stats_key, t)
+    assert any(per for per in st._meta["seg_rows"].values())
+    # the compacted fine shingle_docs segment's map is per-spart
+    sd = st._meta["seg_spart_bytes"]["shingle_docs"]
+    vseg = [s for s in sd if s.startswith("v")]
+    assert vseg and any(k != "" for k in sd[vseg[0]])
 
 
 def test_build_manifests_backfills_seg_rows(spark, sf_dir, tmp_path):
@@ -888,6 +947,16 @@ def test_fold_cost_trigger_survives_cold_remote_reopen(spark, sf_dir):
     # (pre-fix: any_known stayed False and these returned None)
     assert st2._table_rows("pair_stats") == truth_pr
     assert st2._table_rows("pair_docs") == truth_ep
+    # and BYTE stats are meta-only too: on ANOTHER fresh object (no
+    # warm memo caches), maintenance debt evaluation and the flip
+    # road router issue ZERO backend stat calls (persisted
+    # seg_bytes / seg_spart_bytes)
+    st3 = DedupArtifacts.load(spark, path)
+    FAKE.op_log.clear()
+    b0, b1 = st3._tier_bytes("pair_stats")
+    assert b0 is not None and b1 is not None
+    st3._flat_road_cheaper([0, 1], 1024)
+    assert "info" not in FAKE.op_log, FAKE.op_log
 
     # the drift batch's flips trip the COST road on the cold object
     # (cost bound forced to 1, flat row backstop pushed out of reach)
