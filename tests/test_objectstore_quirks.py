@@ -983,6 +983,38 @@ def test_stat_id_tolerates_size_none():
     assert r.stat_id(p)[2] != sid[2]
 
 
+def test_index_cold_reopen_stats_meta_only(spark):
+    """The commit-time stats are shared SegmentStore machinery: the
+    ANN Index's maintenance debt evaluation (_tier_bytes) on a store
+    object opened fresh on a bridged scheme also runs meta-only —
+    zero backend stat calls, and the persisted byte totals equal the
+    warm writer's (so tiered-maintenance routing is identical after a
+    restart)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_streaming_multimodal import make_docs, make_schema
+
+    from lintdb_spark.index.index import Index
+
+    FAKE.reset()
+    path = _path("idxcold")
+    idx = Index.create(spark, path, make_schema("none"))
+    idx.train(make_docs(spark, range(8)))
+    idx.add(make_docs(spark, range(4)))
+    idx.add(make_docs(spark, range(4, 8)))
+    warm = {t: idx._tier_bytes(t) for t in idx._all_tables()}
+    assert all(b is not None for pair in warm.values() for b in pair)
+    # simulated restart: wipe the local mirror, fresh object
+    shutil.rmtree(idx.fs.cache_root, ignore_errors=True)
+    idx2 = Index.load(spark, path)
+    FAKE.op_log.clear()
+    cold = {t: idx2._tier_bytes(t) for t in idx2._all_tables()}
+    assert cold == warm
+    assert "info" not in FAKE.op_log, FAKE.op_log
+
+
 @pytest.mark.slow
 def test_index_lifecycle_on_laggy_object_store(spark, tmp_path):
     """The ANN Index's full lifecycle (create/train/add/search/
