@@ -532,3 +532,46 @@ def length_histogram(documents: DataFrame) -> DataFrame:
             F.max("n").alias("max_tokens"),
         )
     )
+
+
+# PII patterns deliberately conservative and ENGINE-PORTABLE: the same
+# source strings compile identically under Java regex (Spark,
+# whole-stage codegen) and RE2 (the DuckDB oracle) — no lookarounds,
+# no backrefs, ASCII word boundaries only. A production deployment
+# swaps in its own pattern pack; the operator shape (counts + ordered
+# redaction, one narrow projection) is the contract.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, clean_text) — the PII
+    scrub stage every training-data pipeline runs before release:
+    count matches per category and redact them to typed placeholders
+    (<EMAIL>, <IP>, <PHONE>), applied in that fixed order so
+    overlapping matches resolve deterministically.
+
+    Scale shape: pure column expressions (regexp_count /
+    regexp_replace are JVM-side, inside whole-stage codegen) — one
+    narrow projection at parquet-scan speed, no shuffle, no UDF. The
+    reference has no text-pipeline layer (its scope is the index);
+    this extends the beyond-parity training-data surface like
+    text_stats/quality_filter."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

@@ -293,6 +293,17 @@ def test_quality_filter_is_narrow_projection(spark, sf_dir):
     assert "Generate" not in p
 
 
+def test_pii_scrub_is_narrow_projection(spark, sf_dir):
+    """PII scan + redaction is pure JVM column math (regexp_count /
+    regexp_replace inside whole-stage codegen) — no shuffle, no
+    Python, no explode; scan-speed on any corpus."""
+    p = plan_of(spark, sf_dir, "q_pii_scrub")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "Generate" not in p
+    assert "codegen id" in p  # the projection compiles into codegen
+
+
 def test_domain_mix_no_corpus_shuffle(spark, sf_dir):
     """domain_mix shuffles only the per-source aggregate (a handful of
     rows), never corpus rows: exactly one pre-aggregate exchange plus

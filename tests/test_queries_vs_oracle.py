@@ -45,8 +45,9 @@ def test_verification_window_holds_current_round_queries():
     window = set(ks[:50])
     for q in (
         # r13 NEW: degraded-stats fold on a cold bridged-scheme store
-        # (first round in).
+        # + PII scan/redaction (first round in).
         "q_artifact_remote_fold",
+        "q_pii_scrub",
         # r12 NEW: coverage-extension drift serve + cost-triggered
         # fold (greens r12 — need >=3).
         "q_artifact_covered",
