@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import os
 import posixpath
+import re
 import shutil
 import tempfile
 import threading
@@ -490,15 +491,37 @@ def _is_transient(exc: BaseException) -> bool:
     surface throttling heterogeneously, so match both a numeric
     ``status``/``code``/``response_code`` attribute and the classic
     marker strings (S3 SlowDown/ThrottlingException, GCS
-    rateLimitExceeded, generic 429/5xx)."""
+    rateLimitExceeded, generic 429/5xx). Conflict-shaped errors
+    (failed precondition / If-Match refusal) are checked FIRST and
+    never transient: write_if_match/create_exclusive must map them to
+    ConditionalPutConflict/FileExistsError, not retry them (ADVICE
+    r13). Numeric markers must stand alone — not embedded in a longer
+    number, identifier, or path segment ('.../run-429/...',
+    'part-00503.parquet') — so a semantic error whose message merely
+    CONTAINS such digits can't masquerade as throttling."""
     if isinstance(exc, (FileNotFoundError, FileExistsError)):
         return False
     for attr in ("status", "code", "response_code", "status_code"):
         v = getattr(exc, attr, None)
-        if isinstance(v, int) and (v == 429 or 500 <= v <= 599):
-            return True
+        if isinstance(v, int):
+            if v in (409, 412):
+                return False
+            if v == 429 or 500 <= v <= 599:
+                return True
     s = f"{type(exc).__name__}: {exc}".lower()
-    return any(
+    if any(
+        m in s
+        for m in (
+            "precondition",
+            "if-match",
+            "if-none-match",
+            "etag mismatch",
+            "conditionnotmet",
+            "conflict",
+        )
+    ) or re.search(r"\b(409|412)\b", s):
+        return False
+    if any(
         m in s
         for m in (
             "slowdown",
@@ -506,16 +529,13 @@ def _is_transient(exc: BaseException) -> bool:
             "throttl",
             "ratelimit",
             "rate limit",
-            "503",
-            "500",
-            "502",
-            "504",
-            "429",
             "timed out",
             "timeout",
             "connection reset",
         )
-    )
+    ):
+        return True
+    return re.search(r"(?<![\w/.\-])(429|5\d\d)(?![\w/.\-])", s) is not None
 
 
 class FsspecRemote:
@@ -569,17 +589,31 @@ class FsspecRemote:
 
     def _retry(self, fn):
         """Run one backend call, retrying transient failures with
-        exponential backoff; the last failure propagates."""
-        last = None
-        for i in range(int(self.retry_attempts)):
+        exponential backoff; the last failure propagates (no backoff
+        sleep is wasted after the final attempt, and retry_attempts is
+        clamped to >= 1 so misconfiguration can't raise a bare None).
+
+        KNOWN LIMITATION (documented, ADVICE r13): a retried
+        CONDITIONAL put is not idempotent against lost-success
+        responses. If a put_if_match actually lands on the backend but
+        the response is lost to a transient-looking failure, the retry
+        collides with this writer's own freshly-written object:
+        create_exclusive then reports FileExistsError (the writer
+        blocks on its own lock until stale takeover) and the CAS meta
+        flip reports a spurious 'lost a commit race'. The failure
+        direction is SAFE — no double commit, no torn state, only
+        availability (a loud retryable error) — which is why the seam
+        documents rather than read-back-verifies: a read-back between
+        put and classify would race other writers on genuinely
+        contended paths."""
+        attempts = max(1, int(self.retry_attempts))
+        for i in range(attempts):
             try:
                 return fn()
             except Exception as exc:  # noqa: BLE001 — classified below
-                if not _is_transient(exc):
+                if not _is_transient(exc) or i == attempts - 1:
                     raise
-                last = exc
                 time.sleep(float(self.retry_base_s) * (2**i))
-        raise last
 
     def exists(self, path):
         return self._retry(lambda: self.fs.exists(self._p(path)))

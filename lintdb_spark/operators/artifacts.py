@@ -1544,8 +1544,10 @@ class DedupArtifacts(SegmentStore):
         spart-pruned inverted read will actually open — the matched
         ``spart=`` partitions of every shingle_docs segment, exact
         from manifest paths and driver-side file stats, plus coarse
-        unpartitioned inverted files in full — against the flat
-        table's total bytes, switching to flat at
+        unpartitioned inverted files in full, plus the UNCOVERED
+        doc-keyed shingles segments the inverted road unions in raw
+        (since-covers batch debt) — against the flat table's total
+        bytes, switching to flat at
         ARTIFACT_ROAD_SWITCH_FRAC. Under uniform partition sizes this
         is the r11 matched-partition-count proxy exactly (the fraction
         is the P/4 count threshold through the measured ~1.5x
@@ -1571,6 +1573,27 @@ class DedupArtifacts(SegmentStore):
                 inv = None
                 break
             inv += sum(v for k, v in m.items() if k is None or k in sset)
+        if inv is not None:
+            # the inverted road ALSO reads the UNCOVERED doc-keyed
+            # shingles segments in full (batch commits since the
+            # covers snapshot — the union in _crossing_doc_rows), so
+            # they belong in its byte total just as they already sit
+            # inside the flat total; without them large uncovered
+            # debt systematically underestimates the inverted cost
+            # and routing can stay inverted past the true crossover
+            # (ADVICE r13). covers=None is the lockstep-legacy store:
+            # shingle_docs already mirrors everything, uncovered = [].
+            covers = self._meta.get("shingle_docs_covers")
+            if covers is not None:
+                cset = set(covers)
+                for seg in self._segments("shingles"):
+                    if seg in cset:
+                        continue
+                    b = self._seg_bytes("shingles", seg)
+                    if b is None:
+                        inv = None
+                        break
+                    inv += b
         if inv is not None:
             flat: int | None = 0
             for seg in self._segments("shingles"):

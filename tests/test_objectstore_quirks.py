@@ -557,6 +557,58 @@ def test_transient_failures_retried_across_adapter_ops():
     assert FAKE.op_log.count("open_w") == 3
 
 
+def test_transient_classifier_boundaries_and_conflict_precedence():
+    """ADVICE r13: _is_transient must not fire on digits embedded in
+    paths/identifiers ('run-429', 'part-00503.parquet'), must treat
+    conflict-shaped errors (409/412/precondition) as SEMANTIC even
+    when the message also carries a retryable-looking token, and must
+    still catch real standalone status markers."""
+    from lintdb_spark.index.fs import _is_transient
+
+    # path/identifier digits: never transient
+    assert not _is_transient(OSError("open failed: /data/run-429/f.bin"))
+    assert not _is_transient(OSError("missing part-00503.parquet"))
+    assert not _is_transient(OSError("bad key a5031b"))
+    # real status markers: transient
+    assert _is_transient(OSError("HTTP 503 Service Unavailable"))
+    assert _is_transient(OSError("server returned (500)"))
+    assert _is_transient(OSError("SlowDown: reduce request rate"))
+    assert _is_transient(TimeoutError("read timed out"))
+    # conflict-shaped beats transient-shaped: a 412 precondition
+    # failure is a lost commit race, retrying would mask real state
+    assert not _is_transient(OSError("412 precondition failed (was 503)"))
+    assert not _is_transient(OSError("at version 429: etag mismatch"))
+    e = OSError("conditional put refused")
+    e.status = 412
+    assert not _is_transient(e)
+    e2 = OSError("throttled")
+    e2.status = 429
+    assert _is_transient(e2)
+
+
+def test_retry_skips_final_backoff_and_clamps_attempts(monkeypatch):
+    """ADVICE r13: _retry must not sleep the exponential backoff after
+    the FINAL failed attempt (pure wasted latency before the raise),
+    and retry_attempts < 1 must behave as one attempt, never raise a
+    bare None."""
+    import lintdb_spark.index.fs as fsmod
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(fsmod.time, "sleep", lambda s: sleeps.append(s))
+    FAKE.reset(transient_every=1)  # throttle EVERY call
+    r = FsspecRemote(FAKE, strip_scheme=True)
+    r.retry_attempts = 3
+    r.retry_base_s = 0.01
+    with pytest.raises(OSError, match="SlowDown"):
+        r.write_atomic("fakes3://bucket/rt/x.bin", b"x")
+    # 3 attempts -> 2 sleeps (between attempts), none after the last
+    assert len(sleeps) == 2
+    r2 = FsspecRemote(FAKE, strip_scheme=True)
+    r2.retry_attempts = 0  # misconfigured: clamp to one attempt
+    with pytest.raises(OSError, match="SlowDown"):
+        r2.open_read("fakes3://bucket/rt/x.bin")
+
+
 def test_commit_protocol_requires_no_atomic_rename():
     """Atomicity audit (VERDICT r12 #5): a full writer-locked segment
     commit on the object-store fake — lock acquire, publish, manifest,
@@ -786,6 +838,36 @@ def test_flip_road_routing_on_byte_stats(tmp_path):
     skew._road_override = "flat"
     assert skew._flat_road_cheaper([5], P_TOTAL) is True
     skew._road_override = None
+
+
+def test_flip_road_counts_uncovered_shingles_debt(tmp_path):
+    """ADVICE r13: the inverted road also reads the UNCOVERED
+    doc-keyed shingles segments in full (the since-covers union in
+    _crossing_doc_rows), so their bytes belong in the inverted total.
+    A store with heavy uncovered batch debt must route FLAT even when
+    the spart-pruned inverted bytes alone are a sliver."""
+    files = {
+        # inverted: matched spart is tiny (100 B of 10 KB)
+        "shingle_docs/v1/tenant=0/spart=0/p.parquet": 100,
+        "shingle_docs/v1/tenant=0/spart=1/p.parquet": 9900,
+        # doc-keyed: covered seg + a HUGE uncovered batch seg
+        "shingles/v1/tenant=0/p.parquet": 10000,
+        "shingles/v2/tenant=0/p.parquet": 8000,
+    }
+    st = _mk_routing_store(tmp_path / "debt", files)
+    st._meta["shingle_docs_covers"] = ["v1"]
+    # flat total 18000; inverted = 100 pruned + 8000 uncovered = 8100
+    # >= 0.375 * 18000 -> flat. Without the debt, 100 stays inverted.
+    assert st._flat_road_cheaper([0], 1024) is True
+    # same files, debt covered: inverted back to the sliver
+    st2 = _mk_routing_store(tmp_path / "cov", files)
+    st2._meta["shingle_docs_covers"] = ["v1", "v2"]
+    st2._spart_bytes_cache = {}
+    assert st2._flat_road_cheaper([0], 1024) is False
+    # lockstep-legacy store (no covers key): shingle_docs mirrors
+    # everything, uncovered = [] — sliver stays inverted
+    st3 = _mk_routing_store(tmp_path / "legacy", files)
+    assert st3._flat_road_cheaper([0], 1024) is False
 
 
 def test_flip_road_falls_back_to_count_proxy_when_sizes_unknown():
