@@ -86,6 +86,7 @@ HEADLINE = [
     "q_artifact_cost_fold",
     "q_artifact_remote_fold",
     "q_pii_scrub",
+    "q_substring_dedup",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

@@ -303,6 +303,111 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
+def substring_window_postings(
+    documents: DataFrame, window: int | None = None
+) -> DataFrame:
+    """(doc_id, pos, fp) — one row per W-word window start: pos is the
+    1-based word position, fp = md5 of the window's space-joined words.
+    Docs shorter than W words emit nothing (they cannot contain a
+    W-word duplicated substring).
+
+    The substrate of substring-level exact dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): unlike
+    doc_shingles' DISTINCT set semantics, postings keep POSITIONS —
+    span merging needs them — and every window, including within-doc
+    repeats (self-repetition is duplicated text too).
+
+    Perf: the fingerprint array is built IN-ROW (one transform over a
+    sequence, tokenized once) then exploded — no joins, no shuffle.
+    Hashing cost is O(W x words) bytes md5'd per doc; a Karp-Rabin
+    rolling hash would make it O(words) but md5 is what DuckDB computes
+    bit-identically, keeping the operator oracle-checkable — and at W=8
+    the constant is scan-dominated anyway. The repartition spreads the
+    explode across cores (source tables are single-file parquet)."""
+    W = int(window or params.SUBSTRING_WINDOW)
+    w = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", words("text").alias("w"))
+    return (
+        w.filter(F.size("w") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - W + 1),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("w"), i, W))
+                        ).alias("fp"),
+                    ),
+                )
+            ).alias("pf"),
+        )
+        .select("doc_id", "pf.pos", "pf.fp")
+    )
+
+
+def substring_spans(
+    postings: DataFrame,
+    window: int | None = None,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Substring-level exact dedup: (doc_id, span_start, span_len,
+    cluster_key) — the maximal word spans of each document covered by
+    W-word windows that occur >= min_count times in the corpus
+    (across documents OR repeated within one). span_start/span_len are
+    1-based word units; cluster_key is the span's FIRST window
+    fingerprint, so documents sharing the same maximal duplicated
+    region get the same key (regions that only partially overlap, or
+    whose maximal extents differ across docs, may key differently —
+    the span set itself is exact either way, and exactness of the
+    SPANS is what a scrubbing pipeline consumes).
+
+    Doc-level MinHash/SimHash cannot see a duplicated paragraph inside
+    otherwise-distinct documents — this operator exists for exactly
+    that case (duplicated boilerplate, licence blocks, templated
+    intros). The reference has no dedup at all (SURVEY.md §2.I).
+
+    Scale shape — NO pairwise anything: duplicated fingerprints come
+    from one groupBy(fp) count (shuffle 1, map-side partial agg), the
+    posting table is left-semi-joined back on fp (shuffle 2, fan-out
+    1:1 — never the sum(df^2) of an inverted-index self-join; a
+    boilerplate window in a billion docs is one grouped row and a
+    semi-join hit, not 10^18 pairs). Span merging is gaps-and-islands:
+    a window function partitioned by doc_id over ONLY the duplicated
+    rows (shuffle 3, output-proportional), and the final
+    groupBy(doc_id, island) reuses that partitioning — Catalyst plans
+    no fourth exchange. Cost is ~3 bounded shuffles of |postings|,
+    |dup windows|, |dup windows| rows; plan-pinned by
+    test_substring_dedup_plan_has_no_self_join."""
+    from pyspark.sql.window import Window as _W
+
+    W = int(window or params.SUBSTRING_WINDOW)
+    mc = int(min_count or params.SUBSTRING_MIN_COUNT)
+    dup = (
+        postings.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= mc)
+        .select("fp")
+    )
+    d = postings.join(dup, "fp", "left_semi")
+    isl = d.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(_W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + W).cast("bigint").alias("span_len"),
+            F.min_by("fp", "pos").alias("cluster_key"),
+        )
+        .drop("island")
+    )
+
+
 def df_capped_shingles(
     shingles: DataFrame, max_df_frac: float | None = None
 ) -> DataFrame:

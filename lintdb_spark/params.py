@@ -90,6 +90,16 @@ JACCARD_DF_CEIL = 1_000
 # callers that genuinely want a bigger exhaustive build pass an explicit
 # max_pairs.
 EXHAUSTIVE_PAIR_CAP = 1_000_000_000
+# Substring-level exact dedup (Lee et al. 2022-style, word windows):
+# a W-word window fingerprint that occurs >= SUBSTRING_MIN_COUNT times
+# anywhere in the corpus marks its window duplicated; maximal runs of
+# duplicated window starts merge into spans. W trades precision for
+# recall: smaller W flags shorter repeated phrases (more false
+# positives on natural collocations), larger W only long verbatim
+# repeats. 8 words ~ 50 chars, the same order as Lee et al.'s 50-token
+# threshold scaled to the synthetic corpus' 10-99-word docs.
+SUBSTRING_WINDOW = 8
+SUBSTRING_MIN_COUNT = 2
 ROUND = 4  # decimals kept when hashing float scores across engines
 
 # DedupArtifacts physical layout (round 9). The stored bucket table is

@@ -1004,6 +1004,21 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scan(_pii_corpus(spark, sf_dir))
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (round 14) — maximal duplicated
+    word spans per document: W-word window fingerprints that occur
+    >= 2 times anywhere in the corpus, merged gaps-and-islands into
+    (doc_id, span_start, span_len, cluster_key). The case doc-level
+    MinHash cannot see: a duplicated paragraph inside otherwise-
+    distinct documents. No pairwise join anywhere — one fp count, one
+    semi-join, one output-proportional window (dedup.substring_spans'
+    docstring has the 100 TB shape)."""
+    posts = dedup.substring_window_postings(
+        load_table(spark, sf_dir, "documents")
+    )
+    return dedup.substring_spans(posts)
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ETL: JVM-side JSON path extraction over the
     events props payload + per-type stats (no UDF, scan-speed)."""
@@ -3012,6 +3027,34 @@ FROM d
 """.replace("@EMAIL@", textstats.PII_EMAIL).replace(
     "@IPV4@", textstats.PII_IPV4
 ).replace("@PHONE@", textstats.PII_PHONE)
+
+# Substring-level exact dedup (round 14): W-word window fingerprints
+# (md5 of space-joined words — bit-identical across engines), corpus
+# occurrence count >= 2 marks a window duplicated, gaps-and-islands
+# merges consecutive duplicated starts into maximal spans. DuckDB's
+# list_slice / Spark's slice are both 1-based-inclusive; range(a, b)
+# is end-exclusive matching Spark's sequence(1, n) after the +2/+1
+# bound arithmetic.
+ORACLE["q_substring_dedup"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+post AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, i, i + {params.SUBSTRING_WINDOW - 1}), ' ')) AS fp
+  FROM (SELECT doc_id, w,
+               unnest(range(1, len(w) - {params.SUBSTRING_WINDOW} + 2)) AS i
+        FROM w WHERE len(w) >= {params.SUBSTRING_WINDOW})),
+dup AS (SELECT fp FROM post GROUP BY fp
+        HAVING count(*) >= {params.SUBSTRING_MIN_COUNT}),
+d AS (SELECT p.doc_id, p.pos, p.fp FROM post p JOIN dup USING (fp)),
+isl AS (SELECT doc_id, pos, fp,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM d)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + {params.SUBSTRING_WINDOW} AS BIGINT) AS span_len,
+       arg_min(fp, pos) AS cluster_key
+FROM isl GROUP BY doc_id, island
+"""
 ORACLE["q_artifact_covered"] = ORACLE["q_jaccard_verified"].replace(
     "FROM documents",
     f"""FROM (SELECT doc_id,
@@ -3217,14 +3260,26 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        r05-r10, r12 — nine rounds, far past the >=3 bar) is
     #        DISPLACED from position 50 to the tail. The r11 trio
     #        (minor/fold/fold_remove, greens r11, r12) and the r12
-    #        pair (covered/cost_fold, green r12) stay per policy. ----
+    #        pair (covered/cost_fold, green r12) stay per policy.
+    #   r14: NEW q_substring_dedup rotated IN (first round —
+    #        substring-level exact dedup: maximal duplicated word
+    #        spans per doc via window-fingerprint postings + gaps-and-
+    #        islands merge; the duplicated-paragraph case doc-level
+    #        MinHash cannot see). Rotated OUT q_artifact_minor,
+    #        q_artifact_fold, q_artifact_fold_remove (each
+    #        driver-green r11, r12, r13 — met the >=3 bar). Net
+    #        +1 −3: the first two tail entries RE-ENTER the checked
+    #        window at positions 49-50 — q_media_frames (nine greens
+    #        r02-r03, r05-r10, r12, displaced r13 for space) and
+    #        q_artifact_flush (greens r10, r11, r12, rotated out
+    #        r13) — both multiply-proven. The r12 pair
+    #        (covered/cost_fold, greens r12, r13) and the r13 pair
+    #        (remote_fold/pii_scrub, green r13) stay per policy. ----
+    "q_substring_dedup": q_substring_dedup,
     "q_artifact_remote_fold": q_artifact_remote_fold,
     "q_pii_scrub": q_pii_scrub,
     "q_artifact_covered": q_artifact_covered,
     "q_artifact_cost_fold": q_artifact_cost_fold,
-    "q_artifact_minor": q_artifact_minor,
-    "q_artifact_fold": q_artifact_fold,
-    "q_artifact_fold_remove": q_artifact_fold_remove,
     "q_term_int": q_term_int,
     "q_doc_chunks": q_doc_chunks,
     "q_cross_dedup": q_cross_dedup,
@@ -3276,6 +3331,9 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_queries_vs_oracle.py (same compare as the driver). ----
     "q_media_frames": q_media_frames,
     "q_artifact_flush": q_artifact_flush,
+    "q_artifact_minor": q_artifact_minor,
+    "q_artifact_fold": q_artifact_fold,
+    "q_artifact_fold_remove": q_artifact_fold_remove,
     "q_artifact_tenant": q_artifact_tenant,
     "q_artifact_drift": q_artifact_drift,
     "q_artifact_remove": q_artifact_remove,

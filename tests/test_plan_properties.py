@@ -494,3 +494,36 @@ def test_covered_drift_lookup_pushes_spart_filter(spark, sf_dir):
     assert pushed, plan
     # and no row-at-a-time python UDF anywhere in the lookup
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_plan_has_no_self_join(spark, sf_dir):
+    """Substring dedup's scale contract (VERDICT r13 #1): duplicated
+    windows come from ONE fp-count aggregate plus a LEFT-SEMI join of
+    the posting table against that small set — never an inverted-index
+    SELF-join of postings with postings (whose fan-out is sum(df^2)).
+    The span merge is a doc_id window over only the duplicated rows,
+    and the final groupBy reuses its partitioning. So the whole plan
+    carries exactly one join, and it is the semi-join; Python never
+    appears."""
+    import re as _re
+
+    p = plan_of(spark, sf_dir, "q_substring_dedup")
+    # tree section lines only ('+- SomeJoin LeftSemi ... (id)'): the
+    # formatted detail section repeats each node, so count there once
+    joins = [
+        l for l in p.splitlines()
+        if _re.search(r"\)\s*$", l) and "Join" in l and "Reused" not in l
+    ]
+    assert len(joins) == 1, joins
+    assert "LeftSemi" in joins[0]
+    assert "Window" in p  # gaps-and-islands, not a pairwise compare
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one partial+final aggregate pair for the fp count, one for the
+    # span merge — no third aggregation (no distinct over a pair
+    # blowup); tree-section nodes only, the detail section repeats them
+    aggs = [
+        l for l in p.splitlines()
+        if _re.search(r"\)\s*$", l)
+        and ("HashAggregate" in l or "SortAggregate" in l)
+    ]
+    assert len(aggs) <= 4, aggs
