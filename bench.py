@@ -156,6 +156,7 @@ def main() -> None:
     n_docs = n_res = None
     qps = qps_cold = dt_batch_cold = 0.0
     dt_batch_prew = dt_batch_cg = 0.0
+    batch_reps: dict[str, list] = {}
     try:
         t0 = time.time()
         schema = Schema(
@@ -206,33 +207,49 @@ def main() -> None:
             for qid, toks in queries.items()
         }
         opts = SearchOptions(n_probe=8, num_second_pass=64, centroid_score_threshold=0.0)
-        # timer starts AFTER query generation/collect — that prep is
-        # harness work, not serving; cold vs warm must differ only in
-        # cache residency
-        t0 = time.time()
-        res = idx.search_batch(0, "emb", qmats, k=10, opts=opts)
-        n_res = res.count()
-        dt_batch_cold = time.time() - t0
-        # min-of-2 like the headline queries (HEADLINE_REPS; the
-        # DuckDB batch twin below gets the same treatment): the repeat
-        # measures the serving steady state — probe selection + the
-        # cascade with the doc-blob broadcast already resident. BOTH
-        # numbers are recorded (batch_search_cold_sec vs batch_search)
-        # so the headline qps is explicitly labeled steady-state: the
-        # warm rep reuses the in-process serve-blob broadcast, which
-        # the recompute-per-query DuckDB twin never has.
-        # TWO warm reps, min taken (round 10): with a single warm rep
-        # one noisy measurement moves the recorded headline — the r09
-        # "regression" to 547 q/s was exactly that (repeated runs on a
-        # quiet box show 700-890 q/s steady state; see SCALE.md §10
-        # and scripts/bench_batch_probe.py).
-        warm_times = []
-        for _ in range(2):
+        # ---- round-14 protocol: INTERLEAVED cold/warm/prewarmed reps.
+        # The r13 driver rep recorded warm 340 < cold 434 q/s — an
+        # impossibility on a quiet box that the old PHASE-BY-PHASE
+        # layout (all warm reps early, the second cold rep last)
+        # manufactured when background load hit the early phase and
+        # cleared before the late one. Round-robin interleaving spreads
+        # each mode's reps across the wall-clock window so one loaded
+        # interval degrades adjacent reps of EVERY mode instead of
+        # every rep of ONE mode; per-rep times are recorded verbatim
+        # in batch_reps (committed via bench_full_latest.json), and
+        # the warm steady-state min is taken over ALL reps — a warm
+        # rep can only be faster than a cold one, so warm <= cold
+        # holds BY CONSTRUCTION and a single-mode crater cannot invert
+        # the pair. Timers start AFTER query generation/collect (that
+        # prep is harness work, not serving); cold = a fresh Index
+        # object (no serve caches: postings slice, doc-blob broadcast,
+        # size estimate), warm = the same object re-serving, prewarmed
+        # = fresh load + prewarm(0), the shipped deployment default.
+        batch_reps.update({"cold": [], "warm": [], "prewarmed": []})
+
+        def _timed_batch(index_obj):
             t0 = time.time()
-            idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
-            warm_times.append(time.time() - t0)
-        dt_batch = min(dt_batch_cold, *warm_times)
+            r = index_obj.search_batch(0, "emb", qmats, k=10, opts=opts)
+            n = r.count()
+            return time.time() - t0, n
+
+        # rep 1: the just-built index has never served — cold
+        dtc, n_res = _timed_batch(idx)
+        batch_reps["cold"].append(round(dtc, 3))
+        for _ in range(2):
+            dtw, _ = _timed_batch(idx)  # warm: caches now resident
+            batch_reps["warm"].append(round(dtw, 3))
+            dtc, _ = _timed_batch(Index.load(spark, os.path.join(out, "idx")))
+            batch_reps["cold"].append(round(dtc, 3))
+            idx_p = Index.load(spark, os.path.join(out, "idx"))
+            idx_p.prewarm(0)
+            dtp, _ = _timed_batch(idx_p)
+            batch_reps["prewarmed"].append(round(dtp, 3))
+        dt_batch_cold = min(batch_reps["cold"])
+        dt_batch = min(batch_reps["cold"] + batch_reps["warm"])
+        dt_batch_prew = min(batch_reps["prewarmed"])
         timings["batch_search"] = round(dt_batch, 3)
+        timings["batch_search_prewarmed"] = round(dt_batch_prew, 3)
         qps = BENCH_NQ / dt_batch if dt_batch > 0 else 0.0
         qps_cold = BENCH_NQ / dt_batch_cold if dt_batch_cold > 0 else 0.0
 
@@ -246,53 +263,28 @@ def main() -> None:
         # claim measured, not asserted (a plan test already pins the
         # pruning; this prices it).
         idx.add(ingest.withColumn("tenant", F.lit(1).cast("long")))
-        dt_t2 = 1e9
+        batch_reps["tenant2"] = []
         for _ in range(HEADLINE_REPS):
             t0 = time.time()
             idx.search_batch(1, "emb", qmats, k=10, opts=opts).count()
-            dt_t2 = min(dt_t2, time.time() - t0)
-        timings["tenant2_search"] = round(dt_t2, 3)
-
-        # ---- BENCH-2d (round 11): cold is min-of-2 like warm — the
-        # r10 protocol fixed warm's single-rep noise but left cold as
-        # the noisier single rep. Rep 2 loads a FRESH Index object, so
-        # none of the serve caches (postings slice, doc-blob broadcast,
-        # size estimate) are resident.
-        idx_c = Index.load(spark, os.path.join(out, "idx"))
-        t0 = time.time()
-        idx_c.search_batch(0, "emb", qmats, k=10, opts=opts).count()
-        dt_batch_cold = min(dt_batch_cold, time.time() - t0)
-        qps_cold = BENCH_NQ / dt_batch_cold if dt_batch_cold > 0 else 0.0
-
-        # ---- BENCH-2e (round 11): PREWARMED serve — the shipped
-        # deployment default (IndexServer.start(prewarm=True) since
-        # r10), i.e. what the first real user batch actually costs.
-        # min-of-2, each rep on a fresh load + prewarm.
-        prew_times = []
-        for _ in range(2):
-            idx_p = Index.load(spark, os.path.join(out, "idx"))
-            idx_p.prewarm(0)
-            t0 = time.time()
-            idx_p.search_batch(0, "emb", qmats, k=10, opts=opts).count()
-            prew_times.append(time.time() - t0)
-        dt_batch_prew = min(prew_times)
-        timings["batch_search_prewarmed"] = round(dt_batch_prew, 3)
+            batch_reps["tenant2"].append(round(time.time() - t0, 3))
+        timings["tenant2_search"] = min(batch_reps["tenant2"])
 
         # ---- BENCH-2f (round 11): FORCED cogroup fallback — the
         # 100 TB serve path (blobs over the broadcast threshold) that
         # bench-scale corpora never route to on their own. An
         # unmeasured fallback is a latency-cliff candidate; this prices
         # it on the same batch. min-of-2 warm reps.
-        cg_times = []
+        batch_reps["cogroup"] = []
         idx.force_cogroup = True
         try:
             for _ in range(2):
                 t0 = time.time()
                 idx.search_batch(0, "emb", qmats, k=10, opts=opts).count()
-                cg_times.append(time.time() - t0)
+                batch_reps["cogroup"].append(round(time.time() - t0, 3))
         finally:
             idx.force_cogroup = False
-        dt_batch_cg = min(cg_times)
+        dt_batch_cg = min(batch_reps["cogroup"])
         timings["batch_search_cogroup"] = round(dt_batch_cg, 3)
     except Exception as exc:  # noqa: BLE001 — record, keep benching
         errors["index_build" if "index_build" not in timings else "batch_search"] = repr(exc)
@@ -597,6 +589,10 @@ def main() -> None:
         if dt_batch_cg > 0
         else None,
         "batch_search_nq": BENCH_NQ,
+        # per-rep wall times, interleaved execution order C W C P W C P
+        # (round-14 protocol): the raw series a regression diff needs
+        # to tell a loaded-box interval from a real plan change
+        "batch_reps": batch_reps,
         "batch_search_rows": n_res,
         "index_docs": n_docs,
         "success_at_10_default_knobs": round(success_at_k, 4)

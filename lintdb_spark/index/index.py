@@ -212,8 +212,8 @@ class Index(SegmentStore):
         # normalize once per (re)load: _version()/_rewrite_tables()
         # index _meta['versions'] directly, so a legacy add-only meta
         # without the key would load fine but KeyError on the first
-        # mutation
-        self._meta.setdefault("versions", {})
+        # mutation. super() also decodes the on-disk manifest coding.
+        super()._normalize_meta()
         if "segments" not in self._meta:
             # pre-segment layout: each table's live data is its v<N>
             # dir. Enumerate the SCHEMA's tables — not versions.items():

@@ -32,6 +32,79 @@ from lintdb_spark import params
 from lintdb_spark.index.fs import filesystem_for
 
 
+# Manifest path interning (round 14, VERDICT r13 #3): the leaf-file
+# manifest dominated _meta.json at high partition counts — 1.29 MB of
+# 1.38 MB at the 8192-spart shape, ~180 B per rel path, because every
+# path repeats the same hive dir prefix and (within one segment write)
+# the same part-file name. On disk a large manifest is stored as a
+# dictionary-coded record; IN MEMORY it is always the plain sorted
+# list every consumer already reads (decode happens once per meta
+# (re)load in _normalize_meta, encode once per flip in _save_meta), so
+# reads are byte-identical and no consumer changes. Old metas (plain
+# lists) decode as identity and re-encode on their next flip;
+# build_manifests migrates pre-manifest stores as before.
+_MANIFEST_INTERN_MIN = 8  # below this, a plain list is smaller AND readable
+
+
+def _encode_manifest(rel: list) -> list | dict:
+    """Dictionary-code one segment's rel-path list for the on-disk
+    meta: unique dir strings (minus their common prefix) + unique file
+    names + run-length-coded (dir, name) index pairs. The common
+    post-compact shape — thousands of hive dirs, ONE part-file name
+    per segment write, one file per dir — collapses to the dir-suffix
+    list plus a single run. Decode reproduces the exact original list
+    (order included); round-tripped by a hypothesis property test."""
+    if not isinstance(rel, list) or len(rel) < _MANIFEST_INTERN_MIN:
+        return rel
+    dirs: list[str] = []
+    d_idx: dict[str, int] = {}
+    names: list[str] = []
+    n_idx: dict[str, int] = {}
+    pairs: list[tuple[int, int]] = []
+    for r in rel:
+        d, _, n = str(r).replace(os.sep, "/").rpartition("/")
+        di = d_idx.get(d)
+        if di is None:
+            di = d_idx[d] = len(dirs)
+            dirs.append(d)
+        ni = n_idx.get(n)
+        if ni is None:
+            ni = n_idx[n] = len(names)
+            names.append(n)
+        pairs.append((di, ni))
+    p = os.path.commonprefix(dirs)
+    runs: list[list[int]] = []
+    for di, ni in pairs:
+        if runs and runs[-1][1] == ni and runs[-1][0] + runs[-1][2] == di:
+            runs[-1][2] += 1
+        else:
+            runs.append([di, ni, 1])
+    return {
+        "_mf": 1,
+        "p": p,
+        "d": [d[len(p):] for d in dirs],
+        "n": names,
+        "f": runs,
+    }
+
+
+def _decode_manifest(enc) -> list:
+    """Inverse of _encode_manifest; identity on plain lists (legacy
+    metas and small segments)."""
+    if not isinstance(enc, dict):
+        return enc
+    p = enc.get("p", "")
+    d = enc["d"]
+    n = enc["n"]
+    out: list[str] = []
+    for di0, ni, cnt in enc["f"]:
+        nm = n[ni]
+        for j in range(cnt):
+            dd = p + d[di0 + j]
+            out.append(f"{dd}/{nm}" if dd else nm)
+    return out
+
+
 def _seg_level(seg: str) -> int | None:
     """Tier level of a segment name: 0 for per-batch seg-* segments,
     L for m<L>-* minor-compaction outputs, None for v* base segments
@@ -102,8 +175,17 @@ class SegmentStore:
         return self.fs.exists(path)
 
     def _normalize_meta(self) -> None:
-        """Hook: normalize a freshly (re)loaded meta dict in place."""
+        """Hook: normalize a freshly (re)loaded meta dict in place.
+        Subclass overrides must call super() first — the base decodes
+        the dictionary-coded on-disk manifests back to the plain
+        rel-path lists every in-memory consumer reads."""
         self._meta.setdefault("versions", {})
+        man = self._meta.get("manifests")
+        if man:
+            for t, per in man.items():
+                for seg, enc in per.items():
+                    if isinstance(enc, dict):
+                        per[seg] = _decode_manifest(enc)
 
     def _on_meta_reloaded(self) -> None:
         """Hook: reload sidecar state after an external commit was
@@ -334,6 +416,19 @@ class SegmentStore:
                     del cur[s]
                 if not cur:
                     del sr[t]
+        # dictionary-code large manifests for the on-disk payload only
+        # (the in-memory dict keeps plain lists — see _encode_manifest);
+        # shallow-copy the layers the encoding replaces so a passed
+        # candidate dict and self._meta are never mutated
+        man = target.get("manifests")
+        if man:
+            target = {
+                **target,
+                "manifests": {
+                    t: {s: _encode_manifest(rel) for s, rel in per.items()}
+                    for t, per in man.items()
+                },
+            }
         payload = json.dumps(target).encode()
         if getattr(self.fs, "supports_cas", False):
             from lintdb_spark.index.fs import ConditionalPutConflict

@@ -411,7 +411,7 @@ class DedupArtifacts(SegmentStore):
         return list(self.TABLES)
 
     def _normalize_meta(self) -> None:
-        self._meta.setdefault("versions", {})
+        super()._normalize_meta()  # versions + on-disk manifest decode
         self._meta.setdefault("n_docs", 0)
         self._meta.setdefault("nd_shingled", 0)
         self._meta.setdefault("tenants", {})

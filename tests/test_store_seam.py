@@ -443,3 +443,112 @@ def test_fsspec_getsize_surfaces_none():
 
     assert FsspecRemote(_Info(None)).getsize("b/f") is None
     assert FsspecRemote(_Info(77)).getsize("b/f") == 77
+
+
+# ---- round 14: on-disk manifest dictionary coding ----
+
+
+def test_manifest_codec_roundtrip_realistic_shapes():
+    """_encode_manifest/_decode_manifest must reproduce the exact
+    original list (order included) on every manifest shape the store
+    writes, and actually shrink the dominant one."""
+    import json
+
+    from lintdb_spark.index.store import _decode_manifest, _encode_manifest
+
+    uuid = "2567c82e-d1af-4e39-b851-c0286e5e7f0d"
+    # post-compact fine-partitioned: thousands of hive dirs, one name
+    fine = sorted(
+        f"tenant=0/spart={i}/part-00000-{uuid}.c000.snappy.parquet"
+        for i in range(4096)
+    )
+    enc = _encode_manifest(fine)
+    assert isinstance(enc, dict) and enc["_mf"] == 1
+    assert _decode_manifest(enc) == fine
+    assert len(enc["n"]) == 1 and len(enc["f"]) == 1  # one name, one run
+    plain, coded = len(json.dumps(fine)), len(json.dumps(enc))
+    assert coded < plain / 5, (plain, coded)
+    # multi-tenant + multi-file dirs + root-level files + empty dirname
+    mixed = [
+        "part-00000-aa.parquet",
+        "tenant=0/dpart=0/part-00000-bb.parquet",
+        "tenant=0/dpart=0/part-00001-bb.parquet",
+        "tenant=1/dpart=0/part-00000-bb.parquet",
+        "tenant=1/dpart=1/part-00000-cc.parquet",
+        "tenant=1/dpart=10/part-00000-cc.parquet",
+        "tenant=1/dpart=2/part-00000-cc.parquet",
+        "x", "y/z",
+    ]
+    assert _decode_manifest(_encode_manifest(mixed)) == mixed
+    # small lists stay plain (readability; a dict would be larger)
+    small = ["a/b.parquet", "c.parquet"]
+    assert _encode_manifest(small) == small
+    assert _decode_manifest(small) == small
+    assert _encode_manifest([]) == []
+
+
+def test_manifest_codec_roundtrip_property():
+    """Hypothesis: decode(encode(x)) == x for arbitrary path lists —
+    the codec must never lose or reorder a leaf file (a dropped leaf
+    silently drops its rows from every read holding that meta)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lintdb_spark.index.store import _decode_manifest, _encode_manifest
+
+    seg = st.text(
+        alphabet=st.sampled_from("abz019=.-_"), min_size=1, max_size=8
+    )
+    path = st.builds(
+        lambda parts, name: "/".join(parts + [name + ".parquet"]),
+        st.lists(seg, min_size=0, max_size=4),
+        seg,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(path, min_size=0, max_size=64))
+    def check(rel):
+        assert _decode_manifest(_encode_manifest(rel)) == rel
+
+    check()
+
+
+def test_save_meta_encodes_on_disk_only_and_reload_decodes():
+    """The flip stores large manifests dictionary-coded but must NOT
+    mutate the in-memory dict (nor a passed candidate dict); a reload
+    through _normalize_meta restores the exact plain lists."""
+    import json
+
+    from lintdb_spark.index.fs import LocalFS
+
+    rel = sorted(
+        f"tenant=0/spart={i}/part-00000-feedbeef.c000.snappy.parquet"
+        for i in range(64)
+    )
+
+    class _S(MockFSStore):
+        def __init__(self, tmp):
+            super().__init__({})
+            self.path = tmp
+            self._storefs = LocalFS()
+            self._meta = {
+                "versions": {},
+                "segments": {"t": ["v1"]},
+                "manifests": {"t": {"v1": list(rel)}},
+            }
+
+        def _assert_and_touch_writer_lock(self):
+            pass
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        st = _S(tmp)
+        st._save_meta()
+        assert st._meta["manifests"]["t"]["v1"] == rel  # untouched
+        raw = json.loads(open(os.path.join(tmp, "_meta.json")).read())
+        assert isinstance(raw["manifests"]["t"]["v1"], dict)
+        st2 = _S(tmp)
+        st2._meta = raw
+        st2._normalize_meta()
+        assert st2._meta["manifests"]["t"]["v1"] == rel
