@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Round-14 instrument for substring-level exact dedup at two orders
+of magnitude above bench scale: the sf10 probe corpus (500k docs).
+The operator's 100 TB claim rests on three properties — postings
+build is in-row (no join), duplicated-window detection is one
+aggregate + one semi-join (never sum(df^2)), span merge is
+output-proportional — all of which are plan facts; this probe prices
+the CONSTANTS at 100x the bench corpus and records where the wall
+time goes.
+
+Measured: postings row count, wall time of the full span build
+(postings -> dup fps -> semi-join -> window -> spans), span count,
+and the same with the postings persisted (the stored-artifact serve
+split every other dedup family uses). Results append to
+.scale_probe/results_substring.json. Env: PROBE_DOCS_PARQUET
+(default .scale_probe/sf10/documents.parquet), PROBE_WINDOW
+(default params.SUBSTRING_WINDOW).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from lintdb_spark import params  # noqa: E402
+from lintdb_spark.operators import dedup  # noqa: E402
+from lintdb_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get(
+    "PROBE_DOCS_PARQUET",
+    os.path.join(REPO, ".scale_probe", "sf10", "documents.parquet"),
+)
+W = int(os.environ.get("PROBE_WINDOW", params.SUBSTRING_WINDOW))
+
+spark = get_spark("substring_probe")
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(SRC).select("doc_id", "text")
+n_docs = docs.count()
+
+res = {"src": SRC, "n_docs": n_docs, "window": W}
+
+# end-to-end, nothing cached (the one-shot batch-scrub shape)
+t0 = time.time()
+posts = dedup.substring_window_postings(docs, window=W)
+spans = dedup.substring_spans(posts, window=W)
+res["spans"] = spans.count()
+res["e2e_s"] = round(time.time() - t0, 2)
+
+# stored-postings serve split: postings persisted once (the artifact
+# a pipeline materializes per corpus snapshot), span build re-run on
+# the cache — isolates the detect+merge cost from the md5 build
+posts_c = dedup.substring_window_postings(docs, window=W).persist()
+t0 = time.time()
+res["postings_rows"] = posts_c.count()
+res["postings_build_s"] = round(time.time() - t0, 2)
+t0 = time.time()
+res["spans_cached"] = dedup.substring_spans(posts_c, window=W).count()
+res["span_build_s"] = round(time.time() - t0, 2)
+posts_c.unpersist()
+
+# duplicated-fp selectivity: how big is the semi-join's build side
+dup = (
+    posts_c.groupBy("fp").count().filter("count >= 2")
+)
+res["dup_fps"] = dup.count()
+
+print(json.dumps(res), flush=True)
+out = os.path.join(REPO, ".scale_probe", "results_substring.json")
+hist = []
+if os.path.exists(out):
+    with open(out) as f:
+        hist = json.load(f)
+hist.append(res)
+with open(out, "w") as f:
+    json.dump(hist, f, indent=1)
+print(f"wrote {out}")

@@ -950,7 +950,7 @@ def test_lsh_default_config_recall_floor(spark):
         capped.unpersist()
 
 
-def _docs(spark, rows):
+def _subdocs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -961,7 +961,7 @@ def test_substring_spans_shared_paragraph_at_different_offsets(spark):
     correct start/len and a SHARED cluster key — while the distinct
     remainder of both docs stays unflagged."""
     para = "lorem ipsum dolor sit amet"  # 5 words, W=4 -> 2 windows
-    docs = _docs(
+    docs = _subdocs(
         spark,
         [
             (1, f"alpha beta gamma {para} delta"),  # para at pos 4
@@ -981,7 +981,7 @@ def test_substring_spans_self_repetition_and_merging(spark):
     cluster key), and consecutive duplicated window starts merge into
     ONE maximal span (identical docs -> a single whole-doc span)."""
     phrase = "one two three four"
-    docs = _docs(
+    docs = _subdocs(
         spark,
         [
             # phrase at pos 1 and pos 7 of the same doc
@@ -1003,12 +1003,12 @@ def test_substring_spans_self_repetition_and_merging(spark):
     assert len(rows) == 4
 
 
-def test_substring_postings_skip_short_docs(spark):
+def test_substring_postings_skip_short_subdocs(spark):
     """Docs shorter than W words cannot hold a W-word duplicated
     substring — they emit no postings (no short-gram fallback here,
     unlike word_trigrams') and therefore no spans, even when two short
     docs are identical."""
-    docs = _docs(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "a b c")])
+    docs = _subdocs(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "a b c")])
     posts = dedup.substring_window_postings(docs, window=4)
     assert posts.count() == 0
     assert dedup.substring_spans(posts, window=4).count() == 0

@@ -44,21 +44,21 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
+        # r14 NEW: substring-level exact dedup (first round in).
+        "q_substring_dedup",
         # r13 NEW: degraded-stats fold on a cold bridged-scheme store
-        # + PII scan/redaction (first round in).
+        # + PII scan/redaction (greens r13 — need >=3).
         "q_artifact_remote_fold",
         "q_pii_scrub",
         # r12 NEW: coverage-extension drift serve + cost-triggered
-        # fold (greens r12 — need >=3).
+        # fold (greens r12, r13 — need their third).
         "q_artifact_covered",
         "q_artifact_cost_fold",
-        # r11 NEW: row-scoped fold serves (greens r11, r12 — need
-        # their third), plus the late-r11 minor-merge serve.
-        "q_artifact_fold",
-        "q_artifact_fold_remove",
-        "q_artifact_minor",
-        # (q_artifact_flush rotated OUT in r13: greens r10, r11, r12
-        # met the >=3 bar.)
+        # (the r11 trio q_artifact_fold/_fold_remove/_minor rotated
+        # OUT in r14: greens r11, r12, r13 met the >=3 bar;
+        # q_artifact_flush rotated OUT in r13: greens r10, r11, r12 —
+        # it RE-ENTERS the window in r14 at position 50 by net shrink,
+        # alongside q_media_frames at 49.)
         # (the r09 trio q_artifact_tenant/_drift/_remove rotated OUT
         # in r12: greens r09, r10, r11 met the >=3 bar; r08's
         # q_artifact_verified / q_artifact_gate rotated OUT in r11:
