@@ -87,6 +87,7 @@ HEADLINE = [
     "q_artifact_remote_fold",
     "q_pii_scrub",
     "q_substring_dedup",
+    "q_substring_scrub",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

@@ -408,6 +408,80 @@ def substring_spans(
     )
 
 
+def substring_scrub(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """The scrub stage substring dedup exists to feed (Lee et al.
+    2022 §4: remove all but ONE occurrence of each duplicated
+    substring): (doc_id, clean_text, n_words_removed) for EVERY input
+    doc — non-keeper duplicated spans cut from the text, the keeper
+    occurrence and all non-duplicated docs untouched.
+
+    Keeper = the span with the smallest (doc_id, span_start) per
+    cluster_key (deterministic; within-doc self-repetition keeps the
+    first occurrence). Removal intervals within a doc may overlap
+    (maximal spans from different clusters can share words); a word is
+    dropped when ANY removing interval covers it, so overlap needs no
+    explicit merge. Texts are reconstructed by single-space join of
+    the surviving words — exact for single-space corpora (the
+    tokenizer's contract, words()); multi-space runs normalize.
+
+    Scale shape: keeper election is one window over the SPAN table
+    (output-proportional — spans, not words); the cut joins the
+    positions explode (linear in corpus words, same as the postings
+    build) to the removal intervals on doc_id — per-doc fan-out is
+    words x removing-intervals-in-that-doc, and intervals per doc are
+    bounded by the doc's span count. The rebuild is one groupBy(doc_id)
+    carrying surviving (pos, word) pairs. No pairwise step anywhere."""
+    from pyspark.sql.window import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("cluster_key").orderBy("doc_id", "span_start")
+    )
+    cuts = (
+        spans.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.col("span_start").alias("cut_s"),
+            (F.col("span_start") + F.col("span_len") - 1).alias("cut_e"),
+        )
+    )
+    words_pos = documents.select(
+        "doc_id",
+        F.posexplode(words("text")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    removed = (
+        words_pos.join(cuts, "doc_id")
+        .filter((F.col("pos") >= F.col("cut_s")) & (F.col("pos") <= F.col("cut_e")))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = words_pos.join(removed, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    # LEFT join from the corpus: a fully-duplicated non-keeper doc
+    # loses every word and must still come out (clean_text = '',
+    # everything removed) — the downstream filter that drops empties
+    # is the caller's policy decision, not this operator's
+    base = documents.select(
+        "doc_id", F.size(words("text")).alias("n_words")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_words_removed"),
+    )
+
+
 def df_capped_shingles(
     shingles: DataFrame, max_df_frac: float | None = None
 ) -> DataFrame:

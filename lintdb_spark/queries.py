@@ -1004,6 +1004,27 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scan(_pii_corpus(spark, sf_dir))
 
 
+_SUBSTRING_SPAN_CACHE: dict = {}
+
+
+def substring_spans_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached duplicated-span table — the stored artifact of
+    the substring-dedup pipeline (one row per maximal duplicated
+    span, recomputed per corpus snapshot): q_substring_dedup returns
+    it and q_substring_scrub consumes it, the same detect->act
+    hand-off discipline as jaccard_pairs_cached / verified pairs."""
+    return _session_cached(
+        _SUBSTRING_SPAN_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.substring_spans(
+            dedup.substring_window_postings(
+                load_table(spark, sf_dir, "documents")
+            )
+        ).persist(),
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (round 14) — maximal duplicated
     word spans per document: W-word window fingerprints that occur
@@ -1013,10 +1034,20 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct documents. No pairwise join anywhere — one fp count, one
     semi-join, one output-proportional window (dedup.substring_spans'
     docstring has the 100 TB shape)."""
-    posts = dedup.substring_window_postings(
-        load_table(spark, sf_dir, "documents")
+    return substring_spans_cached(spark, sf_dir)
+
+
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub stage the spans feed (round 14, Lee et al. 2022 §4):
+    every doc comes out with its non-keeper duplicated spans cut
+    (keeper = smallest (doc_id, span_start) per cluster) — clean_text
+    plus the removed-word count; fully-duplicated non-keeper docs
+    come out EMPTY rather than vanishing (the drop policy belongs to
+    the caller). Serves off the session-cached span artifact."""
+    return dedup.substring_scrub(
+        load_table(spark, sf_dir, "documents"),
+        substring_spans_cached(spark, sf_dir),
     )
-    return dedup.substring_spans(posts)
 
 
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3055,6 +3086,50 @@ SELECT doc_id,
        arg_min(fp, pos) AS cluster_key
 FROM isl GROUP BY doc_id, island
 """
+
+# Scrub stage (round 14): keeper = smallest (doc_id, span_start) per
+# cluster; every word covered by ANY non-keeper span is cut; docs are
+# rebuilt by single-space join of survivors (exact on the single-space
+# corpus) and fully-scrubbed docs come out empty, not missing.
+ORACLE["q_substring_scrub"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+post AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, i, i + {params.SUBSTRING_WINDOW - 1}), ' ')) AS fp
+  FROM (SELECT doc_id, w,
+               unnest(range(1, len(w) - {params.SUBSTRING_WINDOW} + 2)) AS i
+        FROM w WHERE len(w) >= {params.SUBSTRING_WINDOW})),
+dup AS (SELECT fp FROM post GROUP BY fp
+        HAVING count(*) >= {params.SUBSTRING_MIN_COUNT}),
+d AS (SELECT p.doc_id, p.pos, p.fp FROM post p JOIN dup USING (fp)),
+isl AS (SELECT doc_id, pos, fp,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM d),
+spans AS (SELECT doc_id, min(pos) AS span_start,
+                 max(pos) - min(pos) + {params.SUBSTRING_WINDOW} AS span_len,
+                 arg_min(fp, pos) AS cluster_key
+          FROM isl GROUP BY doc_id, island),
+cuts AS (SELECT doc_id, span_start AS cut_s,
+                span_start + span_len - 1 AS cut_e
+         FROM (SELECT *, row_number() OVER (PARTITION BY cluster_key
+                              ORDER BY doc_id, span_start) AS rn
+               FROM spans)
+         WHERE rn > 1),
+wp AS (SELECT doc_id, i AS pos, w[i] AS word
+       FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)),
+rem AS (SELECT DISTINCT wp.doc_id, wp.pos
+        FROM wp JOIN cuts ON wp.doc_id = cuts.doc_id
+                         AND wp.pos BETWEEN cuts.cut_s AND cuts.cut_e),
+kept AS (SELECT wp.doc_id, wp.pos, wp.word
+         FROM wp ANTI JOIN rem USING (doc_id, pos)),
+ka AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+              count(*) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT w.doc_id,
+       coalesce(ka.clean_text, '') AS clean_text,
+       CAST(len(w.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_words_removed
+FROM w LEFT JOIN ka USING (doc_id)
+"""
 ORACLE["q_artifact_covered"] = ORACLE["q_jaccard_verified"].replace(
     "FROM documents",
     f"""FROM (SELECT doc_id,
@@ -3265,17 +3340,21 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        substring-level exact dedup: maximal duplicated word
     #        spans per doc via window-fingerprint postings + gaps-and-
     #        islands merge; the duplicated-paragraph case doc-level
-    #        MinHash cannot see). Rotated OUT q_artifact_minor,
-    #        q_artifact_fold, q_artifact_fold_remove (each
-    #        driver-green r11, r12, r13 — met the >=3 bar). Net
-    #        +1 −3: the first two tail entries RE-ENTER the checked
-    #        window at positions 49-50 — q_media_frames (nine greens
-    #        r02-r03, r05-r10, r12, displaced r13 for space) and
-    #        q_artifact_flush (greens r10, r11, r12, rotated out
-    #        r13) — both multiply-proven. The r12 pair
-    #        (covered/cost_fold, greens r12, r13) and the r13 pair
-    #        (remote_fold/pii_scrub, green r13) stay per policy. ----
+    #        MinHash cannot see). NEW q_substring_scrub rotated IN
+    #        (first round — the scrub stage the spans feed: non-keeper
+    #        spans cut, keeper + clean docs untouched, fully-scrubbed
+    #        docs empty not missing; serves off the same cached span
+    #        artifact). Rotated OUT q_artifact_minor, q_artifact_fold,
+    #        q_artifact_fold_remove (each driver-green r11, r12, r13 —
+    #        met the >=3 bar). Net +2 −3: the first tail entry
+    #        RE-ENTERS the checked window at position 50 —
+    #        q_media_frames (nine greens r02-r03, r05-r10, r12,
+    #        displaced r13 for space). q_artifact_flush stays in the
+    #        tail. The r12 pair (covered/cost_fold, greens r12, r13)
+    #        and the r13 pair (remote_fold/pii_scrub, green r13) stay
+    #        per policy. ----
     "q_substring_dedup": q_substring_dedup,
+    "q_substring_scrub": q_substring_scrub,
     "q_artifact_remote_fold": q_artifact_remote_fold,
     "q_pii_scrub": q_pii_scrub,
     "q_artifact_covered": q_artifact_covered,

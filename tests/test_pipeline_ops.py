@@ -1012,3 +1012,49 @@ def test_substring_postings_skip_short_subdocs(spark):
     posts = dedup.substring_window_postings(docs, window=4)
     assert posts.count() == 0
     assert dedup.substring_spans(posts, window=4).count() == 0
+
+
+def test_substring_scrub_keeps_first_occurrence_cuts_rest(spark):
+    """Scrub semantics (Lee et al. §4): the keeper occurrence
+    (smallest (doc_id, span_start) per cluster) survives verbatim,
+    every other occurrence is cut from its doc's text, clean docs pass
+    through untouched, and a fully-duplicated non-keeper doc comes out
+    EMPTY (still present — the drop policy is the caller's)."""
+    para = "lorem ipsum dolor sit amet"
+    docs = _subdocs(
+        spark,
+        [
+            (1, f"alpha beta gamma {para} delta"),  # keeper (doc 1)
+            (2, f"zeta eta {para} theta iota kappa"),  # para cut
+            (3, "mu nu xi omicron pi rho sigma tau"),  # clean
+            (4, "p q r s t u"),  # identical pair: keeper
+            (5, "p q r s t u"),  # fully scrubbed
+        ],
+    )
+    spans = dedup.substring_spans(
+        dedup.substring_window_postings(docs, window=4), window=4
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_words_removed)
+        for r in dedup.substring_scrub(docs, spans).collect()
+    }
+    assert got[1] == (f"alpha beta gamma {para} delta", 0)
+    assert got[2] == ("zeta eta theta iota kappa", 5)
+    assert got[3] == ("mu nu xi omicron pi rho sigma tau", 0)
+    assert got[4] == ("p q r s t u", 0)
+    assert got[5] == ("", 6)
+    assert len(got) == 5  # every input doc present
+
+
+def test_substring_scrub_self_repetition_keeps_first(spark):
+    """Within-doc repetition: the first occurrence is the keeper, the
+    later one is cut — the doc keeps one copy of the phrase."""
+    docs = _subdocs(
+        spark, [(1, "one two three four aa bb one two three four cc")]
+    )
+    spans = dedup.substring_spans(
+        dedup.substring_window_postings(docs, window=4), window=4
+    )
+    [r] = dedup.substring_scrub(docs, spans).collect()
+    assert r.clean_text == "one two three four aa bb cc"
+    assert r.n_words_removed == 4

@@ -44,8 +44,10 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r14 NEW: substring-level exact dedup (first round in).
+        # r14 NEW: substring-level exact dedup + its scrub stage
+        # (first round in).
         "q_substring_dedup",
+        "q_substring_scrub",
         # r13 NEW: degraded-stats fold on a cold bridged-scheme store
         # + PII scan/redaction (greens r13 — need >=3).
         "q_artifact_remote_fold",
@@ -56,9 +58,8 @@ def test_verification_window_holds_current_round_queries():
         "q_artifact_cost_fold",
         # (the r11 trio q_artifact_fold/_fold_remove/_minor rotated
         # OUT in r14: greens r11, r12, r13 met the >=3 bar;
-        # q_artifact_flush rotated OUT in r13: greens r10, r11, r12 —
-        # it RE-ENTERS the window in r14 at position 50 by net shrink,
-        # alongside q_media_frames at 49.)
+        # q_media_frames RE-ENTERS at position 50 by net shrink;
+        # q_artifact_flush stays in the tail.)
         # (the r09 trio q_artifact_tenant/_drift/_remove rotated OUT
         # in r12: greens r09, r10, r11 met the >=3 bar; r08's
         # q_artifact_verified / q_artifact_gate rotated OUT in r11:
