@@ -593,19 +593,12 @@ class FsspecRemote:
         sleep is wasted after the final attempt, and retry_attempts is
         clamped to >= 1 so misconfiguration can't raise a bare None).
 
-        KNOWN LIMITATION (documented, ADVICE r13): a retried
-        CONDITIONAL put is not idempotent against lost-success
-        responses. If a put_if_match actually lands on the backend but
-        the response is lost to a transient-looking failure, the retry
-        collides with this writer's own freshly-written object:
-        create_exclusive then reports FileExistsError (the writer
-        blocks on its own lock until stale takeover) and the CAS meta
-        flip reports a spurious 'lost a commit race'. The failure
-        direction is SAFE — no double commit, no torn state, only
-        availability (a loud retryable error) — which is why the seam
-        documents rather than read-back-verifies: a read-back between
-        put and classify would race other writers on genuinely
-        contended paths."""
+        Lost-success responses (a put that LANDS but whose response is
+        lost to a transient failure) make a retried CONDITIONAL put
+        collide with this writer's own freshly-written object; the
+        conditional-put callers disambiguate that conflict by reading
+        the object back and comparing bytes (_readback_equals) — see
+        create_exclusive / write_if_match."""
         attempts = max(1, int(self.retry_attempts))
         for i in range(attempts):
             try:
@@ -669,6 +662,20 @@ class FsspecRemote:
 
         self._retry(_write)
 
+    def _readback_equals(self, path, data) -> bool:
+        """Lost-success disambiguation for conditional puts (ADVICE
+        r13): a put that LANDS but whose response is lost to a
+        transient failure makes the retry collide with this writer's
+        own object — the conflict then reads back as EXACTLY our
+        bytes, which no genuinely lost race can produce (lock payloads
+        carry a unique token; meta payloads differ per commit). Bytes
+        equal = our put succeeded; anything else (different bytes,
+        object gone, read failure) = treat the conflict as real."""
+        try:
+            return self.open_read(path) == data
+        except OSError:
+            return False
+
     def create_exclusive(self, path, data):
         # best-effort: object stores need a conditional put / lock
         # service for true exclusivity; single-writer deployments are
@@ -684,6 +691,8 @@ class FsspecRemote:
             except OSError as exc:
                 if _is_transient(exc):  # retries exhausted, NOT a
                     raise  # precondition refusal — don't mislabel
+                if self._readback_equals(path, data):
+                    return  # our earlier attempt landed (lost success)
                 raise FileExistsError(path) from exc
         if self.exists(path):
             raise FileExistsError(path)
@@ -724,6 +733,8 @@ class FsspecRemote:
         except OSError as exc:
             if _is_transient(exc):  # retries exhausted — a backend
                 raise  # outage, not a lost commit race
+            if self._readback_equals(path, data):
+                return  # our earlier attempt landed (lost success)
             raise ConditionalPutConflict(
                 f"conditional put of {path} refused: {exc}"
             ) from exc

@@ -78,6 +78,9 @@ class FakeObjectStore:
         self.time_key: str | None = "LastModified"  # None = no time at all
         self.no_etag: bool = False  # info() exposes no ETag at all
         self.transient_every: int = 0  # every Nth call raises 503
+        # lost-success injection: the next N conditional puts LAND
+        # and then raise transient (the ack never reaches the client)
+        self.ack_lost_next: int = 0
         self._op_count: int = 0
         self.op_log: list[str] = []  # op-name trace (protocol audits)
         self._fresh: dict[str, int] = {}  # path -> remaining hidden ops
@@ -93,6 +96,7 @@ class FakeObjectStore:
             self.time_key = quirks.get("time_key", "LastModified")
             self.no_etag = quirks.get("no_etag", False)
             self.transient_every = quirks.get("transient_every", 0)
+            self.ack_lost_next = quirks.get("ack_lost_next", 0)
             self._op_count = 0
             self.op_log = []
 
@@ -301,6 +305,12 @@ class FakeObjectStore:
                     f"PreconditionFailed: {p} expected {etag} found {cur_tag}"
                 )
             self._put(p, data)
+            if self.ack_lost_next > 0:
+                # the put LANDED; the response is lost in transit
+                self.ack_lost_next -= 1
+                raise TransientError(
+                    "SlowDown: simulated lost response after commit"
+                )
 
 
 FAKE = FakeObjectStore.instance()
@@ -584,6 +594,37 @@ def test_transient_classifier_boundaries_and_conflict_precedence():
     e2 = OSError("throttled")
     e2.status = 429
     assert _is_transient(e2)
+
+
+def test_lost_success_conditional_puts_resolve_by_readback():
+    """ADVICE r13 #4, fixed rather than documented: a conditional put
+    that LANDS but whose response is lost to a transient failure must
+    not strand the writer. The retry collides with this writer's own
+    object; the seam reads it back — bytes equal means OUR put
+    succeeded (create_exclusive returns instead of FileExistsError on
+    its own lock; the CAS meta flip returns instead of a spurious
+    'lost a commit race'), while a GENUINE conflict (different bytes)
+    still raises loudly."""
+    FAKE.reset(ack_lost_next=1)
+    r = FsspecRemote(FAKE, strip_scheme=True)
+    r.retry_base_s = 0.001
+    lock = "fakes3://bucket/ls/_writer.lock"
+    r.create_exclusive(lock, b"token-abc")  # ack lost -> readback saves it
+    assert r.open_read(lock) == b"token-abc"
+    # a real holder is still excluded (different bytes -> conflict)
+    with pytest.raises(FileExistsError):
+        r.create_exclusive(lock, b"token-other")
+    # CAS flip: ack lost on the conditional overwrite
+    meta = "fakes3://bucket/ls/_meta.json"
+    r.write_atomic(meta, b"v1")
+    sid = r.stat_id(meta)
+    FAKE.ack_lost_next = 1
+    r.write_if_match(meta, b"v2", sid)  # lands, ack lost, readback ok
+    assert r.open_read(meta) == b"v2"
+    # genuine lost race still loud: stale tag, different committed bytes
+    with pytest.raises(ConditionalPutConflict):
+        r.write_if_match(meta, b"v3", sid)
+    assert r.open_read(meta) == b"v2"
 
 
 def test_retry_skips_final_backoff_and_clamps_attempts(monkeypatch):

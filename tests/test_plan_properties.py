@@ -527,3 +527,14 @@ def test_substring_dedup_plan_has_no_self_join(spark, sf_dir):
         and ("HashAggregate" in l or "SortAggregate" in l)
     ]
     assert len(aggs) <= 4, aggs
+
+
+def test_substring_scrub_plan_stays_jvm_side(spark, sf_dir):
+    """The scrub is rebuild-heavy (positions explode + interval cut +
+    ordered rejoin) — all of it must stay JVM-side with no pairwise
+    blowup: no Python nodes, no cartesian product, and the only
+    window functions are the keeper election + none over raw words."""
+    p = plan_of(spark, sf_dir, "q_substring_scrub")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
