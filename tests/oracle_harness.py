@@ -12,16 +12,41 @@ import duckdb
 from lintdb_spark.tables import TABLES, table_path
 
 
+# Session-scoped memo (round 14, suite-budget): several registry
+# queries deliberately share ONE oracle SQL (the artifact drift serve
+# is the oracle of every fold/maintenance variant — the trigger
+# changes WHEN maintenance runs, never what is served), so the local
+# suite was re-running the identical fat DuckDB pipeline up to 6x per
+# session. Keyed on (sql, sf_dir) over immutable test parquet, the
+# memo is exact; the DRIVER's compare is untouched (this harness is
+# local-only). One connection per sf_dir saves the per-compare view
+# setup as well.
+_ORACLE_MEMO: dict = {}
+_CONNS: dict = {}
+
+
+def _conn(sf_dir: str):
+    con = _CONNS.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf_dir, t)}')"
+            )
+        _CONNS[sf_dir] = con
+    return con
+
+
 def run_oracle(sql: str, sf_dir: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
-    out = con.sql(sql)
+    key = (sql, sf_dir)
+    hit = _ORACLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _conn(sf_dir).sql(sql)
     cols = out.columns
     rows = out.fetchall()
-    con.close()
+    _ORACLE_MEMO[key] = (cols, rows)
     return cols, rows
 
 
