@@ -26,6 +26,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from lintdb_spark import params  # noqa: E402
 from lintdb_spark.operators import dedup  # noqa: E402
 from lintdb_spark.session import get_spark  # noqa: E402
@@ -67,6 +69,25 @@ dup = (
     posts_c.groupBy("fp").count().filter("count >= 2")
 )
 res["dup_fps"] = dup.count()
+
+# scrub stage off the cached spans (the detect->act serve split):
+# keeper election + positions explode + interval cut + ordered rebuild
+spans_c = dedup.substring_spans(posts_c, window=W).persist()
+spans_c.count()
+t0 = time.time()
+scrubbed = dedup.substring_scrub(docs, spans_c)
+# aggregate over clean_text LENGTH so the rebuild actually runs —
+# a bare count() lets Catalyst prune the string reassembly entirely
+row = scrubbed.agg(
+    F.count("*").alias("n"),
+    F.sum(F.length("clean_text")).alias("chars"),
+    F.sum("n_words_removed").alias("removed"),
+).first()
+res["scrub_s"] = round(time.time() - t0, 2)
+res["scrub_docs_out"] = row["n"]
+res["scrub_clean_chars"] = int(row["chars"])
+res["scrub_words_removed"] = int(row["removed"])
+spans_c.unpersist()
 
 print(json.dumps(res), flush=True)
 out = os.path.join(REPO, ".scale_probe", "results_substring.json")
