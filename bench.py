@@ -88,6 +88,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_substring_dedup",
     "q_substring_scrub",
+    "q_substring_decontam",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

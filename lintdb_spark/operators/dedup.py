@@ -408,6 +408,56 @@ def substring_spans(
     )
 
 
+def substring_decontaminate(
+    documents: DataFrame,
+    eval_mod: int = 50,
+    window: int | None = None,
+) -> DataFrame:
+    """Substring-level benchmark decontamination (the GPT-3 appendix-C
+    style exact n-gram overlap check, here W-word windows): maximal
+    spans of TRAINING documents whose windows appear anywhere in the
+    held-out eval slice (``doc_id % eval_mod == 0``) — returns
+    (doc_id, span_start, span_len, n_eval_windows), training docs
+    only. Unlike ``decontaminate`` (trigram-overlap COUNTS per doc),
+    this yields the positions, so the output composes directly with
+    the span-cutting machinery (cut EVERY span — there is no keeper
+    for eval contamination) instead of forcing whole-doc drops.
+
+    Scale shape mirrors substring_spans with an even smaller build
+    side: the eval fingerprint set derives from the eval docs alone
+    (the ``doc_id % eval_mod`` filter pushes to the scan, so only the
+    tiny eval slice is tokenized twice), is distinct-aggregated, and
+    joins the training postings left-semi — benchmarks are tiny next
+    to a 100 TB corpus, so this side broadcasts; past the threshold
+    it degrades to the same 1:1 shuffle semi-join. Span merge is the
+    identical output-proportional gaps-and-islands window."""
+    from pyspark.sql.window import Window as _W
+
+    W = int(window or params.SUBSTRING_WINDOW)
+    ev = F.col("doc_id") % int(eval_mod) == 0
+    eval_fp = (
+        substring_window_postings(documents.filter(ev), W)
+        .select("fp")
+        .distinct()
+    )
+    train = substring_window_postings(documents.filter(~ev), W)
+    d = train.join(eval_fp, "fp", "left_semi")
+    isl = d.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(_W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + W).cast("bigint").alias("span_len"),
+            F.count("*").cast("bigint").alias("n_eval_windows"),
+        )
+        .drop("island")
+    )
+
+
 def substring_scrub(documents: DataFrame, spans: DataFrame) -> DataFrame:
     """The scrub stage substring dedup exists to feed (Lee et al.
     2022 §4: remove all but ONE occurrence of each duplicated

@@ -1050,6 +1050,18 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level decontamination (round 14, GPT-3-style exact
+    n-gram overlap with positions): maximal training-doc spans whose
+    W-word windows appear in the eval slice (doc_id % 50 == 0) —
+    unlike q_decontaminate's overlap counts, the spans compose with
+    the cut machinery so contaminated passages can be excised instead
+    of dropping whole docs."""
+    return dedup.substring_decontaminate(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ETL: JVM-side JSON path extraction over the
     events props payload + per-type stats (no UDF, scan-speed)."""
@@ -3130,6 +3142,30 @@ SELECT w.doc_id,
        CAST(len(w.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_words_removed
 FROM w LEFT JOIN ka USING (doc_id)
 """
+
+# Substring-level decontamination (round 14): the eval slice's
+# distinct window fingerprints replace the corpus dup set; training
+# postings semi-join against them, same gaps-and-islands merge.
+ORACLE["q_substring_decontam"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+post AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, i, i + {params.SUBSTRING_WINDOW - 1}), ' ')) AS fp
+  FROM (SELECT doc_id, w,
+               unnest(range(1, len(w) - {params.SUBSTRING_WINDOW} + 2)) AS i
+        FROM w WHERE len(w) >= {params.SUBSTRING_WINDOW})),
+ef AS (SELECT DISTINCT fp FROM post WHERE doc_id % 50 = 0),
+d AS (SELECT p.doc_id, p.pos FROM post p JOIN ef USING (fp)
+      WHERE p.doc_id % 50 != 0),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM d)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + {params.SUBSTRING_WINDOW} AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_eval_windows
+FROM isl GROUP BY doc_id, island
+"""
 ORACLE["q_artifact_covered"] = ORACLE["q_jaccard_verified"].replace(
     "FROM documents",
     f"""FROM (SELECT doc_id,
@@ -3344,17 +3380,21 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #        (first round — the scrub stage the spans feed: non-keeper
     #        spans cut, keeper + clean docs untouched, fully-scrubbed
     #        docs empty not missing; serves off the same cached span
-    #        artifact). Rotated OUT q_artifact_minor, q_artifact_fold,
+    #        artifact). NEW q_substring_decontam rotated IN (first
+    #        round — GPT-3-style exact n-gram decontamination with
+    #        positions: training-doc spans whose windows appear in the
+    #        eval slice). Rotated OUT q_artifact_minor, q_artifact_fold,
     #        q_artifact_fold_remove (each driver-green r11, r12, r13 —
-    #        met the >=3 bar). Net +2 −3: the first tail entry
-    #        RE-ENTERS the checked window at position 50 —
-    #        q_media_frames (nine greens r02-r03, r05-r10, r12,
-    #        displaced r13 for space). q_artifact_flush stays in the
-    #        tail. The r12 pair (covered/cost_fold, greens r12, r13)
+    #        met the >=3 bar). Net +3 −3: the three NEW queries take
+    #        exactly the three freed slots, so the main section stays
+    #        at 50 and NO tail entry enters or leaves the checked
+    #        window (q_media_frames and q_artifact_flush remain in the
+    #        tail). The r12 pair (covered/cost_fold, greens r12, r13)
     #        and the r13 pair (remote_fold/pii_scrub, green r13) stay
     #        per policy. ----
     "q_substring_dedup": q_substring_dedup,
     "q_substring_scrub": q_substring_scrub,
+    "q_substring_decontam": q_substring_decontam,
     "q_artifact_remote_fold": q_artifact_remote_fold,
     "q_pii_scrub": q_pii_scrub,
     "q_artifact_covered": q_artifact_covered,

@@ -1058,3 +1058,29 @@ def test_substring_scrub_self_repetition_keeps_first(spark):
     [r] = dedup.substring_scrub(docs, spans).collect()
     assert r.clean_text == "one two three four aa bb cc"
     assert r.n_words_removed == 4
+
+
+def test_substring_decontaminate_flags_eval_overlap_spans(spark):
+    """Substring decontamination (GPT-3-style exact n-gram overlap,
+    WITH positions): a training doc containing an eval passage yields
+    the passage's span; eval docs never appear in the output; training
+    docs sharing windows only with OTHER training docs are not flagged
+    (corpus duplication is substring_spans' job, not decontamination's);
+    clean docs are absent."""
+    passage = "alpha beta gamma delta epsilon"  # 5 words, W=4
+    docs = _subdocs(
+        spark,
+        [
+            (50, f"{passage} zz"),  # eval (50 % 50 == 0)
+            (1, f"aa bb {passage} cc"),  # contaminated at pos 3..7
+            # train-only duplication: NOT flagged by decontamination
+            (2, "one two three four five"),
+            (3, "one two three four six"),
+            (4, "totally clean words here now"),
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len): r.n_eval_windows
+        for r in dedup.substring_decontaminate(docs, window=4).collect()
+    }
+    assert got == {(1, 3, 5): 2}  # 2 window starts cover the passage

@@ -538,3 +538,19 @@ def test_substring_scrub_plan_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_decontam_single_semi_join_no_python(spark, sf_dir):
+    """Decontamination's only join is the training-postings semi-join
+    against the (tiny, broadcastable) eval fingerprint set — same
+    no-pairwise contract as substring dedup, no Python anywhere."""
+    import re as _re
+
+    p = plan_of(spark, sf_dir, "q_substring_decontam")
+    joins = [
+        l for l in p.splitlines()
+        if _re.search(r"\)\s*$", l) and "Join" in l and "Reused" not in l
+    ]
+    assert len(joins) == 1, joins
+    assert "LeftSemi" in joins[0]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -44,10 +44,11 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
-        # r14 NEW: substring-level exact dedup + its scrub stage
-        # (first round in).
+        # r14 NEW: substring-level exact dedup, its scrub stage, and
+        # substring decontamination (first round in).
         "q_substring_dedup",
         "q_substring_scrub",
+        "q_substring_decontam",
         # r13 NEW: degraded-stats fold on a cold bridged-scheme store
         # + PII scan/redaction (greens r13 — need >=3).
         "q_artifact_remote_fold",
@@ -57,9 +58,9 @@ def test_verification_window_holds_current_round_queries():
         "q_artifact_covered",
         "q_artifact_cost_fold",
         # (the r11 trio q_artifact_fold/_fold_remove/_minor rotated
-        # OUT in r14: greens r11, r12, r13 met the >=3 bar;
-        # q_media_frames RE-ENTERS at position 50 by net shrink;
-        # q_artifact_flush stays in the tail.)
+        # OUT in r14: greens r11, r12, r13 met the >=3 bar; the three
+        # r14 queries fill exactly those slots — q_media_frames and
+        # q_artifact_flush stay in the tail.)
         # (the r09 trio q_artifact_tenant/_drift/_remove rotated OUT
         # in r12: greens r09, r10, r11 met the >=3 bar; r08's
         # q_artifact_verified / q_artifact_gate rotated OUT in r11:
