@@ -519,7 +519,10 @@ def _is_transient(exc: BaseException) -> bool:
             "conditionnotmet",
             "conflict",
         )
-    ) or re.search(r"\b(409|412)\b", s):
+    ) or re.search(r"(?<![\w/.\-])(409|412)(?![\w\-/])(?!\.[\w/.\-])", s):
+        # same strict standalone-number rule as the transient match
+        # below (ADVICE r14): an incidental 'run-412' path segment in
+        # an otherwise-transient message must not force non-transient
         return False
     if any(
         m in s
@@ -535,7 +538,14 @@ def _is_transient(exc: BaseException) -> bool:
         )
     ):
         return True
-    return re.search(r"(?<![\w/.\-])(429|5\d\d)(?![\w/.\-])", s) is not None
+    # standalone status number; a trailing '.' is allowed when it is
+    # sentence punctuation ('... returned 503.') but not when it
+    # continues an identifier/path ('part-00503.parquet', 'v503.2')
+    # — ADVICE r14
+    return (
+        re.search(r"(?<![\w/.\-])(429|5\d\d)(?![\w\-/])(?!\.[\w/.\-])", s)
+        is not None
+    )
 
 
 class FsspecRemote:
@@ -673,7 +683,14 @@ class FsspecRemote:
         object gone, read failure) = treat the conflict as real."""
         try:
             return self.open_read(path) == data
-        except OSError:
+        except Exception:  # noqa: BLE001 — any read failure = not ours
+            # broader than OSError on purpose (ADVICE r14): fsspec
+            # backends raise ValueError/KeyError-shaped errors on
+            # reads (memory-style filesystems especially); an escaping
+            # exception here would replace the intended
+            # FileExistsError/ConditionalPutConflict classification
+            # with an unrelated read error. Any failure to read back
+            # exactly our bytes means the conflict stands.
             return False
 
     def create_exclusive(self, path, data):

@@ -208,22 +208,25 @@ class Index(SegmentStore):
         idx._load_trained_sidecars()
         return idx
 
-    def _normalize_meta(self) -> None:
+    def _normalize_meta(self, meta: dict | None = None) -> None:
         # normalize once per (re)load: _version()/_rewrite_tables()
         # index _meta['versions'] directly, so a legacy add-only meta
         # without the key would load fine but KeyError on the first
         # mutation. super() also decodes the on-disk manifest coding.
-        super()._normalize_meta()
-        if "segments" not in self._meta:
+        # Operates on `meta` (may be a not-yet-published dict from the
+        # staleness refresh — see SegmentStore._normalize_meta).
+        meta = self._meta if meta is None else meta
+        super()._normalize_meta(meta)
+        if "segments" not in meta:
             # pre-segment layout: each table's live data is its v<N>
             # dir. Enumerate the SCHEMA's tables — not versions.items():
             # an add-only legacy index never wrote versions at all
             # (implicit v0 dirs), and would otherwise load with no
             # segments registered, reading empty and letting vacuum()
             # delete the live v0 dirs as orphans.
-            versions = self._meta.get("versions", {})
+            versions = meta.get("versions", {})
             tables = self._all_tables(self.schema)
-            self._meta["segments"] = {
+            meta["segments"] = {
                 t: [f"v{versions.get(t, 0)}"]
                 for t in tables
                 if self.fs.isdir(

@@ -174,13 +174,22 @@ class SegmentStore:
     def _fs_exists(self, path: str) -> bool:
         return self.fs.exists(path)
 
-    def _normalize_meta(self) -> None:
+    def _normalize_meta(self, meta: dict | None = None) -> None:
         """Hook: normalize a freshly (re)loaded meta dict in place.
         Subclass overrides must call super() first — the base decodes
         the dictionary-coded on-disk manifests back to the plain
-        rel-path lists every in-memory consumer reads."""
-        self._meta.setdefault("versions", {})
-        man = self._meta.get("manifests")
+        rel-path lists every in-memory consumer reads.
+
+        ``meta`` (ADVICE r14): the refresh path passes the NOT-YET-
+        PUBLISHED dict so normalization runs before the single atomic
+        ``self._meta = m`` assignment — a concurrent serve thread
+        (IndexServer reads take no lock) must never observe encoded
+        dict manifests where every consumer expects plain lists.
+        ``None`` keeps the load()-time behavior of normalizing
+        ``self._meta`` in place."""
+        meta = self._meta if meta is None else meta
+        meta.setdefault("versions", {})
+        man = meta.get("manifests")
         if man:
             for t, per in man.items():
                 for seg, enc in per.items():
@@ -222,10 +231,16 @@ class SegmentStore:
             if cur == getattr(self, "_meta_stat", None):
                 return
             try:
-                self._meta = json.loads(
+                # normalize BEFORE publishing (ADVICE r14): decode the
+                # dictionary-coded manifests on a local dict, then
+                # install with ONE reference assignment — unlocked
+                # serve-thread readers see the old meta or the fully
+                # decoded new one, never an intermediate encoded state.
+                m = json.loads(
                     self.fs.open_read(os.path.join(self.path, "_meta.json"))
                 )
-                self._normalize_meta()
+                self._normalize_meta(m)
+                self._meta = m
                 # an external commit may have RE-TRAINED (new centroid
                 # matrices / quantizer params), not just added
                 # segments. Any read failure (mid-replace race) leaves
@@ -422,13 +437,25 @@ class SegmentStore:
         # candidate dict and self._meta are never mutated
         man = target.get("manifests")
         if man:
-            target = {
-                **target,
-                "manifests": {
-                    t: {s: _encode_manifest(rel) for s, rel in per.items()}
-                    for t, per in man.items()
-                },
+            enc_man = {
+                t: {s: _encode_manifest(rel) for s, rel in per.items()}
+                for t, per in man.items()
             }
+            target = {**target, "manifests": enc_man}
+            # meta-level format marker (ADVICE r14): when any manifest
+            # actually got dictionary-coded, stamp manifest_rev=2 so
+            # the format change is explicit in the file, not only
+            # inferable from per-manifest '_mf' markers. Pre-r14
+            # readers ignore the key and would still misread coded
+            # manifests — upgrade ordering is readers-before-writers
+            # (documented in COVERAGE.md §storage); the rev makes a
+            # downgrade detectable and auditable rather than silent.
+            if any(
+                isinstance(e, dict)
+                for per in enc_man.values()
+                for e in per.values()
+            ):
+                target["manifest_rev"] = 2
         payload = json.dumps(target).encode()
         if getattr(self.fs, "supports_cas", False):
             from lintdb_spark.index.fs import ConditionalPutConflict

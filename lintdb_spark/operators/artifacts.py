@@ -410,42 +410,45 @@ class DedupArtifacts(SegmentStore):
     def _all_tables(self) -> list[str]:
         return list(self.TABLES)
 
-    def _normalize_meta(self) -> None:
-        super()._normalize_meta()  # versions + on-disk manifest decode
-        self._meta.setdefault("n_docs", 0)
-        self._meta.setdefault("nd_shingled", 0)
-        self._meta.setdefault("tenants", {})
-        self._meta.setdefault("num_perms", params.MINHASH_PERMS)
-        self._meta.setdefault("simhash_bits", 32)
-        self._meta.setdefault("lsh_bands", params.LSH_BANDS)
-        self._meta.setdefault("bucket_parts", params.ARTIFACT_BUCKET_PARTS)
-        self._meta.setdefault("doc_parts", params.ARTIFACT_DOC_PARTS)
-        self._meta.setdefault("shingle_parts", params.ARTIFACT_SHINGLE_PARTS)
+    def _normalize_meta(self, meta: dict | None = None) -> None:
+        # operates on `meta` (may be a not-yet-published dict from the
+        # staleness refresh — see SegmentStore._normalize_meta)
+        meta = self._meta if meta is None else meta
+        super()._normalize_meta(meta)  # versions + on-disk manifest decode
+        meta.setdefault("n_docs", 0)
+        meta.setdefault("nd_shingled", 0)
+        meta.setdefault("tenants", {})
+        meta.setdefault("num_perms", params.MINHASH_PERMS)
+        meta.setdefault("simhash_bits", 32)
+        meta.setdefault("lsh_bands", params.LSH_BANDS)
+        meta.setdefault("bucket_parts", params.ARTIFACT_BUCKET_PARTS)
+        meta.setdefault("doc_parts", params.ARTIFACT_DOC_PARTS)
+        meta.setdefault("shingle_parts", params.ARTIFACT_SHINGLE_PARTS)
         # a meta written before this field existed is the round-8
         # layout: no doc_ids registry, no stored bucket table
-        self._meta.setdefault("schema_rev", 1)
+        meta.setdefault("schema_rev", 1)
         # stores written before flip-delta maintenance keep the rev-2
         # drift path (their pair rows lack sizes)
-        self._meta.setdefault("pair_rev", 2)
-        self._meta.setdefault("pair_seq", 0)
+        meta.setdefault("pair_rev", 2)
+        meta.setdefault("pair_seq", 0)
         # legacy stores have no maintained pair_stats table; their
         # verified_pairs() serves the read-time full verify until
         # migrate_layout backfills
-        self._meta.setdefault("pair_stats_live", False)
+        meta.setdefault("pair_stats_live", False)
         # pre-round-10 metas never counted outstanding flips; 0 means
         # the segment-count trigger alone guards them until their next
         # compaction starts the count fresh
-        self._meta.setdefault("flip_rows_live", 0)
+        meta.setdefault("flip_rows_live", 0)
         # deferred pair verification (round 10): batches-per-verify and
         # the per-tenant cand_pairs segments awaiting their flush
-        self._meta.setdefault("verify_every", 1)
-        self._meta.setdefault("pair_unverified", {})
+        meta.setdefault("verify_every", 1)
+        meta.setdefault("pair_unverified", {})
         # stores written before round 11 lack the inverted shingle->doc
         # table and the pair-endpoint registry: their flip lookups keep
         # the corpus-scan path until compact() backfills both tables
         # (completeness is the upgrade invariant — a PARTIAL inverted
         # table would silently drop flip rows for pre-upgrade docs)
-        self._meta.setdefault("flip_rev", 1)
+        meta.setdefault("flip_rev", 1)
 
     @property
     def num_perms(self) -> int:

@@ -594,6 +594,16 @@ def test_transient_classifier_boundaries_and_conflict_precedence():
     e2 = OSError("throttled")
     e2.status = 429
     assert _is_transient(e2)
+    # ADVICE r14: sentence punctuation after a status number is not an
+    # identifier continuation — '... returned 503.' stays transient
+    assert _is_transient(OSError("backend returned 503."))
+    assert _is_transient(OSError("slow down: 503/SlowDown"))
+    assert not _is_transient(OSError("v503.2 incompatible"))
+    # ADVICE r14: the conflict match uses the SAME strict standalone
+    # rule — an incidental 'run-412' path segment inside a transient
+    # message must not force non-transient / a spurious conflict
+    assert _is_transient(OSError("timed out reading /data/run-412/f"))
+    assert not _is_transient(OSError("status 412."))
 
 
 def test_lost_success_conditional_puts_resolve_by_readback():
@@ -625,6 +635,37 @@ def test_lost_success_conditional_puts_resolve_by_readback():
     with pytest.raises(ConditionalPutConflict):
         r.write_if_match(meta, b"v3", sid)
     assert r.open_read(meta) == b"v2"
+
+
+def test_readback_swallows_non_oserror_read_failures():
+    """ADVICE r14: fsspec backends can raise non-OSError (ValueError /
+    KeyError from memory-style filesystems) on reads; _readback_equals
+    must return False on ANY read failure so the conflict
+    classification (FileExistsError / ConditionalPutConflict) stays
+    authoritative instead of an unrelated read error escaping."""
+    FAKE.reset()
+    r = FsspecRemote(FAKE, strip_scheme=True)
+    r.retry_base_s = 0.001
+
+    def _boom(*a, **k):
+        raise ValueError("memory filesystem tantrum")
+
+    r.open_read = _boom
+    assert r._readback_equals("fakes3://bucket/rb/x", b"data") is False
+    # end-to-end: create_exclusive on an existing object whose
+    # readback read blows up with ValueError still raises the
+    # intended FileExistsError, not the ValueError
+    FAKE.reset()
+    r2 = FsspecRemote(FAKE, strip_scheme=True)
+    r2.retry_base_s = 0.001
+    lock = "fakes3://bucket/rb/_writer.lock"
+    r2.create_exclusive(lock, b"holder")
+    real_read = r2.open_read
+    r2.open_read = _boom
+    with pytest.raises(FileExistsError):
+        r2.create_exclusive(lock, b"other")
+    r2.open_read = real_read
+    assert r2.open_read(lock) == b"holder"
 
 
 def test_retry_skips_final_backoff_and_clamps_attempts(monkeypatch):

@@ -548,7 +548,71 @@ def test_save_meta_encodes_on_disk_only_and_reload_decodes():
         assert st._meta["manifests"]["t"]["v1"] == rel  # untouched
         raw = json.loads(open(os.path.join(tmp, "_meta.json")).read())
         assert isinstance(raw["manifests"]["t"]["v1"], dict)
+        # ADVICE r14: coded manifests stamp a meta-level format rev so
+        # the change is explicit in the file, not only per-manifest
+        assert raw.get("manifest_rev") == 2
         st2 = _S(tmp)
         st2._meta = raw
         st2._normalize_meta()
         assert st2._meta["manifests"]["t"]["v1"] == rel
+
+
+def test_refresh_publishes_meta_only_after_normalize(spark):
+    """ADVICE r14 (medium): _refresh_meta_if_stale must normalize the
+    freshly read dict BEFORE the single `self._meta = m` assignment —
+    an unlocked serve-thread reader must never observe the
+    dictionary-coded on-disk manifests mid-refresh. Pinned by
+    asserting, from inside _normalize_meta during a refresh, that the
+    published self._meta is still the OLD object."""
+    import json
+
+    path = _mem_path("atomic-refresh")
+    rel = sorted(f"spart={i}/part-00000-cafe.snappy.parquet" for i in range(64))
+
+    class _Store(SegmentStore):
+        observed: list = []
+
+        def _all_tables(self):
+            return ["t"]
+
+        def _normalize_meta(self, meta=None):
+            if meta is not None and meta is not self._meta:
+                # refresh path: publication must not have happened yet
+                _Store.observed.append(self._meta is meta)
+                _Store.observed.append(
+                    isinstance(
+                        self._meta.get("manifests", {}).get("t", {}).get("v1"),
+                        dict,
+                    )
+                )
+            super()._normalize_meta(meta)
+
+        def _assert_and_touch_writer_lock(self):
+            pass
+
+    w = _Store(spark, path)
+    w.fs.makedirs(path, exist_ok=False)
+    w._meta = {
+        "versions": {},
+        "segments": {"t": ["v1"]},
+        "manifests": {"t": {"v1": list(rel)}},
+    }
+    w._save_meta()
+    w._meta_stat = w._stat_meta()
+
+    # an "external" commit with a coded manifest lands on disk
+    other = _Store(spark, path)
+    other._meta = json.loads(other.fs.open_read(path + "/_meta.json"))
+    other._normalize_meta()
+    other._meta_stat = other._stat_meta()
+    other._meta["n"] = 7
+    other._save_meta()
+
+    _Store.observed = []
+    w._refresh_meta_if_stale()
+    # the hook ran on the refresh path, self._meta was never the
+    # in-flight dict nor an encoded intermediate, and the published
+    # result is fully decoded
+    assert _Store.observed == [False, False]
+    assert w._meta["n"] == 7
+    assert w._meta["manifests"]["t"]["v1"] == rel
