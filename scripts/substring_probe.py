@@ -89,6 +89,34 @@ res["scrub_clean_chars"] = int(row["chars"])
 res["scrub_words_removed"] = int(row["removed"])
 spans_c.unpersist()
 
+# decontamination pricing (VERDICT r14 #5): the eval-fp build
+# (eval-slice tokenize + fingerprint + distinct) vs the full
+# train-side detect (second postings build + semi-join + span merge).
+# substring_decontaminate deliberately re-derives the training
+# postings instead of persisting the 23.5M-row table (docstring
+# records the cache-vs-recompute tradeoff); this prices what that
+# recompute costs at 100x bench scale.
+ev = F.col("doc_id") % 50 == 0
+t0 = time.time()
+eval_fp = (
+    dedup.substring_window_postings(docs.filter(ev), W)
+    .select("fp")
+    .distinct()
+    .persist()
+)
+res["decontam_eval_fps"] = eval_fp.count()
+res["decontam_evalfp_s"] = round(time.time() - t0, 2)
+eval_fp.unpersist()
+t0 = time.time()
+dec = dedup.substring_decontaminate(docs, eval_mod=50, window=W)
+drow = dec.agg(
+    F.count("*").alias("n"),
+    F.coalesce(F.sum("n_eval_windows"), F.lit(0)).alias("wins"),
+).first()
+res["decontam_spans"] = drow["n"]
+res["decontam_eval_windows"] = int(drow["wins"])
+res["decontam_s"] = round(time.time() - t0, 2)
+
 print(json.dumps(res), flush=True)
 out = os.path.join(REPO, ".scale_probe", "results_substring.json")
 hist = []

@@ -1060,6 +1060,35 @@ def test_substring_scrub_self_repetition_keeps_first(spark):
     assert r.n_words_removed == 4
 
 
+def test_substring_scrub_two_space_roundtrip_and_cut(spark):
+    """Reconstruction contract (VERDICT r14 #6): words() splits on a
+    single space keeping EMPTY tokens, and the rebuild is a
+    single-space rejoin — so an untouched two-space doc round-trips
+    byte-exactly (the extra space is an empty token that survives),
+    and a keeper doc's double space outside the cut regions survives
+    too; only whitespace INSIDE a removed interval leaves with the
+    removed words. Pins the behavior a whitespace-preserving corpus
+    would need an offset-carrying tokenizer to change."""
+    docs = _subdocs(
+        spark,
+        [
+            (1, "p q r s t u  v w"),  # keeper; two spaces after u
+            (2, "p q r s t u x y z"),  # 6-word prefix is cut
+            (3, "a  b c"),  # untouched, short of W
+        ],
+    )
+    spans = dedup.substring_spans(
+        dedup.substring_window_postings(docs, window=4), window=4
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_words_removed)
+        for r in dedup.substring_scrub(docs, spans).collect()
+    }
+    assert got[1] == ("p q r s t u  v w", 0)  # byte-exact round trip
+    assert got[2] == ("x y z", 6)
+    assert got[3] == ("a  b c", 0)
+
+
 def test_substring_decontaminate_flags_eval_overlap_spans(spark):
     """Substring decontamination (GPT-3-style exact n-gram overlap,
     WITH positions): a training doc containing an eval passage yields

@@ -530,14 +530,66 @@ def test_substring_dedup_plan_has_no_self_join(spark, sf_dir):
 
 
 def test_substring_scrub_plan_stays_jvm_side(spark, sf_dir):
-    """The scrub is rebuild-heavy (positions explode + interval cut +
-    ordered rejoin) — all of it must stay JVM-side with no pairwise
-    blowup: no Python nodes, no cartesian product, and the only
-    window functions are the keeper election + none over raw words."""
+    """The scrub's interval cut stays JVM-side with no pairwise
+    blowup: no Python nodes, no cartesian product, and the word x
+    interval arithmetic is an in-row lambda, not a join."""
     p = plan_of(spark, sf_dir, "q_substring_scrub")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_scrub_cut_is_in_row(spark, sf_dir):
+    """VERDICT r14 #1: the scrub cut must be span-proportional
+    machinery only — the r14 shape shuffled corpus-WORD rows through
+    four wide stages (posexplode -> interval join -> distinct ->
+    anti-join -> collect_list). The in-row shape has NO explode at
+    all (zero Generate nodes — the span artifact serves from cache),
+    exactly ONE join (documents LEFT-joined to the per-doc interval
+    arrays; the only exchange that may carry corpus rows, whole docs
+    not words), no anti-join, and no Exchange whose rows carry the
+    tokenized word array (the cut happens inside the row AFTER the
+    join). Planned over a MATERIALIZED span table (tmp parquet) so the
+    assertion scopes the scrub stage alone — the registry query's
+    cached span artifact would print its own build (explode +
+    semi-join) inside the InMemoryRelation fragment."""
+    import contextlib
+    import io
+    import re as _re
+    import tempfile
+
+    from lintdb_spark.operators import dedup
+    from lintdb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        sp = tmp + "/spans"
+        dedup.substring_spans(dedup.substring_window_postings(docs)).write.parquet(sp)
+        df = dedup.substring_scrub(docs, spark.read.parquet(sp))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+    assert "Generate" not in p, "word/posting explode reappeared"
+    joins = [
+        l for l in p.splitlines()
+        if _re.search(r"\)\s*$", l) and "Join" in l and "Reused" not in l
+    ]
+    assert len(joins) == 1, joins
+    assert "LeftAnti" not in p
+    # the word array (split(text)) must never cross an Exchange: walk
+    # each Exchange node's detail block and assert its Input columns
+    # are span/cut/interval-side only (no array<string> w column).
+    blocks = _re.split(r"\n\(\d+\) ", p)
+    for b in blocks:
+        head = b.split("\n", 1)[0]
+        if not head.startswith("Exchange") and not head.startswith(
+            "BroadcastExchange"
+        ):
+            continue
+        m = _re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        if m:
+            assert not _re.search(r"\bw#\d+", m.group(1)), b.splitlines()[:3]
 
 
 def test_substring_decontam_single_semi_join_no_python(spark, sf_dir):
