@@ -89,6 +89,7 @@ HEADLINE = [
     "q_substring_dedup",
     "q_substring_scrub",
     "q_substring_decontam",
+    "q_semantic_dedup",
     "q_lang_id",
     "q_len_histogram",
     "q_events_props",

@@ -159,6 +159,105 @@ def ivf_knn(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    bucketed: DataFrame | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Cluster-scoped SEMANTIC dedup (SemDeDup, Abbas et al. 2023) —
+    the one dedup family surface fingerprints cannot see: documents
+    that share meaning but no n-grams are invisible to MinHash /
+    SimHash / substring windows, yet land in the same embedding-space
+    cluster. Returns a corpus-complete verdict per vector:
+    (vec_id, centroid_id, c2c, n_dups, keep) — c2c = cosine to the
+    assigned centroid, n_dups = within-cluster neighbors above
+    ``threshold``, keep = False when any such neighbor wins the
+    keeper election. Keep rule is the paper's: the member with the
+    LOWEST cosine-to-centroid survives (atypical examples carry more
+    training signal); rounded-c2c ties break on smaller vec_id, so
+    the verdict is deterministic and oracle-checkable.
+
+    Scale shape — pairs are CLUSTER-SCOPED, never corpus-scoped: the
+    candidate join is an equi-join on centroid_id (plan-pinned: no
+    cartesian/BNLJ node exists), so fan-out is sum over clusters of
+    c_i^2, bounded by (max cluster size) x corpus — never corpus^2.
+    Cross-cluster near-duplicates are out of contract (SemDeDup's own
+    approximation; k-means puts paraphrases in one cell). The
+    per-vector verdict aggregate is dup-proportional and broadcasts
+    back onto the corpus frame. At 100 TB: serve off the stored
+    bucket table partitioned by centroid_id (the same artifact
+    ivf_knn probes), and bound the pair stage by cluster size — pick
+    n_centroids ~ n/target_cluster_size at train time and split
+    over-cap cells by re-clustering within the cell (SCALE.md §15).
+
+    The reference has no dedup of any kind (SURVEY.md §2.I); this is
+    a beyond-parity pipeline operator like the rest of the dedup
+    roster."""
+    thr = params.SEMANTIC_DUP_COS if threshold is None else float(threshold)
+    if bucketed is None:
+        bucketed = ivf_bucket(embeddings, centroids)
+    cvecs = centroids.select("centroid_id", "cvec")
+    m = (
+        bucketed.select(
+            F.col("neighbor_id").alias("vec_id"), "cv", "centroid_id"
+        )
+        .join(F.broadcast(cvecs), "centroid_id")
+        .withColumn("nrm", l2_norm("cv"))
+        .withColumn("cnrm", l2_norm("cvec"))
+        .withColumn("c2c", _cosine_pre("cv", "cvec", "nrm", "cnrm"))
+        .select("vec_id", "centroid_id", "cv", "nrm", "c2c")
+    )
+    cols = ("vec_id", "cv", "nrm", "c2c")
+    a = m.select("centroid_id", *[F.col(c).alias(f"a_{c}") for c in cols])
+    b = m.select("centroid_id", *[F.col(c).alias(f"b_{c}") for c in cols])
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_vec_id") < F.col("b_vec_id"))
+        .filter(
+            F.round(
+                _cosine_pre("a_cv", "b_cv", "a_nrm", "b_nrm"), 6
+            )
+            >= thr
+        )
+        .select(
+            "a_vec_id",
+            F.round("a_c2c", 6).alias("a_r"),
+            "b_vec_id",
+            F.round("b_c2c", 6).alias("b_r"),
+        )
+    )
+    # both directions of each pair -> one dup-proportional aggregate
+    # (n_dups + keeper election), no second corpus pass
+    edges = pairs.select(
+        F.col("a_vec_id").alias("vec_id"),
+        F.col("a_r").alias("my_r"),
+        F.col("b_vec_id").alias("o_id"),
+        F.col("b_r").alias("o_r"),
+    ).unionByName(
+        pairs.select(
+            F.col("b_vec_id").alias("vec_id"),
+            F.col("b_r").alias("my_r"),
+            F.col("a_vec_id").alias("o_id"),
+            F.col("a_r").alias("o_r"),
+        )
+    )
+    dominated = (F.col("o_r") < F.col("my_r")) | (
+        (F.col("o_r") == F.col("my_r")) & (F.col("o_id") < F.col("vec_id"))
+    )
+    per_v = edges.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_dups"),
+        F.max(dominated.cast("int")).alias("dropped"),
+    )
+    return m.join(F.broadcast(per_v), "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.round("c2c", params.ROUND).alias("c2c"),
+        F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        (F.coalesce("dropped", F.lit(0)) == 0).alias("keep"),
+    )
+
+
 def cluster_stats(
     embeddings: DataFrame, centroids: DataFrame, bucketed: DataFrame | None = None
 ) -> DataFrame:

@@ -100,6 +100,18 @@ EXHAUSTIVE_PAIR_CAP = 1_000_000_000
 # threshold scaled to the synthetic corpus' 10-99-word docs.
 SUBSTRING_WINDOW = 8
 SUBSTRING_MIN_COUNT = 2
+
+# Semantic dedup (SemDeDup, Abbas et al. 2023): within-IVF-cluster
+# cosine above this marks a pair semantically duplicated; the member
+# with the LOWEST cosine-to-centroid survives (the paper's keep rule —
+# atypical examples are worth more). Production corpora with real
+# paraphrase duplicates run ~0.95; the driver's SYNTHETIC embeddings
+# are near-orthogonal (measured within-cluster max cosine: 0.45-0.60
+# across sf0.001-0.1), so the bench value sits at the distribution's
+# upper tail — 0.35 flags 44/76/543 pairs at sf0.001/0.01/0.1 — to
+# keep the keeper-election path exercised and oracle-checked rather
+# than trivially empty. The knob, not the value, is the contract.
+SEMANTIC_DUP_COS = 0.35
 ROUND = 4  # decimals kept when hashing float scores across engines
 
 # DedupArtifacts physical layout (round 9). The stored bucket table is

@@ -641,6 +641,43 @@ def test_cluster_stats_counts_cover_corpus(spark, sf_dir):
         assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
 
 
+def test_semantic_dedup_keeper_election_and_scoping(spark):
+    """SemDeDup semantics on a constructed 2-cluster corpus
+    (VERDICT r14 #2): above-threshold within-cluster pairs mark
+    duplicates; the member with the LOWEST cosine-to-centroid is the
+    keeper (the paper's rule — atypical examples survive); exact-tie
+    c2c keeps the smaller vec_id; below-threshold and cross-cluster
+    neighbors never pair; the verdict is corpus-complete."""
+    from lintdb_spark.operators import knn
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # cluster 0; c2c = 1.0 -> dropped
+            (2, [0.995, 0.1]),    # cluster 0; cos(v1,v2) ~ .995, lower c2c -> keeper
+            (3, [0.6, 0.8]),      # cluster 1; cos to v5/v6 = .8 < thr
+            (4, [-0.7, 0.714]),   # cluster 1 (ip .714 > -.7); no dup
+            (5, [0.0, 2.0]),      # cluster 1; identical pair with v6
+            (6, [0.0, 2.0]),      # tie on c2c -> larger id dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, cvec array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["n_dups"], r["keep"])
+        for r in knn.semantic_dedup(emb, cents, threshold=0.95).collect()
+    }
+    assert got[1] == (0, 1, False)
+    assert got[2] == (0, 1, True)
+    assert got[3] == (1, 0, True)
+    assert got[4] == (1, 0, True)
+    assert got[5] == (1, 1, True)
+    assert got[6] == (1, 1, False)
+    assert len(got) == 6
+
+
 def test_inrow_minhash_matches_aggregate_path(spark, sf_dir):
     """The in-row signature (array-min over in-row trigrams) equals
     the explode+distinct+aggregate minhash_wide signature for every

@@ -592,6 +592,56 @@ def test_substring_scrub_cut_is_in_row(spark, sf_dir):
             assert not _re.search(r"\bw#\d+", m.group(1)), b.splitlines()[:3]
 
 
+def test_semantic_dedup_pairs_are_cluster_scoped(spark, sf_dir):
+    """VERDICT r14 #2: semantic dedup's candidate stage must be
+    bounded per cluster — the pair join is an EQUI-join on
+    centroid_id (hash/sort-merge), so fan-out is sum(c_i^2) over
+    clusters, never corpus^2. A cartesian or broadcast-nested-loop
+    node would mean the cluster key fell out of the join condition
+    (cross-cluster fan-out); Python never appears. Planned over a
+    MATERIALIZED bucket table (tmp parquet — the 100 TB serve shape)
+    so the assertion scopes the semantic stage alone: the cached
+    bucket ARTIFACT's build legitimately contains the
+    corpus x broadcast-centroids scoring join (a BNLJ by design),
+    which would otherwise appear inside the InMemoryRelation
+    fragment."""
+    import contextlib
+    import io
+    import tempfile
+
+    from lintdb_spark import model
+    from lintdb_spark.operators import knn
+    from lintdb_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = model.centroids(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        bp = tmp + "/buckets"
+        knn.ivf_bucket(emb, cents).write.parquet(bp)
+        df = knn.semantic_dedup(
+            emb, cents, bucketed=spark.read.parquet(bp)
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the pair stage's equi-join keys on centroid_id: every non-
+    # broadcast join in the plan must list centroid_id among its keys
+    # (the final verdict join on vec_id rides the broadcast side)
+    import re as _re
+
+    blocks = _re.split(r"\n\(\d+\) ", p)
+    for b in blocks:
+        head = b.split("\n", 1)[0]
+        if "Join" in head and "Broadcast" not in head and "Reused" not in head:
+            keys = _re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", b)
+            if keys:
+                assert "centroid_id" in keys.group(1), b.splitlines()[:4]
+
+
 def test_substring_decontam_single_semi_join_no_python(spark, sf_dir):
     """Decontamination's only join is the training-postings semi-join
     against the (tiny, broadcastable) eval fingerprint set — same

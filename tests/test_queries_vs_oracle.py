@@ -44,19 +44,23 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
+        # r15 NEW: SemDeDup-style cluster-scoped semantic dedup
+        # (first round in).
+        "q_semantic_dedup",
         # r14 NEW: substring-level exact dedup, its scrub stage, and
-        # substring decontamination (first round in).
+        # substring decontamination (greens r14 — need >=3).
         "q_substring_dedup",
         "q_substring_scrub",
         "q_substring_decontam",
         # r13 NEW: degraded-stats fold on a cold bridged-scheme store
-        # + PII scan/redaction (greens r13 — need >=3).
+        # + PII scan/redaction (greens r13, r14 — need their third).
         "q_artifact_remote_fold",
         "q_pii_scrub",
-        # r12 NEW: coverage-extension drift serve + cost-triggered
-        # fold (greens r12, r13 — need their third).
-        "q_artifact_covered",
-        "q_artifact_cost_fold",
+        # r12 queries q_artifact_covered / q_artifact_cost_fold
+        # rotated OUT in r15 (greens r12, r13, r14 — >=3 bar met);
+        # q_media_frames re-entered at position 50 by tail-boundary
+        # crossing (named in the rotation log).
+        "q_media_frames",
         # (the r11 trio q_artifact_fold/_fold_remove/_minor rotated
         # OUT in r14: greens r11, r12, r13 met the >=3 bar; the three
         # r14 queries fill exactly those slots — q_media_frames and
