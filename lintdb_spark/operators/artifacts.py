@@ -1132,15 +1132,21 @@ class DedupArtifacts(SegmentStore):
         try:
             # the batch's doc-partition keys, collected driver-side
             # (bounded by doc_parts) — they prune the known-doc
-            # anti-join to the registry partitions that could hold them
-            dparts = [
-                r["dpart"]
-                for r in raw.select(
-                    self._dpart_col(F.col("doc_id")).alias("dpart")
-                )
-                .distinct()
-                .collect()
-            ]
+            # anti-join to the registry partitions that could hold
+            # them. Collected ONLY when a registry exists to prune
+            # (round 15): on the first batch of a store (and on rev-1
+            # stores, whose fallback ignores dparts) the collect was a
+            # pure extra Spark job per update.
+            dparts = None
+            if self.schema_rev >= 2 and self._segments("doc_ids"):
+                dparts = [
+                    r["dpart"]
+                    for r in raw.select(
+                        self._dpart_col(F.col("doc_id")).alias("dpart")
+                    )
+                    .distinct()
+                    .collect()
+                ]
             known = self._known_doc_ids(tenant, dparts)
             docs = raw
             if known is not None:
@@ -1175,35 +1181,55 @@ class DedupArtifacts(SegmentStore):
             .withColumn("bpart", self._bpart_col(F.col("bucket")))
             .persist()
         )
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(
+            max_workers=max(1, int(params.ARTIFACT_STAGE_PARALLELISM))
+        )
         try:
             staged: list[tuple[str, str]] = []
-            deferred: list[tuple[str, DataFrame, str]] = []
+            futures: list = []
 
             def stage(table: str, df: DataFrame) -> None:
-                # reserve the segment name now, DEFER the write:
-                # flush_stage() runs every staged write in one
-                # small thread pool, overlapping the 8-10 per-table
-                # jobs a batch commit issues — on a cluster the
-                # stages' shuffles/IO overlap, and even on local mode
-                # the driver-side job submission latency (the dominant
-                # cost of a small batch) is paid concurrently instead
-                # of serially. Plans are lazy and read only committed
-                # segments plus this batch's persisted frames, so
-                # deferral changes WHEN each plan executes, never what
-                # it computes; a mid-build exception skips the flush
-                # entirely (fewer crash orphans than eager writes).
+                # reserve the segment name and SUBMIT the write to the
+                # staging pool immediately (round 15; previously the
+                # writes were deferred to one flush after the pair-
+                # stats phase). The 8-10 per-table writes a commit
+                # issues are independent of the sequential bookkeeping
+                # jobs the driver keeps running (counts, collision
+                # collects, pair verification staging), so eager
+                # submission overlaps the two phases outright — the
+                # guide §2.6 concurrent-jobs pattern; event-log
+                # profile: the write wave was ~1/3 of update wall and
+                # ran entirely AFTER the ~1/2-of-wall sequential
+                # phase it is independent of. Plans read only
+                # committed segments plus this batch's persisted
+                # frames (all unpersisted only after flush_stage
+                # joins), so submission time changes WHEN each plan
+                # executes, never what it computes; concurrent first
+                # materialization of a persisted frame is at most a
+                # duplicate cache fill. A mid-build exception leaves
+                # at worst in-flight staging writes, which the outer
+                # finally joins before any unpersist — the segments
+                # stay invisible staging orphans, exactly like a
+                # crash mid-staging (vacuum collects them).
                 seg, p = self._stage_path(table)
-                deferred.append((table, df, p))
+                futures.append(pool.submit(self._write_segment, table, df, p))
                 staged.append((table, seg))
 
             def flush_stage() -> None:
-                self._run_writes(
-                    [
-                        (lambda t=t, df=df, p=p: self._write_segment(t, df, p))
-                        for t, df, p in deferred
-                    ]
-                )
-                deferred.clear()
+                # barrier: every staged write visible on disk (the
+                # footer-count pass below reads the staged bytes) and
+                # the first worker exception propagated
+                errs = []
+                for f in futures:
+                    try:
+                        f.result()
+                    except BaseException as exc:  # noqa: BLE001
+                        errs.append(exc)
+                futures.clear()
+                if errs:
+                    raise errs[0]
 
             # rev-1 stores don't get the new tables piecemeal: their
             # backfill happens wholesale in migrate_layout (a partial
@@ -1244,10 +1270,10 @@ class DedupArtifacts(SegmentStore):
             # prune nothing — the flip lookup scans uncovered
             # batch-sized segments doc-keyed at the same cost, and
             # compaction builds the spart-pruned inverted rewrite)
-            # this count is the FIRST materialization of sh's persisted
-            # cache (the shingles write above is DEFERRED to
-            # flush_stage); the deferred write then reuses the cache
-            # instead of paying the shingling lineage a second time
+            # materializes sh's persisted cache (the eagerly-submitted
+            # shingles write races it for first fill — worst case a
+            # duplicate fill of a batch-sized cache, and every later
+            # consumer reads the winner)
             nd_batch = sh.select("doc_id").distinct().count()
             stage("signatures", wide.select(t_lit.alias("tenant"), *wide.columns))
             bdf = (
@@ -1327,10 +1353,10 @@ class DedupArtifacts(SegmentStore):
                     cand.select(t_lit.alias("tenant"), "doc_a", "doc_b"),
                 )
                 cand_seg = staged[-1][1]
-                # this count is the FIRST materialization of cand's
-                # persisted cache (the cand_pairs write is deferred to
-                # flush_stage, which then reuses the cache — one
-                # collision join either way)
+                # materializes cand's persisted cache (the eagerly-
+                # submitted cand_pairs write races it for first fill —
+                # worst case a duplicate fill of a batch-sized cache;
+                # one collision join either way)
                 n_pairs = cand.count()
                 new_seq = None
                 if self._meta.get("pair_stats_live"):
@@ -1376,7 +1402,7 @@ class DedupArtifacts(SegmentStore):
                             sh, bdf, empty_cand, tenant, nd_batch, stage, t_lit
                         )
                         new_pending = pending + [cand_seg]
-                # run the deferred segment writes NOW — before the
+                # barrier on the in-flight staged writes — before the
                 # persisted frames their plans read (sh/wide/new_b/
                 # cand/bdf) are unpersisted below, and before the
                 # footer-count pass needs the staged bytes on disk
@@ -1424,6 +1450,12 @@ class DedupArtifacts(SegmentStore):
                 raise
             return {"docs": n_new, "pairs": n_pairs}
         finally:
+            # join any in-flight staging writes BEFORE dropping the
+            # caches their plans read (normal path: flush_stage has
+            # already drained the pool; exception path: cancel what
+            # hasn't started, wait out what has — the written
+            # segments stay invisible staging orphans)
+            pool.shutdown(wait=True, cancel_futures=True)
             sh.unpersist()
             wide.unpersist()
             new_b.unpersist()
@@ -2143,8 +2175,26 @@ class DedupArtifacts(SegmentStore):
         # else a localCheckpoint (one materialization, plan truncates
         # to a LogicalRDD leaf — the block cost is the pair set we
         # were about to shuffle repeatedly anyway).
-        pairs_all = pairs_all.localCheckpoint()
-        n_pairs_all = pairs_all.count()
+        #
+        # Round 15: the gate-bounded common case resolves leaf, count
+        # AND rows with ONE bounded job — a limit(cap+1) collect (at
+        # most cap+1 (long, long) rows, the same driver payload the
+        # collect gate already allows). The old sequence paid three
+        # jobs (checkpoint materialization, count, collect) for the
+        # same information; the checkpoint now runs only for over-gate
+        # pair sets, where it remains the plan-leaf mechanism.
+        _prows = None
+        if pre_batch:
+            _prows = pairs_all.limit(
+                params.ARTIFACT_PREFILTER_PAIRS + 1
+            ).collect()
+            if len(_prows) > params.ARTIFACT_PREFILTER_PAIRS:
+                _prows = None  # over the gate: distributed path below
+        if _prows is not None:
+            n_pairs_all = len(_prows)
+        else:
+            pairs_all = pairs_all.localCheckpoint()
+            n_pairs_all = pairs_all.count()
         if n_pairs_all == 0 and stale is None:
             # nothing to verify (a deferred verify_every batch, or a
             # batch with zero collisions): commit the drift deltas and
@@ -2156,11 +2206,8 @@ class DedupArtifacts(SegmentStore):
             finally:
                 crossing.unpersist()
                 pairs_all.unpersist()
-        pairs_local = (
-            pre_batch and n_pairs_all <= params.ARTIFACT_PREFILTER_PAIRS
-        )
+        pairs_local = _prows is not None
         if pairs_local:
-            _prows = pairs_all.collect()
             pairs_all = self.spark.createDataFrame(
                 [(r["doc_a"], r["doc_b"]) for r in _prows],
                 T.StructType(

@@ -229,6 +229,12 @@ ARTIFACT_ROAD_SWITCH_FRAC = 0.375
 # driver-side job-submission latency that dominates a small batch).
 # 1 = sequential (the pre-round-12 behavior). Measured at the tiny
 # test shape: ~1.4x faster update; at sf0.1: see SCALE.md §12.
+# Round 15 note: an interleaved A/B at 8 workers (both waves start at
+# once) measured WITHIN box noise of 4 on the sf0.1 3-batch build
+# (best-of 34.8 s at 4 vs 36.7 s at 8 across two alternating sessions)
+# — kept at 4; instead, staged writes are now SUBMITTED to the pool as
+# they are declared (guide §2.6 concurrent jobs), so they overlap the
+# sequential bookkeeping jobs rather than running as one tail wave.
 ARTIFACT_STAGE_PARALLELISM = 4
 # (the flip-row trigger runs the cheap flip-only FOLD — see
 # DedupArtifacts.fold_flips — not the full compact, so it needs no
