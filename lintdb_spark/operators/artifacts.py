@@ -1273,8 +1273,15 @@ class DedupArtifacts(SegmentStore):
             # materializes sh's persisted cache (the eagerly-submitted
             # shingles write races it for first fill — worst case a
             # duplicate fill of a batch-sized cache, and every later
-            # consumer reads the winner)
-            nd_batch = sh.select("doc_id").distinct().count()
+            # consumer reads the winner). Submitted to the pool
+            # (round 15): the count is independent of the staged
+            # writes and of the bucket-side bookkeeping below, so it
+            # overlaps them instead of serializing the driver — the
+            # result is joined right before the pair-stats phase
+            # needs it (guide §2.6 concurrent jobs).
+            nd_batch_f = pool.submit(
+                lambda: sh.select("doc_id").distinct().count()
+            )
             stage("signatures", wide.select(t_lit.alias("tenant"), *wide.columns))
             bdf = (
                 sh.groupBy("shingle")
@@ -1353,19 +1360,44 @@ class DedupArtifacts(SegmentStore):
                     cand.select(t_lit.alias("tenant"), "doc_a", "doc_b"),
                 )
                 cand_seg = staged[-1][1]
-                # materializes cand's persisted cache (the eagerly-
-                # submitted cand_pairs write races it for first fill —
-                # worst case a duplicate fill of a batch-sized cache;
-                # one collision join either way)
-                n_pairs = cand.count()
-                new_seq = None
-                if self._meta.get("pair_stats_live"):
-                    ve = max(1, int(self._meta.get("verify_every", 1)))
-                    tkey = str(int(tenant))
-                    pending = list(
-                        self._meta.get("pair_unverified", {}).get(tkey, [])
+                nd_batch = nd_batch_f.result()
+                live = bool(self._meta.get("pair_stats_live"))
+                ve = max(1, int(self._meta.get("verify_every", 1)))
+                tkey = str(int(tenant))
+                pending = (
+                    list(self._meta.get("pair_unverified", {}).get(tkey, []))
+                    if live
+                    else []
+                )
+                verify_now = live and (ve <= 1 or len(pending) + 1 >= ve)
+                # ONE bounded collect doubles as the pair COUNT and the
+                # point path's pair ROWS (round 15): on the gate-bounded
+                # verify-now common case the old sequence paid a full
+                # cand.count() job AND the point path's limit-collect
+                # for the same information. Over-gate (or deferred /
+                # pending / stats-off) batches keep the count job; the
+                # eagerly-submitted cand_pairs write still materializes
+                # cand's cache either way.
+                prows = None
+                n_pairs = None
+                if (
+                    verify_now
+                    and not pending
+                    and nd_batch <= params.ARTIFACT_PREFILTER_DOCS
+                ):
+                    _cap = params.ARTIFACT_PREFILTER_PAIRS
+                    prows = (
+                        cand.select("doc_a", "doc_b").limit(_cap + 1).collect()
                     )
-                    if ve <= 1 or len(pending) + 1 >= ve:
+                    if len(prows) <= _cap:
+                        n_pairs = len(prows)  # cand is distinct already
+                    else:
+                        prows = None
+                if n_pairs is None:
+                    n_pairs = cand.count()
+                new_seq = None
+                if live:
+                    if verify_now:
                         # verify NOW: this batch's candidates plus every
                         # pair deferred since the last flush, against
                         # the CURRENT capped sets (rows land at the new
@@ -1384,7 +1416,14 @@ class DedupArtifacts(SegmentStore):
                             )
                         try:
                             new_seq = self._stage_pair_stats(
-                                sh, bdf, cand_v, tenant, nd_batch, stage, t_lit
+                                sh,
+                                bdf,
+                                cand_v,
+                                tenant,
+                                nd_batch,
+                                stage,
+                                t_lit,
+                                prows=prows,
                             )
                         finally:
                             if cand_v is not cand:
@@ -1750,7 +1789,8 @@ class DedupArtifacts(SegmentStore):
         return src.join(crossing, "shingle")
 
     def _stage_pair_stats_point(
-        self, sh, bdf, cand, tenant: int, cap: float, stage, t_lit
+        self, sh, bdf, cand, tenant: int, cap: float, stage, t_lit,
+        prows=None,
     ) -> int | None:
         """Minimal-job pair_stats maintenance for the streaming hot
         path: cap pinned (cap_old == cap_new) and a gate-bounded
@@ -1777,7 +1817,12 @@ class DedupArtifacts(SegmentStore):
         over ARTIFACT_PREFILTER_DOCS, or drift on a legacy (pair_rev
         2) store whose rows lack sizes (those re-verify)."""
         max_pairs = params.ARTIFACT_PREFILTER_PAIRS
-        prows = cand.select("doc_a", "doc_b").limit(max_pairs + 1).collect()
+        if prows is None:
+            # caller didn't pre-collect the pair set (flush_pairs, the
+            # general path's own fallbacks): bounded collect here
+            prows = (
+                cand.select("doc_a", "doc_b").limit(max_pairs + 1).collect()
+            )
         if len(prows) > max_pairs:
             return None
         ids = sorted(
@@ -1788,10 +1833,17 @@ class DedupArtifacts(SegmentStore):
         # bounded probe before committing to the driver-side collect:
         # the doc gate alone doesn't bound the batch's VOCAB (5k long
         # docs can carry millions of distinct shingles); over-gate
-        # batches take the distributed general path
+        # batches take the distributed general path. Submitted to a
+        # worker thread (round 15): the batch-vocab collect and the
+        # involved-docs shingle collect below are independent jobs —
+        # overlapping them removes one sequential driver round trip
+        # per commit (guide §2.6).
         max_sh = params.ARTIFACT_PREFILTER_SHINGLES
-        brows = (
-            bdf.select(
+        from concurrent.futures import ThreadPoolExecutor
+
+        _bpool = ThreadPoolExecutor(max_workers=1)
+        brows_f = _bpool.submit(
+            lambda: bdf.select(
                 self._spart_col(F.col("shingle")).alias("spart"),
                 "shingle",
                 "df",
@@ -1799,9 +1851,6 @@ class DedupArtifacts(SegmentStore):
             .limit(max_sh + 1)
             .collect()
         )
-        if len(brows) > max_sh:
-            return None
-        d_add = {r["shingle"]: r["df"] for r in brows}
 
         all_sh = None
         try:
@@ -1846,6 +1895,13 @@ class DedupArtifacts(SegmentStore):
                 )
                 if len(irows) > max_sh:
                     return None
+            # join the overlapped batch-vocab collect; gate order is
+            # immaterial (either over-gate outcome routes to the same
+            # general path)
+            brows = brows_f.result()
+            if len(brows) > max_sh:
+                return None
+            d_add = {r["shingle"]: r["df"] for r in brows}
             # ONE df lookup serves both decisions: the batch keys
             # (crossing detection) and the involved keys (over-cap
             # stop set). spart rides along each collect because it is
@@ -1978,11 +2034,13 @@ class DedupArtifacts(SegmentStore):
                 stage("flip_docs", flips)
             return new_seq
         finally:
+            _bpool.shutdown(wait=True, cancel_futures=True)
             if all_sh is not None:
                 all_sh.unpersist()
 
     def _stage_pair_stats(
-        self, sh, bdf, cand, tenant: int, nd_batch: int, stage, t_lit
+        self, sh, bdf, cand, tenant: int, nd_batch: int, stage, t_lit,
+        prows=None,
     ) -> int:
         """Incremental maintenance of the verified-pair artifact: one
         pair_stats segment per commit holding the exact Jaccard stats
@@ -2033,7 +2091,7 @@ class DedupArtifacts(SegmentStore):
 
         if pre_batch and cap_new == cap_old:
             seq = self._stage_pair_stats_point(
-                sh, bdf, cand, tenant, cap_new, stage, t_lit
+                sh, bdf, cand, tenant, cap_new, stage, t_lit, prows=prows
             )
             if seq is not None:
                 return seq
@@ -2184,7 +2242,11 @@ class DedupArtifacts(SegmentStore):
         # same information; the checkpoint now runs only for over-gate
         # pair sets, where it remains the plan-leaf mechanism.
         _prows = None
-        if pre_batch:
+        if prows is not None and stale is None:
+            # the caller's bounded collect IS this pair set (cand with
+            # no stale union) — reuse it, within-gate by construction
+            _prows = prows
+        elif pre_batch:
             _prows = pairs_all.limit(
                 params.ARTIFACT_PREFILTER_PAIRS + 1
             ).collect()
