@@ -82,15 +82,33 @@ def minhash_wide(shingles: DataFrame, num_perms: int | None = None) -> DataFrame
     the (doc_id, perm, minhash) contract and LSH banding are pure
     in-row projections of it — see minhash_signatures / lsh_buckets_wide."""
     num_perms = num_perms or params.MINHASH_PERMS
-    from lintdb_spark.functions.text import base_hash31, perm_hash
+    from lintdb_spark.functions.text import (
+        MINHASH_A_MULT,
+        MINHASH_B_MULT,
+        MINHASH_PRIME,
+        base_hash31,
+    )
 
     based = shingles.select("doc_id", base_hash31(F.col("shingle")).alias("h31"))
-    return based.groupBy("doc_id").agg(
-        *[
-            F.min(perm_hash(F.lit(p).cast("bigint"), F.col("h31"))).alias(f"m{p}")
-            for p in range(num_perms)
-        ]
-    )
+    # permutation constants folded in PYTHON (exact int math, the same
+    # values Catalyst's constant folding produced from the perm_hash
+    # expression tree) and each aggregate parsed as ONE SQL string:
+    # the per-Column construction of num_perms perm_hash trees cost
+    # ~2,000 py4j round trips per call on the artifact-update hot
+    # path (round-15 profile) — one F.expr parse per permutation is
+    # ~16. Identical plan after folding, identical values
+    # (parity-pinned by test_pipeline_ops and the minhash oracles).
+    aggs = []
+    for p in range(num_perms):
+        a = (MINHASH_A_MULT * (p + 1)) % MINHASH_PRIME
+        b = (MINHASH_B_MULT * (p + 1)) % MINHASH_PRIME
+        aggs.append(
+            F.expr(
+                f"min(({a}L * cast(h31 as bigint) + {b}L) % "
+                f"{MINHASH_PRIME}L) as m{p}"
+            )
+        )
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def signatures_from_wide(wide: DataFrame, num_perms: int | None = None) -> DataFrame:
@@ -244,24 +262,20 @@ def lsh_buckets_wide(
             "extra band (divergent buckets)"
         )
     r = num_perms // bands
-    return wide.select(
+    # ONE selectExpr parse instead of bands*r Column constructions —
+    # the same py4j round-trip cut as minhash_wide above (this runs on
+    # the artifact-update hot path once per commit); the parsed tree
+    # (md5 over concat_ws of casted signature slices, posexplode of
+    # the band array) is node-identical to the old Column form.
+    band_md5s = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"cast(m{b * r + j} as string)" for j in range(r))
+        + "))"
+        for b in range(bands)
+    )
+    return wide.selectExpr(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{b * r + j}").cast("string")
-                                for j in range(r)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        f"posexplode(array({band_md5s})) as (band, bucket)",
     ).select("doc_id", F.col("band").cast("int").alias("band"), "bucket")
 
 

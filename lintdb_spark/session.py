@@ -42,6 +42,18 @@ def get_spark(
         # Arrow for the pandas_udf paths (quantizer encode/decode, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # PySpark 4's DataFrame debugging wraps EVERY Column/DataFrame
+        # API call with call-site capture: getActiveSession + a
+        # conf.get RPC + PySparkCurrentOrigin.set/clear — ~4 extra
+        # py4j round trips per expression node. This engine's plans
+        # are wide (16-perm minhash aggregates, banding structs,
+        # cascade windows), so plan CONSTRUCTION is a measurable
+        # driver cost: an interleaved A/B of the artifact-update
+        # frame build measured 1.6-1.8 s/build with debugging on vs
+        # 0.5-0.9 s with it off (round 15; pure driver-side Python,
+        # identical plans). Off in production: the lost feature is
+        # only the Python call-site line in error messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Deterministic timestamps across Spark/DuckDB oracles.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
