@@ -2096,102 +2096,95 @@ class DedupArtifacts(SegmentStore):
             if seq is not None:
                 return seq
 
-        # shingles whose capped-status flips with this commit. When
-        # the cap is unchanged (pinned at DF_CEIL — the steady state
-        # at scale) only BATCH shingles can flip (df only grows), so
-        # the lookup prunes to the batch shingles' spart partitions;
-        # a moving cap can flip any shingle with df in the swept
-        # window, which needs the full (still vocab-bounded) outer
-        # join — a shrinking, seed-phase-only cost.
-        if cap_new == cap_old:
-            b_sparts = [
-                r["spart"]
-                for r in bdf.select(
-                    self._spart_col(F.col("shingle")).alias("spart")
-                )
-                .distinct()
-                .collect()
-            ]
-            j = bdf.withColumnRenamed("df", "d_add").join(
-                self._df_totals(tenant, b_sparts).withColumnRenamed(
-                    "df", "df_old"
-                ),
-                "shingle",
-                "left",
-            )
-        else:
-            j = bdf.withColumnRenamed("df", "d_add").join(
-                self._df_totals(tenant, None).withColumnRenamed(
-                    "df", "df_old"
-                ),
-                "shingle",
-                "full_outer",
-            )
-        j = j.select(
-            "shingle",
-            F.coalesce("df_old", F.lit(0)).alias("df_old"),
-            (
-                F.coalesce("df_old", F.lit(0)) + F.coalesce("d_add", F.lit(0))
-            ).alias("df_new"),
-        )
-        # persisted: consumed once for the emptiness decision and once
-        # by the drift join — without the persist the (df-scan)
-        # lineage re-executes per consumer. `delta` rides along: -1 =
-        # the shingle left every capped set this commit, +1 = a moving
-        # cap re-admitted it.
-        crossing = (
-            j.filter(
-                (F.col("df_old") > F.lit(float(cap_old)))
-                != (F.col("df_new") > F.lit(float(cap_new)))
-            )
-            .select(
-                "shingle",
-                F.when(
-                    F.col("df_new") > F.lit(float(cap_new)), F.lit(-1)
-                )
-                .otherwise(F.lit(1))
-                .cast("int")
-                .alias("delta"),
-            )
-            .persist()
-        )
-        n_crossing = crossing.count()
         new_seq = int(self._meta.get("pair_seq", 0)) + 1
+        rev3 = int(self._meta.get("pair_rev", 2)) >= 3
+        have_pair_segs = bool(self._segments("pair_stats"))
 
-        stale = None
-        flips = None
-        if self._segments("pair_stats") and n_crossing:
-            if int(self._meta.get("pair_rev", 2)) >= 3:
-                # LSM-style drift delta: ONE row per (flipped shingle,
-                # containing doc) — cost ∝ docs-per-flipped-shingle,
-                # NOT ∝ touched pairs (at the sf10 probe a 1k batch
-                # flipped 323 shingles touching 10M stored pairs; the
-                # rev-2 re-verify paid all 10M, this writes ~300k flip
-                # rows and reads adjust arithmetically). Round 11: the
-                # containing-doc lookup prunes the inverted table to
-                # the crossing shingles' spart partitions (collected
-                # here — bounded by shingle_parts) and keeps only
-                # pair-endpoint docs; see _crossing_doc_rows.
-                c_sparts = None
-                if self._flip_rev >= 2:
-                    c_sparts = [
-                        r["spart"]
-                        for r in crossing.select(
-                            self._spart_col(F.col("shingle")).alias("spart")
-                        )
-                        .distinct()
-                        .collect()
-                    ]
-                flips = self._crossing_doc_rows(
-                    tenant, crossing, sh, c_sparts
-                ).select(
-                    t_lit.alias("tenant"),
-                    F.lit(new_seq).cast("bigint").alias("seq"),
+        def _build_crossing() -> DataFrame:
+            # shingles whose capped-status flips with this commit. When
+            # the cap is unchanged (pinned at DF_CEIL — the steady state
+            # at scale) only BATCH shingles can flip (df only grows), so
+            # the lookup prunes to the batch shingles' spart partitions;
+            # a moving cap can flip any shingle with df in the swept
+            # window, which needs the full (still vocab-bounded) outer
+            # join — a shrinking, seed-phase-only cost.
+            if cap_new == cap_old:
+                b_sparts = [
+                    r["spart"]
+                    for r in bdf.select(
+                        self._spart_col(F.col("shingle")).alias("spart")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                j = bdf.withColumnRenamed("df", "d_add").join(
+                    self._df_totals(tenant, b_sparts).withColumnRenamed(
+                        "df", "df_old"
+                    ),
                     "shingle",
-                    "doc_id",
-                    "delta",
+                    "left",
                 )
             else:
+                j = bdf.withColumnRenamed("df", "d_add").join(
+                    self._df_totals(tenant, None).withColumnRenamed(
+                        "df", "df_old"
+                    ),
+                    "shingle",
+                    "full_outer",
+                )
+            j = j.select(
+                "shingle",
+                F.coalesce("df_old", F.lit(0)).alias("df_old"),
+                (
+                    F.coalesce("df_old", F.lit(0))
+                    + F.coalesce("d_add", F.lit(0))
+                ).alias("df_new"),
+            )
+            # persisted: consumed once for the emptiness decision and
+            # once by the drift join — without the persist the
+            # (df-scan) lineage re-executes per consumer. `delta`
+            # rides along: -1 = the shingle left every capped set this
+            # commit, +1 = a moving cap re-admitted it.
+            return (
+                j.filter(
+                    (F.col("df_old") > F.lit(float(cap_old)))
+                    != (F.col("df_new") > F.lit(float(cap_new)))
+                )
+                .select(
+                    "shingle",
+                    F.when(
+                        F.col("df_new") > F.lit(float(cap_new)), F.lit(-1)
+                    )
+                    .otherwise(F.lit(1))
+                    .cast("int")
+                    .alias("delta"),
+                )
+                .persist()
+            )
+
+        # drift deltas exist to ADJUST STORED pair rows — with no
+        # pair_stats segments there is nothing to adjust, so the
+        # vocab-scale crossing join, its count job, and the flip rows
+        # are all skipped outright (round 15: every first commit of a
+        # store paid them for nothing). On rev>=3 the crossing rows are
+        # staged LAST (flip_docs follows pair_stats/pair_docs), so the
+        # emptiness count runs on a worker thread and overlaps the
+        # whole verify phase below (guide §2.6); the legacy rev-2 path
+        # needs `stale` BEFORE the pair set is assembled and keeps its
+        # sequential order.
+        crossing = None
+        n_crossing_f = None
+        _xpool = None
+        stale = None
+        flips = None
+        if have_pair_segs:
+            crossing = _build_crossing()
+            if rev3:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _xpool = ThreadPoolExecutor(max_workers=1)
+                n_crossing_f = _xpool.submit(crossing.count)
+            elif crossing.count():
                 aff = (
                     self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
                     .join(crossing.select("shingle"), "shingle", "left_semi")
@@ -2218,6 +2211,47 @@ class DedupArtifacts(SegmentStore):
                     .distinct()
                     .persist()
                 )
+        def _stage_flips_rev3() -> None:
+            # resolve the overlapped crossing count and stage the
+            # drift-delta rows (rev>=3 only; the legacy path stages
+            # nothing here — it re-verified via `stale` above). Runs
+            # AFTER the verify phase so the count job and the c_sparts
+            # collect overlap the pair_stats write instead of
+            # preceding it on the driver's critical path (round 15).
+            nonlocal flips
+            if n_crossing_f is None or not n_crossing_f.result():
+                return
+            # LSM-style drift delta: ONE row per (flipped shingle,
+            # containing doc) — cost ∝ docs-per-flipped-shingle,
+            # NOT ∝ touched pairs (at the sf10 probe a 1k batch
+            # flipped 323 shingles touching 10M stored pairs; the
+            # rev-2 re-verify paid all 10M, this writes ~300k flip
+            # rows and reads adjust arithmetically). Round 11: the
+            # containing-doc lookup prunes the inverted table to
+            # the crossing shingles' spart partitions (collected
+            # here — bounded by shingle_parts) and keeps only
+            # pair-endpoint docs; see _crossing_doc_rows.
+            c_sparts = None
+            if self._flip_rev >= 2:
+                c_sparts = [
+                    r["spart"]
+                    for r in crossing.select(
+                        self._spart_col(F.col("shingle")).alias("spart")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            flips = self._crossing_doc_rows(
+                tenant, crossing, sh, c_sparts
+            ).select(
+                t_lit.alias("tenant"),
+                F.lit(new_seq).cast("bigint").alias("seq"),
+                "shingle",
+                "doc_id",
+                "delta",
+            )
+            stage("flip_docs", flips)
+
         pairs_all = cand.select("doc_a", "doc_b")
         if stale is not None:
             pairs_all = pairs_all.unionByName(stale).distinct()
@@ -2262,11 +2296,13 @@ class DedupArtifacts(SegmentStore):
             # batch with zero collisions): commit the drift deltas and
             # skip the whole involved-docs machinery
             try:
-                if flips is not None:
-                    stage("flip_docs", flips)
+                _stage_flips_rev3()
                 return new_seq
             finally:
-                crossing.unpersist()
+                if _xpool is not None:
+                    _xpool.shutdown(wait=True, cancel_futures=True)
+                if crossing is not None:
+                    crossing.unpersist()
                 pairs_all.unpersist()
         pairs_local = _prows is not None
         if pairs_local:
@@ -2297,14 +2333,24 @@ class DedupArtifacts(SegmentStore):
         all_sh = None
         capped_vf = None
         try:
-            dparts = [
-                r["dpart"]
-                for r in docs_involved.select(
-                    self._dpart_col(F.col("doc_id")).alias("dpart")
+            if pairs_local:
+                # driver-side twin of _dpart_col (parity pinned by
+                # test_xxhash64_parity, same as the point path): the
+                # ids are already local — a Spark job to hash them
+                # was pure overhead (round 15)
+                _parts = int(self._meta["doc_parts"])
+                dparts = sorted(
+                    {hashing.pmod_xxhash64_long(i, _parts) for i in _ids}
                 )
-                .distinct()
-                .collect()
-            ]
+            else:
+                dparts = [
+                    r["dpart"]
+                    for r in docs_involved.select(
+                        self._dpart_col(F.col("doc_id")).alias("dpart")
+                    )
+                    .distinct()
+                    .collect()
+                ]
             # stored shingle sets of the involved OLD docs, pruned to
             # their dpart partitions (the isNull arm keeps pre-layout
             # segments of a migrated store readable — unpruned there)
@@ -2348,7 +2394,6 @@ class DedupArtifacts(SegmentStore):
             # reference re-executes the vocab-scale keep aggregate,
             # which dominated the sf10 general-path profile
             capped_vf = all_sh.join(keep, "shingle", "left_semi").persist()
-            rev3 = int(self._meta.get("pair_rev", 2)) >= 3
             # all_candidates on rev >= 3: even a pair with ZERO common
             # capped shingles right now gets a stored (0, na, nb) row —
             # without it a later up-flip re-admitting a shared shingle
@@ -2406,11 +2451,13 @@ class DedupArtifacts(SegmentStore):
                         "pair_docs",
                         docs_involved.select(t_lit.alias("tenant"), "doc_id"),
                     )
-            if flips is not None:
-                stage("flip_docs", flips)
+            _stage_flips_rev3()
             return new_seq
         finally:
-            crossing.unpersist()
+            if _xpool is not None:
+                _xpool.shutdown(wait=True, cancel_futures=True)
+            if crossing is not None:
+                crossing.unpersist()
             pairs_all.unpersist()
             docs_involved.unpersist()
             if all_sh is not None:
