@@ -125,6 +125,7 @@ _SHINGLE_SCHEMA = T.StructType(
         T.StructField("shingle", T.StringType()),
     ]
 )
+_EMPTY_SET: frozenset = frozenset()
 _DF_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.IntegerType()),
@@ -1543,6 +1544,73 @@ class DedupArtifacts(SegmentStore):
             T.StructType([T.StructField("shingle", T.StringType())]),
         )
 
+    def _local_pair_stats_frame(
+        self, sets_by_doc: dict, prows, t_lit, new_seq: int
+    ) -> DataFrame:
+        """Driver-tier pair verify (round 15): the gate-bounded commit
+        already holds every input driver-side — the pair list (the
+        prows collect gate), the involved docs' capped shingle sets
+        (the bounded involved-rows collect), and the df lookups — so
+        the exact-Jaccard stats are INTEGER set operations here
+        instead of a 4-join/3-shuffle Spark query per commit (the
+        update's single most expensive tail write, ~4.5 s at the
+        bench scenario; same driver-tier discipline as dup_clusters'
+        union-find and the prows collect gate itself, with the same
+        distributed fallback above the gates).
+
+        n_common/na/nb are exact integers (the shingle table is
+        distinct per (doc, shingle) — doc_shingles), so driver
+        equality with the distributed verify is exact, not
+        approximate. The JACCARD column is deliberately left as the
+        SAME Spark expression jaccard_verify_pairs emits, evaluated
+        by the LocalRelation write — identical division + F.round
+        arithmetic, so the stored bytes cannot diverge by
+        float-formatting or rounding-mode differences between Python
+        and the JVM. Pinned against the distributed verify by
+        test_local_pair_stats_matches_distributed."""
+        data = []
+        for r in prows:
+            a, b = int(r["doc_a"]), int(r["doc_b"])
+            A = sets_by_doc.get(a, _EMPTY_SET)
+            B = sets_by_doc.get(b, _EMPTY_SET)
+            na, nb = len(A), len(B)
+            if na > nb:
+                A, B = B, A  # iterate the smaller side
+            nc = sum(1 for s in A if s in B)
+            data.append((a, b, nc, na, nb))
+        local = self.spark.createDataFrame(
+            data,
+            T.StructType(
+                [
+                    T.StructField("doc_a", T.LongType(), False),
+                    T.StructField("doc_b", T.LongType(), False),
+                    T.StructField("n_common", T.LongType(), False),
+                    T.StructField("na", T.LongType(), False),
+                    T.StructField("nb", T.LongType(), False),
+                ]
+            ),
+        )
+        z = F.lit(0).cast("bigint")
+        return local.select(
+            t_lit.alias("tenant"),
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "na",
+            "nb",
+            F.when(
+                F.col("n_common") > z,
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    params.ROUND,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+            F.lit(new_seq).cast("bigint").alias("seq"),
+        )
+
     # the flip road router reads shingle_docs' per-spart byte layout;
     # persist it at commit so routing is meta-only (no per-file
     # backend stats) even on a cold remote store object
@@ -1883,13 +1951,19 @@ class DedupArtifacts(SegmentStore):
                 ).select("doc_id", "shingle")
                 all_sh = new_sh.unionByName(old_sh).persist()
                 # same bounded-probe guard as the batch vocab above:
-                # 5k involved docs can still carry an over-gate vocab
+                # 5k involved docs can still carry an over-gate vocab.
+                # Round 15: the collect keeps doc_id (ROW-bounded now,
+                # a strictly tighter gate than the old distinct-
+                # shingle bound — over-gate batches route to the same
+                # general path either way) so the rev>=3 verify below
+                # can run as driver-side set intersections instead of
+                # a 4-join Spark query (_local_pair_stats_frame).
                 irows = (
                     all_sh.select(
+                        "doc_id",
                         self._spart_col(F.col("shingle")).alias("spart"),
                         "shingle",
                     )
-                    .distinct()
                     .limit(max_sh + 1)
                     .collect()
                 )
@@ -1970,20 +2044,45 @@ class DedupArtifacts(SegmentStore):
                 # nothing new to verify and no stored pair touched:
                 # the existing max-seq rows stay exact, no segment
                 return int(self._meta.get("pair_seq", 0))
-            over = [
-                r["shingle"]
-                for r in irows
-                if stored.get(r["shingle"], 0)
-                + d_add.get(r["shingle"], 0)
-                > cap
-            ]
-            capped_vf = all_sh.join(
-                F.broadcast(self._local_shingles(self.spark, over)),
-                "shingle",
-                "left_anti",
-            ) if all_sh is not None else None
-            null_sz = F.lit(None).cast("bigint")
-            if prows:
+            if prows and rev3:
+                # driver-tier verify (round 15): the involved docs'
+                # capped sets are already in hand from the bounded
+                # irows collect — integer set stats here, the jaccard
+                # column stays the identical Spark expression (see
+                # _local_pair_stats_frame). Replaces the commit's
+                # most expensive tail write (a 4-join verify query)
+                # with a LocalRelation write.
+                sets_by_doc: dict = {}
+                for r in irows:
+                    s = r["shingle"]
+                    if stored.get(s, 0) + d_add.get(s, 0) > cap:
+                        continue  # over-cap: excluded from capped sets
+                    sets_by_doc.setdefault(int(r["doc_id"]), set()).add(s)
+                stage(
+                    "pair_stats",
+                    self._local_pair_stats_frame(
+                        sets_by_doc, prows, t_lit, new_seq
+                    ),
+                )
+            elif prows:
+                # legacy (pair_rev 2) store: rows carry no sizes and
+                # the output is threshold-filtered — keep the
+                # distributed verify
+                over = sorted(
+                    {
+                        r["shingle"]
+                        for r in irows
+                        if stored.get(r["shingle"], 0)
+                        + d_add.get(r["shingle"], 0)
+                        > cap
+                    }
+                )
+                capped_vf = all_sh.join(
+                    F.broadcast(self._local_shingles(self.spark, over)),
+                    "shingle",
+                    "left_anti",
+                ) if all_sh is not None else None
+                null_sz = F.lit(None).cast("bigint")
                 pairs_local = self.spark.createDataFrame(
                     [(r["doc_a"], r["doc_b"]) for r in prows],
                     T.StructType(
@@ -1993,17 +2092,14 @@ class DedupArtifacts(SegmentStore):
                         ]
                     ),
                 )
-                # all_candidates on rev >= 3: zero-overlap pairs still
-                # get a (0, na, nb) row for up-flip revival — see
-                # _stage_pair_stats
                 ver = dedup.jaccard_verify_pairs(
                     capped_vf,
                     None,
                     min_jaccard=0.0,
                     min_overlap=1,
                     candidates=pairs_local,
-                    with_sizes=rev3,
-                    all_candidates=rev3,
+                    with_sizes=False,
+                    all_candidates=False,
                 )
                 stage(
                     "pair_stats",
@@ -2012,24 +2108,24 @@ class DedupArtifacts(SegmentStore):
                         "doc_a",
                         "doc_b",
                         "n_common",
-                        (F.col("na") if rev3 else null_sz).alias("na"),
-                        (F.col("nb") if rev3 else null_sz).alias("nb"),
+                        null_sz.alias("na"),
+                        null_sz.alias("nb"),
                         "jaccard",
                         F.lit(new_seq).cast("bigint").alias("seq"),
                     ),
                 )
-                if self._flip_rev >= 2:
-                    # pair-endpoint registry rides the same commit —
-                    # future flip staging restricts to these docs
-                    stage(
-                        "pair_docs",
-                        self.spark.createDataFrame(
-                            [(i,) for i in ids],
-                            T.StructType(
-                                [T.StructField("doc_id", T.LongType())]
-                            ),
-                        ).select(t_lit.alias("tenant"), "doc_id"),
-                    )
+            if prows and self._flip_rev >= 2:
+                # pair-endpoint registry rides the same commit —
+                # future flip staging restricts to these docs
+                stage(
+                    "pair_docs",
+                    self.spark.createDataFrame(
+                        [(i,) for i in ids],
+                        T.StructType(
+                            [T.StructField("doc_id", T.LongType())]
+                        ),
+                    ).select(t_lit.alias("tenant"), "doc_id"),
+                )
             if flips is not None:
                 stage("flip_docs", flips)
             return new_seq
@@ -2163,21 +2259,25 @@ class DedupArtifacts(SegmentStore):
             )
 
         # drift deltas exist to ADJUST STORED pair rows — with no
-        # pair_stats segments there is nothing to adjust, so the
-        # vocab-scale crossing join, its count job, and the flip rows
-        # are all skipped outright (round 15: every first commit of a
-        # store paid them for nothing). On rev>=3 the crossing rows are
-        # staged LAST (flip_docs follows pair_stats/pair_docs), so the
-        # emptiness count runs on a worker thread and overlaps the
-        # whole verify phase below (guide §2.6); the legacy rev-2 path
-        # needs `stale` BEFORE the pair set is assembled and keeps its
-        # sequential order.
+        # pair_stats segments, or on a TENANT's first shingled commit
+        # (nd_old == 0: pair rows are tenant-partitioned and require
+        # shingles, so none can exist for this tenant; after a
+        # remove-all, stored rows reference only removed docs, which
+        # every read already excludes), there is nothing to adjust —
+        # the vocab-scale crossing join, its count job, and the flip
+        # rows are all skipped outright (round 15: every first commit
+        # of a store/tenant paid them for nothing). On rev>=3 the
+        # crossing rows are staged LAST (flip_docs follows
+        # pair_stats/pair_docs), so the emptiness count runs on a
+        # worker thread and overlaps the whole verify phase below
+        # (guide §2.6); the legacy rev-2 path needs `stale` BEFORE the
+        # pair set is assembled and keeps its sequential order.
         crossing = None
         n_crossing_f = None
         _xpool = None
         stale = None
         flips = None
-        if have_pair_segs:
+        if have_pair_segs and nd_old > 0:
             crossing = _build_crossing()
             if rev3:
                 from concurrent.futures import ThreadPoolExecutor
@@ -2367,6 +2467,85 @@ class DedupArtifacts(SegmentStore):
                 "doc_id", "shingle"
             )
             all_sh = new_sh.unionByName(old_sh).persist()
+            # driver-tier verify (round 15): with the pair set already
+            # driver-local and a rev>=3 store (stale is None there),
+            # a bounded collect of the involved docs' shingle rows
+            # plus two pruned df lookups replaces the 4-join verify
+            # query — integer set stats in the driver, the jaccard
+            # column as the identical Spark expression
+            # (_local_pair_stats_frame). Over-gate row sets fall
+            # through to the distributed flow below unchanged.
+            if pairs_local and rev3:
+                max_sh = params.ARTIFACT_PREFILTER_SHINGLES
+                srows = (
+                    all_sh.select(
+                        "doc_id",
+                        self._spart_col(F.col("shingle")).alias("spart"),
+                        "shingle",
+                    )
+                    .limit(max_sh + 1)
+                    .collect()
+                )
+                if len(srows) <= max_sh:
+                    ukeys = {r["shingle"] for r in srows}
+                    u_sparts = sorted({r["spart"] for r in srows})
+                    stored = {}
+                    d_add = {}
+                    if ukeys:
+                        # two independent pruned lookups — overlapped
+                        # (guide §2.6)
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(max_workers=2) as lk:
+                            stored_f = lk.submit(
+                                lambda: {
+                                    r["shingle"]: r["df"]
+                                    for r in self._df_totals(
+                                        tenant,
+                                        u_sparts,
+                                        keys=self._local_shingles(
+                                            self.spark, ukeys
+                                        ),
+                                    ).collect()
+                                }
+                            )
+                            dadd_f = lk.submit(
+                                lambda: {
+                                    r["shingle"]: r["df"]
+                                    for r in bdf.join(
+                                        F.broadcast(
+                                            self._local_shingles(
+                                                self.spark, ukeys
+                                            )
+                                        ),
+                                        "shingle",
+                                        "left_semi",
+                                    ).collect()
+                                }
+                            )
+                            stored = stored_f.result()
+                            d_add = dadd_f.result()
+                    sets_by_doc: dict = {}
+                    for r in srows:
+                        s = r["shingle"]
+                        if stored.get(s, 0) + d_add.get(s, 0) > cap_new:
+                            continue  # over-cap: outside capped sets
+                        sets_by_doc.setdefault(int(r["doc_id"]), set()).add(s)
+                    stage(
+                        "pair_stats",
+                        self._local_pair_stats_frame(
+                            sets_by_doc, _prows, t_lit, new_seq
+                        ),
+                    )
+                    if self._flip_rev >= 2:
+                        stage(
+                            "pair_docs",
+                            docs_involved.select(
+                                t_lit.alias("tenant"), "doc_id"
+                            ),
+                        )
+                    _stage_flips_rev3()
+                    return new_seq
             # cap the involved docs' sets WITHOUT building the global
             # stop set: only shingles PRESENT in the involved sets
             # matter, and their global df totals live in the spart

@@ -1727,3 +1727,58 @@ def test_coverage_respects_tenants(spark, tmp_path, monkeypatch):
     assert _rows(
         st.verified_pairs(min_jaccard=0.0, min_overlap=1, tenant=1), cols
     ) == _scratch_pairs(spark, t1_rows)
+
+
+def test_local_pair_stats_matches_distributed(spark, tmp_path, monkeypatch):
+    """Round-15 driver-tier pair verify: a store built with the
+    gate-bounded driver tier (default params) must hold a pair_stats
+    table BYTE-IDENTICAL to one built with the tier disabled (the
+    distributed verify), across a moving-cap seed phase AND a
+    pinned-cap drift commit. Integer stats are exact set ops and the
+    jaccard column is the same Spark expression, so equality is exact
+    equality of every column including the rounded double."""
+    from lintdb_spark import params as P
+    from lintdb_spark.operators.artifacts import _PAIRSTAT_SCHEMA
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def batches():
+        # seed: moving cap (nd*frac under the ceil) with near-dup
+        # clones; then a pinned-cap drift commit (ceil forced low via
+        # monkeypatch below) whose phrase trigrams cross the cap ->
+        # flip rows + re-verified pairs; plus an empty-text doc (na=0
+        # row through the all_candidates contract)
+        b1 = [(i, f"{phrase} a{i} b{i} c{i}") for i in range(8)]
+        b2 = [(100, b1[0][1]), (101, b1[1][1]), (102, "")]
+        b3 = [(200 + i, f"{phrase} x{i} y{i}") for i in range(4)]
+        return [b1, b2, b3]
+
+    def build(tag):
+        path = str(tmp_path / f"store_{tag}")
+        st = DedupArtifacts.create(spark, path)
+        for rows in batches():
+            st.update(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            )
+        return st
+
+    monkeypatch.setattr(P, "JACCARD_DF_CEIL", 9)
+    tier = build("tier")
+    monkeypatch.setattr(P, "ARTIFACT_PREFILTER_SHINGLES", 0)
+    dist = build("dist")
+
+    def stats_rows(st):
+        return sorted(
+            tuple(r)
+            for r in st._read_t("pair_stats", _PAIRSTAT_SCHEMA, None)
+            .collect()
+        )
+
+    t_rows, d_rows = stats_rows(tier), stats_rows(dist)
+    assert t_rows, "expected pair_stats rows from the constructed near-dups"
+    assert t_rows == d_rows
+    # the serve surface agrees too (flip deltas compose identically)
+    cols = ["doc_a", "doc_b", "n_common", "jaccard"]
+    assert _rows(
+        tier.verified_pairs(min_jaccard=0.0, min_overlap=1), cols
+    ) == _rows(dist.verified_pairs(min_jaccard=0.0, min_overlap=1), cols)
