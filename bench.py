@@ -39,6 +39,77 @@ from lintdb_spark.session import get_spark  # noqa: E402
 BENCH_NQ = 1000  # batch-search query count, matching the reference harness's 1000 searches
 HEADLINE_REPS = 2  # timings = min over this many executions per query, BOTH engines
 
+
+def _exact_maxsim_scores(dt, queries_df):
+    """Exact-MaxSim truth scores for the quality gates, vectorized
+    (round 15, guide §4.2): the old form was a cartesian
+    bq_small x doc_tokens with a per-row zip_with/aggregate fold —
+    ~128M interpreted lambda evaluations for 32 queries at sf0.1,
+    the single most expensive piece of the quality section (7-14 s
+    measured). This computes the SAME scores as one float64 matmul
+    per Arrow batch inside mapInArrow: vec/qvec are array<double>,
+    so every product is the identical f64 product; only the
+    summation tree differs (numpy pairwise vs the fold's sequential
+    order), a ~1e-15-relative class of difference the old plan was
+    already exposed to through partial-aggregation order. Verified:
+    identical exact-top-10 hit sets (quality, golden, XTR-golden)
+    on sf0.1 and the golden fixture.
+
+    The query side is collected once (the same driver payload
+    batch_search already collects for its qmats); the doc side stays
+    distributed — repartition by doc_id makes each doc whole within
+    one task, so per-task maxes are global per doc.
+    Returns (qid, doc_id, score)."""
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = sorted(
+        queries_df.select("qid", "q_id", "qvec").collect(),
+        key=lambda r: (r["qid"], r["q_id"]),
+    )
+    Q = np.asarray([r["qvec"] for r in qrows], dtype=np.float64)
+    qid_of = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    uq = np.unique(qid_of)
+    masks = [(q, qid_of == q) for q in uq]
+
+    def part(batches):
+        best: dict = {}
+        for b in batches:
+            doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            vec = b.column("vec")
+            V = np.asarray(vec.to_pylist(), dtype=np.float64)
+            if V.size == 0:
+                continue
+            S = V @ Q.T  # (rows, n_query_tokens), exact f64 products
+            for doc, s in zip(doc_ids, S):
+                cur = best.get(doc)
+                best[doc] = s if cur is None else np.maximum(cur, s)
+        if best:
+            docs = np.fromiter(best.keys(), dtype=np.int64, count=len(best))
+            M = np.vstack(list(best.values()))
+            n = len(docs)
+            out_qid = np.empty(n * len(masks), dtype=np.int64)
+            out_doc = np.empty(n * len(masks), dtype=np.int64)
+            out_sc = np.empty(n * len(masks), dtype=np.float64)
+            for i, (q, m) in enumerate(masks):
+                out_qid[i * n : (i + 1) * n] = q
+                out_doc[i * n : (i + 1) * n] = docs
+                out_sc[i * n : (i + 1) * n] = M[:, m].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_qid, type=pa.int64()),
+                    pa.array(out_doc, type=pa.int64()),
+                    pa.array(out_sc, type=pa.float64()),
+                ],
+                names=["qid", "doc_id", "score"],
+            )
+
+    return (
+        dt.select("doc_id", "vec")
+        .repartition("doc_id")
+        .mapInArrow(part, "qid long, doc_id long, score double")
+    )
+
 # registry queries included as-is (names -> themselves)
 HEADLINE = [
     "q_topk",
@@ -316,23 +387,9 @@ def main() -> None:
         approx_hr = scoring.batch_two_phase_topk(
             dt, ta, bq_small, cents, n_probe=32, num_second_pass=400, k_top=32
         )
-        exact = (
-            bq_small.join(dt)
-            .select(
-                "qid",
-                "doc_id",
-                "q_id",
-                F.aggregate(
-                    F.zip_with("vec", "qvec", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                ).alias("ip"),
-            )
-            .groupBy("qid", "doc_id", "q_id")
-            .agg(F.max("ip").alias("best"))
-            .groupBy("qid", "doc_id")
-            .agg(F.sum("best").alias("score"))
-        )
+        # vectorized exact-MaxSim truth (round 15) — see
+        # _exact_maxsim_scores for the equivalence argument
+        exact = _exact_maxsim_scores(dt, bq_small)
         # persist: the exact oracle top-k feeds BOTH the default-knob and
         # high-recall joins — without it the full exact-MaxSim aggregation
         # runs twice
@@ -362,23 +419,7 @@ def main() -> None:
         g_dt, g_cents, g_queries = golden_fixture(spark)
         g_ta = ann.assign_tokens(g_dt.repartition(cpus, "doc_id"), g_cents)
         g_approx = scoring.batch_two_phase_topk(g_dt, g_ta, g_queries, g_cents)
-        g_exact = (
-            g_queries.join(g_dt)
-            .select(
-                "qid",
-                "doc_id",
-                "q_id",
-                F.aggregate(
-                    F.zip_with("vec", "qvec", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                ).alias("ip"),
-            )
-            .groupBy("qid", "doc_id", "q_id")
-            .agg(F.max("ip").alias("best"))
-            .groupBy("qid", "doc_id")
-            .agg(F.sum("best").alias("score"))
-        )
+        g_exact = _exact_maxsim_scores(g_dt, g_queries)
         g_exact_topk = (
             g_exact.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 10)
