@@ -173,12 +173,20 @@ def table_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def facts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize every cached fact table (the bench build hook);
     returns the last one so callers can treat it like the other
-    build functions (the extra count is an in-memory no-op)."""
-    last = None
-    for name in _TABLE_PART_KEYS:
-        last = table_cached(spark, sf_dir, name)
-        last.count()
-    return last
+    build functions (the extra count is an in-memory no-op).
+
+    The per-table cache fills are independent jobs — run them through
+    a small pool so the fills overlap instead of serializing the
+    driver (round 15, guide §2.6; same pattern as the artifact staging
+    pool). Each table's frame is created on the caller thread (the
+    session cache dict is not thread-safe to populate concurrently);
+    only the materializing count is pooled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    frames = [table_cached(spark, sf_dir, name) for name in _TABLE_PART_KEYS]
+    with ThreadPoolExecutor(max_workers=min(4, len(frames))) as pool:
+        list(pool.map(lambda f: f.count(), frames))
+    return frames[-1]
 
 
 _CASCADE_CACHE: dict = {}
