@@ -57,7 +57,16 @@ def get_spark(
         # Deterministic timestamps across Spark/DuckDB oracles.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode puts driver + executor in ONE JVM, so this heap
+        # holds every persisted cache AND all execution memory. At 8g
+        # the bench's late sections ran against evicted caches: the
+        # quality section measured 23.6/23.7 s on two reps in-bench vs
+        # 12-15 s isolated, and re-running with 16g restored 12.1 s
+        # in-bench (round 15; guide §5 — cached data competes with
+        # execution memory). 16g on a 128 GiB box is still
+        # conservative; real clusters size executor/driver memory
+        # explicitly and ignore this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
