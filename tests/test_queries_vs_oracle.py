@@ -44,23 +44,28 @@ def test_verification_window_holds_current_round_queries():
     assert len(ks) >= 50
     window = set(ks[:50])
     for q in (
+        # r16 churn-biased re-entries (r15 verdict item 2): the
+        # operators under these four were rewritten in r15 after the
+        # queries rotated out — one round back under the driver's eyes.
+        "q_artifact_covered",
+        "q_artifact_cost_fold",
+        "q_minhash_sig",
+        "q_lsh_buckets",
         # r15 NEW: SemDeDup-style cluster-scoped semantic dedup
-        # (first round in).
+        # (greens r15 — needs >=3).
         "q_semantic_dedup",
         # r14 NEW: substring-level exact dedup, its scrub stage, and
-        # substring decontamination (greens r14 — need >=3).
+        # substring decontamination (greens r14, r15 — need their
+        # third).
         "q_substring_dedup",
         "q_substring_scrub",
         "q_substring_decontam",
         # r13 NEW: degraded-stats fold on a cold bridged-scheme store
-        # + PII scan/redaction (greens r13, r14 — need their third).
+        # (greens r13, r14, r15 — met the bar but stays: it serves
+        # through the r15-rewritten commit path). q_pii_scrub rotated
+        # OUT this round (greens r13, r14, r15); q_media_frames /
+        # q_doc_chunks / q_len_histogram rotated OUT (ten greens each).
         "q_artifact_remote_fold",
-        "q_pii_scrub",
-        # r12 queries q_artifact_covered / q_artifact_cost_fold
-        # rotated OUT in r15 (greens r12, r13, r14 — >=3 bar met);
-        # q_media_frames re-entered at position 50 by tail-boundary
-        # crossing (named in the rotation log).
-        "q_media_frames",
         # (the r11 trio q_artifact_fold/_fold_remove/_minor rotated
         # OUT in r14: greens r11, r12, r13 met the >=3 bar; the three
         # r14 queries fill exactly those slots — q_media_frames and
@@ -74,10 +79,9 @@ def test_verification_window_holds_current_round_queries():
         "q_dup_clusters_verified",
         "q_dedup_keep_verified",
         "q_simhash_neardup",
-        # r06 rotations-in, each with driver greens r06, r07.
-        "q_doc_chunks",
+        # r06 rotations-in still in the window (q_doc_chunks and
+        # q_len_histogram rotated OUT r16 with ten greens each).
         "q_cross_dedup",
-        "q_len_histogram",
         "q_events_props",
         "q_jaccard_verified",
     ):
