@@ -124,6 +124,13 @@ _DISCOVERY_CONF_LOCK = threading.Lock()
 
 
 class SegmentStore:
+    # True only for stores whose batch commits stage SINGLE-PASS
+    # segments (files carrying the commit's union schema): their
+    # _read_uncached projects reads to the declared table schema.
+    # False (Index): schema args are empty-fallback type pins and
+    # readers may rely on inferred columns the pin omits.
+    _project_reads_to_schema = False
+
     def __init__(self, spark: SparkSession, path: str):
         import threading
 
@@ -926,10 +933,30 @@ class SegmentStore:
         # allowMissingColumns: segments written before a column was
         # added (e.g. text-posting `tf`) read as NULL for it instead of
         # failing the union — the documented degrade-gracefully contract
-        return reduce(
+        out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             frames,
         )
+        if schema is not None and self._project_reads_to_schema:
+            # single-pass-staged segments (round 16) carry the commit's
+            # UNION schema in their files — all-null chunks for other
+            # tables' columns. Project to the table's declared fields,
+            # keeping the frame's own column order; a guard, not a
+            # rewrite: when no undeclared column is present (every
+            # classic segment) the frame passes through untouched, so
+            # existing plans gain no Project node. Scoped by
+            # _project_reads_to_schema to stores that actually stage
+            # single-pass segments (DedupArtifacts): the Index's
+            # schema args are empty-fallback type pins, NOT projection
+            # contracts — its readers rely on inferring columns the
+            # pin omits (e.g. the text-posting `tf`), which a global
+            # guard would silently drop.
+            declared = {f.name for f in schema.fields}
+            if any(c not in declared for c in out.columns):
+                out = out.select(
+                    *[c for c in out.columns if c in declared]
+                )
+        return out
 
     def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
         """Delete unreferenced segment directories (the leftovers of

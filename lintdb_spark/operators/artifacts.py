@@ -110,6 +110,18 @@ from lintdb_spark.operators import dedup
 # both pay per file
 _COARSE_FILES = 8
 
+# single-pass staging (round 16): per-table in-file sort keys of the
+# COARSE batch segments, expressed as one generic (long, string) key
+# pair so every table can ride the same union write — mirrors the
+# per-table sortWithinPartitions in _write_segment's coarse arms.
+_ONE_PASS_SORT: dict[str, tuple[str | None, str | None]] = {
+    "doc_ids": ("doc_id", None),
+    "shingles": ("doc_id", None),
+    "buckets": (None, "bucket"),
+    "df": ("spart", "shingle"),
+    "shingle_docs": ("spart", "shingle"),
+}
+
 _DOCID_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.IntegerType()),
@@ -221,6 +233,10 @@ _PAIRDOC_SCHEMA = T.StructType(
 
 
 class DedupArtifacts(SegmentStore):
+    # batch commits stage single-pass union-schema segments (round
+    # 16): reads project to each table's declared schema — see
+    # SegmentStore._read_uncached / _write_segments_one_pass
+    _project_reads_to_schema = True
     """Persisted dedup artifacts with point-incremental maintenance.
 
     Tables (each a list of immutable per-batch segments, all carrying
@@ -569,6 +585,119 @@ class DedupArtifacts(SegmentStore):
                 "tenant"
             ).parquet(path)
         self.fs.publish(logical)
+
+    def _write_segments_one_pass(
+        self, entries: list[tuple[str, DataFrame, str]]
+    ) -> None:
+        """Stage SEVERAL coarse per-batch segment tables with ONE
+        Spark write job (round 16, guide §1.2 step 1 / §2.4 — one job
+        submission + one parquet commit-protocol pass instead of one
+        per table; a commit staged 9 table writes on a 4-wide pool).
+        The frames are unioned over the superset of their schemas with
+        a ``__t`` discriminator, written
+        ``partitionBy(__t, tenant)`` into a throwaway staging root,
+        and each ``__t=<table>`` subtree renamed into that table's
+        reserved segment dir — the post-rename directory layout
+        (tenant dirs under the segment root) is byte-identical in
+        SHAPE to _write_segment's coarse arm.
+
+        Per-table in-file sort keys survive: the union sorts by
+        (__t, tenant, __kn, __ks) with the generic key pair mapped per
+        table (_ONE_PASS_SORT) — leading with the write's partition
+        columns means FileFormatWriter's required ordering is already
+        satisfied and no second sort reorders rows. The union is
+        coalesced, never repartitioned: no shuffle is added at any
+        scale.
+
+        The one observable file-level difference: every file carries
+        the UNION schema, other tables' columns as all-null chunks.
+        Readers never see them — segment reads project to the table's
+        declared schema (_read_uncached drops undeclared columns) —
+        and the per-table row contents, partition dirs and sort order
+        are unchanged. ``params.ARTIFACT_SINGLE_PASS_STAGE`` gates the
+        path; off restores the per-table writes unchanged."""
+        import shutil as _shutil
+        import uuid as _uuid
+        from functools import reduce
+
+        # unified (name -> type) field map; a same-name/different-type
+        # collision would silently corrupt a table, so it hard-fails
+        fields: dict[str, T.DataType] = {}
+        for table, df, _p in entries:
+            for f in df.schema.fields:
+                prev = fields.setdefault(f.name, f.dataType)
+                if prev != f.dataType:
+                    raise ValueError(
+                        f"single-pass stage: column {f.name!r} of "
+                        f"{table!r} conflicts ({f.dataType} vs {prev})"
+                    )
+        names = [n for n in fields if n != "tenant"]
+        parts = []
+        for table, df, _p in entries:
+            have = set(df.columns)
+            kn, ks = _ONE_PASS_SORT.get(table, (None, None))
+            cols = [F.lit(table).alias("__t"), F.col("tenant")]
+            cols += [
+                (
+                    F.col(n) if n in have else F.lit(None).cast(fields[n])
+                ).alias(n)
+                for n in names
+            ]
+            cols.append(
+                (
+                    F.col(kn).cast("long") if kn else F.lit(None).cast("long")
+                ).alias("__kn")
+            )
+            cols.append(
+                (
+                    F.col(ks).cast("string")
+                    if ks
+                    else F.lit(None).cast("string")
+                ).alias("__ks")
+            )
+            # coalesce PER ENTRY, before the union: a global coalesce
+            # over the union would throttle every subtree's
+            # post-shuffle compute into _COARSE_FILES tasks TOTAL
+            # (measured: slower walls despite the job cut) — per-entry
+            # coalescing reproduces the classic writes' parallelism
+            # (each table's own _COARSE_FILES tasks, all schedulable
+            # in the one job) and, because union concatenates child
+            # partitions without mixing, each final task still holds
+            # one table's rows: per-table file counts and in-file sort
+            # stay exactly the classic coarse shape.
+            parts.append(df.select(*cols).coalesce(_COARSE_FILES))
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        staging_logical = os.path.join(
+            self.path, f"_stage1p-{_uuid.uuid4().hex[:12]}"
+        )
+        wlocal = self.fs.spark_write_path(staging_logical)
+        try:
+            (
+                u.sortWithinPartitions("__t", "tenant", "__kn", "__ks")
+                .drop("__kn", "__ks")
+                .write.mode("overwrite")
+                .partitionBy("__t", "tenant")
+                .parquet(wlocal)
+            )
+            for table, _df, p in entries:
+                src = os.path.join(wlocal, f"__t={table}")
+                dst = self.fs.spark_write_path(p)
+                # LocalFS's identity mapping creates nothing — on a
+                # table's first commit its dir does not exist yet
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+                else:
+                    # empty frame: no files were written for the
+                    # partition — reserve the empty segment dir, like
+                    # an empty coarse write
+                    os.makedirs(dst, exist_ok=True)
+                self.fs.publish(p)
+        finally:
+            # staging remnants (the _SUCCESS marker, or everything on
+            # failure) — crash leftovers are invisible to readers (the
+            # root is outside every table dir) and cheap to re-create
+            _shutil.rmtree(wlocal, ignore_errors=True)
 
     def _read_table_segments(
         self, table: str, segs: list[str], schema: T.StructType
@@ -1190,6 +1319,8 @@ class DedupArtifacts(SegmentStore):
         try:
             staged: list[tuple[str, str]] = []
             futures: list = []
+            one_pass = bool(params.ARTIFACT_SINGLE_PASS_STAGE)
+            pending_pass: list[tuple[str, DataFrame, str]] = []
 
             def stage(table: str, df: DataFrame) -> None:
                 # reserve the segment name and SUBMIT the write to the
@@ -1215,13 +1346,33 @@ class DedupArtifacts(SegmentStore):
                 # stay invisible staging orphans, exactly like a
                 # crash mid-staging (vacuum collects them).
                 seg, p = self._stage_path(table)
-                futures.append(pool.submit(self._write_segment, table, df, p))
+                if one_pass:
+                    # round 16: buffer for the next union write pass
+                    # (_write_segments_one_pass) instead of one write
+                    # job per table — submitted in two waves, so the
+                    # early wave still overlaps the sequential
+                    # pair-stats spine exactly like the per-table
+                    # submissions did
+                    pending_pass.append((table, df, p))
+                else:
+                    futures.append(
+                        pool.submit(self._write_segment, table, df, p)
+                    )
                 staged.append((table, seg))
+
+            def submit_stage_pass() -> None:
+                if pending_pass:
+                    batch = list(pending_pass)
+                    pending_pass.clear()
+                    futures.append(
+                        pool.submit(self._write_segments_one_pass, batch)
+                    )
 
             def flush_stage() -> None:
                 # barrier: every staged write visible on disk (the
                 # footer-count pass below reads the staged bytes) and
                 # the first worker exception propagated
+                submit_stage_pass()
                 errs = []
                 for f in futures:
                     try:
@@ -1230,6 +1381,13 @@ class DedupArtifacts(SegmentStore):
                         errs.append(exc)
                 futures.clear()
                 if errs:
+                    # surface the concurrent failures too (ADVICE r15:
+                    # re-raising only errs[0] silently discarded the
+                    # rest of a 4-wide write wave's diagnostics)
+                    for e in errs[1:]:
+                        errs[0].add_note(
+                            f"suppressed concurrent staging error: {e!r}"
+                        )
                     raise errs[0]
 
             # rev-1 stores don't get the new tables piecemeal: their
@@ -1312,6 +1470,12 @@ class DedupArtifacts(SegmentStore):
                     ),
                 )
 
+            # first single-pass write wave: every table staged so far
+            # (doc_ids/shingles/signatures/df/simhash/buckets) rides
+            # ONE union write job, submitted before the sequential
+            # bookkeeping below so it overlaps the spine (guide §2.6)
+            submit_stage_pass()
+
             # new x (old ∪ new) band collisions, tenant-local. The old
             # side is the STORED bucket table pruned to the batch's
             # bpart partitions (static partition pruning — bounded by
@@ -1355,6 +1519,10 @@ class DedupArtifacts(SegmentStore):
                 .persist()
             )
             new_pending = None
+            # persisted frames whose staged writes may still be
+            # pending (single-pass wave / in-flight pool writes):
+            # unpersisted only after the flush barrier below
+            held: list = []
             try:
                 stage(
                     "cand_pairs",
@@ -1425,6 +1593,7 @@ class DedupArtifacts(SegmentStore):
                                 stage,
                                 t_lit,
                                 prows=prows,
+                                keep=held.append,
                             )
                         finally:
                             if cand_v is not cand:
@@ -1439,7 +1608,8 @@ class DedupArtifacts(SegmentStore):
                             [], "doc_a long, doc_b long"
                         )
                         new_seq = self._stage_pair_stats(
-                            sh, bdf, empty_cand, tenant, nd_batch, stage, t_lit
+                            sh, bdf, empty_cand, tenant, nd_batch, stage,
+                            t_lit, keep=held.append,
                         )
                         new_pending = pending + [cand_seg]
                 # barrier on the in-flight staged writes — before the
@@ -1450,6 +1620,8 @@ class DedupArtifacts(SegmentStore):
             finally:
                 cand.unpersist()
                 bdf.unpersist()
+                for fr in held:
+                    fr.unpersist()
 
             tkey = str(int(tenant))
             tstats = dict(self._meta["tenants"].get(tkey, {"n_docs": 0, "nd_shingled": 0}))
@@ -1856,6 +2028,35 @@ class DedupArtifacts(SegmentStore):
             src = src.unionByName(sh.select("doc_id", "shingle"))
         return src.join(crossing, "shingle")
 
+    def _commit_pool(self):
+        """Shared worker pool for the commit path's overlapped
+        read-only lookups (ADVICE r15: previously three ad-hoc
+        per-commit ThreadPoolExecutors with inline imports — thread
+        spawn/teardown on every commit and an obscured concurrency
+        structure). Lazily created, lives for the store object's
+        lifetime. 3 workers bound the worst overlap (pending crossing
+        count + two df lookups); no task ever submits back into the
+        pool, so it cannot deadlock."""
+        p = getattr(self, "_commit_pool_obj", None)
+        if p is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            p = self._commit_pool_obj = ThreadPoolExecutor(max_workers=3)
+        return p
+
+    @staticmethod
+    def _join_future(fut) -> None:
+        """Cancel-if-unstarted / wait-if-running for a future on the
+        shared commit pool — the exception-path barrier the old
+        per-commit pool shutdowns provided, without tearing down the
+        shared pool."""
+        if fut is None or fut.cancel():
+            return
+        try:
+            fut.exception()
+        except BaseException:  # noqa: BLE001 — cancelled or failed
+            pass
+
     def _stage_pair_stats_point(
         self, sh, bdf, cand, tenant: int, cap: float, stage, t_lit,
         prows=None,
@@ -1907,10 +2108,7 @@ class DedupArtifacts(SegmentStore):
         # overlapping them removes one sequential driver round trip
         # per commit (guide §2.6).
         max_sh = params.ARTIFACT_PREFILTER_SHINGLES
-        from concurrent.futures import ThreadPoolExecutor
-
-        _bpool = ThreadPoolExecutor(max_workers=1)
-        brows_f = _bpool.submit(
+        brows_f = self._commit_pool().submit(
             lambda: bdf.select(
                 self._spart_col(F.col("shingle")).alias("spart"),
                 "shingle",
@@ -1952,22 +2150,26 @@ class DedupArtifacts(SegmentStore):
                 all_sh = new_sh.unionByName(old_sh).persist()
                 # same bounded-probe guard as the batch vocab above:
                 # 5k involved docs can still carry an over-gate vocab.
-                # Round 15: the collect keeps doc_id (ROW-bounded now,
-                # a strictly tighter gate than the old distinct-
-                # shingle bound — over-gate batches route to the same
-                # general path either way) so the rev>=3 verify below
-                # can run as driver-side set intersections instead of
-                # a 4-join Spark query (_local_pair_stats_frame).
+                # Round 15: the collect keeps doc_id so the rev>=3
+                # verify below can run as driver-side set
+                # intersections instead of a 4-join Spark query
+                # (_local_pair_stats_frame). Round 16 (ADVICE r15):
+                # the ROW bound is a separate, larger cap — rows >=
+                # distinct shingles, so reusing the vocab gate here
+                # was strictly tighter than designed and pushed
+                # shingle-heavy bounded batches onto the distributed
+                # path; over-cap batches still route there.
+                max_rows = params.ARTIFACT_PREFILTER_SHINGLE_ROWS
                 irows = (
                     all_sh.select(
                         "doc_id",
                         self._spart_col(F.col("shingle")).alias("spart"),
                         "shingle",
                     )
-                    .limit(max_sh + 1)
+                    .limit(max_rows + 1)
                     .collect()
                 )
-                if len(irows) > max_sh:
+                if len(irows) > max_rows:
                     return None
             # join the overlapped batch-vocab collect; gate order is
             # immaterial (either over-gate outcome routes to the same
@@ -2130,13 +2332,13 @@ class DedupArtifacts(SegmentStore):
                 stage("flip_docs", flips)
             return new_seq
         finally:
-            _bpool.shutdown(wait=True, cancel_futures=True)
+            self._join_future(brows_f)
             if all_sh is not None:
                 all_sh.unpersist()
 
     def _stage_pair_stats(
         self, sh, bdf, cand, tenant: int, nd_batch: int, stage, t_lit,
-        prows=None,
+        prows=None, keep=None,
     ) -> int:
         """Incremental maintenance of the verified-pair artifact: one
         pair_stats segment per commit holding the exact Jaccard stats
@@ -2274,16 +2476,12 @@ class DedupArtifacts(SegmentStore):
         # pair set is assembled and keeps its sequential order.
         crossing = None
         n_crossing_f = None
-        _xpool = None
         stale = None
         flips = None
         if have_pair_segs and nd_old > 0:
             crossing = _build_crossing()
             if rev3:
-                from concurrent.futures import ThreadPoolExecutor
-
-                _xpool = ThreadPoolExecutor(max_workers=1)
-                n_crossing_f = _xpool.submit(crossing.count)
+                n_crossing_f = self._commit_pool().submit(crossing.count)
             elif crossing.count():
                 aff = (
                     self._read_t("shingles", _SHINGLE_SCHEMA, tenant)
@@ -2399,8 +2597,7 @@ class DedupArtifacts(SegmentStore):
                 _stage_flips_rev3()
                 return new_seq
             finally:
-                if _xpool is not None:
-                    _xpool.shutdown(wait=True, cancel_futures=True)
+                self._join_future(n_crossing_f)
                 if crossing is not None:
                     crossing.unpersist()
                 pairs_all.unpersist()
@@ -2476,55 +2673,59 @@ class DedupArtifacts(SegmentStore):
             # (_local_pair_stats_frame). Over-gate row sets fall
             # through to the distributed flow below unchanged.
             if pairs_local and rev3:
-                max_sh = params.ARTIFACT_PREFILTER_SHINGLES
+                # ROW-bounded (round 16, ADVICE r15 — same cap split
+                # as the point path: rows >= distinct shingles)
+                max_rows = params.ARTIFACT_PREFILTER_SHINGLE_ROWS
                 srows = (
                     all_sh.select(
                         "doc_id",
                         self._spart_col(F.col("shingle")).alias("spart"),
                         "shingle",
                     )
-                    .limit(max_sh + 1)
+                    .limit(max_rows + 1)
                     .collect()
                 )
-                if len(srows) <= max_sh:
+                if len(srows) <= max_rows:
                     ukeys = {r["shingle"] for r in srows}
                     u_sparts = sorted({r["spart"] for r in srows})
                     stored = {}
                     d_add = {}
                     if ukeys:
                         # two independent pruned lookups — overlapped
-                        # (guide §2.6)
-                        from concurrent.futures import ThreadPoolExecutor
-
-                        with ThreadPoolExecutor(max_workers=2) as lk:
-                            stored_f = lk.submit(
-                                lambda: {
-                                    r["shingle"]: r["df"]
-                                    for r in self._df_totals(
-                                        tenant,
-                                        u_sparts,
-                                        keys=self._local_shingles(
+                        # on the shared commit pool (guide §2.6)
+                        lk = self._commit_pool()
+                        stored_f = lk.submit(
+                            lambda: {
+                                r["shingle"]: r["df"]
+                                for r in self._df_totals(
+                                    tenant,
+                                    u_sparts,
+                                    keys=self._local_shingles(
+                                        self.spark, ukeys
+                                    ),
+                                ).collect()
+                            }
+                        )
+                        dadd_f = lk.submit(
+                            lambda: {
+                                r["shingle"]: r["df"]
+                                for r in bdf.join(
+                                    F.broadcast(
+                                        self._local_shingles(
                                             self.spark, ukeys
-                                        ),
-                                    ).collect()
-                                }
-                            )
-                            dadd_f = lk.submit(
-                                lambda: {
-                                    r["shingle"]: r["df"]
-                                    for r in bdf.join(
-                                        F.broadcast(
-                                            self._local_shingles(
-                                                self.spark, ukeys
-                                            )
-                                        ),
-                                        "shingle",
-                                        "left_semi",
-                                    ).collect()
-                                }
-                            )
+                                        )
+                                    ),
+                                    "shingle",
+                                    "left_semi",
+                                ).collect()
+                            }
+                        )
+                        try:
                             stored = stored_f.result()
                             d_add = dadd_f.result()
+                        finally:
+                            self._join_future(stored_f)
+                            self._join_future(dadd_f)
                     sets_by_doc: dict = {}
                     for r in srows:
                         s = r["shingle"]
@@ -2633,20 +2834,26 @@ class DedupArtifacts(SegmentStore):
             _stage_flips_rev3()
             return new_seq
         finally:
-            if _xpool is not None:
-                _xpool.shutdown(wait=True, cancel_futures=True)
-            if crossing is not None:
-                crossing.unpersist()
+            self._join_future(n_crossing_f)
+            # persisted frames that a STAGED (possibly still pending)
+            # write's plan reads — ver/capped_vf/stale feed the
+            # pair_stats write, docs_involved the pair_docs write,
+            # crossing the flip_docs write, all_sh the capped_vf
+            # lineage. With a ``keep`` callback their unpersist is
+            # DEFERRED to the caller's post-flush barrier (round 16:
+            # the single-pass wave executes these writes after this
+            # function returns; the old early unpersist raced even
+            # the eagerly-submitted writes). Without the callback
+            # (flush_pairs, whose writes are synchronous) behavior is
+            # unchanged.
+            release = keep if keep is not None else (
+                lambda df: df.unpersist()
+            )
+            for fr in (crossing, docs_involved, all_sh, capped_vf,
+                       stale, ver):
+                if fr is not None:
+                    release(fr)
             pairs_all.unpersist()
-            docs_involved.unpersist()
-            if all_sh is not None:
-                all_sh.unpersist()
-            if capped_vf is not None:
-                capped_vf.unpersist()
-            if stale is not None:
-                stale.unpersist()
-            if ver is not None:
-                ver.unpersist()
 
     def remove(self, doc_ids, tenant: int = 0) -> dict:
         """Delete documents from the store (retention / right-to-be-

@@ -247,6 +247,26 @@ ARTIFACT_STAGE_PARALLELISM = 4
 # carry millions of distinct shingles, a driver-memory risk. Over-gate
 # batches fall back to the distributed general path.
 ARTIFACT_PREFILTER_SHINGLES = 500_000
+# The involved-docs probe feeding the driver-tier pair verify collects
+# (doc_id, shingle) ROWS, not distinct shingles — rows >= distinct, so
+# reusing ARTIFACT_PREFILTER_SHINGLES as the row bound (round 15) made
+# the point-path gate strictly tighter than designed and pushed
+# shingle-heavy/small-vocab batches onto the distributed general path
+# (ADVICE r15). Separate, larger row cap: still a bounded driver
+# payload (rows are (long, string) tuples), 2x the vocab gate — the
+# distinct-shingle broadcast the rows feed stays bounded by the same
+# order as before while typical row/distinct inflation (each involved
+# doc repeats its shingles) no longer spills bounded batches onto the
+# distributed general path.
+ARTIFACT_PREFILTER_SHINGLE_ROWS = 1_000_000
+# Round 16: stage a batch commit's coarse segment tables as ONE union
+# write job (partitionBy(__t, tenant) into a staging root, rename into
+# the per-table segment dirs) instead of one write job per table — a
+# commit staged 9 table writes on a 4-wide pool, each paying job
+# submission plus a full parquet commit-protocol pass. Directory
+# layout, row contents and in-file sort keys are unchanged (see
+# _write_segments_one_pass); False restores the per-table writes.
+ARTIFACT_SINGLE_PASS_STAGE = True
 
 # English/German/French/Spanish stopword lists for the n-gram-free
 # language-ID heuristic (tiny, deterministic; good enough for synthetic
