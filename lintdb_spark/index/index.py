@@ -523,12 +523,14 @@ class Index(SegmentStore):
             if int(bid) <= self._meta.get("stream_batches", {}).get(key, -1):
                 return  # replay of a batch whose flip already committed
         self._validate_ingest(docs_df)
-        # empty batch -> no-op, like the reference's add of an empty doc
-        # list. Without this a zero-row micro-batch (streaming sources
-        # emit them) would commit a parquet segment with no footers,
-        # breaking schema inference for every later read of the table.
-        if docs_df.isEmpty():
-            return
+        # empty-batch detection moved INTO _add_encoded (round 16): the
+        # old standalone docs_df.isEmpty() probe here was one full pass
+        # over the un-persisted ingest lineage per add — at bench scale
+        # the ingest aggregation ran once for the probe and again for
+        # the cache fill. _add_encoded's persist+count now doubles as
+        # the probe (0 rows -> return before any segment is staged, so
+        # a zero-row micro-batch still commits nothing and never breaks
+        # schema inference with a footerless segment).
 
         out = docs_df
         ingest_bcs = []  # centroid blobs the coarse UDFs broadcast;
@@ -585,6 +587,16 @@ class Index(SegmentStore):
         out = out.persist()
         staged: list[tuple[str, str]] = []
         try:
+            # ONE count fills the cache AND is the empty-batch probe
+            # (round 16, guide §1.2 step 1 — one pass instead of
+            # three): previously the standalone isEmpty() ran the
+            # ingest lineage once, and then the concurrently submitted
+            # docs + postings writes EACH re-ran the encode lineage as
+            # racing first fills of the persisted frame. Now the
+            # lineage (ingest aggregation + assign/encode UDFs) runs
+            # exactly once; every staged write below reads the cache.
+            if out.count() == 0:
+                return
             # the docs write plus one postings write per colbert/text
             # field are independent until the meta flip — overlap
             # them through the shared staging pool (round 12,
