@@ -16,6 +16,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver heap default: SPARK_GRAFT_DRIVER_MEM wins;
+    otherwise 16g CLAMPED to a quarter of detected system memory
+    (ADVICE r15: an unconditional 16g can swap or fail allocation on
+    hosts with less RAM than the 128 GiB bench box). Real clusters set
+    driver/executor memory explicitly and never hit this default."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = next(
+                int(line.split()[1])
+                for line in fh
+                if line.startswith("MemTotal")
+            )
+        total_gib = kb // (1024 * 1024)
+    except Exception:  # noqa: BLE001 — no /proc (non-Linux): keep 16g
+        total_gib = 64
+    return f"{max(2, min(16, total_gib // 4))}g"
+
+
 def get_spark(
     app_name: str = "lintdb_spark",
     cpus: int | None = None,
@@ -65,8 +87,10 @@ def get_spark(
         # in-bench (round 15; guide §5 — cached data competes with
         # execution memory). 16g on a 128 GiB box is still
         # conservative; real clusters size executor/driver memory
-        # explicitly and ignore this default.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # explicitly and ignore this default. Clamped to 1/4 of
+        # system RAM on smaller hosts (env SPARK_GRAFT_DRIVER_MEM
+        # overrides unconditionally).
+        .config("spark.driver.memory", _default_driver_mem())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
