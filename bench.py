@@ -566,6 +566,79 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = repr(exc)
 
+    # ---- scale lane (round 16, r15 verdict item 7): the sf0.1 corpus
+    # is so small that every section above is fixed-overhead-bound —
+    # the driver's c8/c32 scaling block read ~1.0 across the board and
+    # could not demonstrate scale behavior. These three sections run
+    # the engine's compute-heaviest operator kernels over a
+    # DETERMINISTICALLY REPLICATED corpus (derived in-plan from the
+    # same parquet inputs — nothing precomputed, nothing cached across
+    # runs; replicas are text/id-perturbed so the work is real
+    # near-dup work, not degenerate self-collision) sized so the wall
+    # tracks executor compute: their sec@8/sec@32 ratio is the
+    # driver-visible scaling evidence. Timed with the noop sink
+    # (guide §1.4) — every column computed, no output cost. New
+    # additive entries; HEADLINE and all prior sections unchanged.
+    from lintdb_spark.operators.dedup import (
+        doc_shingles as _sl_shingles,
+        lsh_buckets_wide as _sl_lsh,
+        minhash_wide as _sl_minhash,
+        substring_window_postings as _sl_postings,
+    )
+    from lintdb_spark.tables import load_table as _sl_load
+
+    def _sl_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    SCALE_REP = 16
+    try:
+        t0 = time.time()
+        spark.sparkContext.setJobDescription("scale lane: minhash+lsh x16")
+        _docs = _sl_load(spark, sf_dir, "documents").select("doc_id", "text")
+        _reps = F.broadcast(
+            spark.range(SCALE_REP).select(F.col("id").alias("rep"))
+        )
+        _docs_rep = _docs.crossJoin(_reps).select(
+            (F.col("doc_id") * SCALE_REP + F.col("rep")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zscale"), F.col("rep").cast("string")
+            ).alias("text"),
+        )
+        _sl_noop(_sl_lsh(_sl_minhash(_sl_shingles(_docs_rep))))
+        timings["scale_minhash_lsh"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["scale_minhash_lsh"] = repr(exc)
+    try:
+        t0 = time.time()
+        spark.sparkContext.setJobDescription(
+            "scale lane: substring postings x16"
+        )
+        _sl_noop(_sl_postings(_docs_rep))
+        timings["scale_substring_postings"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["scale_substring_postings"] = repr(exc)
+    try:
+        t0 = time.time()
+        spark.sparkContext.setJobDescription("scale lane: exact maxsim x32")
+        _dt_rep = (
+            dt.crossJoin(
+                F.broadcast(
+                    spark.range(2 * SCALE_REP).select(F.col("id").alias("rep"))
+                )
+            )
+            .select(
+                (F.col("doc_id") * (2 * SCALE_REP) + F.col("rep")).alias(
+                    "doc_id"
+                ),
+                "vec",
+            )
+        )
+        _sl_noop(_exact_maxsim_scores(_dt_rep, bq_small))
+        timings["scale_maxsim_exact"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["scale_maxsim_exact"] = repr(exc)
+    spark.sparkContext.setJobDescription(None)
+
     # ---- DuckDB oracle BASELINE on the same protocol (BASELINE.md
     # requires recorded values next to the Spark numbers). DuckDB runs
     # multi-threaded on the same cores over the same parquet files. ----
