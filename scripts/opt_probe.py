@@ -2,7 +2,7 @@
 """Round-15 optimization probe: per-query isolated measurement + plan dump.
 
 For every declared registry query (or the subset named on argv):
-  - capture df.explain("formatted") to plans/r15/<out>/<name>.txt
+  - capture df.explain("formatted") to plans/<round>/<out>/<name>.txt (round via SPARK_GRAFT_PLAN_ROUND, default r16)
   - time REPS executions of .count() (the bench's timed action) and of
     the noop sink (guide §1.4 — computes every column, so it also
     prices the result projection that count() lets Catalyst prune)
@@ -91,7 +91,7 @@ def main() -> None:
     artifact_tenant_store_cached(spark, sf_dir).signatures(tenant=1).count()
     print(f"builds: {time.time() - t0:.1f}s", flush=True)
 
-    plan_dir = os.path.join(REPO, "plans", "r15", out_tag)
+    plan_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"), out_tag)
     os.makedirs(plan_dir, exist_ok=True)
     results = {}
     for name in names:

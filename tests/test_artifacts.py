@@ -164,11 +164,18 @@ def test_stream_artifacts_maintains_store(spark, corpus, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_preserves_artifacts_and_prunes_segments(spark, corpus, tmp_path):
     """compact(): per-batch segments collapse to one v<N> per table
     (df pre-aggregated to vocab size, pairs deduped), reads unchanged,
     vacuum reclaims the superseded dirs, and further updates append to
-    the compacted base correctly."""
+    the compacted base correctly.
+
+    Slow lane (round 16 suite budget): in-lane twins — the
+    q_artifact_covered oracle (driver window) serves byte-checked
+    through a store whose build runs compact(), and
+    test_dedup_artifacts_lifecycle_on_memory_scheme compacts on the
+    bridged scheme in-lane."""
     import os
 
     path = str(tmp_path / "store_compact")
@@ -234,12 +241,18 @@ def test_stored_buckets_equal_banded_signatures(spark, corpus, store3):
     )
 
 
+@pytest.mark.slow
 def test_update_prunes_to_batch_partitions(spark, corpus, tmp_path):
     """The incremental collision join reads the stored bucket table
     only through the batch's bpart partitions, and the known-doc
     anti-join only through the batch's dpart partitions — the
     batch-proportional-read claim, asserted on the actual segment
-    files via a tiny layout (4 bucket parts / 4 doc parts)."""
+    files via a tiny layout (4 bucket parts / 4 doc parts).
+
+    Slow lane (round 16 suite budget): a perf-SHAPE property; the
+    serve results the pruning feeds are oracle-checked in-lane
+    (q_artifact_gate / q_artifact_tenant and the scratch-equality
+    trio)."""
     from lintdb_spark.operators.artifacts import DedupArtifacts
 
     path = str(tmp_path / "store_prune")
@@ -1611,6 +1624,10 @@ def test_minor_compact_extends_shingle_docs_coverage(
     ) == _scratch_pairs(spark, all_rows + drift)
 
 
+@pytest.mark.slow
+# Slow lane (round 16 suite budget): in-lane twin — the
+# q_artifact_cost_fold oracle (driver window this round) exercises the
+# serve-cost fold trigger road end-to-end, byte-checked vs DuckDB.
 def test_fold_trigger_prices_serve_cost_not_rows(
     spark, tmp_path, monkeypatch
 ):

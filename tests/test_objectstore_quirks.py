@@ -981,6 +981,11 @@ def test_flip_road_falls_back_to_count_proxy_when_sizes_unknown():
     assert st._flat_road_cheaper([0], 1024) is True
 
 
+@pytest.mark.slow
+# Slow lane (round 16 suite budget): in-lane twins —
+# test_build_manifests_backfills_seg_rows pins the same seg_rows
+# bookkeeping, and the q_artifact_remote_fold oracle (driver window)
+# fires the trigger that consumes the persisted counts.
 def test_seg_rows_recorded_exact_and_pruned(spark, sf_dir, tmp_path):
     """Round 13 (VERDICT r12 #1): every commit persists its segments'
     footer row counts in the meta (seg_rows) — exact against a direct
@@ -1073,6 +1078,10 @@ def test_build_manifests_backfills_seg_rows(spark, sf_dir, tmp_path):
     assert st2.build_manifests() == 0
 
 
+@pytest.mark.slow
+# Slow lane (round 16 suite budget): in-lane twin — the
+# q_artifact_remote_fold oracle (driver window) serves the identical
+# degraded-stats cold-bridged-reopen road, byte-checked vs DuckDB.
 def test_fold_cost_trigger_survives_cold_remote_reopen(spark, sf_dir):
     """VERDICT r12 'Next round' #1: a store re-opened COLD on a
     bridged scheme has no local parquet footers, so live footer stats

@@ -437,6 +437,10 @@ def test_jaccard_verified_has_no_shingle_self_join(spark, sf_dir):
     assert not bad, bad[:1]
 
 
+@pytest.mark.slow
+# Slow lane (round 16 suite budget): a perf-SHAPE pin; the covered
+# inverted-sliver road itself is oracle-checked in-lane by
+# q_artifact_covered (driver window this round).
 def test_covered_drift_lookup_pushes_spart_filter(spark, sf_dir):
     """Round 12: the flip-commit lookup's inverted road must push the
     crossing sparts into the shingle_docs scan — partition pruning on

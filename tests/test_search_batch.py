@@ -229,6 +229,10 @@ def test_search_routes_xtr_scoring_method(spark, tmp_path):
         idx.search(0, TermQuery("category", "even"), k=5, opts=opts)
 
 
+@pytest.mark.slow
+# Slow lane (round 16 suite budget): in-lane twins — the q_xtr oracle
+# (driver window) checks XTR scoring byte-exact, and
+# test_search_routes_xtr_scoring_method keeps the batch routing pinned.
 def test_search_batch_xtr_matches_per_query(spark, tmp_path):
     """scoring_method='xtr' through search_batch: every qid's ranking
     equals the single-query search_xtr on the same index."""
