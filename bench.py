@@ -620,8 +620,11 @@ def main() -> None:
     try:
         t0 = time.time()
         spark.sparkContext.setJobDescription("scale lane: exact maxsim x32")
+        # NB: `dt` the cascade frame is shadowed by the headline loop's
+        # elapsed-seconds local — re-fetch the session-cached inputs
+        _sl_cents, _sl_dt, _sl_ta = cascade_inputs(spark, sf_dir)
         _dt_rep = (
-            dt.crossJoin(
+            _sl_dt.crossJoin(
                 F.broadcast(
                     spark.range(2 * SCALE_REP).select(F.col("id").alias("rep"))
                 )
