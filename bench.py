@@ -569,16 +569,26 @@ def main() -> None:
     # ---- scale lane (round 16, r15 verdict item 7): the sf0.1 corpus
     # is so small that every section above is fixed-overhead-bound —
     # the driver's c8/c32 scaling block read ~1.0 across the board and
-    # could not demonstrate scale behavior. These three sections run
-    # the engine's compute-heaviest operator kernels over a
-    # DETERMINISTICALLY REPLICATED corpus (derived in-plan from the
-    # same parquet inputs — nothing precomputed, nothing cached across
-    # runs; replicas are text/id-perturbed so the work is real
-    # near-dup work, not degenerate self-collision) sized so the wall
-    # tracks executor compute: their sec@8/sec@32 ratio is the
-    # driver-visible scaling evidence. Timed with the noop sink
-    # (guide §1.4) — every column computed, no output cost. New
-    # additive entries; HEADLINE and all prior sections unchanged.
+    # could not demonstrate scale behavior. These sections run the
+    # engine's compute-heaviest dedup kernels over a DETERMINISTICALLY
+    # REPLICATED x64 corpus (derived in-plan from the same parquet
+    # inputs — nothing precomputed, nothing cached across runs;
+    # replicas are text/id-perturbed so the work is real near-dup
+    # work, not degenerate self-collision) sized so the wall tracks
+    # executor compute: their sec@8/sec@32 ratio is the driver-visible
+    # scaling evidence (probe: minhash+lsh 10.0s@8 vs 3.7s@32 = 2.7x).
+    # Timed with the noop sink (guide §1.4). Two calibration points
+    # measured during construction (scripts/scale_lane_probe.py):
+    # (a) the base frame is repartitioned BEFORE replication — the
+    #     documents scan is 1-2 input splits and a broadcast crossJoin
+    #     keeps the left side's partitioning, so without it the heavy
+    #     map-side hashing ran in 1-2 tasks at ANY core count;
+    # (b) AQE's default 64 MB advisory partition size coalesced the
+    #     post-shuffle stages of these KB-scale-per-partition frames
+    #     into 1-2 tasks (ratios ~1.0 no matter the volume) — the lane
+    #     pins a 1 MB advisory for its two writes and restores the
+    #     session value after.
+    # New additive entries; HEADLINE and all prior sections unchanged.
     from lintdb_spark.operators.dedup import (
         doc_shingles as _sl_shingles,
         lsh_buckets_wide as _sl_lsh,
@@ -590,57 +600,58 @@ def main() -> None:
     def _sl_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    SCALE_REP = 16
+    SCALE_REP = 64
+    _ADV_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     try:
-        t0 = time.time()
-        spark.sparkContext.setJobDescription("scale lane: minhash+lsh x16")
-        _docs = _sl_load(spark, sf_dir, "documents").select("doc_id", "text")
-        _reps = F.broadcast(
-            spark.range(SCALE_REP).select(F.col("id").alias("rep"))
-        )
-        _docs_rep = _docs.crossJoin(_reps).select(
-            (F.col("doc_id") * SCALE_REP + F.col("rep")).alias("doc_id"),
-            F.concat(
-                F.col("text"), F.lit(" zscale"), F.col("rep").cast("string")
-            ).alias("text"),
-        )
-        _sl_noop(_sl_lsh(_sl_minhash(_sl_shingles(_docs_rep))))
-        timings["scale_minhash_lsh"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001
-        errors["scale_minhash_lsh"] = repr(exc)
+        _adv_old = spark.conf.get(_ADV_KEY)
+    except Exception:  # noqa: BLE001 — unset
+        _adv_old = None
+    spark.conf.set(_ADV_KEY, "1m")
     try:
-        t0 = time.time()
-        spark.sparkContext.setJobDescription(
-            "scale lane: substring postings x16"
-        )
-        _sl_noop(_sl_postings(_docs_rep))
-        timings["scale_substring_postings"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001
-        errors["scale_substring_postings"] = repr(exc)
-    try:
-        t0 = time.time()
-        spark.sparkContext.setJobDescription("scale lane: exact maxsim x32")
-        # NB: `dt` the cascade frame is shadowed by the headline loop's
-        # elapsed-seconds local — re-fetch the session-cached inputs
-        _sl_cents, _sl_dt, _sl_ta = cascade_inputs(spark, sf_dir)
-        _dt_rep = (
-            _sl_dt.crossJoin(
-                F.broadcast(
-                    spark.range(2 * SCALE_REP).select(F.col("id").alias("rep"))
+        try:
+            t0 = time.time()
+            spark.sparkContext.setJobDescription(
+                "scale lane: minhash+lsh x64"
+            )
+            _docs = _sl_load(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            _reps = F.broadcast(
+                spark.range(SCALE_REP).select(F.col("id").alias("rep"))
+            )
+            _docs_rep = (
+                _docs.repartition(64, "doc_id")
+                .crossJoin(_reps)
+                .select(
+                    (F.col("doc_id") * SCALE_REP + F.col("rep")).alias(
+                        "doc_id"
+                    ),
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" zscale"),
+                        F.col("rep").cast("string"),
+                    ).alias("text"),
                 )
             )
-            .select(
-                (F.col("doc_id") * (2 * SCALE_REP) + F.col("rep")).alias(
-                    "doc_id"
-                ),
-                "vec",
+            _sl_noop(_sl_lsh(_sl_minhash(_sl_shingles(_docs_rep))))
+            timings["scale_minhash_lsh"] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors["scale_minhash_lsh"] = repr(exc)
+        try:
+            t0 = time.time()
+            spark.sparkContext.setJobDescription(
+                "scale lane: substring postings x64"
             )
-        )
-        _sl_noop(_exact_maxsim_scores(_dt_rep, bq_small))
-        timings["scale_maxsim_exact"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001
-        errors["scale_maxsim_exact"] = repr(exc)
-    spark.sparkContext.setJobDescription(None)
+            _sl_noop(_sl_postings(_docs_rep))
+            timings["scale_substring_postings"] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors["scale_substring_postings"] = repr(exc)
+    finally:
+        if _adv_old is None:
+            spark.conf.unset(_ADV_KEY)
+        else:
+            spark.conf.set(_ADV_KEY, _adv_old)
+        spark.sparkContext.setJobDescription(None)
 
     # ---- DuckDB oracle BASELINE on the same protocol (BASELINE.md
     # requires recorded values next to the Spark numbers). DuckDB runs
