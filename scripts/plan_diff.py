@@ -26,6 +26,7 @@ def norm(text: str) -> str:
     text = re.sub(r"m\d+-[0-9a-f]+", "mX", text)
     text = re.sub(r"subquery#\w+", "subquery#X", text)
     text = re.sub(r"cachedrdd-\d+", "cachedrdd-X", text)
+    text = re.sub(r"part-\d+-[0-9a-f-]+(\.c\d+)?[.\w]*parquet", "part-X.parquet", text)
     return text
 
 
